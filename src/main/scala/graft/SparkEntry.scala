@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §7 (plan).
+  *
+  * Every implemented operator is exposed as a named query over a
+  * testdata sf-dir, with a DuckDB-equivalent oracle SQL where the
+  * semantics are ANSI-SQL-expressible (SURVEY.md §4 determinism rules).
+  */
 object SparkEntry {
+
+  private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (operators.RelationalOps.queries, operators.RelationalOps.oracles),
+      (operators.EventOps.queries, operators.EventOps.oracles),
+      (graph.GraphQueries.queries, graph.GraphQueries.oracles))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graph.GraphQueries.build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check. */
+  def oracleSql: Map[String, String] =
+    registry.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,139 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A property graph as a pair of DataFrames — the Spark-native
+  * re-expression of cognee's graph storage interface
+  * (reference: cognee/infrastructure/databases/graph/graph_db_interface.py:16
+  * — NodeData/EdgeData as (source_id, target_id, relationship_name, props)).
+  *
+  * `nodes`: (id STRING, ntype STRING, name STRING)
+  * `edges`: (src STRING, dst STRING, rel STRING)
+  *
+  * Ids are typed strings `"<type>:<key>"` so heterogeneous entity sets
+  * union into one vertex domain without key collisions. At cluster
+  * scale both DataFrames are hash-partitioned on id/src by the shuffles
+  * the consuming operators declare; nothing here collects to the driver.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** Both directions of every edge, deduplicated — the traversal view
+    * used by undirected algorithms (BFS, components, triangles). */
+  def undirectedEdges: DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.union(rev).distinct()
+  }
+
+  /** Per-node in/out degree (cognee get_neighbors cardinality).
+    * Two partial-aggregated counts + broadcast-free left joins; one
+    * shuffle per side keyed on node id. */
+  def degrees: DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    nodes.join(out, Seq("id"), "left").join(in, Seq("id"), "left")
+      .select(col("id"), col("ntype"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** 1-hop connection triplets touching a node predicate (cognee
+    * get_connections, the INSIGHTS building block). */
+  def connections(nodePred: org.apache.spark.sql.Column): DataFrame = {
+    val ids = nodes.filter(nodePred).select(col("id"))
+    // Semi-join both endpoints; ids is small relative to edges → broadcast.
+    val bySrc = edges.join(broadcast(ids.withColumnRenamed("id", "src")), Seq("src"))
+    val byDst = edges.join(broadcast(ids.withColumnRenamed("id", "dst")), Seq("dst"))
+    bySrc.select("src", "rel", "dst").union(byDst.select("src", "rel", "dst")).distinct()
+  }
+
+  /** num_nodes / num_edges / mean_degree / density — cognee
+    * get_graph_metrics (graph_db_interface.py). Single-row result. */
+  def metrics: DataFrame = {
+    val n = nodes.agg(count(lit(1)).as("num_nodes"))
+    val e = edges.agg(count(lit(1)).as("num_edges"))
+    n.crossJoin(e).select(
+      col("num_nodes"), col("num_edges"),
+      round(col("num_edges") * 2.0 / col("num_nodes"), 4).as("mean_degree"),
+      round(col("num_edges") * 1.0 /
+        (col("num_nodes") * (col("num_nodes") - lit(1L))), 8).as("edge_density"))
+  }
+
+  /** Subgraph restricted to the given node types. */
+  def subgraphByType(types: Seq[String]): PropertyGraph = {
+    val prefixes = types.map(_ + ":")
+    def keep(c: org.apache.spark.sql.Column) =
+      prefixes.map(p => c.startsWith(p)).reduce(_ || _)
+    PropertyGraph(
+      nodes.filter(col("ntype").isin(types: _*)),
+      edges.filter(keep(col("src")) && keep(col("dst"))))
+  }
+}
+
+/** Knowledge-graph projection of the TPC-H-ish testdata — the analog of
+  * cognee's cognify step materializing entities + relations from source
+  * data (reference: cognee/modules/cognify, tasks/graph). Entity types:
+  * region, nation, supplier, customer, part, order; relations:
+  * in_region, located_in, placed_by, contains, supplied_by.
+  */
+object TpchGraph {
+  def apply(spark: SparkSession, dir: String): PropertyGraph = {
+    import graft.Tables.load
+    def id(prefix: String, c: String) = concat(lit(prefix + ":"), col(c).cast("string"))
+
+    val region   = load(spark, dir, "region")
+    val nation   = load(spark, dir, "nation")
+    val supplier = load(spark, dir, "supplier")
+    val customer = load(spark, dir, "customer")
+    val part     = load(spark, dir, "part")
+    val orders   = load(spark, dir, "orders")
+    val lineitem = load(spark, dir, "lineitem")
+
+    val nodes =
+      region.select(id("region", "r_regionkey").as("id"), lit("region").as("ntype"), col("r_name").as("name"))
+        .union(nation.select(id("nation", "n_nationkey"), lit("nation"), col("n_name")))
+        .union(supplier.select(id("supplier", "s_suppkey"), lit("supplier"), col("s_name")))
+        .union(customer.select(id("customer", "c_custkey"), lit("customer"), col("c_name")))
+        .union(part.select(id("part", "p_partkey"), lit("part"), col("p_name")))
+        .union(orders.select(id("order", "o_orderkey"), lit("order"),
+          concat(lit("order-"), col("o_orderkey").cast("string"))))
+
+    val edges =
+      nation.select(id("nation", "n_nationkey").as("src"), id("region", "n_regionkey").as("dst"), lit("in_region").as("rel"))
+        .union(supplier.select(id("supplier", "s_suppkey"), id("nation", "s_nationkey"), lit("located_in")))
+        .union(customer.select(id("customer", "c_custkey"), id("nation", "c_nationkey"), lit("located_in")))
+        .union(orders.select(id("order", "o_orderkey"), id("customer", "o_custkey"), lit("placed_by")))
+        // lineitem fans out order→part / order→supplier; dedup to simple edges
+        // (map-side partial distinct then one shuffle on (src,dst)).
+        .union(lineitem.select(id("order", "l_orderkey"), id("part", "l_partkey"), lit("contains")).distinct())
+        .union(lineitem.select(id("order", "l_orderkey"), id("supplier", "l_suppkey"), lit("supplied_by")).distinct())
+
+    PropertyGraph(nodes, edges)
+  }
+
+  /** DuckDB WITH-clause fragments re-deriving the SAME projection from the
+    * raw parquet views — shared by every graph oracle so Spark and oracle
+    * can never drift apart. */
+  val nodesSql: String =
+    """nodes AS (
+      |  SELECT 'region:'||r_regionkey AS id, 'region' AS ntype, r_name AS name FROM region
+      |  UNION ALL SELECT 'nation:'||n_nationkey, 'nation', n_name FROM nation
+      |  UNION ALL SELECT 'supplier:'||s_suppkey, 'supplier', s_name FROM supplier
+      |  UNION ALL SELECT 'customer:'||c_custkey, 'customer', c_name FROM customer
+      |  UNION ALL SELECT 'part:'||p_partkey, 'part', p_name FROM part
+      |  UNION ALL SELECT 'order:'||o_orderkey, 'order', 'order-'||o_orderkey FROM orders
+      |)""".stripMargin
+
+  val edgesSql: String =
+    """edges AS (
+      |  SELECT 'nation:'||n_nationkey AS src, 'region:'||n_regionkey AS dst, 'in_region' AS rel FROM nation
+      |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey, 'located_in' FROM supplier
+      |  UNION ALL SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey, 'located_in' FROM customer
+      |  UNION ALL SELECT 'order:'||o_orderkey, 'customer:'||o_custkey, 'placed_by' FROM orders
+      |  UNION ALL SELECT DISTINCT 'order:'||l_orderkey, 'part:'||l_partkey, 'contains' FROM lineitem
+      |  UNION ALL SELECT DISTINCT 'order:'||l_orderkey, 'supplier:'||l_suppkey, 'supplied_by' FROM lineitem
+      |)""".stripMargin
+
+  val withGraph: String = s"WITH $nodesSql,\n$edgesSql"
+}

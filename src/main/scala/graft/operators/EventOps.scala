@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables.loadEvents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analogs of the streaming/temporal surface (cognee TEMPORAL
+  * search — reference: cognee/modules/retrieval/temporal_retriever.py —
+  * and the event-stream ingestion the brief mandates). The streaming
+  * twins live in graft.streaming.EventStream; these batch versions are
+  * the oracle-checkable semantics.
+  *
+  * Determinism: gap/session math is done on whole SECONDS
+  * (unix_timestamp ≡ floor(epoch)) because the parquet timestamps are
+  * ns-precision, which Spark truncates to µs but DuckDB keeps — raw
+  * sub-second values must never reach the output (SURVEY.md §4).
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type — the batch twin of the
+    * streaming windowed aggregation. One shuffle on (hour, type). */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    loadEvents(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+
+  val windowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** 30-minute-gap sessionization per user (batch semantics; streaming
+    * twin uses mapGroupsWithState). Single shuffle on user_id; both
+    * window functions reuse the same sort. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    loadEvents(spark, dir)
+      .withColumn("sec", col("ts_sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("sec")).as("start_s"),
+        max(col("sec")).as("end_s"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess,
+      |    ts, event_id
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sessed AS (
+      |  SELECT user_id, value, sec,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, sess_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  min(sec) AS start_s, max(sec) AS end_s
+      |FROM sessed GROUP BY user_id, sess_id""".stripMargin
+
+  /** TEMPORAL search analog: interval-filtered events joined back to
+    * per-user profile aggregates (temporal_retriever extracts a time
+    * range, filters, then assembles context). Filter is pushed to the
+    * parquet scan. */
+  def temporalSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = loadEvents(spark, dir)
+    val window = e.filter(col("ts") >= lit("2024-01-08 00:00:00") && col("ts") < lit("2024-01-15 00:00:00"))
+    window
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .filter(col("n_events") >= 3)
+  }
+
+  val temporalSearchSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY user_id
+      |HAVING count(*) >= 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
+    "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "events_window_agg" -> windowAggSql,
+    "events_sessionize" -> sessionizeSql,
+    "search_temporal" -> temporalSearchSql)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/OLAP core — the analog of cognee's relational ledger
+  * queries (pipeline run history, data inventory) plus the bench
+  * headliners. All floats are rounded identically in the Spark plan and
+  * the DuckDB oracle (SURVEY.md §4).
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style pricing summary. Single hash-aggregate: map-side
+    * partial agg → one shuffle on (returnflag, linestatus). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val l = load(spark, dir, "lineitem")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping-priority revenue top-N. customer is small
+    * → broadcast to the orders side; lineitem join shuffles on orderkey
+    * once; top-10 via rounded-revenue total order (ties → orderkey). */
+  def q3JoinTopN(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = load(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = load(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey").asc)
+      .limit(10)
+  }
+
+  val q3JoinTopNSql: String =
+    """SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Per-customer order ranking + running spend (window functions — the
+    * pipeline_run-history analog). One shuffle on custkey; the two
+    * window functions share a single sort. */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_spend"))
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
+    "q3_join_topn" -> ((s: SparkSession, d: String) => q3JoinTopN(s, d)),
+    "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topn" -> q3JoinTopNSql,
+    "q_window" -> qWindowSql)
+}

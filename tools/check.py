@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev aid only; the
+library itself is pure Scala/Spark).
+
+Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`:
+    python3 tools/check.py /tmp/verify_out /root/testdata/sf0.01
+Compares each <name>/ parquet dump against DuckDB running oracle_sql.json
+on views over the raw testdata parquet. Column order is normalized by
+sorting column names; rows are sorted by all columns; floats compared
+with tolerance-free equality after the queries' own rounding.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def load_result(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: ints -> int64, floats -> float64, timestamps -> ns utc-naive
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
+        else:
+            try:
+                df[c] = df[c].astype("float64")  # duckdb HUGEINT/decimal -> float
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expect = canon(con.execute(sql).df())
+            got = canon(load_result(os.path.join(out_dir, name)))
+            if list(expect.columns) != list(got.columns):
+                print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(expect.columns)}")
+                n_fail += 1
+                continue
+            if len(expect) != len(got):
+                print(f"FAIL {name}: rows {len(got)} vs oracle {len(expect)}")
+                n_fail += 1
+                continue
+            if not expect.equals(got):
+                neq = (expect != got) & ~(expect.isna() & got.isna())
+                bad = neq.any(axis=1)
+                print(f"FAIL {name}: {int(bad.sum())}/{len(expect)} rows differ; first:")
+                print(pd.concat([expect[bad].head(3).add_suffix("_oracle"),
+                                 got[bad].head(3).add_suffix("_spark")], axis=1).to_string())
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({len(expect)} rows)")
+            n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
