@@ -1,0 +1,162 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.lib.ShortestPaths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics — the GraphX/Pregel side of the engine
+  * (cognee exposes these via per-backend graph metrics + subgraph
+  * traversal: graph_db_interface.py get_subgraph / get_graph_metrics).
+  *
+  * String node ids are mapped to dense longs with a distributed
+  * sort+zipWithIndex (no driver collect, no single-partition window), so
+  * GraphX component labels (min vertex id) map back to the
+  * lexicographically-smallest string id — which is what the SQL oracle
+  * computes with min(id).
+  */
+object GraphAlgos {
+
+  /** Deterministic dense vertex index: id → vid, ordered by id. */
+  def vertexIndex(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val rdd = nodes.select(col("id")).as[String].rdd
+      .sortBy(identity).zipWithIndex()
+    spark.createDataFrame(rdd).toDF("id", "vid")
+  }
+
+  /** Build a GraphX graph from the property graph. `directed = false`
+    * materializes both directions (the traversal semantics cognee's
+    * neighborhood expansion uses). Returns (graph, id↔vid map). */
+  def toGraphX(g: PropertyGraph, directed: Boolean = false): (Graph[Unit, Unit], DataFrame) = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val idx = vertexIndex(g.nodes).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = if (directed) g.edges.select(col("src"), col("dst")) else g.undirectedEdges
+    val ue = base
+      .join(idx.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), Seq("src"))
+      .join(idx.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), Seq("dst"))
+      .select(col("svid"), col("dvid"))
+    val edgeRdd = ue.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val vertRdd = idx.select(col("vid")).as[Long].rdd.map(v => (v: VertexId, ()))
+    (Graph(vertRdd, edgeRdd), idx)
+  }
+
+  /** PageRank via GraphX staticPageRank (Pregel, in-memory iteration) —
+    * the scale path. Same recurrence as [[pageRank]]: fixed iterations,
+    * resetProb 0.15, rank/outDeg contributions, no dangling
+    * redistribution — so it hash-matches the same unrolled-CTE oracle. */
+  def pageRankGraphX(g: PropertyGraph, iters: Int): DataFrame = {
+    val (graph, idx) = toGraphX(g, directed = true)
+    val spark = g.nodes.sparkSession
+    val ranks = graph.staticPageRank(iters).vertices
+    spark.createDataFrame(ranks).toDF("vid", "r").join(idx, Seq("vid")).select(col("id"), col("r"))
+  }
+
+  /** Connected components via GraphX; label = lexicographically smallest
+    * member id (matches the oracle's min(id) per component). */
+  def connectedComponents(g: PropertyGraph): DataFrame = {
+    val (graph, idx) = toGraphX(g)
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val cc = graph.connectedComponents().vertices // (vid, minVid)
+    val ccDf = spark.createDataFrame(cc).toDF("vid", "cvid")
+    ccDf.join(idx, Seq("vid"))
+      .join(idx.withColumnRenamed("id", "component").withColumnRenamed("vid", "cvid"), Seq("cvid"))
+      .select(col("id"), col("component"))
+  }
+
+  /** Hop distances from a single seed via GraphX Pregel (ShortestPaths),
+    * capped at maxDepth; returns the distance histogram. */
+  def hopDistanceHistogram(g: PropertyGraph, seedId: String, maxDepth: Int): DataFrame = {
+    val (graph, idx) = toGraphX(g)
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val seedVids = idx.filter(col("id") === seedId).select(col("vid")).as[Long].collect()
+    require(seedVids.length == 1, s"seed $seedId not found")
+    val res = ShortestPaths.run(graph, Seq(seedVids.head)).vertices
+      .flatMap { case (_, spmap) => spmap.values.headOption }
+    spark.createDataFrame(res.map(Tuple1(_))).toDF("depth")
+      .filter(col("depth") <= maxDepth)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** k-hop BFS from a seed node set — bounded traversal as pure
+    * DataFrame joins (Catalyst-planned, k shuffles), the get_subgraph
+    * frontier pattern. Returns (id, depth=min hops). */
+  def kHop(g: PropertyGraph, seeds: DataFrame, k: Int): DataFrame = {
+    val ue = g.undirectedEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("depth", lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    for (d <- 1 to k) {
+      // frontier's lineage includes ue after iteration 1 → must alias the
+      // self-join sides and use qualified names.
+      val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next
+    }
+    visited
+  }
+
+  /** PageRank by DataFrame power iteration: fixed iteration count,
+    * damping 0.85, init 1.0, no dangling redistribution — the exact
+    * recurrence the unrolled-CTE oracle evaluates. Directed edges.
+    * Each iteration is one shuffle (groupBy dst) + broadcast-eligible
+    * join back to nodes; ranks are persisted per iteration to keep the
+    * lineage flat. */
+  def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
+    val edges = g.edges.select(col("src"), col("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // Hoist the static edges⋈out-degree join out of the loop; repartition
+    // by src so every iteration's ranks join lines up on the same
+    // hash partitioning (one shuffle per iteration, on the agg only).
+    val edgesW = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeIds = g.nodes.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodeIds.withColumn("r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("od")).as("contrib"))
+      val next = nodeIds.join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize to flatten lineage before unpersisting parent
+      ranks.unpersist(false)
+      ranks = next
+    }
+    // Match GraphX staticPageRank's final normalization (ranks sum to N).
+    val row = ranks.agg(count(lit(1)).cast("double"), sum(col("r"))).head()
+    ranks.select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
+  }
+
+  /** Bipartite co-occurrence projection: items sharing a basket become
+    * an undirected canonical edge (x < y). One self-join shuffled on the
+    * basket key, then distinct. */
+  def coOccurrenceEdges(basketItem: DataFrame): DataFrame = {
+    val a = basketItem.toDF("basket", "x")
+    val b = basketItem.toDF("basket", "y")
+    a.join(b, Seq("basket")).filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+  }
+
+  /** Triangle count over canonical undirected edges via GraphX
+    * TriangleCount. Returns one row: (n_triangles, n_edges). */
+  def triangleCount(canonEdges: DataFrame): DataFrame = {
+    val spark = canonEdges.sparkSession
+    import spark.implicits._
+    val edgeRdd = canonEdges.as[(Long, Long)].rdd.map { case (x, y) => Edge(x, y, ()) }
+    val graph = Graph.fromEdges(edgeRdd, ())
+    val triSum = graph.triangleCount().vertices.map(_._2.toLong).sum() / 3
+    val nEdges = canonEdges.count()
+    spark.createDataFrame(Seq((triSum.toLong, nEdges))).toDF("n_triangles", "n_edges")
+  }
+}

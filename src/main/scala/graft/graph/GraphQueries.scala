@@ -64,15 +64,129 @@ object GraphQueries {
        |  round(num_edges * 1.0 / (num_nodes * (num_nodes - 1)), 8) AS edge_density
        |FROM n, e""".stripMargin
 
+  /** 3-hop BFS from the suppliers of nation:0 (get_subgraph frontier). */
+  def kHop(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val seeds = g.edges
+      .filter(col("rel") === "located_in" && col("dst") === "nation:0" && col("src").startsWith("supplier:"))
+      .select(col("src").as("id"))
+    GraphAlgos.kHop(g, seeds, 3)
+  }
+
+  /** Hop-distance histogram from nation:0 via Pregel SSSP, capped at 8. */
+  def paths(spark: SparkSession, dir: String): DataFrame =
+    GraphAlgos.hopDistanceHistogram(TpchGraph(spark, dir), "nation:0", 8)
+
+  /** Connected components of the supplier–nation–region subgraph. */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    GraphAlgos.connectedComponents(TpchGraph(spark, dir).subgraphByType(Seq("region", "nation", "supplier")))
+
+  /** Top-100 PageRank (10 fixed iterations, damping 0.85) via GraphX
+    * Pregel; GraphAlgos.pageRank is the DataFrame twin (same oracle). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = GraphAlgos.pageRankGraphX(TpchGraph(spark, dir), 10)
+    ranks.select(col("id"), round(col("r"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id").asc).limit(100)
+  }
+
+  /** Triangle census of the part co-purchase projection (parts sharing
+    * an order). GraphX TriangleCount over the projected graph. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    GraphAlgos.triangleCount(GraphAlgos.coOccurrenceEdges(li))
+  }
+
+  val pathsSql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |ue AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |bfs(id, d) AS (
+       |  SELECT 'nation:0', 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN ue e ON b.id = e.src WHERE b.d < 8
+       |)
+       |SELECT depth, count(*) AS n_nodes FROM (
+       |  SELECT id, min(d) AS depth FROM bfs GROUP BY id
+       |) GROUP BY depth""".stripMargin
+
+  val kHopSql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |ue AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |seeds AS (SELECT DISTINCT src AS id FROM edges
+       |          WHERE rel = 'located_in' AND dst = 'nation:0' AND src LIKE 'supplier:%'),
+       |bfs(id, d) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN ue e ON b.id = e.src WHERE b.d < 3
+       |)
+       |SELECT id, min(d) AS depth FROM bfs GROUP BY id""".stripMargin
+
+  val componentsSql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sn AS (SELECT id FROM nodes WHERE ntype IN ('region', 'nation', 'supplier')),
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |se AS (SELECT src, dst FROM sd UNION SELECT dst, src FROM sd),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM sn
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN se e ON r.b = e.src
+       |)
+       |SELECT a AS id, min(b) AS component FROM reach GROUP BY a""".stripMargin
+
+  private def prIter(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS id, sum(p.r / d.od) AS contrib
+       |    FROM edges e JOIN deg d ON d.src = e.src JOIN r${i - 1} p ON p.id = e.src
+       |    GROUP BY e.dst) c ON c.id = n.id
+       |)""".stripMargin
+
+  val pageRankSql: String =
+    s"""$withGraph,
+       |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 AS r FROM nodes),
+       |${(1 to 10).map(prIter).mkString(",\n")}
+       |-- GraphX staticPageRank normalizes final ranks to sum to numVertices
+       |SELECT id, round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r10), 4) AS rank
+       |FROM r10
+       |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
+
+  val trianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)
+      |SELECT (SELECT count(*)
+      |        FROM pairs ab
+      |        JOIN pairs ac ON ac.x = ab.x AND ac.y > ab.y
+      |        JOIN pairs bc ON bc.x = ab.y AND bc.y = ac.y) AS n_triangles,
+      |       (SELECT count(*) FROM pairs) AS n_edges""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_build" -> ((s: SparkSession, d: String) => build(s, d)),
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
     "graph_neighbors" -> ((s: SparkSession, d: String) => neighbors(s, d)),
-    "graph_metrics" -> ((s: SparkSession, d: String) => metrics(s, d)))
+    "graph_metrics" -> ((s: SparkSession, d: String) => metrics(s, d)),
+    "graph_khop" -> ((s: SparkSession, d: String) => kHop(s, d)),
+    "graph_paths" -> ((s: SparkSession, d: String) => paths(s, d)),
+    "graph_connected_components" -> ((s: SparkSession, d: String) => components(s, d)),
+    "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
+    "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
     "graph_build" -> buildSql,
     "graph_degree" -> degreeSql,
     "graph_neighbors" -> neighborsSql,
-    "graph_metrics" -> metricsSql)
+    "graph_metrics" -> metricsSql,
+    "graph_khop" -> kHopSql,
+    "graph_paths" -> pathsSql,
+    "graph_connected_components" -> componentsSql,
+    "graph_pagerank" -> pageRankSql,
+    "graph_triangles" -> trianglesSql)
 }

@@ -78,7 +78,20 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   * in_region, located_in, placed_by, contains, supplied_by.
   */
 object TpchGraph {
-  def apply(spark: SparkSession, dir: String): PropertyGraph = {
+  // The projection is referenced by many queries in one process (verify /
+  // bench run the whole inventory); building it involves a distinct()
+  // over lineitem, so cache the persisted result per (session, dir).
+  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  def apply(spark: SparkSession, dir: String): PropertyGraph =
+    cache.getOrElseUpdate((spark, dir), {
+      val g = build(spark, dir)
+      PropertyGraph(
+        g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
     import graft.Tables.load
     def id(prefix: String, c: String) = concat(lit(prefix + ":"), col(c).cast("string"))
 
