@@ -15,7 +15,9 @@ object SparkEntry {
       (operators.RelationalOps.queries, operators.RelationalOps.oracles),
       (operators.EventOps.queries, operators.EventOps.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.DedupOps.queries, operators.DedupOps.oracles),
+      (operators.Retrievers.queries, operators.Retrievers.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

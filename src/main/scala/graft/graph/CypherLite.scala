@@ -1,0 +1,108 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A restricted Cypher pattern compiler — the Spark-native analog of
+  * cognee's CYPHER search type (reference: cognee/modules/retrieval/
+  * cypher_search_retriever.py forwards a Cypher string to the graph
+  * backend; NATURAL_LANGUAGE generates one first).
+  *
+  * Supported grammar (linear path patterns, the shape cognee's
+  * retrievers emit):
+  * {{{
+  *   MATCH (a:type)-[:rel]->(b:type)(-[:rel2]->(c:type))*
+  *   [WHERE var.prop = 'literal' [AND ...]]
+  *   RETURN var.prop [AS alias] | count(*) AS alias [, ...]
+  *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
+  * }}}
+  * Node properties: id, ntype, name.
+  *
+  * Compilation is declarative: each hop is an equi-join of the edges
+  * DataFrame (filtered to the relation, so the predicate pushes into
+  * the scan) with the nodes DataFrame — Catalyst plans/reorders the
+  * join chain like any other; count(*) returns become a hash aggregate.
+  */
+object CypherLite {
+
+  private val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
+  private val relRe = """-\s*\[\s*:\s*(\w+)\s*\]\s*->""".r
+  private val whereRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+  private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
+
+  def run(g: PropertyGraph, cypher: String): DataFrame = {
+    val q = cypher.trim.replaceAll("\\s+", " ")
+    val matchPart = section(q, "MATCH", Seq("WHERE", "RETURN"))
+    val wherePart = sectionOpt(q, "WHERE", Seq("RETURN"))
+    val retPart = section(q, "RETURN", Seq("ORDER BY", "LIMIT"))
+    val orderPart = sectionOpt(q, "ORDER BY", Seq("LIMIT"))
+    val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
+
+    val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), m.group(2))).toSeq
+    val relPats = relRe.findAllMatchIn(matchPart).map(_.group(1)).toSeq
+    require(nodePats.nonEmpty && relPats.length == nodePats.length - 1,
+      s"unsupported pattern: $matchPart")
+
+    def nodeDf(v: String, t: String): DataFrame =
+      g.nodes.filter(col("ntype") === t).select(
+        col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"))
+
+    var df = nodeDf(nodePats.head._1, nodePats.head._2)
+    relPats.zipWithIndex.foreach { case (rel, i) =>
+      val (pv, _) = nodePats(i)
+      val (nv, nt) = nodePats(i + 1)
+      val e = g.edges.filter(col("rel") === rel)
+        .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
+      df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt), Seq(s"${nv}_id"))
+    }
+
+    wherePart.foreach { w =>
+      w.split("(?i) AND ").foreach {
+        case whereRe(v, p, lit0) => df = df.filter(col(s"${v}_$p") === lit0)
+        case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
+      }
+    }
+
+    val items = retPart.split(",").map(_.trim).map {
+      case m @ retItemRe(v, p, alias) =>
+        val isCount = v == null
+        val name = Option(alias).getOrElse(if (isCount) "count" else s"${v}_$p")
+        (isCount, if (isCount) count(lit(1)).as(name) else col(s"${v}_$p").as(name), name)
+      case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
+    }
+    val aggItems = items.filter(_._1)
+    val keyItems = items.filterNot(_._1)
+    var out =
+      if (aggItems.isEmpty) df.select(items.map(_._2).toIndexedSeq: _*)
+      else df.groupBy(keyItems.map(_._2).toIndexedSeq: _*)
+        .agg(aggItems.head._2, aggItems.tail.map(_._2).toIndexedSeq: _*)
+
+    orderPart.foreach { o =>
+      val sorts = o.split(",").map(_.trim).map { s =>
+        val desc = s.toUpperCase.endsWith(" DESC")
+        val name = s.split("\\s+").head
+        if (desc) col(name).desc else col(name).asc
+      }
+      out = out.orderBy(sorts.toIndexedSeq: _*)
+    }
+    limitPart.foreach(n => out = out.limit(n.trim.toInt))
+    out
+  }
+
+  private def section(q: String, kw: String, stops: Seq[String]): String =
+    sectionOpt(q, kw, stops).getOrElse(throw new IllegalArgumentException(s"missing $kw in: $q"))
+
+  private def sectionOpt(q: String, kw: String, stops: Seq[String]): Option[String] = {
+    val up = q.toUpperCase
+    val i = up.indexOf(kw + " ")
+    if (i < 0) None
+    else {
+      val from = i + kw.length + 1
+      val end = stops.map(s => up.indexOf(" " + s + " ", from)).filter(_ >= 0) match {
+        case Nil => q.length
+        case xs => xs.min
+      }
+      Some(q.substring(from, end).trim)
+    }
+  }
+}

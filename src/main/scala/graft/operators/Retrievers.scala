@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.Tables.load
+import graft.graph.{CypherLite, TpchGraph}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The cognee search-type surface, re-expressed as composable Spark
+  * plans (reference: cognee/modules/search/types/SearchType.py and
+  * the modules/retrieval package). The LLM completion step of the *_COMPLETION
+  * types is out of scope by design — what the engine owes is the
+  * deterministic retrieval + context assembly that feeds it.
+  */
+object Retrievers {
+
+  private def embD(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private val cosSql =
+    "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+
+  /** CHUNKS: cosine top-5 documents for query vector 0, with snippet
+    * payload (chunks_retriever.py → vector search → chunk text). */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    val e = embD(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val docs = load(spark, dir, "documents")
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("cosine"),
+        array_join(slice(split(col("text"), " "), 1, 10), " ").as("snippet"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+  }
+
+  val chunksSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |)
+       |SELECT s.doc_id, s.cosine,
+       |  array_to_string((string_split(d.text, ' '))[1:10], ' ') AS snippet
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
+
+  /** SUMMARIES: deterministic extractive summary (first 16 words) of
+    * the cosine top-5 for query vector 1 (summaries_retriever.py over a
+    * summaries collection; the LLM summarizer is replaced by a
+    * deterministic extract). */
+  def summaries(spark: SparkSession, dir: String): DataFrame = {
+    val e = embD(spark, dir)
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val docs = load(spark, dir, "documents")
+    e.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("cosine"),
+        array_join(slice(split(col("text"), " "), 1, 16), " ").as("summary"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+  }
+
+  val summariesSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 1
+       |)
+       |SELECT s.doc_id, s.cosine,
+       |  array_to_string((string_split(d.text, ' '))[1:16], ' ') AS summary
+       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
+
+  private val queryTokens = Seq("spark", "fast", "join", "window")
+
+  /** CHUNKS_LEXICAL: token-set Jaccard of a literal query against each
+    * document, top-20 (lexical_retriever.py / jaccard_retrival.py). */
+  def lexical(spark: SparkSession, dir: String): DataFrame = {
+    val dtoks = array_distinct(split(col("text"), " "))
+    val qarr = array(queryTokens.map(lit): _*)
+    val inter = size(array_intersect(dtoks, qarr)).cast("double")
+    val uni = size(array_union(dtoks, qarr))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), round(inter / uni, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+  }
+
+  val lexicalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |)
+      |SELECT doc_id,
+      |  round(len(list_intersect(toks, ['spark', 'fast', 'join', 'window'])) * 1.0
+      |        / len(list_distinct(list_concat(toks, ['spark', 'fast', 'join', 'window']))), 4) AS score
+      |FROM t
+      |WHERE len(list_intersect(toks, ['spark', 'fast', 'join', 'window'])) > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** INSIGHTS: vector-match entities, then expand their 1-hop
+    * neighborhood as triplets (insights_retriever.py: vector search on
+    * entities + get_connections). Entities = label centroids resolved
+    * to nation nodes; query = vector 0; top-3 cells. */
+  def insights(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = dims.groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("centroid"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val w = Window.orderBy(col("ccos").desc, col("label").asc)
+    val topNations = cent.crossJoin(broadcast(q))
+      .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
+    val edges = TpchGraph(spark, dir).edges
+    edges.join(broadcast(topNations),
+        col("src") === col("nid") || col("dst") === col("nid"))
+      .select(col("src"), col("rel"), col("dst")).distinct()
+  }
+
+  val insightsSql: String =
+    s"""WITH ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT label, i AS pos, v[i + 1] AS x FROM e, unnest(range(len(v))) AS u(i)
+       |),
+       |cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(x) AS cx FROM dims GROUP BY 1, 2) GROUP BY label
+       |),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |ranked AS (
+       |  SELECT label, row_number() OVER (ORDER BY
+       |    list_dot_product(qv, centroid)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) DESC,
+       |    label ASC) AS rn
+       |  FROM cent, q
+       |),
+       |top_nations AS (SELECT 'nation:'||label AS nid FROM ranked WHERE rn <= 3)
+       |SELECT DISTINCT src, rel, dst
+       |FROM edges JOIN top_nations ON src = nid OR dst = nid""".stripMargin
+
+  /** GRAPH_COMPLETION / RAG_COMPLETION context assembly: top-3 chunk
+    * refs + top-3 graph triplet refs, rank-tagged — the deterministic
+    * context the completion prompt would consume
+    * (graph_completion_retriever.py builds exactly this before the LLM
+    * call). */
+  def completionContext(spark: SparkSession, dir: String): DataFrame = {
+    val chunkPart = chunks(spark, dir).limit(3)
+      .select(lit("chunk").as("part"),
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long").as("rank"),
+        col("doc_id").cast("string").as("ref"))
+    val tripletPart = insights(spark, dir)
+      .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
+      .orderBy(col("ref").asc).limit(3)
+      .select(lit("triplet").as("part"),
+        row_number().over(Window.orderBy(col("ref").asc)).cast("long").as("rank"), col("ref"))
+    chunkPart.union(tripletPart)
+  }
+
+  val completionContextSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |),
+       |chunk_part AS (
+       |  SELECT 'chunk' AS part,
+       |    row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank,
+       |    doc_id::VARCHAR AS ref
+       |  FROM scored ORDER BY cosine DESC, doc_id ASC LIMIT 3
+       |),
+       |${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |ee AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT label, i AS pos, v[i + 1] AS x FROM ee, unnest(range(len(v))) AS u(i)),
+       |cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(x) AS cx FROM dims GROUP BY 1, 2) GROUP BY label
+       |),
+       |ranked AS (
+       |  SELECT label, row_number() OVER (ORDER BY
+       |    list_dot_product(qv, centroid)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) DESC,
+       |    label ASC) AS rn
+       |  FROM cent, q
+       |),
+       |top_nations AS (SELECT 'nation:'||label AS nid FROM ranked WHERE rn <= 3),
+       |triplets AS (
+       |  SELECT DISTINCT src||'-'||rel||'->'||dst AS ref
+       |  FROM edges JOIN top_nations ON src = nid OR dst = nid
+       |),
+       |triplet_part AS (
+       |  SELECT 'triplet' AS part, row_number() OVER (ORDER BY ref ASC) AS rank, ref
+       |  FROM triplets ORDER BY ref ASC LIMIT 3
+       |)
+       |SELECT part, rank, ref FROM chunk_part
+       |UNION ALL SELECT part, rank, ref FROM triplet_part""".stripMargin
+
+  /** FEELING_LUCKY: deterministic retriever dispatch — pick the source
+    * with the most documents (ties: lexicographic), return its top-5
+    * docs by quality score. */
+  def feelingLucky(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val topSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("source").asc).limit(1).select(col("source"))
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val stopCnt = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "to"))))
+    val q = floor((least(nWords / lit(100.0), lit(1.0)) * 0.7 +
+      least(stopCnt.cast("double") / nWords * 5.0, lit(1.0)) * 0.3) * 10000) / 10000
+    docs.join(broadcast(topSource), Seq("source"))
+      .select(col("source"), col("doc_id"), q.as("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc).limit(5)
+  }
+
+  val feelingLuckySql: String =
+    """WITH top_source AS (
+      |  SELECT source FROM documents GROUP BY source
+      |  ORDER BY count(*) DESC, source ASC LIMIT 1
+      |)
+      |SELECT d.source, d.doc_id,
+      |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.7
+      |   + least(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+      |           / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3) * 10000) / 10000 AS quality_score
+      |FROM documents d JOIN top_source USING (source)
+      |ORDER BY quality_score DESC, doc_id ASC LIMIT 5""".stripMargin
+
+  val supplierCypher: String =
+    "MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region) " +
+      "RETURN r.name AS region, count(*) AS n_suppliers ORDER BY region"
+
+  /** CYPHER: run a Cypher pattern through the CypherLite compiler. */
+  def cypher(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), supplierCypher)
+
+  val cypherSql: String =
+    s"""${TpchGraph.withGraph}
+       |SELECT r.name AS region, count(*) AS n_suppliers
+       |FROM edges sl
+       |JOIN edges ir ON ir.rel = 'in_region' AND ir.src = sl.dst
+       |JOIN nodes r ON r.id = ir.dst
+       |WHERE sl.rel = 'located_in' AND sl.src LIKE 'supplier:%'
+       |GROUP BY r.name ORDER BY region""".stripMargin
+
+  /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
+    * step stubbed with a deterministic keyword router —
+    * natural_language_retriever.py's contract minus the model call). */
+  def naturalLanguage(spark: SparkSession, dir: String): DataFrame = {
+    val question = "how many suppliers are located in each region"
+    val cypherQ =
+      if (question.contains("suppliers") && question.contains("region")) supplierCypher
+      else throw new IllegalArgumentException(s"no route for: $question")
+    CypherLite.run(TpchGraph(spark, dir), cypherQ)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
+    "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
+    "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
+    "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
+    "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
+    "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
+    "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
+    "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "search_chunks" -> chunksSql,
+    "search_summaries" -> summariesSql,
+    "search_lexical" -> lexicalSql,
+    "search_insights" -> insightsSql,
+    "search_completion_context" -> completionContextSql,
+    "search_feeling_lucky" -> feelingLuckySql,
+    "search_cypher" -> cypherSql,
+    "search_natural_language" -> cypherSql)
+}
