@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),
+      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -88,8 +88,12 @@ object GraphAlgos {
     * frontier pattern. Returns (id, depth=min hops). */
   def kHop(g: PropertyGraph, seeds: DataFrame, k: Int): DataFrame = {
     val ue = g.undirectedEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    // Each level references `visited` twice (anti-join + union), so the
+    // logical plan doubles per iteration — truncate lineage with an eager
+    // localCheckpoint each round (frontier/visited are small relative to
+    // the edge set; executor-local blocks, no driver collect).
     var visited = seeds.select(col("id")).distinct()
-      .withColumn("depth", lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("depth", lit(0)).localCheckpoint(true)
     var frontier = visited
     for (d <- 1 to k) {
       // frontier's lineage includes ue after iteration 1 → must alias the
@@ -98,8 +102,8 @@ object GraphAlgos {
         .select(col("e.dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
       frontier = next
     }
     visited

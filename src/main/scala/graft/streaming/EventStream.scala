@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event record as it arrives on the stream (ts in epoch seconds —
+  * the whole-second canonicalization Tables.loadEvents applies). */
+final case class Event(eventId: Long, tsSec: Long, userId: Long, eventType: String, value: Double)
+
+/** A closed user session (same schema as the batch
+  * operators.EventOps.sessionize output rows). */
+final case class Session(userId: Long, sessId: Long, nEvents: Long, totalValue: Double,
+                         startS: Long, endS: Long)
+
+private final case class SessionState(sessId: Long, nEvents: Long, totalValue: Double,
+                                      startS: Long, endS: Long)
+
+/** Structured Streaming surface — the streaming twins of the batch
+  * event operators (cognee's temporal layer is batch; the brief
+  * mandates a streaming path: readStream → watermark → windowed agg,
+  * and custom session state via [flat]mapGroupsWithState).
+  *
+  * Both transforms are source-agnostic: they take the streaming (or
+  * batch) Dataset and declare the plan; tests drive them with
+  * MemoryStream, production would bind readStream sources. State is
+  * partitioned by user_id — at 1000 executors the state store shards
+  * with the shuffle, nothing is driver-side.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour
+    * watermark (streaming twin of EventOps.windowAgg). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("eventType"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("eventType").as("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** 30-minute-gap sessionization with explicit state
+    * (flatMapGroupsWithState, processing-time timeout). Emits a session
+    * whenever a gap closes it; emits the open session on timeout.
+    * Semantics match the batch EventOps.sessionize (gap math on whole
+    * seconds). Events within a group are sorted by (tsSec, eventId)
+    * before folding — Spark does not order rows within a group. */
+  def sessionize(events: Dataset[Event], flushOnTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushOnTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout() // tests: timeout batches would keep processAllAvailable spinning
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              Session(userId, s.sessId, s.nEvents, s.totalValue, s.startS, s.endS))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(e => (e.tsSec, e.eventId))
+            var open = state.getOption.getOrElse(Nil).headOption
+            var nextId = open.map(_.sessId + 1).getOrElse(1L)
+            val closed = List.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsSec - s.endS <= 1800 =>
+                  open = Some(s.copy(nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value, endS = e.tsSec))
+                case Some(s) =>
+                  closed += Session(userId, s.sessId, s.nEvents,
+                    math.round(s.totalValue * 100) / 100.0, s.startS, s.endS)
+                  open = Some(SessionState(nextId, 1L, e.value, e.tsSec, e.tsSec))
+                  nextId += 1
+                case None =>
+                  open = Some(SessionState(nextId, 1L, e.value, e.tsSec, e.tsSec))
+                  nextId += 1
+              }
+            }
+            state.update(open.toList)
+            if (flushOnTimeout) state.setTimeoutDuration("35 minutes")
+            closed.result().iterator
+          }
+      }
+  }
+}

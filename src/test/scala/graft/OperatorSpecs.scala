@@ -1,0 +1,111 @@
+package graft
+
+import graft.graph.{GraphAlgos, GraphQueries, TpchGraph}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("same"),
+      VectorOps.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("IVF shortlist is a subset of scored corpus with full per-query results") {
+    val ivf = VectorOps.knnIvf(spark, sf).collect()
+    assert(ivf.map(_.getLong(0)).distinct.length === 10)
+    assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
+  test("IVF recall vs exact knn is sane for nprobe=10 (all cells = exact)") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = VectorOps.knnIvf(spark, sf, nprobe = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === exact) // probing every cell must reduce to brute force
+  }
+}
+
+class DedupOpsSpec extends SparkSpecBase {
+
+  test("minhash LSH finds exactly the exact-jaccard pairs on this corpus") {
+    val exact = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash near-dup pairs have small hamming and cover jaccard dups") {
+    val sim = DedupOps.simHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sim.forall(_._3 <= 3))
+    assert(sim.nonEmpty)
+  }
+}
+
+class TextOpsSpec extends SparkSpecBase {
+
+  test("chunk token counts reassemble to whitespace token counts") {
+    val chunks = TextOps.chunk(spark, sf)
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_chunks"))
+    val toks = TextOps.tokens(spark, sf).select(col("doc_id"), col("n_ws_tokens"))
+    val bad = chunks.join(toks, Seq("doc_id"))
+      .filter(col("total") =!= col("n_ws_tokens")).count()
+    assert(bad === 0L)
+  }
+
+  test("fingerprints: exact differs across docs, tokenset collides for shuffled dups") {
+    val fp = TextOps.fingerprint(spark, sf).cache()
+    val n = fp.count()
+    assert(fp.select(col("fp_exact")).distinct().count() === n)
+    assert(fp.select(col("fp_tokenset")).distinct().count() < n)
+  }
+}
+
+class GraphAlgosSpec extends SparkSpecBase {
+
+  test("DataFrame PageRank matches GraphX staticPageRank to 1e-6") {
+    val g = TpchGraph(spark, sf)
+    val df = GraphAlgos.pageRank(g, 5).withColumnRenamed("r", "r_df")
+    val gx = GraphAlgos.pageRankGraphX(g, 5).withColumnRenamed("r", "r_gx")
+    val worst = df.join(gx, Seq("id"))
+      .select(max(abs(col("r_df") - col("r_gx"))).as("d")).head().getDouble(0)
+    assert(worst < 1e-6)
+  }
+
+  test("k-hop BFS depths agree with Pregel hop histogram from same seed") {
+    import TestSpark.spark.implicits._
+    val g = TpchGraph(spark, sf)
+    val seeds = Seq("nation:0").toDF("id")
+    val bfs = GraphAlgos.kHop(g, seeds, 8)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val pregel = GraphAlgos.hopDistanceHistogram(g, "nation:0", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bfs === pregel)
+  }
+
+  test("connected components of supplier-nation-region = one per region") {
+    val cc = GraphAlgos.connectedComponents(
+      TpchGraph(spark, sf).subgraphByType(Seq("region", "nation", "supplier")))
+    assert(cc.select(col("component")).distinct().count() === 5L)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("feature slots sum back to byte_sum and n_bytes matches payload") {
+    val bad = MultimodalOps.binaryFeatures(spark, sf)
+      .filter(col("f0") + col("f1") + col("f2") + col("f3") =!= col("byte_sum").cast("double"))
+      .count()
+    assert(bad === 0L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.EventOps
+import graft.streaming.{Event, EventStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def loadEvents(): Seq[Event] = {
+    import TestSpark.spark.implicits._
+    Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts_sec"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect().map(e => Event(e._1, e._2, e._3, e._4, e._5)).toSeq
+  }
+
+  test("streaming windowed agg equals batch windowAgg") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(loadEvents())
+    val q = EventStream.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("wagg").outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wagg")
+      .select(col("hour"), col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expect = EventOps.windowAgg(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expect)
+  }
+
+  test("stateful sessionization emits exactly the batch-closed sessions") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(loadEvents())
+    val q = EventStream.sessionize(stream.toDS(), flushOnTimeout = false)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    // Batch result; the stream never times out in-test, so open (= last
+    // per user) sessions stay in state — closed sessions must match 1:1.
+    val batch = EventOps.sessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closed = batch.filterNot(s => lastPerUser(s._1) == s._2).toSet
+    assert(got === closed)
+    assert(closed.nonEmpty)
+  }
+}
