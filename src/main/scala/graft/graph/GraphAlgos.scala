@@ -152,6 +152,39 @@ object GraphAlgos {
       .select(col("x"), col("y")).distinct()
   }
 
+  /** Triangle count over canonical undirected edges (x < y) as pure
+    * DataFrame wedge joins: wedges (x,y),(x,z) with y<z closed by the
+    * (y,z) edge. Two hash joins, AQE-planned. Returns one row:
+    * (n_triangles, n_edges). */
+  def triangleCountDF(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.toDF("x", "y").persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    // Degree-ordered orientation: point every edge at the higher-degree
+    // endpoint (ties by id). Each triangle then has exactly one apex
+    // with two out-edges, and wedge counts drop from Σdeg² to
+    // Σdeg_out² with deg_out = O(√m) — the classic bound that keeps the
+    // join sub-quadratic on skewed (hub-heavy) graphs.
+    val deg = e.select(col("x").as("v")).union(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val keyLt = (col("dx") < col("dy")) || (col("dx") === col("dy") && col("x") < col("y"))
+    val oriented = e
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(keyLt, col("x")).otherwise(col("y")).as("src"),
+        when(keyLt, col("y")).otherwise(col("x")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(least(col("a.dst"), col("b.dst")).as("cx"),
+        greatest(col("a.dst"), col("b.dst")).as("cy"))
+    val canon = oriented.select(least(col("src"), col("dst")).as("cx"),
+      greatest(col("src"), col("dst")).as("cy"))
+    val tri = wedges.join(canon, Seq("cx", "cy")).count()
+    val spark = canonEdges.sparkSession
+    spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
+  }
+
   /** Triangle count over canonical undirected edges via GraphX
     * TriangleCount. Returns one row: (n_triangles, n_edges). */
   def triangleCount(canonEdges: DataFrame): DataFrame = {

@@ -73,9 +73,15 @@ object GraphQueries {
     GraphAlgos.kHop(g, seeds, 3)
   }
 
-  /** Hop-distance histogram from nation:0 via Pregel SSSP, capped at 8. */
-  def paths(spark: SparkSession, dir: String): DataFrame =
-    GraphAlgos.hopDistanceHistogram(TpchGraph(spark, dir), "nation:0", 8)
+  /** Hop-distance histogram from nation:0 capped at 8 — DataFrame BFS
+    * (faster here than the GraphX conversion; hopDistanceHistogram is
+    * the Pregel twin, proven equivalent by GraphAlgosSpec). */
+  def paths(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val seeds = g.nodes.filter(col("id") === "nation:0").select(col("id"))
+    GraphAlgos.kHop(g, seeds, 8)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+  }
 
   /** Connected components of the supplier–nation–region subgraph. */
   def components(spark: SparkSession, dir: String): DataFrame =
@@ -94,6 +100,9 @@ object GraphQueries {
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    // GraphX TriangleCount beats the DF wedge-join variants here (the
+    // co-purchase graph has near-uniform degrees, so degree orientation
+    // buys nothing and the set-intersection kernel wins).
     GraphAlgos.triangleCount(GraphAlgos.coOccurrenceEdges(li))
   }
 

@@ -88,46 +88,57 @@ object DedupOps {
       |JOIN cnt cb ON cb.doc_id = d2
       |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5""".stripMargin
 
-  /** MinHash (64 md5-derived hashes) → 16 bands × 4 rows → band-bucket
-    * candidate join → exact-Jaccard verification at τ=0.5. The scale
-    * path for near-dup at 100 TB: candidates come only from band
-    * buckets, verification touches only candidate pairs.
+  /** MinHash (64 arithmetic-family hashes) → 32 bands × 2 rows →
+    * band-bucket candidate join → exact-Jaccard verification at τ=0.5.
+    * The scale path for near-dup at 100 TB: candidates come only from
+    * band buckets, verification touches only candidate pairs.
     *
-    * With 16×4 bands, P(candidate) at j=0.5 is 1-(1-j⁴)¹⁶ ≈ 64%, and
-    * ≈100% for the j>0.9 pairs this corpus plants; the oracle is the
-    * exact-Jaccard query (the planted gap 0.1↔0.98 makes LSH recall
-    * exact here — see SURVEY.md §2 note).
+    * Band shape: with 32×2, P(candidate) = 1-(1-j²)³² — ≥ 99.99% at
+    * j=0.5 and ≈1 for the j>0.8 pairs this corpus plants, while pairs
+    * sharing only a shingle or two (j≈0.02) band-collide at ≈1%, so the
+    * candidate set stays near-linear. The oracle is the exact-Jaccard
+    * query: on this corpus LSH recall is exact (gap 0.1↔0.96 between
+    * noise and planted dups).
     */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Minwise family h_i(x) = (a_i·x + b_i) mod p, p = 2³¹-1: the mod
+    // wrap makes each slot's argmin independent (a plain affine c_i·x+i
+    // is monotone in x — every slot picks the same shingle and the 64
+    // hashes collapse to one). Products stay < 2^62 — no overflow even
+    // under ANSI mode. Constants from a fixed LCG for determinism.
+    val p = 2147483647L
+    val rng = new java.util.Random(42)
+    val as_ = Array.fill(64)(1L + rng.nextInt(Int.MaxValue - 1))
+    val bs_ = Array.fill(64)(rng.nextInt(Int.MaxValue).toLong)
     val sh = shingles(spark, dir).persist()
-    // 64 minhash slots: explode hash index, min(md5(i|shingle)) per (doc, i).
-    val sig = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("i"), col("shingle"))
-      .select(col("doc_id"), col("i"),
-        md5(concat(col("i").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-    // Band signature: md5 of the 4 in-band minhashes in slot order.
-    val bands = sig
-      .withColumn("band", col("i") % 16)
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")), ",")).as("band_sig"))
+    // One cheap hash per (doc, shingle); the 64 minhash slots are then a
+    // per-doc array computation (no 64× row explosion, one shuffle).
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL)).as("h31"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(collect_list(col("h31")).as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => array_min(transform(col("hs"),
+            h => (h * element_at(lit(as_), i + 1) + element_at(lit(bs_), i + 1)) % p))).as("sig"))
+    // 32 bands × 2 rows; band signature hashes the in-band slice.
+    val bands = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * 2 + 1, lit(2))).as("band_sig"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    // Exact verification on candidates only.
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-      .join(cand, Seq("d1", "d2")) // leftsemi-like restriction to LSH candidates
-    val j = col("c") * 1.0 / (col("n1") + col("n2") - col("c"))
-    common
-      .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .persist()
+    // Exact verification restricted to candidate docs (collision-free:
+    // raw shingle sets, not their hashes).
+    val candDocs = cand.select(col("d1").as("doc_id")).union(cand.select(col("d2"))).distinct()
+    val sets = sh.join(broadcast(candDocs), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("ss1"), col("ss2"))).cast("double")
+    val j = inter / (size(col("ss1")) + size(col("ss2")) - inter)
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("ss").as("ss1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("ss").as("ss2")), Seq("d2"))
       .filter(j >= 0.5)
       .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
   }
