@@ -1,0 +1,89 @@
+package graft
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ingest→cognify pipeline re-expressed as one declarative plan
+  * (reference: cognee/pipelines.py — add → classify → chunk → extract
+  * entities/relations → store graph + vectors; the LLM extraction step
+  * is replaced by a deterministic token-entity extractor, which is the
+  * same contract: DataPoint nodes + relation edges out of text).
+  *
+  * Every stage is a DataFrame the caller can persist, write, or extend;
+  * at cluster scale each stage is one narrow projection or one keyed
+  * shuffle (explode→distinct for mentions), nothing driver-side.
+  */
+object Pipeline {
+
+  final case class CognifyResult(
+      documents: DataFrame,
+      chunks: DataFrame,
+      entities: DataFrame,
+      mentions: DataFrame,
+      vectors: DataFrame) {
+
+    /** The knowledge graph view of the extraction: document + entity
+      * nodes, mention edges. */
+    def graph: PropertyGraph = PropertyGraph(
+      documents.select(concat(lit("doc:"), col("doc_id").cast("string")).as("id"),
+          lit("document").as("ntype"), concat(lit("doc-"), col("doc_id").cast("string")).as("name"))
+        .union(entities.select(concat(lit("entity:"), col("entity")).as("id"),
+          lit("entity").as("ntype"), col("entity").as("name"))),
+      mentions.select(concat(lit("doc:"), col("doc_id").cast("string")).as("src"),
+        concat(lit("entity:"), col("entity")).as("dst"), lit("mentions").as("rel")))
+  }
+
+  def cognify(spark: SparkSession, dir: String): CognifyResult = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = operators.TextOps.chunk(spark, dir)
+    // Deterministic entity extraction: each distinct token is an entity
+    // mention (the LLM extractor's contract without the LLM).
+    val mentions = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("entity"))
+    val entities = mentions.select(col("entity")).distinct()
+    val vectors = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("label"))
+    CognifyResult(docs, chunks, entities, mentions, vectors)
+  }
+
+  /** Materialize every collection as parquet under outDir (the
+    * vector/graph "store" sink). */
+  def writeCollections(res: CognifyResult, outDir: String): Unit = {
+    res.chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    res.entities.write.mode("overwrite").parquet(s"$outDir/entities")
+    res.mentions.write.mode("overwrite").parquet(s"$outDir/mentions")
+    res.vectors.write.mode("overwrite").parquet(s"$outDir/vectors")
+  }
+
+  /** Stage row-count summary — the pipeline_run telemetry analog. */
+  def stageCounts(spark: SparkSession, dir: String): DataFrame = {
+    val r = cognify(spark, dir)
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("documents", r.documents)
+      .union(c("chunks", r.chunks))
+      .union(c("entities", r.entities))
+      .union(c("mentions", r.mentions))
+      .union(c("vectors", r.vectors))
+  }
+
+  val stageCountsSql: String =
+    """SELECT 'documents' AS stage, count(*) AS n FROM documents
+      |UNION ALL
+      |SELECT 'chunks', CAST(sum(ceil(len(string_split(text, ' ')) / 64.0)) AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 'entities', count(DISTINCT entity)
+      |FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS entity FROM documents)
+      |UNION ALL
+      |SELECT 'mentions', count(*)
+      |FROM (SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS entity FROM documents)
+      |UNION ALL
+      |SELECT 'vectors', count(*) FROM embeddings""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_cognify" -> stageCountsSql)
+}

@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
+      (Pipeline.queries, Pipeline.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -52,6 +52,28 @@ object GraphQueries {
        |SELECT DISTINCT src, rel, dst FROM edges
        |WHERE src LIKE 'nation:%' OR dst LIKE 'nation:%'""".stripMargin
 
+  /** Disconnected nodes of a filtered subgraph (cognee
+    * get_disconnected_nodes ∘ get_filtered_graph_data): part nodes with
+    * no `contains` edge once edges are restricted to shipments from
+    * 2001 on — anti-join against the time-filtered edge endpoints. The
+    * shipdate predicate pushes into the lineitem scan. */
+  def isolated(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val active = graft.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2001-01-01"))
+      .select(concat(lit("part:"), col("l_partkey").cast("string")).as("id")).distinct()
+    g.nodes.filter(col("ntype") === "part")
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("ntype"))
+  }
+
+  val isolatedSql: String =
+    s"""$withGraph
+       |SELECT id, ntype FROM nodes
+       |WHERE ntype = 'part'
+       |  AND id NOT IN (SELECT 'part:'||l_partkey FROM lineitem
+       |                 WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin
+
   /** Whole-graph metrics (get_graph_metrics). */
   def metrics(spark: SparkSession, dir: String): DataFrame =
     TpchGraph(spark, dir).metrics
@@ -182,6 +204,7 @@ object GraphQueries {
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
     "graph_neighbors" -> ((s: SparkSession, d: String) => neighbors(s, d)),
     "graph_metrics" -> ((s: SparkSession, d: String) => metrics(s, d)),
+    "graph_isolated" -> ((s: SparkSession, d: String) => isolated(s, d)),
     "graph_khop" -> ((s: SparkSession, d: String) => kHop(s, d)),
     "graph_paths" -> ((s: SparkSession, d: String) => paths(s, d)),
     "graph_connected_components" -> ((s: SparkSession, d: String) => components(s, d)),
@@ -193,6 +216,7 @@ object GraphQueries {
     "graph_degree" -> degreeSql,
     "graph_neighbors" -> neighborsSql,
     "graph_metrics" -> metricsSql,
+    "graph_isolated" -> isolatedSql,
     "graph_khop" -> kHopSql,
     "graph_paths" -> pathsSql,
     "graph_connected_components" -> componentsSql,

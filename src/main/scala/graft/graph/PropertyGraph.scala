@@ -60,6 +60,32 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         (col("num_nodes") * (col("num_nodes") - lit(1L))), 8).as("edge_density"))
   }
 
+  /** Upsert nodes (keep-first on id collision — cognee add_nodes uses
+    * deterministic ids, so re-adding is a no-op). Mutations compose as
+    * plans over the base relations; materializing an increment is a
+    * parquet write of the result, not an in-place edit. */
+  def addNodes(newNodes: DataFrame): PropertyGraph =
+    PropertyGraph(
+      nodes.union(newNodes.join(nodes.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("ntype"), col("name"))),
+      edges)
+
+  /** Add edges (dedup exact triplets — add_edges). */
+  def addEdges(newEdges: DataFrame): PropertyGraph =
+    PropertyGraph(nodes,
+      edges.union(newEdges.select(col("src"), col("dst"), col("rel"))).distinct())
+
+  /** Delete nodes by id along with every incident edge (delete_nodes). */
+  def deleteNodes(ids: DataFrame): PropertyGraph = {
+    val idCol = ids.select(col("id"))
+    PropertyGraph(
+      nodes.join(idCol, Seq("id"), "left_anti"),
+      edges
+        .join(idCol.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(idCol.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("rel")))
+  }
+
   /** Subgraph restricted to the given node types. */
   def subgraphByType(types: Seq[String]): PropertyGraph = {
     val prefixes = types.map(_ + ":")

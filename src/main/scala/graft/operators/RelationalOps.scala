@@ -77,7 +77,7 @@ object RelationalOps {
     o.select(
         col("o_custkey").as("custkey"),
         col("o_orderkey").as("orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"), // DuckDB row_number is BIGINT
         round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_spend"))
   }

@@ -237,6 +237,78 @@ object Retrievers {
       |FROM documents d JOIN top_source USING (source)
       |ORDER BY quality_score DESC, doc_id ASC LIMIT 5""".stripMargin
 
+  /** GRAPH_COMPLETION_COT / CONTEXT_EXTENSION: two retrieval rounds —
+    * hop 1 is the cosine top-3 for the query vector; hop 2 re-queries
+    * with hop 1's best document as the new query (context extension),
+    * excluding already-retrieved docs
+    * (graph_completion_cot_retriever.py iterates exactly this loop
+    * between LLM turns). */
+  def completionCot(spark: SparkSession, dir: String): DataFrame = {
+    val e = embD(spark, dir).persist()
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame = {
+      val w = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+      e.filter(!col("vec_id").isin(exclude: _*)).crossJoin(broadcast(queryV))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
+    }
+    val r1 = topK(q, Seq(0L), 1).persist()
+    val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
+      .join(e, Seq("vec_id")).select(col("v").as("qv"))
+    val r1Ids = 0L +: r1.collect().map(_.getAs[Long]("doc_id")).toSeq // ≤3 ids — driver-side is fine
+    r1.union(topK(top1, r1Ids, 2))
+  }
+
+  val completionCotSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |s1 AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |),
+       |r1 AS (
+       |  SELECT doc_id, cosine, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+       |  FROM s1 QUALIFY rank <= 3
+       |),
+       |q2 AS (
+       |  SELECT e.v AS qv FROM e JOIN r1 ON e.vec_id = r1.doc_id WHERE r1.rank = 1
+       |),
+       |s2 AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q2 AS q WHERE e.vec_id <> 0 AND e.vec_id NOT IN (SELECT doc_id FROM r1)
+       |),
+       |r2 AS (
+       |  SELECT doc_id, cosine, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+       |  FROM s2 QUALIFY rank <= 3
+       |)
+       |SELECT 1 AS hop, rank, doc_id, cosine FROM r1
+       |UNION ALL SELECT 2 AS hop, rank, doc_id, cosine FROM r2""".stripMargin
+
+  /** TEMPORAL over the graph (temporal_awareness/temporal_graph tasks):
+    * events in a time window resolved through the entity graph
+    * (event.user → customer → nation), aggregated per nation. */
+  def temporalGraph(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.loadEvents(spark, dir)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00") && col("ts") < lit("2024-01-22 00:00:00"))
+    val cust = load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nation = load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    ev.join(cust, col("user_id") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val temporalGraphSql: String =
+    """SELECT n_name AS nation, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
   val supplierCypher: String =
     "MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region) " +
       "RETURN r.name AS region, count(*) AS n_suppliers ORDER BY region"
@@ -271,6 +343,8 @@ object Retrievers {
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
+    "search_completion_cot" -> ((s: SparkSession, d: String) => completionCot(s, d)),
+    "search_temporal_graph" -> ((s: SparkSession, d: String) => temporalGraph(s, d)),
     "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
     "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
@@ -281,6 +355,8 @@ object Retrievers {
     "search_lexical" -> lexicalSql,
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
+    "search_completion_cot" -> completionCotSql,
+    "search_temporal_graph" -> temporalGraphSql,
     "search_feeling_lucky" -> feelingLuckySql,
     "search_cypher" -> cypherSql,
     "search_natural_language" -> cypherSql)

@@ -1,0 +1,40 @@
+package graft
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpecBase {
+
+  test("cognify graph view: mention edges land between doc and entity nodes") {
+    val g = Pipeline.cognify(spark, sf).graph
+    val nodeIds = g.nodes.select(col("id"))
+    val dangling = g.edges
+      .join(nodeIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .count() +
+      g.edges.join(nodeIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti").count()
+    assert(dangling === 0L)
+    assert(g.nodes.filter(col("ntype") === "entity").count() === 31L) // corpus vocabulary
+  }
+
+  test("collections round-trip through the parquet sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val r = Pipeline.cognify(spark, sf)
+    Pipeline.writeCollections(r, out)
+    val back = spark.read.parquet(s"$out/mentions")
+    assert(back.count() === r.mentions.count())
+  }
+
+  test("graph mutations: add is idempotent, delete removes incident edges") {
+    import TestSpark.spark.implicits._
+    val g = PropertyGraph(
+      Seq(("n:1", "t", "one"), ("n:2", "t", "two")).toDF("id", "ntype", "name"),
+      Seq(("n:1", "n:2", "r")).toDF("src", "dst", "rel"))
+    val g2 = g.addNodes(Seq(("n:2", "t", "two"), ("n:3", "t", "three")).toDF("id", "ntype", "name"))
+    assert(g2.nodes.count() === 3L)
+    val g3 = g2.addEdges(Seq(("n:1", "n:2", "r"), ("n:2", "n:3", "r")).toDF("src", "dst", "rel"))
+    assert(g3.edges.count() === 2L) // re-added edge deduped
+    val g4 = g3.deleteNodes(Seq("n:2").toDF("id"))
+    assert(g4.nodes.collect().map(_.getString(0)).toSet === Set("n:1", "n:3"))
+    assert(g4.edges.count() === 0L) // both edges were incident to n:2
+  }
+}
