@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's cluster-posture defaults.
+  *
+  * The same settings scale from local[32] to a 1000-executor cluster:
+  * AQE re-plans shuffles at runtime (partition coalescing + skew-join
+  * splitting for hot keys — e.g. hub nodes in the graph projection or
+  * stop-shingles in dedup), broadcast threshold covers the dimension
+  * tables, and shuffle partitions default to the parallelism at hand
+  * (override via spark.sql.shuffle.partitions on a real cluster).
+  */
+object GraftSession {
+
+  def tune(b: SparkSession.Builder, cores: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Local session sized by SPARK_GRAFT_CPUS (the driver contract). */
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

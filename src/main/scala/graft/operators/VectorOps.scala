@@ -153,7 +153,34 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
+  /** Random-hyperplane LSH ANN: nbits sign bits (deterministic ±1
+    * planes) define the bucket; candidates share the query's bucket,
+    * then exact re-rank. The complementary scale path to [[knnIvf]]
+    * (hash-partitioned buckets instead of centroid cells); nbits=0
+    * degenerates to one bucket = brute force (the spec's reduction
+    * check). Approximate → rows-only driver check. */
+  def knnLsh(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
+    val rng = new java.util.Random(7)
+    val planes = Array.fill(nbits)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val e = emb(spark, dir)
+    def bucket(v: Column): Column =
+      if (nbits == 0) lit(0L)
+      else planes.zipWithIndex.map { case (p, j) =>
+        when(dot(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val corpus = e.select(col("vec_id"), col("v"), bucket(col("v")).as("bucket"))
+    val q = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    corpus.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "vec_knn" -> ((s: SparkSession, d: String) => knn(s, d)),
     "vec_dedup_cosine" -> ((s: SparkSession, d: String) => dedupCosine(s, d)),
     "vec_centroids" -> ((s: SparkSession, d: String) => centroids(s, d)),

@@ -40,6 +40,15 @@ object EventStream {
       .select(col("w.start").as("hour"), col("eventType").as("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop events whose id was already seen
+    * within the watermark horizon (the streaming twin of
+    * DedupOps.exact's content-hash identity — cognee dedups on ingest). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("eventId")
+
   /** 30-minute-gap sessionization with explicit state
     * (flatMapGroupsWithState, processing-time timeout). Emits a session
     * whenever a gap closes it; emits the open session on timeout.

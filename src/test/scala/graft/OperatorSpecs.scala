@@ -23,6 +23,21 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(ivf.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
 
+  test("hyperplane LSH with nbits=0 reduces to brute-force knn") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.knnLsh(spark, sf, nbits = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+  }
+
+  test("hyperplane LSH buckets partition the corpus deterministically") {
+    val a = VectorOps.knnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = VectorOps.knnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("IVF recall vs exact knn is sane for nprobe=10 (all cells = exact)") {
     val exact = VectorOps.knn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

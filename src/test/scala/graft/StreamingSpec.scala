@@ -33,6 +33,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val evs = loadEvents().take(500)
+    stream.addData(evs ++ evs) // replay every event once
+    val q = EventStream.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() === evs.map(_.eventId).distinct.size.toLong)
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
