@@ -98,6 +98,10 @@ object GraphAlgos {
     for (d <- 1 to k) {
       // frontier's lineage includes ue after iteration 1 → must alias the
       // self-join sides and use qualified names.
+      // Both next and visited are referenced twice downstream — eager
+      // localCheckpoint each level prevents recompute AND the
+      // exponential plan growth (skipping levels was measured slower:
+      // the unchecked frontier recomputes once per consumer).
       val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
