@@ -1,0 +1,42 @@
+package graft
+
+import graft.graph.{GraphExport, PropertyGraph, TpchGraph}
+import graft.operators.ScaleOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class ScaleAndExportSpec extends SparkSpecBase {
+
+  test("salted join returns exactly the plain-join rows") {
+    import TestSpark.spark.implicits._
+    val big = (1 to 1000).map(i => (i % 3, i)).toDF("k", "payload")
+    val small = Seq((0, "zero"), (1, "one"), (2, "two"), (3, "unused")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val salted = ScaleOps.saltedJoin(big, small, "k", 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("dot_native registers as a SQL function") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT dot_native(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("json-lines export carries every node and edge") {
+    val g = TpchGraph(spark, sf)
+    val lines = GraphExport.toJsonLines(g)
+    assert(lines.count() === g.nodes.count() + g.edges.count())
+    assert(lines.filter(col("line").contains("\"kind\":\"edge\"")).count() === g.edges.count())
+  }
+
+  test("dot export lines are well-formed") {
+    import TestSpark.spark.implicits._
+    val g = PropertyGraph(
+      Seq(("a:1", "a", "alpha")).toDF("id", "ntype", "name"),
+      Seq(("a:1", "a:1", "self")).toDF("src", "dst", "rel"))
+    val lines = GraphExport.toDotLines(g).as[String].collect()
+    assert(lines.contains("  \"a:1\" [label=\"alpha\"];"))
+    assert(lines.contains("  \"a:1\" -> \"a:1\" [label=\"self\"];"))
+  }
+}
