@@ -113,6 +113,18 @@ object GraphAlgos {
     visited
   }
 
+  /** k-hop ego subgraph (cognee get_subgraph): the visited node set of
+    * [[kHop]] plus every edge with both endpoints inside it. */
+  def egoSubgraph(g: PropertyGraph, seeds: DataFrame, k: Int): PropertyGraph = {
+    val visited = kHop(g, seeds, k).select(col("id"))
+    PropertyGraph(
+      g.nodes.join(visited, Seq("id")),
+      g.edges
+        .join(visited.withColumnRenamed("id", "src"), Seq("src"))
+        .join(visited.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"), col("rel")))
+  }
+
   /** PageRank by DataFrame power iteration: fixed iteration count,
     * damping 0.85, init 1.0, no dangling redistribution — the exact
     * recurrence the unrolled-CTE oracle evaluates. Directed edges.

@@ -105,6 +105,30 @@ object GraphQueries {
       .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** 2-hop ego subgraph around nation:0 (get_subgraph): per-relation
+    * edge counts inside the induced subgraph. */
+  def subgraph(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val seeds = g.nodes.filter(col("id") === "nation:0").select(col("id"))
+    val ego = GraphAlgos.egoSubgraph(g, seeds, 2)
+    ego.edges.groupBy(col("rel")).agg(count(lit(1)).as("n_edges"))
+  }
+
+  val subgraphSql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |ue AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |bfs(id, d) AS (
+       |  SELECT 'nation:0', 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN ue e ON b.id = e.src WHERE b.d < 2
+       |),
+       |visited AS (SELECT DISTINCT id FROM bfs)
+       |SELECT rel, count(*) AS n_edges
+       |FROM edges
+       |WHERE src IN (SELECT id FROM visited) AND dst IN (SELECT id FROM visited)
+       |GROUP BY rel""".stripMargin
+
   /** Connected components of the supplier–nation–region subgraph. */
   def components(spark: SparkSession, dir: String): DataFrame =
     GraphAlgos.connectedComponents(TpchGraph(spark, dir).subgraphByType(Seq("region", "nation", "supplier")))
@@ -207,6 +231,7 @@ object GraphQueries {
     "graph_isolated" -> ((s: SparkSession, d: String) => isolated(s, d)),
     "graph_khop" -> ((s: SparkSession, d: String) => kHop(s, d)),
     "graph_paths" -> ((s: SparkSession, d: String) => paths(s, d)),
+    "graph_subgraph" -> ((s: SparkSession, d: String) => subgraph(s, d)),
     "graph_connected_components" -> ((s: SparkSession, d: String) => components(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
@@ -219,6 +244,7 @@ object GraphQueries {
     "graph_isolated" -> isolatedSql,
     "graph_khop" -> kHopSql,
     "graph_paths" -> pathsSql,
+    "graph_subgraph" -> subgraphSql,
     "graph_connected_components" -> componentsSql,
     "graph_pagerank" -> pageRankSql,
     "graph_triangles" -> trianglesSql)

@@ -89,12 +89,82 @@ object RelationalOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
       |FROM orders""".stripMargin
 
+  /** TPC-H Q5-style: revenue by nation within one region and year —
+    * the full dimension-chain join (region→nation→customer/supplier),
+    * with both dims broadcast and the fact scans filter-pushed. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = load(spark, dir, "nation")
+    val c = load(spark, dir, "customer")
+    val s = load(spark, dir, "supplier")
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val l = load(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name AS nation,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q18-style: large orders (total quantity > threshold) with
+    * their customers — aggregate-then-join with a having filter. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = load(spark, dir, "lineitem")
+    val o = load(spark, dir, "orders")
+    val c = load(spark, dir, "customer")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 220.0)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("customer"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("orderkey").asc)
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING round(sum(l_quantity), 2) > 220.0
+      |)
+      |SELECT c_name AS customer, o_orderkey AS orderkey,
+      |  o_totalprice AS totalprice, total_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, orderkey ASC
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_local_supplier" -> ((s: SparkSession, d: String) => q5LocalSupplier(s, d)),
+    "q18_large_orders" -> ((s: SparkSession, d: String) => q18LargeOrders(s, d)),
     "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
     "q3_join_topn" -> ((s: SparkSession, d: String) => q3JoinTopN(s, d)),
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q5_local_supplier" -> q5Sql,
+    "q18_large_orders" -> q18Sql,
     "q1_agg" -> q1AggSql,
     "q3_join_topn" -> q3JoinTopNSql,
     "q_window" -> qWindowSql)
