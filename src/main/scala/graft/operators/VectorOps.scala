@@ -44,9 +44,10 @@ object VectorOps {
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .select(col("query_id"), col("vec_id"), col("cosine"))
+    // Custom physical operator: bounded per-group heap, no per-group sort
+    // (spec-proven row-identical to the window idiom).
+    org.apache.spark.sql.graft.TopKPerGroup(
+      scored, Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), 5)
   }
 
   val knnSql: String =

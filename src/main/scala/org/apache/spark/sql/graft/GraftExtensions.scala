@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotNativeFn)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,125 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator example of the brief's preference ladder step (c):
+  * top-k-per-group as a first-class plan node instead of the
+  * window-function idiom (`row_number().over(partitionBy(g).orderBy(o))
+  * <= k`), which materializes a full sort of every group. The physical
+  * operator keeps a bounded k-element heap per group inside each
+  * partition — O(n log k) with O(groups·k) memory, no sort, single
+  * shuffle on the group key (the same distribution the window idiom
+  * needs, minus the sort).
+  *
+  * Wire-up: `TopKPerGroup(df, groupCols, orderCols, k)` inserts the
+  * logical node directly; `GraftExtensions` also injects the strategy
+  * so config-installed sessions plan it.
+  */
+final case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // One shuffle on the group key — every group lands whole in one task.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitionsInternal { it =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ord = GenerateOrdering.generate(orderE, childOutput)
+      // max-heap under ord: the root is the WORST of the kept k, popped
+      // when a better row arrives.
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val revOrd = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = -ord.compare(a, b)
+      }
+      while (it.hasNext) {
+        val row = it.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, revOrd)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.forEach { (_, heap) =>
+        val rows = new Array[UnsafeRow](heap.size())
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // emit in sort order
+        out ++= rows
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+  /** Top-k rows per group under the given order (ascending Columns or
+    * `col.desc`), emitted in per-group sort order. */
+  def apply(df: DataFrame, group: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    // Fully convert Column nodes to raw Catalyst expressions — the lazy
+    // ColumnNodeExpression wrapper ExpressionUtils returns is not
+    // resolved inside a custom logical node.
+    def toExpr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+    val sortOrders = orderBy.map(c => toExpr(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    val plan = TopKPerGroupPlan(group.map(toExpr), sortOrders, k, df.queryExecution.logical)
+    withStrategy(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  }
+
+  /** Idempotently add the planning strategy to a session. */
+  def withStrategy(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(TopKPerGroupStrategy)) {
+      exp.extraStrategies = TopKPerGroupStrategy +: exp.extraStrategies
+    }
+  }
+}

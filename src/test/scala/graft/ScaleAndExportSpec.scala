@@ -23,6 +23,23 @@ class ScaleAndExportSpec extends SparkSpecBase {
     assert(r === 11.0)
   }
 
+  test("TopKPerGroup physical operator matches the window idiom") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val o = Tables.load(spark, sf, "orders")
+    val viaWindow = o.withColumn("rn",
+        row_number().over(W.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaOperator = org.apache.spark.sql.graft.TopKPerGroup(
+        o, Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("o_custkey"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOperator === viaWindow)
+    assert(viaOperator.nonEmpty)
+  }
+
   test("json-lines export carries every node and edge") {
     val g = TpchGraph(spark, sf)
     val lines = GraphExport.toJsonLines(g)
