@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** Both directions of every edge, deduplicated — the traversal view
-    * used by undirected algorithms (BFS, components, triangles). */
-  def undirectedEdges: DataFrame = {
+    * used by undirected algorithms (BFS, components, triangles).
+    * Lazily persisted: TpchGraph caches the PropertyGraph instance per
+    * (session, dir), so BFS/SSSP/subgraph queries in one process share
+    * one materialization instead of re-running the distinct. */
+  lazy val undirectedEdges: DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     fwd.union(rev).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Per-node in/out degree (cognee get_neighbors cardinality).
