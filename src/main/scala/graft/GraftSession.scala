@@ -22,6 +22,21 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
     .config("spark.ui.enabled", "false")
 
+  /** One-call attach for users switching from the reference: registers
+    * every testdata table as a view, the graph projection as
+    * `graph_nodes`/`graph_edges` views, and graft's SQL functions —
+    * after this, `spark.sql` and `CypherLite.run` cover the reference's
+    * query surface. */
+  def attach(spark: SparkSession, dir: String): graph.PropertyGraph = {
+    Tables.registerAll(spark, dir)
+    val g = graph.TpchGraph(spark, dir)
+    g.nodes.createOrReplaceTempView("graph_nodes")
+    g.edges.createOrReplaceTempView("graph_edges")
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    org.apache.spark.sql.graft.TopKPerGroup.withStrategy(spark)
+    g
+  }
+
   /** Local session sized by SPARK_GRAFT_CPUS (the driver contract). */
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
-  private val relRe = """-\s*\[\s*:\s*(\w+)\s*\]\s*->""".r
+  private val relRe = """-\s*\[\s*:\s*(\w+)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->""".r
   private val whereRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
@@ -39,7 +39,13 @@ object CypherLite {
     val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
 
     val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), m.group(2))).toSeq
-    val relPats = relRe.findAllMatchIn(matchPart).map(_.group(1)).toSeq
+    // (rel, minHops, maxHops); plain -[:rel]-> is 1..1
+    val relPats = relRe.findAllMatchIn(matchPart).map { m =>
+      val (lo, hi) =
+        if (m.group(2) == null) (1, 1) else (m.group(2).toInt, m.group(3).toInt)
+      require(lo >= 1 && hi >= lo && hi <= 10, s"unsupported path bounds *$lo..$hi")
+      (m.group(1), lo, hi)
+    }.toSeq
     require(nodePats.nonEmpty && relPats.length == nodePats.length - 1,
       s"unsupported pattern: $matchPart")
 
@@ -48,10 +54,22 @@ object CypherLite {
         col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"))
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
-    relPats.zipWithIndex.foreach { case (rel, i) =>
+    relPats.zipWithIndex.foreach { case ((rel, lo, hi), i) =>
       val (pv, _) = nodePats(i)
       val (nv, nt) = nodePats(i + 1)
-      val e = g.edges.filter(col("rel") === rel)
+      val hop = g.edges.filter(col("rel") === rel).select(col("src"), col("dst"))
+      // Variable-length: distinct (src,dst) pairs reachable in lo..hi
+      // hops of `rel` — chained equi-joins unioned per length (Cypher
+      // path-existence semantics; endpoints only, no path binding).
+      var reach: DataFrame = null
+      var cur = hop
+      for (len <- 1 to hi) {
+        if (len >= lo) reach = if (reach == null) cur else reach.union(cur)
+        if (len < hi) cur = cur.as("a")
+          .join(hop.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      }
+      val e = reach.distinct()
         .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
       df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt), Seq(s"${nv}_id"))
     }

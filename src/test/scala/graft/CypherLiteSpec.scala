@@ -3,6 +3,15 @@ package graft
 import graft.graph.{CypherLite, PropertyGraph, TpchGraph}
 import org.apache.spark.sql.functions._
 
+object TestSparkData {
+  def chainGraph(spark: org.apache.spark.sql.SparkSession): graft.graph.PropertyGraph = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    graft.graph.PropertyGraph(
+      Seq(("a:1", "a", "one"), ("a:2", "a", "two"), ("a:3", "a", "three")).toDF("id", "ntype", "name"),
+      Seq(("a:1", "a:2", "n"), ("a:2", "a:3", "n")).toDF("src", "dst", "rel"))
+  }
+}
+
 class CypherLiteSpec extends SparkSpecBase {
 
   private lazy val g: PropertyGraph = {
@@ -37,6 +46,26 @@ class CypherLiteSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name > 'a' RETURN x.id")
     }
+  }
+
+  test("variable-length path *1..2 unions one- and two-hop reachability") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows*1..2]->(y:b) RETURN x.id AS xid, y.id AS yid ORDER BY xid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // knows edges: a:1->b:1, a:2->b:1; no knows chains of length 2 land on :b
+    assert(out === Set(("a:1", "b:1"), ("a:2", "b:1")))
+    val twoHop = CypherLite.run(TestSparkData.chainGraph(spark),
+      "MATCH (x:a)-[:n*2..2]->(y:a) RETURN x.id AS xid, y.id AS yid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twoHop === Set(("a:1", "a:3")))
+  }
+
+  test("graft attach registers views and functions") {
+    GraftSession.attach(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM graph_edges WHERE rel = 'in_region'").head().getLong(0)
+    assert(viaSql === 25L)
+    assert(spark.sql("SELECT dot_native(array(1.0D), array(2.0D))").head().getDouble(0) === 2.0)
   }
 
   test("tpch projection: suppliers per region matches direct aggregation") {
