@@ -162,10 +162,18 @@ object GraphAlgos {
     * an undirected canonical edge (x < y). One self-join shuffled on the
     * basket key, then distinct. */
   def coOccurrenceEdges(basketItem: DataFrame): DataFrame = {
-    val a = basketItem.toDF("basket", "x")
-    val b = basketItem.toDF("basket", "y")
-    a.join(b, Seq("basket")).filter(col("x") < col("y"))
-      .select(col("x"), col("y")).distinct()
+    // Aggregate each basket to its distinct item set (one shuffle on the
+    // basket key with map-side partial aggregation), then emit the
+    // canonical pairs from the sorted array — cheaper than a raw
+    // self-join, which shuffles every row and fans out before dedup.
+    val baskets = basketItem.toDF("basket", "item")
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+    baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))), y =>
+          struct(x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x"), col("p.y")).distinct()
   }
 
   /** Triangle count over canonical undirected edges (x < y) as pure
@@ -207,7 +215,10 @@ object GraphAlgos {
     val spark = canonEdges.sparkSession
     import spark.implicits._
     val edgeRdd = canonEdges.as[(Long, Long)].rdd.map { case (x, y) => Edge(x, y, ()) }
+    // 2D edge partitioning cuts the neighbor-set replication
+    // TriangleCount shuffles between partitions.
     val graph = Graph.fromEdges(edgeRdd, ())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     val triSum = graph.triangleCount().vertices.map(_._2.toLong).sum() / 3
     val nEdges = canonEdges.count()
     spark.createDataFrame(Seq((triSum.toLong, nEdges))).toDF("n_triangles", "n_edges")

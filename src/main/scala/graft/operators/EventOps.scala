@@ -94,12 +94,33 @@ object EventOps {
       |GROUP BY user_id
       |HAVING count(*) >= 3""".stripMargin
 
+  /** Semi-structured payload extraction: parse the JSON props column
+    * and aggregate a field per event type (cognee DataPoints carry
+    * JSON metadata payloads; this is the Spark-native get_json_object
+    * path — codegen'd, no UDF). */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    loadEvents(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("k")), 4).as("avg_k"),
+        round(min(col("k")), 2).as("min_k"), round(max(col("k")), 2).as("max_k"))
+
+  val propsAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+      |  round(min(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS min_k,
+      |  round(max(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
     "search_temporal" -> temporalSearchSql)
