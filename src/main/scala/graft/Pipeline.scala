@@ -56,6 +56,19 @@ object Pipeline {
     res.vectors.write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
+  /** Incremental add with dedup-on-ingest (cognee's incremental
+    * loading: re-added content is identified by deterministic content
+    * hash and skipped). Returns only the genuinely new documents —
+    * anti-join on md5(text) against the existing corpus, shuffle keyed
+    * on the hash. */
+  def addIncrement(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing.select(md5(col("text")).as("content_hash")).distinct()
+    incoming
+      .withColumn("content_hash", md5(col("text")))
+      .join(seen, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)

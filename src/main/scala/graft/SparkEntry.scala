@@ -22,9 +22,12 @@ object SparkEntry {
       (Pipeline.queries, Pipeline.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Completion-context assembly exercises the vector engine
+    * (cosine top-k), the graph engine (insight triplets), and the
+    * document store in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    graph.GraphQueries.build(spark, "/root/testdata/sf0.001")
+    operators.Retrievers.completionContext(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpecBase {
 
+  test("driver flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("cognify graph view: mention edges land between doc and entity nodes") {
     val g = Pipeline.cognify(spark, sf).graph
     val nodeIds = g.nodes.select(col("id"))

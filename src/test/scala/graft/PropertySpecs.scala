@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Property-style checks (plain scalacheck Gen sampling — the
+  * scalatest/scalacheck bridge artifact isn't on the classpath). */
+class PropertySpecs extends SparkSpecBase {
+
+  private val rng = new scala.util.Random(1234)
+
+  test("cosine is symmetric and bounded on random vectors") {
+    import TestSpark.spark.implicits._
+    val cases = Seq.fill(20)((
+      Array.fill(16)(rng.nextDouble() * 20 - 10),
+      Array.fill(16)(rng.nextDouble() * 20 - 10)))
+    val df = cases.toDF("a", "b").select(
+      VectorOps.cosine(col("a"), col("b")).as("ab"),
+      VectorOps.cosine(col("b"), col("a")).as("ba"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("chunk count is ceil(words/64) for arbitrary word counts") {
+    import TestSpark.spark.implicits._
+    val ns = Seq(1, 2, 63, 64, 65, 127, 128, 129, 200, 300) ++ Seq.fill(10)(rng.nextInt(300) + 1)
+    val df = ns.zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val counts = df
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ceil(size(toks) / lit(64.0)).cast("int") - 1)).as("i"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.zipWithIndex.foreach { case (n, i) =>
+      assert(counts(i.toLong) === ((n + 63) / 64).toLong, s"words=$n")
+    }
+  }
+
+  test("incremental add admits exactly the unseen documents") {
+    import TestSpark.spark.implicits._
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val incoming = Seq((3L, "alpha beta"), (4L, "delta"), (5L, "gamma")).toDF("doc_id", "text")
+    val admitted = Pipeline.addIncrement(existing, incoming)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(4L))
+  }
+}
