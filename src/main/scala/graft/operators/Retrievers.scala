@@ -208,6 +208,75 @@ object Retrievers {
        |SELECT part, rank, ref FROM chunk_part
        |UNION ALL SELECT part, rank, ref FROM triplet_part""".stripMargin
 
+  /** GRAPH_SUMMARY_COMPLETION: completion context built from extractive
+    * SUMMARIES (not raw chunks) + graph triplets
+    * (graph_summary_completion_retriever.py = summaries_retriever ∘
+    * graph context). Query vector 2; same rank-tagged context shape. */
+  def summaryCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val e = embD(spark, dir)
+    val q = e.filter(col("vec_id") === 2).select(col("v").as("qv"))
+    val docs = load(spark, dir, "documents")
+    val w = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    val sumPart = e.filter(col("vec_id") =!= 2).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(docs, Seq("doc_id"))
+      .select(lit("summary").as("part"), col("rank"),
+        concat(col("doc_id").cast("string"), lit(": "),
+          array_join(slice(split(col("text"), " "), 1, 16), " ")).as("ref"))
+    val tripletPart = insights(spark, dir)
+      .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
+      .orderBy(col("ref").asc).limit(3)
+      .select(lit("triplet").as("part"),
+        row_number().over(Window.orderBy(col("ref").asc)).cast("long").as("rank"), col("ref"))
+    sumPart.union(tripletPart)
+  }
+
+  val summaryCompletionSql: String =
+    s"""WITH ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 2
+       |),
+       |ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+       |  FROM scored QUALIFY rank <= 3
+       |),
+       |sum_part AS (
+       |  SELECT 'summary' AS part, rank,
+       |    doc_id::VARCHAR || ': ' || array_to_string((string_split(d.text, ' '))[1:16], ' ') AS ref
+       |  FROM ranked JOIN documents d USING (doc_id)
+       |),
+       |qi AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dims AS (SELECT label, i AS pos, v[i + 1] AS x FROM e, unnest(range(len(v))) AS u(i)),
+       |cent AS (
+       |  SELECT label, list(cx ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(x) AS cx FROM dims GROUP BY 1, 2) GROUP BY label
+       |),
+       |cranked AS (
+       |  SELECT label, row_number() OVER (ORDER BY
+       |    list_dot_product(qv, centroid)
+       |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) DESC,
+       |    label ASC) AS rn
+       |  FROM cent, qi
+       |),
+       |top_nations AS (SELECT 'nation:'||label AS nid FROM cranked WHERE rn <= 3),
+       |triplets AS (
+       |  SELECT DISTINCT src||'-'||rel||'->'||dst AS ref
+       |  FROM edges JOIN top_nations ON src = nid OR dst = nid
+       |),
+       |triplet_part AS (
+       |  SELECT 'triplet' AS part, row_number() OVER (ORDER BY ref ASC) AS rank, ref
+       |  FROM triplets ORDER BY ref ASC LIMIT 3
+       |)
+       |SELECT part, rank, ref FROM sum_part
+       |UNION ALL SELECT part, rank, ref FROM triplet_part""".stripMargin
+
   /** FEELING_LUCKY: deterministic retriever dispatch — pick the source
     * with the most documents (ties: lexicographic), return its top-5
     * docs by quality score. */
@@ -344,6 +413,7 @@ object Retrievers {
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
     "search_completion_cot" -> ((s: SparkSession, d: String) => completionCot(s, d)),
+    "search_summary_completion" -> ((s: SparkSession, d: String) => summaryCompletion(s, d)),
     "search_temporal_graph" -> ((s: SparkSession, d: String) => temporalGraph(s, d)),
     "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
     "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
@@ -356,6 +426,7 @@ object Retrievers {
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
     "search_completion_cot" -> completionCotSql,
+    "search_summary_completion" -> summaryCompletionSql,
     "search_temporal_graph" -> temporalGraphSql,
     "search_feeling_lucky" -> feelingLuckySql,
     "search_cypher" -> cypherSql,
