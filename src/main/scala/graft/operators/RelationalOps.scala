@@ -155,7 +155,76 @@ object RelationalOps {
       |ORDER BY total_qty DESC, orderkey ASC
       |LIMIT 20""".stripMargin
 
+  /** Multidimensional rollup: revenue by (brand, type-prefix) with
+    * subtotal grouping sets — one shuffle, Catalyst expands the sets. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = load(spark, dir, "lineitem")
+    val p = load(spark, dir, "part")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        substring(col("p_type"), 1, 6).as("type_prefix"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .rollup(col("brand"), col("type_prefix"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .select(coalesce(col("brand"), lit("ALL")).as("brand"),
+        coalesce(col("type_prefix"), lit("ALL")).as("type_prefix"),
+        col("revenue"), col("n_items"))
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(p_brand, 'ALL') AS brand,
+      |  coalesce(substr(p_type, 1, 6), 'ALL') AS type_prefix,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP (p_brand, substr(p_type, 1, 6))""".stripMargin
+
+  /** Exact rank-based percentiles per market segment (median / p95 of
+    * order totals): the element at rank ceil(p·n) in sorted order —
+    * pure integer selection, no interpolation, so Spark and the oracle
+    * cannot drift on float midpoint arithmetic (interpolating
+    * percentile hit a round-boundary mismatch). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val c = load(spark, dir, "customer")
+    val w = Window.partitionBy(col("mktsegment"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("mktsegment"))))
+    joined.groupBy(col("mktsegment"))
+      .agg(
+        round(max(when(col("rn") === ceil(col("n") * 0.5), col("o_totalprice"))), 2).as("median_price"),
+        round(max(when(col("rn") === ceil(col("n") * 0.95), col("o_totalprice"))), 2).as("p95_price"),
+        max(col("n")).as("n_orders"))
+  }
+
+  val qPercentilesSql: String =
+    """WITH t AS (
+      |  SELECT c_mktsegment AS mktsegment, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |SELECT mktsegment,
+      |  round(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END), 2) AS median_price,
+      |  round(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END), 2) AS p95_price,
+      |  CAST(max(n) AS BIGINT) AS n_orders
+      |FROM t GROUP BY mktsegment""".stripMargin
+
+  /** Approximate distinct users per event type (HLL++ sketch) — the
+    * cardinality-sketch family; sketch values differ per engine, so
+    * accuracy is pinned by spec against exact counts, not an oracle. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> ((s: SparkSession, d: String) => qRollup(s, d)),
+    "q_percentiles" -> ((s: SparkSession, d: String) => qPercentiles(s, d)),
     "q5_local_supplier" -> ((s: SparkSession, d: String) => q5LocalSupplier(s, d)),
     "q18_large_orders" -> ((s: SparkSession, d: String) => q18LargeOrders(s, d)),
     "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
@@ -163,6 +232,8 @@ object RelationalOps {
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "q_percentiles" -> qPercentilesSql,
     "q5_local_supplier" -> q5Sql,
     "q18_large_orders" -> q18Sql,
     "q1_agg" -> q1AggSql,

@@ -85,6 +85,21 @@ class TextOpsSpec extends SparkSpecBase {
   }
 }
 
+class RelationalOpsSpec extends SparkSpecBase {
+
+  test("approx distinct users within 5% of exact per event type") {
+    val approx = RelationalOps.approxDistinctUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1L, (ex * 0.05).toLong), s"$k: ${approx(k)} vs $ex")
+    }
+  }
+}
+
 class GraphAlgosSpec extends SparkSpecBase {
 
   test("DataFrame PageRank matches GraphX staticPageRank to 1e-6") {
