@@ -94,6 +94,15 @@ object EventOps {
       |GROUP BY user_id
       |HAVING count(*) >= 3""".stripMargin
 
+  /** Date-partitioned event sink: the 100 TB layout — one directory per
+    * event date so temporal queries prune partitions at the file index
+    * level instead of scanning the full history. */
+  def writePartitionedByDay(events: DataFrame, outDir: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(outDir)
+
   /** Semi-structured payload extraction: parse the JSON props column
     * and aggregate a field per event type (cognee DataPoints carry
     * JSON metadata payloads; this is the Spark-native get_json_object

@@ -40,6 +40,14 @@ object EventStream {
       .select(col("w.start").as("hour"), col("eventType").as("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast per micro-batch — the standard pattern for
+    * attaching entity context to a stream at any scale). */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey), "left")
+
   /** Streaming exact dedup: drop events whose id was already seen
     * within the watermark horizon (the streaming twin of
     * DedupOps.exact's content-hash identity — cognee dedups on ingest). */

@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("stream-static enrichment attaches dimension columns per batch") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(loadEvents().take(200))
+    val dim = Tables.load(spark, sf, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val q = EventStream.enrich(stream.toDF(), dim, "userId", "c_custkey")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val t = spark.table("enriched")
+    assert(t.count() === 200L)
+    assert(t.filter(col("c_mktsegment").isNotNull).count() === 200L) // every user is a customer
+  }
+
+  test("partitioned event sink prunes by date predicate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_events").toString
+    graft.operators.EventOps.writePartitionedByDay(Tables.loadEvents(spark, sf), out)
+    val pruned = spark.read.parquet(out).filter(col("event_date") === "2024-01-02")
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_date=2024-01-02")))
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
