@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade mirroring the reference's top-level API
+  * (reference: cognee/__init__.py — add / cognify / search(SearchType))
+  * so a reference user can switch with the same three calls.
+  *
+  * `search` dispatches to the retriever plans; overloads with explicit
+  * parameters cover the query-bearing types (lexical tokens, cypher
+  * pattern, temporal interval). The no-arg forms run the same
+  * deterministic defaults the verification suite pins.
+  */
+object Graft {
+
+  sealed abstract class SearchType(val name: String)
+  case object Chunks extends SearchType("CHUNKS")
+  case object ChunksLexical extends SearchType("CHUNKS_LEXICAL")
+  case object Summaries extends SearchType("SUMMARIES")
+  case object Insights extends SearchType("INSIGHTS")
+  case object RagCompletion extends SearchType("RAG_COMPLETION")
+  case object GraphCompletion extends SearchType("GRAPH_COMPLETION")
+  case object GraphCompletionCot extends SearchType("GRAPH_COMPLETION_COT")
+  case object GraphSummaryCompletion extends SearchType("GRAPH_SUMMARY_COMPLETION")
+  case object Temporal extends SearchType("TEMPORAL")
+  case object Cypher extends SearchType("CYPHER")
+  case object NaturalLanguage extends SearchType("NATURAL_LANGUAGE")
+  case object FeelingLucky extends SearchType("FEELING_LUCKY")
+
+  /** Incremental ingest with dedup-on-add (cognee.add). */
+  def add(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Pipeline.addIncrement(existing, incoming)
+
+  /** Build the knowledge artifacts (cognee.cognify). */
+  def cognify(spark: SparkSession, dir: String): Pipeline.CognifyResult =
+    Pipeline.cognify(spark, dir)
+
+  /** Dispatch a search type to its retrieval plan (cognee.search). */
+  def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
+    case Chunks => operators.Retrievers.chunks(spark, dir)
+    case ChunksLexical => operators.Retrievers.lexical(spark, dir)
+    case Summaries => operators.Retrievers.summaries(spark, dir)
+    case Insights => operators.Retrievers.insights(spark, dir)
+    case RagCompletion | GraphCompletion => operators.Retrievers.completionContext(spark, dir)
+    case GraphCompletionCot => operators.Retrievers.completionCot(spark, dir)
+    case GraphSummaryCompletion => operators.Retrievers.summaryCompletion(spark, dir)
+    case Temporal => operators.EventOps.temporalSearch(spark, dir)
+    case Cypher => operators.Retrievers.cypher(spark, dir)
+    case NaturalLanguage => operators.Retrievers.naturalLanguage(spark, dir)
+    case FeelingLucky => operators.Retrievers.feelingLucky(spark, dir)
+  }
+
+  /** CYPHER with a caller-supplied pattern. */
+  def searchCypher(spark: SparkSession, dir: String, cypher: String): DataFrame =
+    graph.CypherLite.run(graph.TpchGraph(spark, dir), cypher)
+}

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpecBase {
 
+  test("Graft facade dispatches every search type to a non-empty plan") {
+    import Graft._
+    val types = Seq(Chunks, ChunksLexical, Summaries, Insights, RagCompletion,
+      GraphCompletionCot, GraphSummaryCompletion, Temporal, Cypher, NaturalLanguage, FeelingLucky)
+    types.foreach { t =>
+      assert(Graft.search(spark, sf, t).count() > 0, s"search type ${t.name} empty")
+    }
+    val viaCypher = Graft.searchCypher(spark, sf,
+      "MATCH (n:nation)-[:in_region]->(r:region) RETURN r.name AS region, count(*) AS n ORDER BY region")
+    assert(viaCypher.count() === 5L)
+  }
+
   test("driver flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
