@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ingest→cognify pipeline re-expressed as one declarative plan
-  * (reference: cognee/pipelines.py — add → classify → chunk → extract
+  * (reference: cognee/api/v1/cognify/cognify.py:41 — add → classify → chunk → extract
   * entities/relations → store graph + vectors; the LLM extraction step
   * is replaced by a deterministic token-entity extractor, which is the
   * same contract: DataPoint nodes + relation edges out of text).

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** DataFrame-planned graph queries over the TPC-H knowledge-graph
   * projection — the bounded-neighborhood portion of cognee's graph
-  * surface (get_graph_data / get_neighbors / get_connections /
-  * get_graph_metrics in graph_db_interface.py). Iterative analytics
+  * surface (get_graph_data / get_neighbors / get_connections (graph_db_interface.py:384) /
+  * get_graph_metrics (graph_db_interface.py:305)). Iterative analytics
   * (BFS, components, PageRank) live in GraphAlgos.
   */
 object GraphQueries {

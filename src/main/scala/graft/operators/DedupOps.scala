@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication suite over the documents corpus. cognee dedups on
   * content hash at ingest (reference: cognee/modules/ingestion/
-  * identify.py + data dedup in modules/data/methods); the brief extends
+  * identify.py:7 + data dedup in modules/data/methods); the brief extends
   * this to the full training-data-pipeline family: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash.
   *

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The cognee search-type surface, re-expressed as composable Spark
-  * plans (reference: cognee/modules/search/types/SearchType.py and
+  * plans (reference: cognee/modules/search/types/SearchType.py:4 and
   * the modules/retrieval package). The LLM completion step of the *_COMPLETION
   * types is out of scope by design — what the engine owes is the
   * deterministic retrieval + context assembly that feeds it.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis over the documents corpus — the Spark-native analog of
   * cognee's chunking + token accounting (reference:
-  * cognee/modules/chunking/TextChunker.py) extended with the
+  * cognee/modules/chunking/TextChunker.py:12 read()) extended with the
   * training-data-pipeline text metrics the brief mandates (language ID,
   * quality scoring, token counting, fingerprinting).
   *

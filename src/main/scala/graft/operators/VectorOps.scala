@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Vector search engine — the Spark-native re-expression of cognee's
   * vector side (reference: cognee/infrastructure/databases/vector/
-  * vector_db_interface.py: search / batch_search over embedded
+  * vector_db_interface.py:81 search / batch_search over embedded
   * collections; retrieval/chunks_retriever.py consumes it).
   *
   * Distance math uses higher-order array functions (zip_with +
