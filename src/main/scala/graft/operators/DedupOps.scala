@@ -144,8 +144,10 @@ object DedupOps {
 
   /** 32-bit SimHash over word hashes; candidate pairs share one of four
     * 8-bit bands, verified at hamming ≤ 3 (pigeonhole: any pair at
-    * hamming ≤ 3 shares at least one clean band). No SQL oracle —
-    * engine-native bit ops differ — rows-only check + ScalaTest spec. */
+    * hamming ≤ 3 shares at least one clean band). The shared hash
+    * primitive is the first 8 hex chars of md5(word) — the oracle
+    * re-derives the integer with a hex-digit fold, then replays the
+    * same bit math. */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), explode(toks).as("w"))
@@ -179,7 +181,38 @@ object DedupOps {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simHash(s, d)))
 
+  val simHashSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |),
+      |wh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT) + 1, 1)) - 1) * power(16, 7 - i))) AS BIGINT) AS h
+      |  FROM words
+      |),
+      |bits AS (
+      |  SELECT doc_id, j, CAST(sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS bal
+      |  FROM wh, unnest(range(32)) AS u(j)
+      |  GROUP BY doc_id, j
+      |),
+      |sim AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id
+      |),
+      |banded AS (
+      |  SELECT doc_id, simhash, b, (simhash >> (CAST(b AS INT) * 8)) & 255 AS band_val
+      |  FROM sim, unnest(range(4)) AS v(b)
+      |),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+      |  FROM banded a JOIN banded b ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |)
+      |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simHashSql,
     "dedup_exact" -> exactSql,
     "dedup_tokenset" -> tokenSetSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
