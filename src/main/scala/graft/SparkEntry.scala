@@ -17,6 +17,7 @@ object SparkEntry {
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.DedupOps.queries, operators.DedupOps.oracles),
+      (operators.CurateOps.queries, operators.CurateOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (Pipeline.queries, Pipeline.oracles),

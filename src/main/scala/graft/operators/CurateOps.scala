@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators (brief: the operations a
+  * large-scale training-data pipeline needs beyond the reference's own
+  * surface). All selection is content-hash based — deterministic,
+  * engine-reproducible (md5), and stable under repartitioning, unlike
+  * RNG sampling.
+  */
+object CurateOps {
+
+  /** Deterministic hash bucket in [0, 100): first 4 md5 hex chars of
+    * the text mod 100 — the split/sample primitive. */
+  private def bucket: Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Quality-gated 20% sample: hash-bucket < 20 AND enough words.
+    * The curation shape: cheap filters first (pushed to the scan where
+    * possible), then the hash gate — no RNG, so re-runs and retries
+    * select identical rows at any scale. */
+  def sample(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 20)
+      .filter(bucket < 20)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+
+  val sampleSql: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 20
+      |  AND CAST(list_sum(list_transform(range(4),
+      |        i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
+      |             * power(16, 3 - i))) AS BIGINT) % 100 < 20""".stripMargin
+
+  /** Deterministic train/val/test assignment (80/10/10 by hash bucket)
+    * with per-split stats — the split is a pure function of content, so
+    * it survives re-ingestion and dedup reshuffles. */
+  def split3(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+
+  val split3Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** Decontamination: train-split documents sharing at least one word
+    * 8-gram with the eval set (source src0 stands in for the benchmark
+    * corpus). The overlap join is an equi-join on the shingle inverted
+    * index — the only scalable shape for cross-corpus n-gram
+    * contamination checks. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 8),
+          i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))).as("shingle"))
+    val evalSh = shingles(docs.filter(col("source") === "src0"))
+      .select(col("shingle")).distinct()
+    val trainSh = shingles(docs.filter(col("source") =!= "src0"))
+    trainSh.join(evalSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
+  val decontaminateSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(toks[(i + 1):(i + 8)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 7)) AS u(i)
+      |),
+      |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+      |SELECT s.doc_id, count(*) AS n_contaminated_shingles
+      |FROM sh s JOIN eval_sh e USING (shingle)
+      |WHERE s.source <> 'src0'
+      |GROUP BY s.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
+    "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
+    "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "curate_sample" -> sampleSql,
+    "curate_split" -> split3Sql,
+    "curate_decontaminate" -> decontaminateSql)
+}
