@@ -96,12 +96,48 @@ object CurateOps {
       |WHERE s.source <> 'src0'
       |GROUP BY s.doc_id""".stripMargin
 
+  /** Contiguous sequence packing: documents (in deterministic doc_id
+    * order) are packed into fixed 512-token training sequences by
+    * cumulative token count — bin = floor((running - own)/512). One
+    * global-window pass; at 100 TB the same recurrence runs per
+    * partition with partition-offset rebasing. Returns per-bin stats. */
+  def pack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("running") - col("n_tokens")) / budget))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val packSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM t
+      |)
+      |SELECT CAST(floor((running - n_tokens) / 512) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM r GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_pack" -> packSql,
     "curate_sample" -> sampleSql,
     "curate_split" -> split3Sql,
     "curate_decontaminate" -> decontaminateSql)
