@@ -27,7 +27,7 @@ object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
   private val relRe = """-\s*\[\s*:\s*(\w+)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->""".r
-  private val whereRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+  private val whereRe = """(\w+)\.(\w+)\s*(=|<>|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
   def run(g: PropertyGraph, cypher: String): DataFrame = {
@@ -76,7 +76,14 @@ object CypherLite {
 
     wherePart.foreach { w =>
       w.split("(?i) AND ").foreach {
-        case whereRe(v, p, lit0) => df = df.filter(col(s"${v}_$p") === lit0)
+        case whereRe(v, p, op, lit0) =>
+          val c = col(s"${v}_$p")
+          df = df.filter(op match {
+            case "=" => c === lit0
+            case "<>" => c =!= lit0
+            case "STARTS WITH" => c.startsWith(lit0)
+            case "CONTAINS" => c.contains(lit0)
+          })
         case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
       }
     }

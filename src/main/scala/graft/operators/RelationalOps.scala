@@ -222,7 +222,39 @@ object RelationalOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** TPC-H Q10-style: revenue lost to returned items per customer over
+    * a quarter, top-20 — selective fact filter + two broadcast dims. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+    val c = load(spark, dir, "customer")
+    val n = load(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("customer"), col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey AS custkey, c_name AS customer, n_name AS nation,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS lost_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, custkey ASC
+      |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns" -> ((s: SparkSession, d: String) => q10Returns(s, d)),
     "q_rollup" -> ((s: SparkSession, d: String) => qRollup(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => qPercentiles(s, d)),
     "q5_local_supplier" -> ((s: SparkSession, d: String) => q5LocalSupplier(s, d)),
@@ -232,6 +264,7 @@ object RelationalOps {
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q10_returns" -> q10Sql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,
     "q5_local_supplier" -> q5Sql,

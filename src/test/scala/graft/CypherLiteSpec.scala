@@ -42,6 +42,16 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out.map(_.getString(0)).toList === List("a:1"))
   }
 
+  test("WHERE supports <>, STARTS WITH, CONTAINS") {
+    val ne = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name <> 'alpha' RETURN x.id AS xid").collect()
+    assert(ne.map(_.getString(0)).toSet === Set("a:2"))
+    val sw = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.id STARTS WITH 'a:' AND x.name CONTAINS 'lph' RETURN x.id AS xid")
+      .collect()
+    assert(sw.map(_.getString(0)).toSet === Set("a:1"))
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name > 'a' RETURN x.id")
