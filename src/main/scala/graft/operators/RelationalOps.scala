@@ -215,7 +215,9 @@ object RelationalOps {
 
   /** Approximate distinct users per event type (HLL++ sketch) — the
     * cardinality-sketch family; sketch values differ per engine, so
-    * accuracy is pinned by spec against exact counts, not an oracle. */
+    * accuracy is pinned by spec against exact counts (within 5%), and
+    * the driver records a rows-only check (no oracle entry), like the
+    * ANN queries. */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.loadEvents(spark, dir)
       .groupBy(col("event_type"))
@@ -261,6 +263,7 @@ object RelationalOps {
     "q18_large_orders" -> ((s: SparkSession, d: String) => q18LargeOrders(s, d)),
     "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
     "q3_join_topn" -> ((s: SparkSession, d: String) => q3JoinTopN(s, d)),
+    "q_approx_distinct" -> ((s: SparkSession, d: String) => approxDistinctUsers(s, d)),
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(

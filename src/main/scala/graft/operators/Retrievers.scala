@@ -21,6 +21,13 @@ object Retrievers {
   private val cosSql =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
 
+  /** Rank over an already-bounded row set (≤ a few rows, post
+    * orderBy+limit or a per-label reduction): partitioned on a constant
+    * so Spark plans a partitioned WindowExec instead of warning about a
+    * no-partition window. Never apply to an unbounded input. */
+  private def rankOver(order: Column*): Column =
+    row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*))
+
   /** CHUNKS: cosine top-5 documents for query vector 0, with snippet
     * payload (chunks_retriever.py → vector search → chunk text). */
   def chunks(spark: SparkSession, dir: String): DataFrame = {
@@ -116,10 +123,9 @@ object Retrievers {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("centroid"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val w = Window.orderBy(col("ccos").desc, col("label").asc)
     val topNations = cent.crossJoin(broadcast(q))
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .withColumn("rn", rankOver(col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
     val edges = TpchGraph(spark, dir).edges
     edges.join(broadcast(topNations),
@@ -158,13 +164,13 @@ object Retrievers {
   def completionContext(spark: SparkSession, dir: String): DataFrame = {
     val chunkPart = chunks(spark, dir).limit(3)
       .select(lit("chunk").as("part"),
-        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long").as("rank"),
+        rankOver(col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
     val tripletPart = insights(spark, dir)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),
-        row_number().over(Window.orderBy(col("ref").asc)).cast("long").as("rank"), col("ref"))
+        rankOver(col("ref").asc).cast("long").as("rank"), col("ref"))
     chunkPart.union(tripletPart)
   }
 
@@ -216,12 +222,15 @@ object Retrievers {
     val e = embD(spark, dir)
     val q = e.filter(col("vec_id") === 2).select(col("v").as("qv"))
     val docs = load(spark, dir, "documents")
-    val w = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    // Top-3 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + tiny merge); the rank window then runs over 3 rows only.
+    // A no-partition row_number over the scored corpus would funnel the
+    // whole corpus through one task.
     val sumPart = e.filter(col("vec_id") =!= 2).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
+      .withColumn("rank", rankOver(col("cosine").desc, col("doc_id").asc).cast("long"))
       .join(docs, Seq("doc_id"))
       .select(lit("summary").as("part"), col("rank"),
         concat(col("doc_id").cast("string"), lit(": "),
@@ -230,7 +239,7 @@ object Retrievers {
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),
-        row_number().over(Window.orderBy(col("ref").asc)).cast("long").as("rank"), col("ref"))
+        rankOver(col("ref").asc).cast("long").as("rank"), col("ref"))
     sumPart.union(tripletPart)
   }
 
@@ -315,15 +324,15 @@ object Retrievers {
   def completionCot(spark: SparkSession, dir: String): DataFrame = {
     val e = embD(spark, dir).persist()
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame = {
-      val w = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame =
+      // orderBy+limit → TakeOrderedAndProject; the rank window only ever
+      // sees the 3 surviving rows (never the scored corpus).
       e.filter(!col("vec_id").isin(exclude: _*)).crossJoin(broadcast(queryV))
         .select(col("vec_id").as("doc_id"),
           round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+        .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
+        .withColumn("rank", rankOver(col("cosine").desc, col("doc_id").asc).cast("long"))
         .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
-    }
     val r1 = topK(q, Seq(0L), 1).persist()
     val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
       .join(e, Seq("vec_id")).select(col("v").as("qv"))

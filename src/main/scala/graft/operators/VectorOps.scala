@@ -65,21 +65,109 @@ object VectorOps {
       |)
       |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5""".stripMargin
 
-  /** Near-dup pairs at cosine ≥ 0.4. Exact at test scale (the corpus
-    * plants no high-cosine pairs, so hyperplane LSH could not be both
-    * sub-quadratic and high-recall here); at 100 TB this swaps in the
-    * IVF/LSH shortlist exactly like [[knnIvf]]. Canonical v1 < v2. */
-  def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------------
+  // Coarse quantizer: deterministic spherical k-means (Lloyd's). The
+  // trained centroids back both the IVF probe shortlist ([[knnIvf]]) and
+  // the exact cell-pruned near-dup join ([[dedupCosine]]). Centroids are
+  // tiny (k × 64 doubles) and live as broadcast literals in the plan;
+  // every assignment pass is a full-parallel corpus scan.
+  // ---------------------------------------------------------------------
+
+  /** Cluster count heuristic: √n clamped to [4, 16] — cells stay
+    * populated at sf0.001 yet bound candidate volume at bench scale. At
+    * cluster scale k grows toward √n with the same code. */
+  private def cellCount(n: Long): Int = math.sqrt(n.toDouble).toInt.max(4).min(16)
+
+  /** Per-row scored struct array: (dot(v, ĉᵢ), i) for each normalized
+    * centroid literal; array_max picks the best cell (ties → larger id —
+    * struct comparison is field-ordered, so deterministic). */
+  private def bestCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      struct(dot(v, lit(c.map(_ / n))).as("s"), lit(i).as("cell"))
+    }
+    array_max(array(scored: _*))
+  }
+
+  /** Lloyd's k-means with deterministic init (members ordered by
+    * md5(vec_id), first k) and a fixed iteration count — no RNG, so the
+    * quantizer is reproducible across runs and sessions. Only k×64
+    * centroid doubles ever reach the driver (SURVEY §5 tiny-broadcast
+    * rule); assignment and the dimension means are distributed. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 4): Array[Array[Double]] = {
+    var cents = e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
+      val dimMeans = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = dimMeans.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(ds) => ds.sortBy(_._2).map(_._3)
+          case None     => old // empty cell keeps its previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Near-dup pairs at cosine ≥ 0.4, canonical v1 < v2 — EXACT, with
+    * candidate generation blocked by quantizer cells instead of an
+    * all-pairs nested-loop join.
+    *
+    * Soundness (why blocking loses no pair ≥ τ): angular distance is a
+    * metric on the unit sphere, so for a in cell c₁ and b in cell c₂,
+    * θ(a,b) ≥ θ(c₁,c₂) − r₁ − r₂ where rᵢ is cell i's max member-to-
+    * centroid angle. A cell pair with θ(c₁,c₂) − r₁ − r₂ > acos(τ') is
+    * provably pair-free and is pruned before any dot product runs
+    * (τ' = τ − 1e-3 absorbs the round-to-4 boundary and float noise).
+    * Surviving cell pairs become broadcast-driven EQUI-joins on the
+    * cell key — never a BroadcastNestedLoopJoin — so the plan
+    * hash-partitions and parallelizes at any corpus size. On clustered
+    * real-embedding corpora the bound prunes most cell pairs; on
+    * adversarially uniform vectors it degrades to a distributed (still
+    * equi-join) verify of all cell pairs, never to a single-task loop. */
+  def dedupCosine(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
     // Precompute each row's norm once (sqrt of the same self-dot the
-    // per-pair formula would take → bitwise-identical cosines, 3× fewer
-    // dot products inside the O(n²) pair loop).
+    // per-pair formula would take → bitwise-identical cosines vs the
+    // all-pairs oracle, 3× fewer dot products in the verify).
     val e = emb(spark, dir).select(col("vec_id"), col("v"), norm(col("v")).as("nv"))
-    val a = e.select(col("vec_id").as("v1"), col("v").as("va"), col("nv").as("na"))
-    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("nv").as("nb"))
-    a.join(b, col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
+    val cents = kmeansCentroids(e.select(col("vec_id"), col("v")), cellCount(e.count()))
+    val best = bestCell(col("v"), cents)
+    val assigned = e.select(col("vec_id"), col("v"), col("nv"),
+      best.getField("cell").as("cell"),
+      // member-to-centroid angle: best score is dot(v, ĉ) → cos = s/‖v‖
+      acos(least(lit(1.0), greatest(lit(-1.0), best.getField("s") / col("nv")))).as("cang"))
+    // Tiny driver artifacts: per-cell max angle (k rows) + pairwise
+    // centroid angles (k² doubles) → the pruned candidate cell-pair list.
+    val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val unit = cents.map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n) }
+    def centAngle(i: Int, j: Int): Double = {
+      val d = unit(i).zip(unit(j)).map { case (x, y) => x * y }.sum
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    val maxAngle = math.acos(tau - 1e-3) + 1e-6
+    val candPairs = (for {
+      i <- radii.keys.toSeq; j <- radii.keys.toSeq
+      if i <= j && centAngle(i, j) - radii(i) - radii(j) <= maxAngle
+    } yield (i, j)).toDF("c1", "c2")
+    val a = assigned.select(col("cell").as("c1"), col("vec_id").as("p1"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cell").as("c2"), col("vec_id").as("p2"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(broadcast(candPairs), Seq("c1"))
+      .join(b, Seq("c2")) // shuffled equi-join on the cell key
+      .filter(col("c1") < col("c2") || col("p1") < col("p2")) // each unordered pair once
+      .select(least(col("p1"), col("p2")).as("v1"), greatest(col("p1"), col("p2")).as("v2"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= tau)
   }
 
   val dedupCosineSql: String =
@@ -127,27 +215,32 @@ object VectorOps {
       |FROM e JOIN cent ON e.label = cent.label
       |GROUP BY e.label""".stripMargin
 
-  /** IVF-style ANN: coarse cells = label centroids (broadcast), probe
-    * the nprobe=3 nearest cells, exact re-rank inside the shortlist.
+  /** IVF ANN with a TRAINED coarse quantizer: cells come from
+    * [[kmeansCentroids]] (deterministic Lloyd's), the query probes its
+    * nprobe nearest cells, and the shortlist is exactly re-ranked —
+    * the Faiss-style inverted-file pattern. nprobe ≥ k probes every
+    * cell and provably reduces to brute-force [[knn]] (spec-pinned).
     * Approximate by construction → rows-only driver check; the
     * ScalaTest spec measures recall against [[knn]]. */
   def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
-    val e = emb(spark, dir)
-    val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val cent = dims.groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("centroid"))
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // nearest nprobe cells per query (tiny: queries × cells)
-    val cellW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("label"), cosine(col("qv"), col("centroid")).as("ccos"))
+    val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+    val cents = kmeansCentroids(e0, cellCount(e0.count()))
+    val e = e0.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
+    val q = e0.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // nearest nprobe cells per query: queries × k scored structs, picked
+    // by a per-query (partitioned) rank — tiny on both axes.
+    val centArr = cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("centroid"), lit(i).as("cell"))
+    }
+    val cellW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.select(col("query_id"), col("qv"), explode(array(centArr: _*)).as("cc"))
+      .select(col("query_id"), col("qv"), col("cc.cell").as("cell"),
+        cosine(col("qv"), col("cc.centroid")).as("ccos"))
       .withColumn("rn", row_number().over(cellW)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label"))
-    // shortlist = members of probed cells; exact re-rank
+      .select(col("query_id"), col("qv"), col("cell"))
+    // shortlist = members of probed cells; exact re-rank per query
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    e.join(broadcast(probes), Seq("label"))
+    e.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)

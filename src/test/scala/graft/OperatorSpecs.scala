@@ -38,12 +38,44 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
-  test("IVF recall vs exact knn is sane for nprobe=10 (all cells = exact)") {
+  test("IVF with nprobe >= k (all cells) reduces to brute-force knn") {
     val exact = VectorOps.knn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val all = VectorOps.knnIvf(spark, sf, nprobe = 10).collect()
+    val all = VectorOps.knnIvf(spark, sf, nprobe = 64).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(all === exact) // probing every cell must reduce to brute force
+  }
+
+  test("IVF recall vs exact knn at nprobe=3 on the trained quantizer") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.knnIvf(spark, sf, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // shortlist covers a useful share at 3/ k cells
+  }
+
+  test("cell-blocked dedupCosine equals brute-force all-pairs (no pair >= tau lost)") {
+    import TestSpark.spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val brute = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(VectorOps.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = VectorOps.dedupCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("dedupCosine plans equi-joins on cells, never a nested-loop cartesian") {
+    val plan = VectorOps.dedupCosine(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
   }
 }
 
@@ -63,6 +95,32 @@ class DedupOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sim.forall(_._3 <= 3))
     assert(sim.nonEmpty)
+  }
+}
+
+class CurateOpsSpec extends SparkSpecBase {
+
+  test("distributed pack cumsum matches single-window reference and uses >1 bucket") {
+    import org.apache.spark.sql.expressions.Window
+    val running = CurateOps.packRunning(spark, sf, numParts = 8).cache()
+    assert(running.select(col("pid")).distinct().count() > 1L)
+    val ref = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("ref_running", sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bad = running.join(ref, Seq("doc_id"))
+      .filter(col("running") =!= col("ref_running")).count()
+    assert(bad === 0L)
+  }
+
+  test("pack output is invariant to the bucket count") {
+    val p1 = CurateOps.pack(spark, sf, numParts = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val p8 = CurateOps.pack(spark, sf, numParts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(p1 === p8)
+    assert(p8.nonEmpty)
   }
 }
 
