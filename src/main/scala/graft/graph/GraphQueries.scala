@@ -223,7 +223,29 @@ object GraphQueries {
       |        JOIN pairs bc ON bc.x = ab.y AND bc.y = ac.y) AS n_triangles,
       |       (SELECT count(*) FROM pairs) AS n_edges""".stripMargin
 
+  /** Named-nodeset subgraph (graph_db_interface.py:369
+    * get_nodeset_subgraph): the NATION_3/NATION_7 node set plus 1-hop
+    * neighbors, summarized as per-(ntype, rel) edge-endpoint counts so
+    * the result stays small and oracle-stable. */
+  def nodesetSubgraph(spark: SparkSession, dir: String): DataFrame = {
+    val sub = TpchGraph(spark, dir).nodesetSubgraph("nation", Seq("NATION_3", "NATION_7"))
+    sub.edges.groupBy(col("rel")).agg(count(lit(1)).as("n_edges"))
+  }
+
+  val nodesetSubgraphSql: String =
+    s"""$withGraph,
+       |seeds AS (SELECT id FROM nodes WHERE ntype = 'nation' AND name IN ('NATION_3', 'NATION_7')),
+       |keep AS (
+       |  SELECT id FROM seeds
+       |  UNION SELECT dst FROM edges WHERE src IN (SELECT id FROM seeds)
+       |  UNION SELECT src FROM edges WHERE dst IN (SELECT id FROM seeds)
+       |)
+       |SELECT rel, count(*) AS n_edges FROM edges
+       |WHERE src IN (SELECT id FROM keep) AND dst IN (SELECT id FROM keep)
+       |GROUP BY rel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
     "graph_build" -> ((s: SparkSession, d: String) => build(s, d)),
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
     "graph_neighbors" -> ((s: SparkSession, d: String) => neighbors(s, d)),
@@ -237,6 +259,7 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "graph_nodeset_subgraph" -> nodesetSubgraphSql,
     "graph_build" -> buildSql,
     "graph_degree" -> degreeSql,
     "graph_neighbors" -> neighborsSql,

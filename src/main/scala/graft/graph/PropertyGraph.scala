@@ -90,6 +90,44 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         .select(col("src"), col("dst"), col("rel")))
   }
 
+  /** Does an edge (src)-[rel]->(dst) exist? (graph_db_interface.py:318
+    * has_edge). One pushed-down filter on the edge relation. */
+  def hasEdge(src: String, dst: String, rel: String): Boolean =
+    !edges.filter(col("src") === src && col("dst") === dst && col("rel") === rel).isEmpty
+
+  /** Which of the asked (src, dst, rel) triples exist?
+    * (graph_db_interface.py:332 has_edges). The asked set is broadcast
+    * against the edge relation — a single semi-join, not per-triple
+    * lookups, so one call scales to millions of probes. */
+  def hasEdges(asked: DataFrame): DataFrame =
+    asked.select(col("src"), col("dst"), col("rel"))
+      .join(edges.select(col("src"), col("dst"), col("rel")), Seq("src", "dst", "rel"), "left_semi")
+
+  /** Induced subgraph of a named node set of one type
+    * (graph_db_interface.py:369 get_nodeset_subgraph): the named nodes
+    * plus their 1-hop neighbors, with every edge whose two endpoints
+    * both fall in that closure. */
+  def nodesetSubgraph(ntypeName: String, names: Seq[String]): PropertyGraph = {
+    val seeds = nodes.filter(col("ntype") === ntypeName && col("name").isin(names: _*))
+      .select(col("id"))
+    val nbrs = edges.join(broadcast(seeds.withColumnRenamed("id", "src")), Seq("src"))
+      .select(col("dst").as("id"))
+      .union(edges.join(broadcast(seeds.withColumnRenamed("id", "dst")), Seq("dst"))
+        .select(col("src").as("id")))
+    val keep = seeds.union(nbrs).distinct()
+    PropertyGraph(
+      nodes.join(keep, Seq("id"), "left_semi"),
+      edges
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"), col("rel")))
+  }
+
+  /** Drop everything (graph_db_interface.py delete_graph) — an empty
+    * graph with the same schema, as a plan (materialize = overwrite). */
+  def deleteGraph: PropertyGraph =
+    PropertyGraph(nodes.limit(0), edges.limit(0))
+
   /** Subgraph restricted to the given node types. */
   def subgraphByType(types: Seq[String]): PropertyGraph = {
     val prefixes = types.map(_ + ":")

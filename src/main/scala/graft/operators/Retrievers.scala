@@ -415,7 +415,184 @@ object Retrievers {
     CypherLite.run(TpchGraph(spark, dir), cypherQ)
   }
 
+  // ---------------------------------------------------------------------
+  // CODE / CODING_RULES / FEEDBACK / ENTITY search — the remaining
+  // reference search types, demonstrated on a deterministic code-corpus
+  // projection of `documents` (the testdata ships no code corpus; the
+  // projection is computed identically on the Spark and oracle sides, so
+  // the retrieval shapes stay oracle-checkable).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic code-corpus projection: every document becomes a code
+    * file with a path, a symbol and a kind (function/class/module).
+    * Both sides derive it from the same md5/modulo arithmetic. */
+  private def codeTable(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").select(
+      col("doc_id").as("file_id"),
+      concat(col("source"), lit("/doc_"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+      when(col("doc_id") % 3 === 0, "function")
+        .when(col("doc_id") % 3 === 1, "class").otherwise("module").as("kind"),
+      concat(lit("sym_"), substring(md5(col("text")), 1, 8)).as("symbol"),
+      col("text").as("body"))
+
+  private val codeTableSql: String =
+    """code AS (
+      |  SELECT doc_id AS file_id,
+      |    source || '/doc_' || doc_id || '.txt' AS path,
+      |    CASE doc_id % 3 WHEN 0 THEN 'function' WHEN 1 THEN 'class' ELSE 'module' END AS kind,
+      |    'sym_' || substr(md5(text), 1, 8) AS symbol,
+      |    text AS body
+      |  FROM documents
+      |)""".stripMargin
+
+  /** CODE search (code_retriever.py:61 get_context): two retrieval
+    * channels like the reference's two collection groups — whole files
+    * (CodeFile_name) and class/function definitions
+    * (ClassDefinition/FunctionDefinition_source_code) — each scored by
+    * query-token overlap, top-3 per channel, rank-tagged. */
+  def code(spark: SparkSession, dir: String): DataFrame = {
+    val c = codeTable(spark, dir)
+    val qarr = array(queryTokens.map(lit): _*)
+    val btoks = array_distinct(split(col("body"), " "))
+    val score = round(size(array_intersect(btoks, qarr)).cast("double") /
+      size(array_union(btoks, qarr)), 4)
+    def channel(df: DataFrame, part: String) = df
+      .select(lit(part).as("part"), col("path"), col("symbol"), col("kind"), score.as("score"))
+      .orderBy(col("score").desc, col("path").asc).limit(3)
+      .withColumn("rank", rankOver(col("score").desc, col("path").asc).cast("long"))
+      .select(col("part"), col("rank"), col("path"), col("symbol"), col("kind"), col("score"))
+    channel(c, "file").union(channel(c.filter(col("kind") =!= "module"), "codepart"))
+  }
+
+  val codeSql: String =
+    s"""WITH $codeTableSql,
+       |scored AS (
+       |  SELECT path, symbol, kind,
+       |    round(len(list_intersect(list_distinct(string_split(body, ' ')), ['spark', 'fast', 'join', 'window'])) * 1.0
+       |          / len(list_distinct(list_concat(list_distinct(string_split(body, ' ')), ['spark', 'fast', 'join', 'window']))), 4) AS score
+       |  FROM code
+       |),
+       |file_part AS (
+       |  SELECT 'file' AS part, row_number() OVER (ORDER BY score DESC, path ASC) AS rank,
+       |    path, symbol, kind, score
+       |  FROM scored ORDER BY score DESC, path ASC LIMIT 3
+       |),
+       |code_part AS (
+       |  SELECT 'codepart' AS part, row_number() OVER (ORDER BY score DESC, path ASC) AS rank,
+       |    path, symbol, kind, score
+       |  FROM scored WHERE kind <> 'module' ORDER BY score DESC, path ASC LIMIT 3
+       |)
+       |SELECT * FROM file_part UNION ALL SELECT * FROM code_part""".stripMargin
+
+  /** CODING_RULES (coding_rules_retriever.py:22 get_existing_rules):
+    * the stored rules of the `coding_agent_rules` nodeset, returned as
+    * an ordered list — rules are the deterministic rule-projection of
+    * every 7th document (first 12 words). */
+  def codingRules(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("rule_id"), lit("coding_agent_rules").as("nodeset"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("rule"))
+      .orderBy(col("rule_id").asc).limit(20)
+
+  val codingRulesSql: String =
+    """SELECT doc_id AS rule_id, 'coding_agent_rules' AS nodeset,
+      |  array_to_string((string_split(text, ' '))[1:12], ' ') AS rule
+      |FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY rule_id ASC LIMIT 20""".stripMargin
+
+  /** FEEDBACK search (user_qa_feedback.py:16): user feedback rows carry
+    * a lexicon sentiment score in [-5, 5] (the reference's LLM sentiment
+    * call replaced by a deterministic lexicon count), attached to the
+    * document they grade; retrieval re-ranks the cosine top-20 chunk
+    * candidates by cosine + 0.05·score. */
+  def feedback(spark: SparkSession, dir: String): DataFrame = {
+    val posW = Seq("fast", "small", "spark")
+    val negW = Seq("slow", "big")
+    val fbToks = slice(split(col("text"), " "), 1, 8)
+    val pos = size(filter(fbToks, t => t.isInCollection(posW)))
+    val neg = size(filter(fbToks, t => t.isInCollection(negW)))
+    val fb = load(spark, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        least(greatest((pos - neg).cast("double"), lit(-5.0)), lit(5.0)).as("fb_score"))
+    val e = embD(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(20)
+    cand.join(broadcast(fb), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cosine"), coalesce(col("fb_score"), lit(0.0)).as("fb_score"),
+        (floor((col("cosine") + coalesce(col("fb_score"), lit(0.0)) * 0.05) * 10000) / 10000).as("combined"))
+      .orderBy(col("combined").desc, col("doc_id").asc).limit(5)
+      .withColumn("rank", rankOver(col("combined").desc, col("doc_id").asc).cast("long"))
+      .select(col("rank"), col("doc_id"), col("cosine"), col("fb_score"), col("combined"))
+  }
+
+  val feedbackSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY cosine DESC, doc_id ASC LIMIT 20
+       |),
+       |fb AS (
+       |  SELECT doc_id,
+       |    least(greatest(
+       |      len(list_filter((string_split(text, ' '))[1:8], t -> t IN ('fast', 'small', 'spark'))) * 1.0
+       |      - len(list_filter((string_split(text, ' '))[1:8], t -> t IN ('slow', 'big'))), -5.0), 5.0) AS fb_score
+       |  FROM documents WHERE doc_id % 4 = 0
+       |),
+       |rer AS (
+       |  SELECT c.doc_id, c.cosine, coalesce(fb.fb_score, 0.0) AS fb_score,
+       |    floor((c.cosine + coalesce(fb.fb_score, 0.0) * 0.05) * 10000) / 10000 AS combined
+       |  FROM cand c LEFT JOIN fb ON c.doc_id = fb.doc_id
+       |)
+       |SELECT row_number() OVER (ORDER BY combined DESC, doc_id ASC) AS rank,
+       |  doc_id, cosine, fb_score, combined
+       |FROM rer ORDER BY combined DESC, doc_id ASC LIMIT 5""".stripMargin
+
+  /** ENTITY completion context (EntityCompletionRetriever.py:42
+    * get_context): extract entity mentions from the query (token match
+    * against graph node names — the LLM extractor's deterministic
+    * stand-in), then assemble each entity's 1-hop triplet context,
+    * top-3 per entity. */
+  def entity(spark: SparkSession, dir: String): DataFrame = {
+    val query = "supplier activity around NATION_3 and NATION_7"
+    val toks = query.split(" ").toSeq
+    val g = TpchGraph(spark, dir)
+    val ents = g.nodes.filter(col("ntype") === "nation" && col("name").isInCollection(toks))
+      .select(col("id").as("nid"), col("name").as("entity"))
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("src").asc, col("rel").asc, col("dst").asc)
+    g.edges.join(broadcast(ents), col("src") === col("nid") || col("dst") === col("nid"))
+      .select(col("entity"), col("src"), col("rel"), col("dst")).distinct()
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 3)
+      .select(col("entity"), col("rank"), col("src"), col("rel"), col("dst"))
+  }
+
+  val entitySql: String =
+    s"""${TpchGraph.withGraph},
+       |ents AS (
+       |  SELECT id AS nid, name AS entity FROM nodes
+       |  WHERE ntype = 'nation' AND name IN ('NATION_3', 'NATION_7')
+       |),
+       |tr AS (
+       |  SELECT DISTINCT entity, src, rel, dst
+       |  FROM edges JOIN ents ON src = nid OR dst = nid
+       |),
+       |ranked AS (
+       |  SELECT entity, row_number() OVER (PARTITION BY entity ORDER BY src ASC, rel ASC, dst ASC) AS rank,
+       |    src, rel, dst
+       |  FROM tr
+       |)
+       |SELECT entity, rank, src, rel, dst FROM ranked WHERE rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
+    "search_coding_rules" -> ((s: SparkSession, d: String) => codingRules(s, d)),
+    "search_feedback" -> ((s: SparkSession, d: String) => feedback(s, d)),
+    "search_entity" -> ((s: SparkSession, d: String) => entity(s, d)),
     "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
@@ -429,6 +606,10 @@ object Retrievers {
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "search_code" -> codeSql,
+    "search_coding_rules" -> codingRulesSql,
+    "search_feedback" -> feedbackSql,
+    "search_entity" -> entitySql,
     "search_chunks" -> chunksSql,
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,

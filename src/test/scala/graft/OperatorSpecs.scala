@@ -188,6 +188,70 @@ class GraphAlgosSpec extends SparkSpecBase {
   }
 }
 
+class GraphInterfaceSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  test("hasEdge / hasEdges answer membership over the projection") {
+    val g = TpchGraph(spark, sf)
+    val one = g.edges.limit(1).collect().head
+    assert(g.hasEdge(one.getString(0), one.getString(1), one.getString(2)))
+    assert(!g.hasEdge("nation:0", "nation:1", "no_such_rel"))
+    val asked = Seq(
+      (one.getString(0), one.getString(1), one.getString(2)),
+      ("ghost:1", "ghost:2", "haunts")).toDF("src", "dst", "rel")
+    assert(g.hasEdges(asked).count() === 1L)
+  }
+
+  test("nodesetSubgraph keeps the named set + neighbors with induced edges only") {
+    val g = TpchGraph(spark, sf)
+    val sub = g.nodesetSubgraph("nation", Seq("NATION_0"))
+    val ids = sub.nodes.select(col("id")).collect().map(_.getString(0)).toSet
+    assert(ids.contains("nation:0"))
+    val bad = sub.edges
+      .filter(!col("src").isInCollection(ids) || !col("dst").isInCollection(ids)).count()
+    assert(bad === 0L)
+    assert(sub.edges.filter(col("dst") === "nation:0").count() > 0L) // neighbors included
+  }
+
+  test("deleteGraph leaves an empty graph with the same schema") {
+    val g = TpchGraph(spark, sf).deleteGraph
+    assert(g.nodes.count() === 0L && g.edges.count() === 0L)
+    assert(g.nodes.columns.toSeq === Seq("id", "ntype", "name"))
+    assert(g.edges.columns.toSeq === Seq("src", "dst", "rel"))
+  }
+}
+
+class RetrieverSurfaceSpec extends SparkSpecBase {
+
+  test("search_code returns the file and codepart channels, rank-tagged") {
+    val r = Retrievers.code(spark, sf).collect()
+    assert(r.map(_.getString(0)).toSet === Set("file", "codepart"))
+    assert(r.length === 6)
+    assert(r.filter(_.getString(0) == "codepart").forall(_.getString(4) != "module"))
+  }
+
+  test("coding rules are the ordered rules of the nodeset") {
+    val r = Retrievers.codingRules(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.map(_.getLong(0)).forall(_ % 7 == 0))
+    assert(r.map(_.getLong(0)).toSeq === r.map(_.getLong(0)).toSeq.sorted)
+  }
+
+  test("feedback re-rank bounds lexicon scores and keeps 5 candidates") {
+    val r = Retrievers.feedback(spark, sf).collect()
+    assert(r.length === 5)
+    assert(r.map(_.getDouble(3)).forall(s => s >= -5.0 && s <= 5.0))
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("entity search extracts query entities and assembles per-entity context") {
+    val r = Retrievers.entity(spark, sf).collect()
+    val byEnt = r.groupBy(_.getString(0))
+    assert(byEnt.keySet === Set("NATION_3", "NATION_7"))
+    assert(byEnt.values.forall(rows => rows.nonEmpty && rows.length <= 3))
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
 
   test("feature slots sum back to byte_sum and n_bytes matches payload") {
