@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.CurateOps.queries, operators.CurateOps.oracles),
+      (operators.OntologyOps.queries, operators.OntologyOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (Pipeline.queries, Pipeline.oracles),

@@ -22,6 +22,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Wire-up: `TopKPerGroup(df, groupCols, orderCols, k)` inserts the
   * logical node directly; `GraftExtensions` also injects the strategy
   * so config-installed sessions plan it.
+  *
+  * MEMORY CONTRACT: each task holds every group of its partition as a
+  * k-element heap — O(groups_in_partition · k) rows, no spill. This is
+  * the right operator when the group domain is bounded (per-query
+  * top-k, per-label leaders); for unbounded/high-cardinality group
+  * keys prefer the window idiom, whose sort spills to disk.
   */
 final case class TopKPerGroupPlan(
     groupExprs: Seq[Expression],
@@ -60,6 +66,10 @@ final case class TopKPerGroupExec(
     val childOutput = child.output
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
+      // Identity projection to UnsafeRow — the child is not guaranteed
+      // to emit UnsafeRows (a row-based source or a non-codegen operator
+      // may hand over GenericInternalRow), so never blind-cast.
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = GenerateOrdering.generate(orderE, childOutput)
       // max-heap under ord: the root is the WORST of the kept k, popped
       // when a better row arrives.
@@ -68,7 +78,7 @@ final case class TopKPerGroupExec(
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = -ord.compare(a, b)
       }
       while (it.hasNext) {
-        val row = it.next().asInstanceOf[UnsafeRow]
+        val row = toUnsafe(it.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {

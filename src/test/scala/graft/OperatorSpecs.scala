@@ -252,6 +252,39 @@ class RetrieverSurfaceSpec extends SparkSpecBase {
   }
 }
 
+class OntologyOpsSpec extends SparkSpecBase {
+
+  test("every nation resolves: evens exactly, odds fuzzily above the cutoff") {
+    val r = OntologyOps.resolve(spark, sf).collect()
+      .map(row => row.getString(0) -> (row.getString(2), row.getDouble(3))).toMap
+    assert(r.size === 25)
+    (0 until 25).foreach { k =>
+      val (method, sim) = r(s"nation_$k")
+      if (k % 2 == 0) assert(method === "exact" && sim === 1.0, s"nation_$k")
+      else assert(method === "fuzzy" && sim >= 0.8 && sim < 1.0, s"nation_$k")
+    }
+  }
+
+  test("fuzzy resolution picks the closest candidate (never worse than the dash variant)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def sim(a: String, b: String): Double = 1.0 - lev(a, b).toDouble / math.max(a.length, b.length)
+    val fuzzy = OntologyOps.resolve(spark, sf).collect().filter(_.getString(2) == "fuzzy")
+    assert(fuzzy.nonEmpty)
+    fuzzy.foreach { row =>
+      val (entity, term) = (row.getString(0), row.getString(1))
+      // chosen candidate is at least as similar as the planted dash variant
+      assert(sim(entity, term) >= sim(entity, entity.replace("_", "-")) - 1e-9, row.toString)
+      assert(lev(entity, term) <= 2, row.toString)
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
 
   test("feature slots sum back to byte_sum and n_bytes matches payload") {
