@@ -205,6 +205,10 @@ object GraphAlgos {
     val canon = oriented.select(least(col("src"), col("dst")).as("cx"),
       greatest(col("src"), col("dst")).as("cy"))
     val tri = wedges.join(canon, Seq("cx", "cy")).count()
+    // counts above materialized everything — release the scratch caches
+    // so repeated invocations (bench warm passes) don't accumulate them
+    oriented.unpersist(false)
+    e.unpersist(false)
     val spark = canonEdges.sparkSession
     spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
   }

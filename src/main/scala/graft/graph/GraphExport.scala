@@ -20,6 +20,76 @@ object GraphExport {
     nodes.union(edges)
   }
 
+  /** Self-contained HTML visualization of a bounded subgraph — the
+    * analog of cognee_network_visualization.py (embedded node/link JSON
+    * + per-type colors), with an inline deterministic circular SVG
+    * layout instead of a CDN-loaded force engine, so the file renders
+    * offline.
+    *
+    * BOUNDED BY CONTRACT: visualization is a driver-side artifact, so
+    * the graph is capped at `maxNodes` (id order) with induced edges —
+    * the cap and induction run distributed; only ≤ maxNodes rows are
+    * ever collected. */
+  def toHtml(g: PropertyGraph, maxNodes: Int = 500): String = {
+    val colors = Map(
+      "region" -> "#f47710", "nation" -> "#6510f4", "supplier" -> "#1077f4",
+      "customer" -> "#13613a", "part" -> "#801212", "order" -> "#D3D3D3")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Type-stratified cap: round-robin across node types (per-type rank,
+    // then global TakeOrdered) so small types (regions, nations) are not
+    // crowded out by the big ones and the view keeps cross-type edges.
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ntype")).orderBy(col("id").asc)
+    val keep = g.nodes.withColumn("tr", row_number().over(rankW))
+      .orderBy(col("tr").asc, col("ntype").asc, col("id").asc).limit(maxNodes)
+      .select(col("id"), col("ntype"), col("name")).cache()
+    val nodes = keep.collect().map { r =>
+      val (id, ntype, name) = (r.getString(0), r.getString(1), r.getString(2))
+      s"""{"id":"${esc(id)}","type":"${esc(ntype)}","name":"${esc(name)}","color":"${colors.getOrElse(ntype, "#D3D3D3")}"}"""
+    }
+    val keepIds = keep.select(col("id"))
+    val links = g.edges
+      .join(keepIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(keepIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .collect().map { r =>
+        s"""{"source":"${esc(r.getString(0))}","target":"${esc(r.getString(1))}","relation":"${esc(r.getString(2))}"}"""
+      }
+    val payload =
+      s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft graph</title></head>
+       |<body>
+       |<script type="application/json" id="graph-data">$payload</script>
+       |<svg id="view" width="900" height="900"></svg>
+       |<script>
+       |const data = JSON.parse(document.getElementById("graph-data").textContent);
+       |const svg = document.getElementById("view"), cx = 450, cy = 450, R = 400;
+       |const pos = {};
+       |data.nodes.forEach((n, i) => {
+       |  const a = 2 * Math.PI * i / data.nodes.length;
+       |  pos[n.id] = [cx + R * Math.cos(a), cy + R * Math.sin(a)];
+       |});
+       |const NS = "http://www.w3.org/2000/svg";
+       |data.links.forEach(l => {
+       |  const e = document.createElementNS(NS, "line");
+       |  const [x1, y1] = pos[l.source], [x2, y2] = pos[l.target];
+       |  e.setAttribute("x1", x1); e.setAttribute("y1", y1);
+       |  e.setAttribute("x2", x2); e.setAttribute("y2", y2);
+       |  e.setAttribute("stroke", "#bbbbbb"); svg.appendChild(e);
+       |});
+       |data.nodes.forEach(n => {
+       |  const c = document.createElementNS(NS, "circle");
+       |  const [x, y] = pos[n.id];
+       |  c.setAttribute("cx", x); c.setAttribute("cy", y); c.setAttribute("r", 5);
+       |  c.setAttribute("fill", n.color);
+       |  const t = document.createElementNS(NS, "title");
+       |  t.textContent = n.name + " (" + n.type + ")";
+       |  c.appendChild(t); svg.appendChild(c);
+       |});
+       |</script>
+       |</body></html>""".stripMargin
+  }
+
   /** Graphviz DOT body lines (wrap with digraph { ... } when saving). */
   def toDotLines(g: PropertyGraph): DataFrame = {
     val q = "\""

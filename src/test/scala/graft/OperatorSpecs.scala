@@ -181,6 +181,17 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(bfs === pregel)
   }
 
+  test("DF wedge-join triangle count equals GraphX TriangleCount") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val edges = GraphAlgos.coOccurrenceEdges(li).cache()
+    val df = GraphAlgos.triangleCountDF(edges).collect()(0)
+    val gx = GraphAlgos.triangleCount(edges).collect()(0)
+    assert(df.getLong(0) === gx.getLong(0))
+    assert(df.getLong(1) === gx.getLong(1))
+    assert(df.getLong(0) > 0L)
+  }
+
   test("connected components of supplier-nation-region = one per region") {
     val cc = GraphAlgos.connectedComponents(
       TpchGraph(spark, sf).subgraphByType(Seq("region", "nation", "supplier")))

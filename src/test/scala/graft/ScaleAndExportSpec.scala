@@ -56,4 +56,18 @@ class ScaleAndExportSpec extends SparkSpecBase {
     assert(lines.contains("  \"a:1\" [label=\"alpha\"];"))
     assert(lines.contains("  \"a:1\" -> \"a:1\" [label=\"self\"];"))
   }
+
+  test("html export embeds a capped subgraph with induced edges and type colors") {
+    val g = TpchGraph(spark, sf)
+    val html = GraphExport.toHtml(g, maxNodes = 40)
+    assert(html.startsWith("<!DOCTYPE html>") && html.contains("<svg"))
+    val payload = html.split("application/json\" id=\"graph-data\">")(1).split("</script>")(0)
+    val nodeIds = "\"id\":\"([^\"]+)\"".r.findAllMatchIn(payload).map(_.group(1)).toSet
+    assert(nodeIds.size === 40)
+    // every embedded link endpoint is one of the embedded nodes
+    val ends = ("\"source\":\"([^\"]+)\",\"target\":\"([^\"]+)\"".r
+      .findAllMatchIn(payload).flatMap(m => Seq(m.group(1), m.group(2))).toSet)
+    assert(ends.subsetOf(nodeIds))
+    assert(html.contains("#6510f4")) // nation color applied
+  }
 }
