@@ -95,7 +95,9 @@ object GraphAlgos {
     var visited = seeds.select(col("id")).distinct()
       .withColumn("depth", lit(0)).localCheckpoint(true)
     var frontier = visited
-    for (d <- 1 to k) {
+    var d = 1
+    var exhausted = false
+    while (d <= k && !exhausted) {
       // frontier's lineage includes ue after iteration 1 → must alias the
       // self-join sides and use qualified names.
       // Both next and visited are referenced twice downstream — eager
@@ -107,8 +109,17 @@ object GraphAlgos {
         .join(visited, Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier = next
+      // The checkpoint already materialized next, so the emptiness probe
+      // is block-local — once the frontier dries up, remaining levels
+      // would only schedule no-op joins and checkpoints; stop instead.
+      // Probe from level 3 on: shallow traversals (k ≤ 3) rarely
+      // exhaust, and skipping the probe there keeps them job-free.
+      if (d >= 3 && next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      d += 1
     }
     visited
   }
