@@ -89,6 +89,20 @@ object VectorOps {
     array_max(array(scored: _*))
   }
 
+  /** Deterministic hash-bucket training sample: above `cap` rows the
+    * quantizer trains on ~cap rows selected by md5 bucket (one filter in
+    * the scan, no sort, no RNG) — the standard IVF practice at corpus
+    * scale. Safe for [[dedupCosine]] because its pruning bound is
+    * computed from the FULL corpus' actual cell radii, so exactness
+    * never depends on which rows trained the centroids. */
+  private def trainingSample(e: DataFrame, n: Long, cap: Long): DataFrame =
+    if (n <= cap) e
+    else {
+      val pct = math.max(1L, math.min(100L, cap * 100 / n))
+      e.filter(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < pct)
+    }
+
   /** Lloyd's k-means with deterministic init (members ordered by
     * md5(vec_id), first k) and a fixed iteration count — no RNG, so the
     * quantizer is reproducible across runs and sessions. Only k×64
@@ -132,13 +146,16 @@ object VectorOps {
     * real-embedding corpora the bound prunes most cell pairs; on
     * adversarially uniform vectors it degrades to a distributed (still
     * equi-join) verify of all cell pairs, never to a single-task loop. */
-  def dedupCosine(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  def dedupCosine(spark: SparkSession, dir: String, tau: Double = 0.4,
+      trainCap: Long = 200000): DataFrame = {
     import spark.implicits._
     // Precompute each row's norm once (sqrt of the same self-dot the
     // per-pair formula would take → bitwise-identical cosines vs the
     // all-pairs oracle, 3× fewer dot products in the verify).
     val e = emb(spark, dir).select(col("vec_id"), col("v"), norm(col("v")).as("nv"))
-    val cents = kmeansCentroids(e.select(col("vec_id"), col("v")), cellCount(e.count()))
+    val n = e.count()
+    val cents = kmeansCentroids(
+      trainingSample(e.select(col("vec_id"), col("v")), n, trainCap), cellCount(n))
     val best = bestCell(col("v"), cents)
     val assigned = e.select(col("vec_id"), col("v"), col("nv"),
       best.getField("cell").as("cell"),
@@ -222,9 +239,11 @@ object VectorOps {
     * cell and provably reduces to brute-force [[knn]] (spec-pinned).
     * Approximate by construction → rows-only driver check; the
     * ScalaTest spec measures recall against [[knn]]. */
-  def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 3,
+      trainCap: Long = 200000): DataFrame = {
     val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
-    val cents = kmeansCentroids(e0, cellCount(e0.count()))
+    val n = e0.count()
+    val cents = kmeansCentroids(trainingSample(e0, n, trainCap), cellCount(n))
     val e = e0.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
     val q = e0.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
     // nearest nprobe cells per query: queries × k scored structs, picked

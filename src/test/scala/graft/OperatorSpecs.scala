@@ -72,6 +72,16 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(brute.nonEmpty)
   }
 
+  test("dedupCosine stays exact when the quantizer trains on a tiny sample") {
+    // trainCap far below the corpus forces the sampled-training path;
+    // the pruning bound uses full-corpus radii, so output must not move.
+    val full = VectorOps.dedupCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sampled = VectorOps.dedupCosine(spark, sf, trainCap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sampled === full)
+  }
+
   test("dedupCosine plans equi-joins on cells, never a nested-loop cartesian") {
     val plan = VectorOps.dedupCosine(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
