@@ -155,7 +155,43 @@ object TextOps {
       |  md5(array_to_string(toks[(chunk_idx * 64 + 1):(chunk_idx * 64 + 64)], ' ')) AS chunk_hash
       |FROM c""".stripMargin
 
+  /** Overlapping sliding-window chunking (window W, stride S < W): the
+    * training-data variant of [[chunk]] where consecutive chunks share
+    * W−S tokens so no context is lost at boundaries. Chunk start
+    * positions are 0, S, 2S, … while a full window still fits (plus one
+    * tail chunk); same explode-the-index shape, no collect, no overlap
+    * materialized twice beyond the slices themselves. */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    // number of stride steps: 1 + ceil(max(n - window, 0) / stride)
+    val n = size(col("toks"))
+    val nChunks = (lit(1) + ceil(greatest(n - window, lit(0)) / lit(stride.toDouble)).cast("int"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(window))).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_idx") * stride + 1, lit(window)), " ")).as("chunk_hash"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT))) AS chunk_idx
+      |  FROM t
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  chunk_idx * 48 AS start_tok,
+      |  CAST(len(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
     "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
@@ -163,6 +199,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "text_chunk_overlap" -> chunkOverlapSql,
     "text_tokens" -> tokensSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,

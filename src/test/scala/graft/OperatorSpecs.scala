@@ -145,6 +145,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("overlap chunks cover every token and consecutive chunks share the overlap") {
+    val oc = TextOps.chunkOverlap(spark, sf).cache()
+    val toks = TextOps.tokens(spark, sf).select(col("doc_id"), col("n_ws_tokens"))
+    // last chunk must end at the document's last token: start + size = n
+    val lastEnd = oc.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_tokens")).as("covered"))
+    val bad = lastEnd.join(toks, Seq("doc_id"))
+      .filter(col("covered") =!= col("n_ws_tokens")).count()
+    assert(bad === 0L)
+    // stride < window → docs longer than one window have >= as many chunks
+    val cmp = oc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(TextOps.chunk(spark, sf).groupBy(col("doc_id")).agg(count(lit(1)).as("n_plain")), Seq("doc_id"))
+      .filter(col("n_overlap") < col("n_plain")).count()
+    assert(cmp === 0L)
+  }
+
   test("fingerprints: exact differs across docs, tokenset collides for shuffled dups") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     val n = fp.count()
