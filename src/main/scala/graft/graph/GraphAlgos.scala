@@ -92,21 +92,27 @@ object GraphAlgos {
     // logical plan doubles per iteration — truncate lineage with an eager
     // localCheckpoint each round (frontier/visited are small relative to
     // the edge set; executor-local blocks, no driver collect).
-    var visited = seeds.select(col("id")).distinct()
+    val seed = seeds.select(col("id")).distinct()
       .withColumn("depth", lit(0)).localCheckpoint(true)
-    var frontier = visited
+    // On the UNDIRECTED view a candidate (neighbor of a depth-d node)
+    // has min-depth in {d-1, d, d+1}, so de-duplication only needs the
+    // current and previous frontiers — never the whole visited set.
+    // That removes the per-level checkpoint of the growing union; the
+    // result is the plain union of the (already checkpointed) frontiers.
+    val frontiers = scala.collection.mutable.ArrayBuffer(seed)
+    var prev = seed.limit(0)
+    var frontier = seed
     var d = 1
     var exhausted = false
     while (d <= k && !exhausted) {
       // frontier's lineage includes ue after iteration 1 → must alias the
-      // self-join sides and use qualified names.
-      // Both next and visited are referenced twice downstream — eager
-      // localCheckpoint each level prevents recompute AND the
-      // exponential plan growth (skipping levels was measured slower:
-      // the unchecked frontier recomputes once per consumer).
+      // self-join sides and use qualified names. next is referenced
+      // twice downstream (accumulator + next level's anti-join) — eager
+      // localCheckpoint prevents recompute AND exponential plan growth.
       val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(frontier.select(col("id")), Seq("id"), "left_anti")
+        .join(prev.select(col("id")), Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(true)
       // The checkpoint already materialized next, so the emptiness probe
@@ -116,12 +122,13 @@ object GraphAlgos {
       // exhaust, and skipping the probe there keeps them job-free.
       if (d >= 3 && next.isEmpty) exhausted = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        frontiers += next
+        prev = frontier
         frontier = next
       }
       d += 1
     }
-    visited
+    frontiers.reduce(_ union _)
   }
 
   /** k-hop ego subgraph (cognee get_subgraph): the visited node set of
