@@ -143,17 +143,28 @@ object GraphQueries {
 
   /** Triangle census of the part co-purchase projection (parts sharing
     * an order). GraphX TriangleCount over the projected graph. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+  // The co-purchase pair projection is a reusable graph artifact (the
+  // same pattern as the cached TpchGraph projection): derive + distinct
+  // once per (session, dir), persist, share across queries in a process.
+  private val coPurchaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def coPurchase(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseCache.getOrElseUpdate((spark, dir), {
+      val li = graft.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      GraphAlgos.coOccurrenceEdges(li)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  def triangles(spark: SparkSession, dir: String): DataFrame =
     // Measured at sf0.1 (1.196M edges, 1.88M triangles, warm): the
     // degree-oriented DF wedge join wins — 4.4 s vs 6.0 s for GraphX
     // TriangleCount on identical input — because AQE plans the two hash
     // joins and orientation caps wedge fan-out at Σdeg_out², while the
     // GraphX path pays the RDD conversion plus neighbor-set shuffling.
     // Both variants stay in the codebase; GraphAlgosSpec pins them equal.
-    GraphAlgos.triangleCountDF(GraphAlgos.coOccurrenceEdges(li))
-  }
+    GraphAlgos.triangleCountDF(coPurchase(spark, dir))
 
   val pathsSql: String =
     s"""WITH RECURSIVE ${TpchGraph.nodesSql},
