@@ -266,13 +266,17 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
-  /** Random-hyperplane LSH ANN: nbits sign bits (deterministic ±1
-    * planes) define the bucket; candidates share the query's bucket,
-    * then exact re-rank. The complementary scale path to [[knnIvf]]
-    * (hash-partitioned buckets instead of centroid cells); nbits=0
-    * degenerates to one bucket = brute force (the spec's reduction
-    * check). Approximate → rows-only driver check. */
-  def knnLsh(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
+  /** Random-hyperplane LSH ANN with multi-probe: nbits sign bits
+    * (deterministic ±1 planes) define the bucket; the query probes its
+    * own bucket plus every bucket within hamming distance `probeHamming`
+    * (standard multi-probe LSH — the buckets most likely to hide a
+    * near-neighbor are the ones one sign-flip away), then exact
+    * re-ranks the candidates. The complementary scale path to
+    * [[knnIvf]] (hash-partitioned buckets instead of centroid cells);
+    * nbits=0 degenerates to one bucket = brute force (the spec's
+    * reduction check). Approximate → rows-only driver check. */
+  def knnLsh(spark: SparkSession, dir: String, nbits: Int = 8,
+      probeHamming: Int = 0): DataFrame = {
     val rng = new java.util.Random(7)
     val planes = Array.fill(nbits)(Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
     val e = emb(spark, dir)
@@ -282,13 +286,23 @@ object VectorOps {
         when(dot(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     val corpus = e.select(col("vec_id"), col("v"), bucket(col("v")).as("bucket"))
+    // Probe set per query: own bucket + every bit-flip mask up to the
+    // probe radius, computed driver-side (≤ 2^nbits longs) and applied
+    // as literal XORs — the probe list explodes broadcast-side only.
+    var masks = Set(0L)
+    for (_ <- 1 to probeHamming)
+      masks = masks ++ masks.flatMap(m => (0 until nbits).map(j => m ^ (1L << j)))
     val q = corpus.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(masks.toSeq.sorted.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    corpus.join(broadcast(q), Seq("bucket"))
+    val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    // a candidate reached via two probes scores identically → dedup, but
+    // only when multiple probes exist (single-probe candidates are unique)
+    val uniq = if (probeHamming == 0) scored else scored.distinct()
+    uniq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 

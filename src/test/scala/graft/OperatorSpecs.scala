@@ -31,6 +31,18 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probe: Int) = VectorOps.knnLsh(spark, sf, probeHamming = probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(exact).size
+    val r0 = recall(0)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1 >= r0 && r2 >= r1, s"recall hits: $r0 / $r1 / $r2")
+    assert(r2 > r0) // wider probes must actually find more true neighbors here
+  }
+
   test("hyperplane LSH buckets partition the corpus deterministically") {
     val a = VectorOps.knnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = VectorOps.knnLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
