@@ -231,6 +231,38 @@ object GraphAlgos {
     spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
   }
 
+  /** Triangle count via compact adjacency intersection: orient edges at
+    * the higher-degree endpoint (as in [[triangleCountDF]]), build each
+    * vertex's sorted out-neighbor array once, then count
+    * |N⁺(u) ∩ N⁺(v)| per oriented edge (u,v) — every triangle has
+    * exactly one apex with two out-edges, so the sum is exact. Trades
+    * the wedge-join shuffle (Σdeg_out² rows) for one adjacency groupBy
+    * plus two co-keyed joins carrying O(√m)-bounded arrays. */
+  def triangleCountAdj(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.toDF("x", "y").persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val deg = e.select(col("x").as("v")).union(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val keyLt = (col("dx") < col("dy")) || (col("dx") === col("dy") && col("x") < col("y"))
+    val oriented = e
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(keyLt, col("x")).otherwise(col("y")).as("src"),
+        when(keyLt, col("y")).otherwise(col("x")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = oriented.groupBy(col("src")).agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    oriented.unpersist(false)
+    e.unpersist(false)
+    val spark = canonEdges.sparkSession
+    spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
+  }
+
   /** Triangle count over canonical undirected edges via GraphX
     * TriangleCount. Returns one row: (n_triangles, n_edges). */
   def triangleCount(canonEdges: DataFrame): DataFrame = {

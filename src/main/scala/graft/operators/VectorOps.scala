@@ -147,12 +147,40 @@ object VectorOps {
     * adversarially uniform vectors it degrades to a distributed (still
     * equi-join) verify of all cell pairs, never to a single-task loop. */
   def dedupCosine(spark: SparkSession, dir: String, tau: Double = 0.4,
+      trainCap: Long = 200000): DataFrame =
+    dedupCosineOf(spark, emb(spark, dir).select(col("vec_id"), col("v")), tau, trainCap)
+
+  /** Library entry point: exact near-dup pairs over ANY (vec_id LONG,
+    * v ARRAY<DOUBLE>) DataFrame — see [[dedupCosine]] for the
+    * algorithm. Exposed so users bring their own embedding relations
+    * and so the pruning spec can feed adversarial/clustered corpora. */
+  def dedupCosineOf(spark: SparkSession, vecs: DataFrame, tau: Double,
       trainCap: Long = 200000): DataFrame = {
     import spark.implicits._
     // Precompute each row's norm once (sqrt of the same self-dot the
     // per-pair formula would take → bitwise-identical cosines vs the
     // all-pairs oracle, 3× fewer dot products in the verify).
-    val e = emb(spark, dir).select(col("vec_id"), col("v"), norm(col("v")).as("nv"))
+    val e = vecs.select(col("vec_id"), col("v"), norm(col("v")).as("nv"))
+    val (assigned, candPairsSeq) = cellCandidates(e, tau, trainCap)
+    val candPairs = candPairsSeq.toDF("c1", "c2")
+    val a = assigned.select(col("cell").as("c1"), col("vec_id").as("p1"),
+      col("v").as("va"), col("nv").as("na"))
+    val b = assigned.select(col("cell").as("c2"), col("vec_id").as("p2"),
+      col("v").as("vb"), col("nv").as("nb"))
+    a.join(broadcast(candPairs), Seq("c1"))
+      .join(b, Seq("c2")) // shuffled equi-join on the cell key
+      .filter(col("c1") < col("c2") || col("p1") < col("p2")) // each unordered pair once
+      .select(least(col("p1"), col("p2")).as("v1"), greatest(col("p1"), col("p2")).as("v2"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Cell assignment + the PRUNED candidate cell-pair list for a
+    * (vec_id, v, nv) corpus at threshold tau. Exposed for the spec that
+    * measures pruning on clustered corpora; soundness argument in
+    * [[dedupCosine]]'s doc. */
+  def cellCandidates(e: DataFrame, tau: Double,
+      trainCap: Long = 200000): (DataFrame, Seq[(Int, Int)]) = {
     val n = e.count()
     val cents = kmeansCentroids(
       trainingSample(e.select(col("vec_id"), col("v")), n, trainCap), cellCount(n))
@@ -165,26 +193,17 @@ object VectorOps {
     // centroid angles (k² doubles) → the pruned candidate cell-pair list.
     val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val unit = cents.map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n) }
+    val unit = cents.map { c => val nn = math.sqrt(c.map(x => x * x).sum); c.map(_ / nn) }
     def centAngle(i: Int, j: Int): Double = {
       val d = unit(i).zip(unit(j)).map { case (x, y) => x * y }.sum
       math.acos(math.max(-1.0, math.min(1.0, d)))
     }
     val maxAngle = math.acos(tau - 1e-3) + 1e-6
-    val candPairs = (for {
-      i <- radii.keys.toSeq; j <- radii.keys.toSeq
+    val pairs = for {
+      i <- radii.keys.toSeq.sorted; j <- radii.keys.toSeq.sorted
       if i <= j && centAngle(i, j) - radii(i) - radii(j) <= maxAngle
-    } yield (i, j)).toDF("c1", "c2")
-    val a = assigned.select(col("cell").as("c1"), col("vec_id").as("p1"),
-      col("v").as("va"), col("nv").as("na"))
-    val b = assigned.select(col("cell").as("c2"), col("vec_id").as("p2"),
-      col("v").as("vb"), col("nv").as("nb"))
-    a.join(broadcast(candPairs), Seq("c1"))
-      .join(b, Seq("c2")) // shuffled equi-join on the cell key
-      .filter(col("c1") < col("c2") || col("p1") < col("p2")) // each unordered pair once
-      .select(least(col("p1"), col("p2")).as("v1"), greatest(col("p1"), col("p2")).as("v2"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cosine"))
-      .filter(col("cosine") >= tau)
+    } yield (i, j)
+    (assigned, pairs)
   }
 
   val dedupCosineSql: String =

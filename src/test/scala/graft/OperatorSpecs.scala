@@ -94,6 +94,39 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(sampled === full)
   }
 
+  test("on a clustered corpus the angular bound prunes most cell pairs, exactly") {
+    import TestSpark.spark.implicits._
+    // 4 tight clusters around near-orthogonal axes: within-cluster
+    // cosine ~1, cross-cluster ~0 — the shape of a real embedding
+    // corpus. At tau=0.9 the bound must discard cross-cluster cells.
+    val rng = new scala.util.Random(42)
+    val dim = 16
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 30
+    } yield {
+      val v = Array.tabulate(dim)(d => if (d == c * 4) 10.0 else rng.nextDouble() * 0.5)
+      ((c * 30 + i).toLong, v.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val e = vecs.select(col("vec_id"), col("v"),
+      sqrt(org.apache.spark.sql.graft.VectorExpressions.dotNative(col("v"), col("v"))).as("nv"))
+    val (assigned, cand) = VectorOps.cellCandidates(e, tau = 0.9)
+    val k = assigned.select(col("cell")).distinct().count().toInt
+    assert(cand.size < k * (k + 1) / 2, s"no pruning: ${cand.size} of ${k * (k + 1) / 2} pairs kept")
+    // and exactness survives the pruning: blocked result == brute force
+    val a = vecs.select(col("vec_id").as("v1"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val brute = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), round(VectorOps.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = VectorOps.dedupCosineOf(spark, vecs, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("dedupCosine plans equi-joins on cells, never a nested-loop cartesian") {
     val plan = VectorOps.dedupCosine(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
@@ -219,15 +252,17 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(bfs === pregel)
   }
 
-  test("DF wedge-join triangle count equals GraphX TriangleCount") {
+  test("wedge-join, adjacency, and GraphX triangle counts all agree") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
     val edges = GraphAlgos.coOccurrenceEdges(li).cache()
     val df = GraphAlgos.triangleCountDF(edges).collect()(0)
+    val adj = GraphAlgos.triangleCountAdj(edges).collect()(0)
     val gx = GraphAlgos.triangleCount(edges).collect()(0)
     assert(df.getLong(0) === gx.getLong(0))
-    assert(df.getLong(1) === gx.getLong(1))
-    assert(df.getLong(0) > 0L)
+    assert(adj.getLong(0) === gx.getLong(0))
+    assert(adj.getLong(1) === gx.getLong(1))
+    assert(adj.getLong(0) > 0L)
   }
 
   test("connected components of supplier-nation-region = one per region") {
