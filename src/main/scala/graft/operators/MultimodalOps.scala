@@ -68,7 +68,55 @@ object MultimodalOps {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Frame sampling + resize plumbing: treat each payload as a media
+    * stream of fixed 32-byte frames, keep every 4th frame (the
+    * video-frame-sample shape), and compute a stride-subsampled byte
+    * aggregate per kept frame (the deterministic stand-in for a resize/
+    * downsample kernel — swap the aggregate for a real scaler and the
+    * frame bookkeeping, offsets, and schema stay). Pure expressions:
+    * the frame index explodes from a sequence, every byte access is
+    * offset arithmetic — no collect, no UDF. */
+  def frameSample(spark: SparkSession, dir: String,
+      frame: Int = 32, stride: Int = 4): DataFrame = {
+    val n = length(col("text"))
+    val nFrames = ceil(n / lit(frame.toDouble)).cast("int")
+    val off = col("fidx") * frame
+    val frameLen = least(lit(frame), n - off)
+    val subPos = sequence(lit(0), frameLen - 1, lit(4)) // every 4th byte = "resize"
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("fidx"))
+      .filter(col("fidx") % stride === 0)
+      .select(
+        col("doc_id"),
+        col("fidx").cast("long").as("frame_idx"),
+        off.cast("long").as("offset"),
+        frameLen.cast("long").as("n_bytes"),
+        md5(col("text").substr(off + 1, frameLen)).as("frame_hash"),
+        aggregate(
+          transform(subPos, p => ascii(col("text").substr(off + p + 1, lit(1)))),
+          lit(0L), (acc, x) => acc + x).as("resized_sum"))
+  }
+
+  val frameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, i AS frame_idx
+      |  FROM documents, unnest(range(CAST(ceil(length(text) / 32.0) AS BIGINT))) AS u(i)
+      |  WHERE i % 4 = 0
+      |)
+      |SELECT doc_id, frame_idx,
+      |  frame_idx * 32 AS offset,
+      |  least(32, length(text) - frame_idx * 32) AS n_bytes,
+      |  md5(substr(text, CAST(frame_idx * 32 + 1 AS INT),
+      |      CAST(least(32, length(text) - frame_idx * 32) AS INT))) AS frame_hash,
+      |  CAST(list_sum(list_transform(
+      |    range(0, least(32, length(text) - frame_idx * 32), 4),
+      |    p -> ascii(substr(text, CAST(frame_idx * 32 + p + 1 AS INT), 1)))) AS BIGINT) AS resized_sum
+      |FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "mm_binary_meta" -> ((s: SparkSession, d: String) => binaryFeatures(s, d)))
 
   /** The corpus is pure ASCII, so the fake decode is fully reproducible
@@ -92,5 +140,7 @@ object MultimodalOps {
       |  CAST(sum(CASE WHEN i % 4 = 3 THEN ascii(substr(text, CAST(i AS INT) + 1, 1)) ELSE 0 END) AS DOUBLE) AS f3
       |FROM pos GROUP BY doc_id""".stripMargin
 
-  def oracles: Map[String, String] = Map("mm_binary_meta" -> binaryFeaturesSql)
+  def oracles: Map[String, String] = Map(
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_binary_meta" -> binaryFeaturesSql)
 }

@@ -371,6 +371,19 @@ class OntologyOpsSpec extends SparkSpecBase {
 
 class MultimodalSpec extends SparkSpecBase {
 
+  test("frame samples tile the payload at the stride with in-bounds windows") {
+    val fs = MultimodalOps.frameSample(spark, sf).cache()
+    assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0L)
+    assert(fs.filter(col("n_bytes") <= 0 || col("n_bytes") > 32).count() === 0L)
+    // offsets never run past the document end
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val oob = fs.join(docs, Seq("doc_id"))
+      .filter(col("offset") + col("n_bytes") > col("len")).count()
+    assert(oob === 0L)
+    assert(fs.count() > docs.count()) // long docs yield multiple sampled frames
+  }
+
   test("feature slots sum back to byte_sum and n_bytes matches payload") {
     val bad = MultimodalOps.binaryFeatures(spark, sf)
       .filter(col("f0") + col("f1") + col("f2") + col("f3") =!= col("byte_sum").cast("double"))
