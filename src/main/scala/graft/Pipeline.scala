@@ -69,6 +69,50 @@ object Pipeline {
       .drop("content_hash")
   }
 
+  /** Document deletion with cascade (reference: cognee/api/v1/delete/
+    * delete.py:28 — delete data by id; "hard" mode also deletes entity
+    * nodes left with no remaining connections). Deleting the src5
+    * slice: its mention edges go with it, and hard mode additionally
+    * drops entities whose every mention came from the deleted docs
+    * (the orphaned/degree-zero cascade). All anti-joins keyed on doc or
+    * entity — no driver-side state. Returns per-stage deletion counts. */
+  def deleteDocs(spark: SparkSession, dir: String, source: String = "src5"): DataFrame = {
+    val r = cognify(spark, dir)
+    val del = r.documents.filter(col("source") === source).select(col("doc_id"))
+    val delMentions = r.mentions.join(broadcast(del), Seq("doc_id"))
+    val remaining = r.mentions.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val orphaned = r.entities
+      .join(remaining.select(col("entity")).distinct(), Seq("entity"), "left_anti")
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("docs_deleted", del)
+      .union(c("mentions_deleted", delMentions))
+      .union(c("entities_orphaned", orphaned))
+      .union(c("entities_remaining",
+        r.entities.join(orphaned.select(col("entity")), Seq("entity"), "left_anti")))
+  }
+
+  val deleteDocsSql: String =
+    """WITH del AS (SELECT doc_id FROM documents WHERE source = 'src5'),
+      |mentions AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS entity
+      |  FROM documents
+      |),
+      |entities AS (SELECT DISTINCT entity FROM mentions),
+      |remaining AS (
+      |  SELECT DISTINCT entity FROM mentions WHERE doc_id NOT IN (SELECT doc_id FROM del)
+      |),
+      |orphaned AS (
+      |  SELECT entity FROM entities WHERE entity NOT IN (SELECT entity FROM remaining)
+      |)
+      |SELECT 'docs_deleted' AS stage, count(*) AS n FROM del
+      |UNION ALL
+      |SELECT 'mentions_deleted', count(*) FROM mentions WHERE doc_id IN (SELECT doc_id FROM del)
+      |UNION ALL
+      |SELECT 'entities_orphaned', count(*) FROM orphaned
+      |UNION ALL
+      |SELECT 'entities_remaining', count(*) FROM remaining""".stripMargin
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)
@@ -95,8 +139,10 @@ object Pipeline {
       |SELECT 'vectors', count(*) FROM embeddings""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_delete" -> deleteDocsSql,
     "pipeline_cognify" -> stageCountsSql)
 }
