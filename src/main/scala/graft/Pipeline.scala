@@ -113,6 +113,65 @@ object Pipeline {
       |UNION ALL
       |SELECT 'entities_remaining', count(*) FROM remaining""".stripMargin
 
+  /** Document update (reference: cognee/api/v1/update/update.py:10 —
+    * update = delete old version + add new + re-cognify, with
+    * incremental loading detecting changed content by hash). The src7
+    * slice gets a deterministic new revision (first 5 words dropped);
+    * changed docs are detected by content hash, their old mention edges
+    * cascade out and the new revision's mentions come in. Returns the
+    * update ledger counts. */
+  def updateDocs(spark: SparkSession, dir: String, source: String = "src7"): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val revised = docs.filter(col("source") === source)
+      .select(col("doc_id"), col("text").as("old_text"),
+        array_join(slice(toks, lit(6), size(toks)), " ").as("new_text"))
+    // incremental loading: only genuinely changed content re-ingests
+    val changed = revised.filter(md5(col("old_text")) =!= md5(col("new_text")))
+      .select(col("doc_id"), col("new_text"))
+    def mentionsOf(df: DataFrame, text: org.apache.spark.sql.Column) =
+      df.select(col("doc_id"), explode(array_distinct(split(text, " "))).as("entity"))
+    val oldM = mentionsOf(docs.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id")), col("text"))
+    val newM = mentionsOf(changed, col("new_text")).filter(col("entity") =!= "")
+    val untouchedM = mentionsOf(
+      docs.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id"), "left_anti"), col("text"))
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("docs_updated", changed)
+      .union(c("mentions_removed", oldM))
+      .union(c("mentions_added", newM))
+      .union(c("entities_after",
+        untouchedM.select(col("entity")).union(newM.select(col("entity"))).distinct()))
+  }
+
+  val updateDocsSql: String =
+    """WITH revised AS (
+      |  SELECT doc_id, text AS old_text,
+      |    array_to_string((string_split(text, ' '))[6:], ' ') AS new_text
+      |  FROM documents WHERE source = 'src7'
+      |),
+      |changed AS (
+      |  SELECT doc_id, new_text FROM revised WHERE md5(old_text) <> md5(new_text)
+      |),
+      |old_m AS (
+      |  SELECT d.doc_id, unnest(list_distinct(string_split(d.text, ' '))) AS entity
+      |  FROM documents d JOIN changed USING (doc_id)
+      |),
+      |new_m AS (
+      |  SELECT doc_id, entity FROM (
+      |    SELECT doc_id, unnest(list_distinct(string_split(new_text, ' '))) AS entity FROM changed
+      |  ) WHERE entity <> ''
+      |),
+      |untouched_m AS (
+      |  SELECT d.doc_id, unnest(list_distinct(string_split(d.text, ' '))) AS entity
+      |  FROM documents d WHERE doc_id NOT IN (SELECT doc_id FROM changed)
+      |)
+      |SELECT 'docs_updated' AS stage, count(*) AS n FROM changed
+      |UNION ALL SELECT 'mentions_removed', count(*) FROM old_m
+      |UNION ALL SELECT 'mentions_added', count(*) FROM new_m
+      |UNION ALL SELECT 'entities_after', count(DISTINCT entity)
+      |FROM (SELECT entity FROM untouched_m UNION ALL SELECT entity FROM new_m)""".stripMargin
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)
@@ -140,9 +199,11 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
+    "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
     "pipeline_delete" -> deleteDocsSql,
+    "pipeline_update" -> updateDocsSql,
     "pipeline_cognify" -> stageCountsSql)
 }
