@@ -26,7 +26,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   lazy val undirectedEdges: DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
-    fwd.union(rev).distinct()
+    // Hash-partition on src before persisting: every BFS/SSSP level
+    // joins this view on src, and a cached known partitioning lets each
+    // of those joins shuffle only the (small) frontier side instead of
+    // re-exchanging the full edge set per level.
+    fwd.union(rev).distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
