@@ -199,23 +199,12 @@ object GraphAlgos {
     * (y,z) edge. Two hash joins, AQE-planned. Returns one row:
     * (n_triangles, n_edges). */
   def triangleCountDF(canonEdges: DataFrame): DataFrame = {
-    val e = canonEdges.toDF("x", "y").persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, ownE) = ensurePersisted(canonEdges.toDF("x", "y"))
     val nEdges = e.count()
-    // Degree-ordered orientation: point every edge at the higher-degree
-    // endpoint (ties by id). Each triangle then has exactly one apex
-    // with two out-edges, and wedge counts drop from Σdeg² to
-    // Σdeg_out² with deg_out = O(√m) — the classic bound that keeps the
-    // join sub-quadratic on skewed (hub-heavy) graphs.
-    val deg = e.select(col("x").as("v")).union(e.select(col("y").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val keyLt = (col("dx") < col("dy")) || (col("dx") === col("dy") && col("x") < col("y"))
-    val oriented = e
-      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
-      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
-      .select(
-        when(keyLt, col("x")).otherwise(col("y")).as("src"),
-        when(keyLt, col("y")).otherwise(col("x")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Orientation drops wedge counts from Σdeg² to Σdeg_out² with
+    // deg_out = O(√m) — the classic bound that keeps the join
+    // sub-quadratic on skewed (hub-heavy) graphs.
+    val oriented = orient(e).persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("a").join(oriented.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(least(col("a.dst"), col("b.dst")).as("cx"),
@@ -226,7 +215,7 @@ object GraphAlgos {
     // counts above materialized everything — release the scratch caches
     // so repeated invocations (bench warm passes) don't accumulate them
     oriented.unpersist(false)
-    e.unpersist(false)
+    if (ownE) e.unpersist(false)
     val spark = canonEdges.sparkSession
     spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
   }
@@ -238,27 +227,41 @@ object GraphAlgos {
     * exactly one apex with two out-edges, so the sum is exact. Trades
     * the wedge-join shuffle (Σdeg_out² rows) for one adjacency groupBy
     * plus two co-keyed joins carrying O(√m)-bounded arrays. */
-  def triangleCountAdj(canonEdges: DataFrame): DataFrame = {
-    val e = canonEdges.toDF("x", "y").persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
+  /** Degree-ordered orientation shared by the triangle kernels: point
+    * every edge at the higher-degree endpoint (ties by id), so each
+    * triangle has exactly one apex with two out-edges and out-degrees
+    * are O(√m)-bounded on skewed graphs. */
+  private def orient(e: DataFrame): DataFrame = {
     val deg = e.select(col("x").as("v")).union(e.select(col("y").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val keyLt = (col("dx") < col("dy")) || (col("dx") === col("dy") && col("x") < col("y"))
-    val oriented = e
-      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+    e.join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
       .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
       .select(
         when(keyLt, col("x")).otherwise(col("y")).as("src"),
         when(keyLt, col("y")).otherwise(col("x")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Persist df unless the caller already did (avoids double-caching an
+    * input that is itself a persisted projection). Returns the frame to
+    * use plus whether this call owns the unpersist. */
+  private def ensurePersisted(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel == StorageLevel.NONE)
+      (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+    else (df, false)
+
+  def triangleCountAdj(canonEdges: DataFrame): DataFrame = {
+    val (e, ownE) = ensurePersisted(canonEdges.toDF("x", "y"))
+    val nEdges = e.count()
+    val oriented = orient(e).persist(StorageLevel.MEMORY_AND_DISK)
     val adj = oriented.groupBy(col("src")).agg(array_sort(collect_list(col("dst"))).as("nbrs"))
     val tri = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
-      .agg(sum(col("c"))).collect()(0).getLong(0)
+      .agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
     oriented.unpersist(false)
-    e.unpersist(false)
+    if (ownE) e.unpersist(false)
     val spark = canonEdges.sparkSession
     spark.createDataFrame(Seq((tri, nEdges))).toDF("n_triangles", "n_edges")
   }

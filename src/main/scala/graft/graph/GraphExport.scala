@@ -34,7 +34,16 @@ object GraphExport {
     val colors = Map(
       "region" -> "#f47710", "nation" -> "#6510f4", "supplier" -> "#1077f4",
       "customer" -> "#13613a", "part" -> "#801212", "order" -> "#D3D3D3")
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // JSON-escape AND keep the payload safe inside an HTML <script>
+    // block: '<' becomes < so a hostile name cannot close the tag,
+    // and control characters are escaped so JSON.parse never throws.
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '<'  => "\\u003c"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     // Type-stratified cap: round-robin across node types (per-type rank,
     // then global TakeOrdered) so small types (regions, nations) are not
     // crowded out by the big ones and the view keeps cross-type edges.
@@ -48,12 +57,17 @@ object GraphExport {
       s"""{"id":"${esc(id)}","type":"${esc(ntype)}","name":"${esc(name)}","color":"${colors.getOrElse(ntype, "#D3D3D3")}"}"""
     }
     val keepIds = keep.select(col("id"))
+    // The induced edge set of a dense closure can be O(maxNodes²) —
+    // cap the collect too (deterministic order) so the driver-side
+    // bound holds on any graph, not just sparse ones.
     val links = g.edges
       .join(keepIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(keepIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .orderBy(col("src"), col("dst"), col("rel")).limit(maxNodes * 8)
       .collect().map { r =>
         s"""{"source":"${esc(r.getString(0))}","target":"${esc(r.getString(1))}","relation":"${esc(r.getString(2))}"}"""
       }
+    keep.unpersist(false)
     val payload =
       s"""{"nodes":[${nodes.mkString(",")}],"links":[${links.mkString(",")}]}"""
     s"""<!DOCTYPE html>

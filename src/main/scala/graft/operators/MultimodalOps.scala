@@ -82,11 +82,14 @@ object MultimodalOps {
     val nFrames = ceil(n / lit(frame.toDouble)).cast("int")
     val off = col("fidx") * frame
     val frameLen = least(lit(frame), n - off)
-    val subPos = sequence(lit(0), frameLen - 1, lit(4)) // every 4th byte = "resize"
+    // Byte downsample factor is fixed at 4 (the oracle pins it with the
+    // defaults); `stride` governs which frames are kept.
+    val subPos = sequence(lit(0), frameLen - 1, lit(4))
     load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+      .filter(n > 0) // empty payload → zero frames (matches the oracle's range(0))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("fidx"))
+        explode(sequence(lit(0), nFrames - 1)).as("fidx"))
       .filter(col("fidx") % stride === 0)
       .select(
         col("doc_id"),

@@ -185,10 +185,14 @@ object VectorOps {
     val cents = kmeansCentroids(
       trainingSample(e.select(col("vec_id"), col("v")), n, trainCap), cellCount(n))
     val best = bestCell(col("v"), cents)
+    // Assignment is consumed three times (radii agg + both join sides);
+    // an eager localCheckpoint computes the k dot products per row once
+    // and lets the context cleaner reclaim the blocks after use.
     val assigned = e.select(col("vec_id"), col("v"), col("nv"),
       best.getField("cell").as("cell"),
       // member-to-centroid angle: best score is dot(v, ĉ) → cos = s/‖v‖
       acos(least(lit(1.0), greatest(lit(-1.0), best.getField("s") / col("nv")))).as("cang"))
+      .localCheckpoint(true)
     // Tiny driver artifacts: per-cell max angle (k rows) + pairwise
     // centroid angles (k² doubles) → the pruned candidate cell-pair list.
     val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
@@ -314,14 +318,14 @@ object VectorOps {
     val q = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(array(masks.toSeq.sorted.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // Each corpus vector lives in exactly one bucket and the probe
+    // masks are pairwise distinct, so a (query, candidate) pair matches
+    // at most one probe row — no dedup needed at any radius.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    val scored = corpus.join(broadcast(q), Seq("bucket"))
+    corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
-    // a candidate reached via two probes scores identically → dedup, but
-    // only when multiple probes exist (single-probe candidates are unique)
-    val uniq = if (probeHamming == 0) scored else scored.distinct()
-    uniq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
