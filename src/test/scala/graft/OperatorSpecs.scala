@@ -265,6 +265,15 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(adj.getLong(0) > 0L)
   }
 
+  test("triangle kernels return zero on an empty edge set") {
+    import TestSpark.spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val adj = GraphAlgos.triangleCountAdj(empty).collect()(0)
+    val df = GraphAlgos.triangleCountDF(empty).collect()(0)
+    assert(adj.getLong(0) === 0L && adj.getLong(1) === 0L)
+    assert(df.getLong(0) === 0L && df.getLong(1) === 0L)
+  }
+
   test("connected components of supplier-nation-region = one per region") {
     val cc = GraphAlgos.connectedComponents(
       TpchGraph(spark, sf).subgraphByType(Seq("region", "nation", "supplier")))
