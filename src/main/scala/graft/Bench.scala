@@ -24,6 +24,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
+      var first = 0.0
       var last = 0.0
       var pass = 0
       while (pass < repeat && !errors.contains(name)) {
@@ -35,17 +36,21 @@ object Bench {
               .replaceAll("""["\\\n\r\t]""", " ").take(200)
         }
         last = (System.nanoTime() - t0) / 1e9
+        if (pass == 0) first = last
         pass += 1
       }
-      name -> last
+      (name, first, last)
     }
     spark.stop()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // First-pass (cold) times alongside the reported warm times, so a
+    // reader can see per-query JIT/caching spread instead of guessing.
+    val colds = results.map { case (k, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // total covers successful queries only; errors are reported, not summed.
-    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val total = results.collect { case (k, _, v) if !errors.contains(k) => v }.sum
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
