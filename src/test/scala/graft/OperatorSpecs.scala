@@ -127,6 +127,41 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(brute.nonEmpty)
   }
 
+  test("soak: 20k-vector corpus with planted near-dups — full recall, real pruning") {
+    import TestSpark.spark.implicits._
+    // 12 clusters on distinct axes, 9.5k base vectors + 500 jittered
+    // copies (cosine ~0.999 to their base). tau=0.95 must find every
+    // planted pair; cross-cluster cell pairs must be pruned.
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val base = (0 until 9500).map { i =>
+      val c = i % 12
+      val v = Array.tabulate(dim)(d =>
+        (if (d == (c * 2) % dim || d == (c * 2 + 1) % dim) 5.0 else 0.0) + rng.nextDouble() * 0.15)
+      (i.toLong, v)
+    }
+    val dups = (0 until 500).map { j =>
+      val (id, v) = base(j * 19 % base.length)
+      ((10000 + j).toLong, v.map(_ + rng.nextDouble() * 0.01), id)
+    }
+    val vecs = (base.map { case (i, v) => (i, v.toSeq) } ++
+      dups.map { case (i, v, _) => (i, v.toSeq) }).toDF("vec_id", "v")
+      .repartition(8)
+    val e = vecs.select(col("vec_id"), col("v"),
+      sqrt(org.apache.spark.sql.graft.VectorExpressions.dotNative(col("v"), col("v"))).as("nv"))
+    val (assigned, cand) = VectorOps.cellCandidates(e, tau = 0.95)
+    val k = assigned.select(col("cell")).distinct().count().toInt
+    assert(cand.size < k * (k + 1) / 2, s"no pruning at 20k: ${cand.size} of ${k * (k + 1) / 2}")
+    val found = VectorOps.dedupCosineOf(spark, vecs, tau = 0.95)
+      .select(col("v1"), col("v2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = dups.map { case (dupId, _, baseId) =>
+      (math.min(dupId, baseId), math.max(dupId, baseId))
+    }.toSet
+    assert(planted.subsetOf(found),
+      s"missed ${planted.diff(found).size} of ${planted.size} planted pairs")
+  }
+
   test("dedupCosine plans equi-joins on cells, never a nested-loop cartesian") {
     val plan = VectorOps.dedupCosine(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
