@@ -131,11 +131,15 @@ object CurateOps {
         floor((col("doc_id") - col("lo")) * numParts / (col("hi") - col("lo") + 1)).cast("int"))
       .drop("lo", "hi")
     // Pass 1: per-bucket totals → cumulative offset of earlier buckets
-    // (a window over numParts rows, partitioned on a constant).
+    // (a window over numParts rows). The all-zero partition key is
+    // derived from pid — non-foldable, so it survives optimization and
+    // the window stays a partitioned plan node (a bare literal key gets
+    // constant-folded away).
     val offsets = withPid.groupBy(col("pid")).agg(sum(col("n_tokens")).as("part_total"))
       .withColumn("offset",
         coalesce(sum(col("part_total")).over(
-          Window.partitionBy(lit(0)).orderBy(col("pid").asc)
+          Window.partitionBy(length(col("pid").cast("string")) * lit(0))
+            .orderBy(col("pid").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("offset"))
     // Pass 2: parallel within-bucket cumsum, rebased by the bucket offset.

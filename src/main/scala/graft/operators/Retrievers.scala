@@ -22,11 +22,14 @@ object Retrievers {
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
 
   /** Rank over an already-bounded row set (≤ a few rows, post
-    * orderBy+limit or a per-label reduction): partitioned on a constant
-    * so Spark plans a partitioned WindowExec instead of warning about a
-    * no-partition window. Never apply to an unbounded input. */
-  private def rankOver(order: Column*): Column =
-    row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*))
+    * orderBy+limit or a per-label reduction): partitioned on an
+    * all-zero key derived from `anchor` (a non-null column of the
+    * frame) so the window stays partitioned through optimization — a
+    * bare literal key is constant-folded away, which resurrects the
+    * single-partition warning. Never apply to an unbounded input. */
+  private def rankOver(anchor: Column, order: Column*): Column =
+    row_number().over(
+      Window.partitionBy(length(anchor.cast("string")) * lit(0)).orderBy(order: _*))
 
   /** CHUNKS: cosine top-5 documents for query vector 0, with snippet
     * payload (chunks_retriever.py → vector search → chunk text). */
@@ -125,7 +128,7 @@ object Retrievers {
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val topNations = cent.crossJoin(broadcast(q))
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
-      .withColumn("rn", rankOver(col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
+      .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
     val edges = TpchGraph(spark, dir).edges
     edges.join(broadcast(topNations),
@@ -164,13 +167,13 @@ object Retrievers {
   def completionContext(spark: SparkSession, dir: String): DataFrame = {
     val chunkPart = chunks(spark, dir).limit(3)
       .select(lit("chunk").as("part"),
-        rankOver(col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
+        rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
     val tripletPart = insights(spark, dir)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),
-        rankOver(col("ref").asc).cast("long").as("rank"), col("ref"))
+        rankOver(col("ref"), col("ref").asc).cast("long").as("rank"), col("ref"))
     chunkPart.union(tripletPart)
   }
 
@@ -230,7 +233,7 @@ object Retrievers {
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
-      .withColumn("rank", rankOver(col("cosine").desc, col("doc_id").asc).cast("long"))
+      .withColumn("rank", rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long"))
       .join(docs, Seq("doc_id"))
       .select(lit("summary").as("part"), col("rank"),
         concat(col("doc_id").cast("string"), lit(": "),
@@ -239,7 +242,7 @@ object Retrievers {
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),
-        rankOver(col("ref").asc).cast("long").as("rank"), col("ref"))
+        rankOver(col("ref"), col("ref").asc).cast("long").as("rank"), col("ref"))
     sumPart.union(tripletPart)
   }
 
@@ -331,7 +334,7 @@ object Retrievers {
         .select(col("vec_id").as("doc_id"),
           round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
-        .withColumn("rank", rankOver(col("cosine").desc, col("doc_id").asc).cast("long"))
+        .withColumn("rank", rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long"))
         .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
     val r1 = topK(q, Seq(0L), 1).persist()
     val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
@@ -459,7 +462,7 @@ object Retrievers {
     def channel(df: DataFrame, part: String) = df
       .select(lit(part).as("part"), col("path"), col("symbol"), col("kind"), score.as("score"))
       .orderBy(col("score").desc, col("path").asc).limit(3)
-      .withColumn("rank", rankOver(col("score").desc, col("path").asc).cast("long"))
+      .withColumn("rank", rankOver(col("path"), col("score").desc, col("path").asc).cast("long"))
       .select(col("part"), col("rank"), col("path"), col("symbol"), col("kind"), col("score"))
     channel(c, "file").union(channel(c.filter(col("kind") =!= "module"), "codepart"))
   }
@@ -524,7 +527,7 @@ object Retrievers {
       .select(col("doc_id"), col("cosine"), coalesce(col("fb_score"), lit(0.0)).as("fb_score"),
         (floor((col("cosine") + coalesce(col("fb_score"), lit(0.0)) * 0.05) * 10000) / 10000).as("combined"))
       .orderBy(col("combined").desc, col("doc_id").asc).limit(5)
-      .withColumn("rank", rankOver(col("combined").desc, col("doc_id").asc).cast("long"))
+      .withColumn("rank", rankOver(col("doc_id"), col("combined").desc, col("doc_id").asc).cast("long"))
       .select(col("rank"), col("doc_id"), col("cosine"), col("fb_score"), col("combined"))
   }
 

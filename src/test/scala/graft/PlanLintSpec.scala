@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+
+/** Plan lint over the ENTIRE query inventory: institutionalizes the
+  * scale audit as CI. Two classes of scale-killer are rejected at the
+  * logical-plan level (precise node types, no string matching, no AQE
+  * ambiguity):
+  *
+  *  1. A window with an empty partition spec — funnels the whole input
+  *     through one task. No exceptions: every rank in the codebase runs
+  *     either partitioned or over an already-bounded (≤k) row set with
+  *     a constant partition key.
+  *  2. A join with no equality predicate (cartesian shape). Allowed
+  *     only for queries that intentionally cross-join a broadcast
+  *     side of ≤ a handful of rows (query vectors, tiny node sets,
+  *     dimension vocabularies) — reviewed and whitelisted by name.
+  */
+class PlanLintSpec extends SparkSpecBase {
+
+  // Reviewed tiny-broadcast cross/OR joins: each crosses a ≤25-row
+  // broadcast (single query vector, probed cells, nation vocabulary).
+  private val tinyBroadcastOk: Set[String] = Set(
+    "search_chunks", "search_summaries", "search_insights", "search_feedback",
+    "search_completion_context", "search_completion_cot", "search_summary_completion",
+    "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
+    "vec_centroids", "ontology_resolve", "graph_metrics", "pipeline_cognify",
+    "curate_pack") // 1-row (min,max) id-bounds broadcast
+
+  private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    cond.exists(_.isInstanceOf[EqualTo])
+
+  test("no registered query plans a partition-less window") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val lp = fn(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect { case w: logical.Window if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$name plans a no-partition window (single-task sort)")
+    }
+  }
+
+  test("no registered query plans a cartesian join outside the reviewed tiny-broadcast set") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!tinyBroadcastOk(name)) {
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case j: logical.Join if j.condition.isEmpty => j
+          case j: logical.Join if !j.condition.forall(hasEquality) => j
+        }
+        assert(bad.isEmpty, s"$name plans a join with no equality predicate")
+      }
+    }
+  }
+}
