@@ -258,8 +258,48 @@ object GraphQueries {
        |WHERE src IN (SELECT id FROM keep) AND dst IN (SELECT id FROM keep)
        |GROUP BY rel""".stripMargin
 
+  /** Export dump summarized (kind → element count): drives the JSONL
+    * serialization end-to-end and pins its content against the raw
+    * projection counts. */
+  def export(spark: SparkSession, dir: String): DataFrame =
+    GraphExport.toJsonLines(TpchGraph(spark, dir))
+      .select(get_json_object(col("line"), "$.kind").as("kind"))
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+
+  val exportSql: String =
+    s"""$withGraph
+       |SELECT 'node' AS kind, count(*) AS n FROM nodes
+       |UNION ALL SELECT 'edge', count(*) FROM edges""".stripMargin
+
+  /** Mutation round-trip (add_nodes/add_edges/delete_nodes as plans):
+    * add two custom nodes (plus a duplicate of an existing id, which
+    * keep-first ignores) and an edge between them, then delete one —
+    * its incident edge cascades out. Summarized as per-type node counts
+    * plus the surviving edge total. */
+  def mutations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph(spark, dir)
+    val g2 = g
+      .addNodes(Seq(
+        ("custom:1", "custom", "one"),
+        ("custom:2", "custom", "two"),
+        ("nation:0", "nation", "duplicate-ignored")).toDF("id", "ntype", "name"))
+      .addEdges(Seq(("custom:1", "custom:2", "linked")).toDF("src", "dst", "rel"))
+      .deleteNodes(Seq("custom:2").toDF("id"))
+    g2.nodes.groupBy(col("ntype")).agg(count(lit(1)).as("n"))
+      .union(g2.edges.agg(count(lit(1)).as("n")).select(lit("__edges__").as("ntype"), col("n")))
+  }
+
+  val mutationsSql: String =
+    s"""$withGraph
+       |SELECT ntype, count(*) AS n FROM nodes GROUP BY ntype
+       |UNION ALL SELECT 'custom', 1
+       |UNION ALL SELECT '__edges__', (SELECT count(*) FROM edges)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
+    "graph_export" -> ((s: SparkSession, d: String) => export(s, d)),
+    "graph_mutations" -> ((s: SparkSession, d: String) => mutations(s, d)),
     "graph_build" -> ((s: SparkSession, d: String) => build(s, d)),
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
     "graph_neighbors" -> ((s: SparkSession, d: String) => neighbors(s, d)),
@@ -274,6 +314,8 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "graph_nodeset_subgraph" -> nodesetSubgraphSql,
+    "graph_export" -> exportSql,
+    "graph_mutations" -> mutationsSql,
     "graph_build" -> buildSql,
     "graph_degree" -> degreeSql,
     "graph_neighbors" -> neighborsSql,

@@ -37,6 +37,30 @@ object CurateOps {
       |        i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
       |             * power(16, 3 - i))) AS BIGINT) % 100 < 20""".stripMargin
 
+  /** Stratified quota sampling — balance the language mix of a training
+    * corpus: English keeps a 30% hash-bucket slice, every other
+    * language keeps 10% (the up/down-weighting primitive of corpus
+    * mixing). Same content-hash determinism as [[sample]]: quotas are
+    * stable under retries and repartitioning. Returns per-language
+    * kept counts. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .filter(when(col("lang") === "en", bucket < 30).otherwise(bucket < 10))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val sampleStratifiedSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs FROM b
+      |WHERE (lang = 'en' AND bucket < 30) OR (lang <> 'en' AND bucket < 10)
+      |GROUP BY lang""".stripMargin
+
   /** Deterministic train/val/test assignment (80/10/10 by hash bucket)
     * with per-split stats — the split is a pure function of content, so
     * it survives re-ingestion and dedup reshuffles. */
@@ -169,12 +193,14 @@ object CurateOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
+    "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
 
   def oracles: Map[String, String] = Map(
     "curate_pack" -> packSql,
     "curate_sample" -> sampleSql,
+    "curate_sample_stratified" -> sampleStratifiedSql,
     "curate_split" -> split3Sql,
     "curate_decontaminate" -> decontaminateSql)
 }
