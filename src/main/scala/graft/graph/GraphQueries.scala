@@ -296,7 +296,40 @@ object GraphQueries {
        |UNION ALL SELECT 'custom', 1
        |UNION ALL SELECT '__edges__', (SELECT count(*) FROM edges)""".stripMargin
 
+  /** Relational-schema-as-graph (reference: cognee/tasks/schema/
+    * ingest_database_schema.py — SchemaTable nodes + SchemaRelationship
+    * edges from a database's catalog). Tables become nodes carrying
+    * their live parquet column count (schema introspection is
+    * inherently driver-side metadata); the TPC-H foreign-key topology
+    * becomes the edge fan-out. The oracle re-reads the same counts from
+    * DuckDB's information_schema over the same files — a genuine
+    * cross-engine catalog check. */
+  def schemaGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events carries TIMESTAMP(NANOS)
+    val fkOut = Map("nation" -> 1L, "customer" -> 1L, "supplier" -> 1L,
+      "orders" -> 1L, "lineitem" -> 3L)
+    graft.Tables.names.map { t =>
+      (t, graft.Tables.load(spark, dir, t).schema.fields.length.toLong, fkOut.getOrElse(t, 0L))
+    }.toDF("table_name", "n_columns", "n_fks_out")
+  }
+
+  val schemaGraphSql: String =
+    """WITH cols AS (
+      |  SELECT table_name, count(*) AS n_columns
+      |  FROM information_schema.columns
+      |  WHERE table_name IN ('region','nation','customer','supplier','part','orders',
+      |                       'lineitem','events','documents','embeddings')
+      |  GROUP BY 1
+      |),
+      |fks(table_name, n) AS (VALUES
+      |  ('nation', 1), ('customer', 1), ('supplier', 1), ('orders', 1), ('lineitem', 3))
+      |SELECT c.table_name, CAST(c.n_columns AS BIGINT) AS n_columns,
+      |  CAST(coalesce(f.n, 0) AS BIGINT) AS n_fks_out
+      |FROM cols c LEFT JOIN fks f USING (table_name)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_schema" -> ((s: SparkSession, d: String) => schemaGraph(s, d)),
     "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
     "graph_export" -> ((s: SparkSession, d: String) => export(s, d)),
     "graph_mutations" -> ((s: SparkSession, d: String) => mutations(s, d)),
@@ -313,6 +346,7 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "graph_schema" -> schemaGraphSql,
     "graph_nodeset_subgraph" -> nodesetSubgraphSql,
     "graph_export" -> exportSql,
     "graph_mutations" -> mutationsSql,
