@@ -32,8 +32,8 @@ object GraphExport {
     * ever collected. */
   def toHtml(g: PropertyGraph, maxNodes: Int = 500): String = {
     val colors = Map(
-      "region" -> "#f47710", "nation" -> "#6510f4", "supplier" -> "#1077f4",
-      "customer" -> "#13613a", "part" -> "#801212", "order" -> "#D3D3D3")
+      "region" -> "#e07b39", "nation" -> "#7048c8", "supplier" -> "#2f7fd0",
+      "customer" -> "#2e7d52", "part" -> "#a33434", "order" -> "#9aa0a6")
     // JSON-escape AND keep the payload safe inside an HTML <script>
     // block: '<' becomes < so a hostile name cannot close the tag,
     // and control characters are escaped so JSON.parse never throws.

@@ -68,6 +68,6 @@ class ScaleAndExportSpec extends SparkSpecBase {
     val ends = ("\"source\":\"([^\"]+)\",\"target\":\"([^\"]+)\"".r
       .findAllMatchIn(payload).flatMap(m => Seq(m.group(1), m.group(2))).toSet)
     assert(ends.subsetOf(nodeIds))
-    assert(html.contains("#6510f4")) // nation color applied
+    assert(html.contains("#7048c8")) // nation color applied
   }
 }
