@@ -27,13 +27,21 @@ object GraphAlgos {
     spark.createDataFrame(rdd).toDF("id", "vid")
   }
 
-  /** Build a GraphX graph from the property graph. `directed = false`
-    * materializes both directions (the traversal semantics cognee's
-    * neighborhood expansion uses). Returns (graph, id↔vid map). */
-  def toGraphX(g: PropertyGraph, directed: Boolean = false): (Graph[Unit, Unit], DataFrame) = {
+  /** GraphX view of the property graph. `directed = false` materializes
+    * both directions (the traversal semantics cognee's neighborhood
+    * expansion uses). Returns (graph, id↔vid map) — both instance-lazy
+    * on [[PropertyGraph]], so repeat calls (warm bench passes, multiple
+    * algorithms over one projection) share one cached index + graph
+    * instead of leaking a new cache entry per call. */
+  def toGraphX(g: PropertyGraph, directed: Boolean = false): (Graph[Unit, Unit], DataFrame) =
+    (if (directed) g.graphXDirected else g.graphXUndirected, g.vertexIndexDf)
+
+  /** The actual GraphX construction behind [[PropertyGraph.graphXUndirected]] /
+    * [[PropertyGraph.graphXDirected]] — not for direct use. */
+  private[graph] def buildGraphX(g: PropertyGraph, directed: Boolean): Graph[Unit, Unit] = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val idx = vertexIndex(g.nodes).persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = g.vertexIndexDf
     val base = if (directed) g.edges.select(col("src"), col("dst")) else g.undirectedEdges
     val ue = base
       .join(idx.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), Seq("src"))
@@ -41,7 +49,9 @@ object GraphAlgos {
       .select(col("svid"), col("dvid"))
     val edgeRdd = ue.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val vertRdd = idx.select(col("vid")).as[Long].rdd.map(v => (v: VertexId, ()))
-    (Graph(vertRdd, edgeRdd), idx)
+    Graph(vertRdd, edgeRdd, defaultVertexAttr = (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK).cache()
   }
 
   /** PageRank via GraphX staticPageRank (Pregel, in-memory iteration) —
@@ -173,6 +183,10 @@ object GraphAlgos {
     }
     // Match GraphX staticPageRank's final normalization (ranks sum to N).
     val row = ranks.agg(count(lit(1)).cast("double"), sum(col("r"))).head()
+    // Scratch caches served their purpose (every iteration materialized);
+    // the final ranks stay persisted for the caller, the loop inputs do not.
+    edgesW.unpersist(false)
+    nodeIds.unpersist(false)
     ranks.select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
   }
 

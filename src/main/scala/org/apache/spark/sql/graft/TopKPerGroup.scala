@@ -27,7 +27,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * k-element heap — O(groups_in_partition · k) rows, no spill. This is
   * the right operator when the group domain is bounded (per-query
   * top-k, per-label leaders); for unbounded/high-cardinality group
-  * keys prefer the window idiom, whose sort spills to disk.
+  * keys prefer the window idiom, whose sort spills to disk. The
+  * contract is enforced, not assumed: a partition exceeding
+  * `spark.graft.topk.maxGroupsPerPartition` (default 8M) groups fails
+  * fast with guidance instead of OOMing the executor, and the output
+  * phase drains heaps lazily (one group in flight) rather than
+  * re-buffering all kept rows.
   */
 final case class TopKPerGroupPlan(
     groupExprs: Seq[Expression],
@@ -64,6 +69,13 @@ final case class TopKPerGroupExec(
     val orderE = order
     val limit = k
     val childOutput = child.output
+    // Heap state is driver-invisible on-heap memory (not tracked by the
+    // task memory manager), so an unbounded group domain would OOM the
+    // executor with no useful signal. Cap the per-partition group count
+    // and fail with guidance instead — the window idiom spills, this
+    // operator deliberately does not.
+    val maxGroups = sparkContext.getConf
+      .getLong("spark.graft.topk.maxGroupsPerPartition", 8L * 1024 * 1024)
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // Identity projection to UnsafeRow — the child is not guaranteed
@@ -82,6 +94,11 @@ final case class TopKPerGroupExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (heaps.size() >= maxGroups) throw new IllegalStateException(
+            s"TopKPerGroup: more than $maxGroups distinct groups in one partition " +
+              "(no-spill operator, O(groups*k) memory). Use the window idiom " +
+              "(row_number over partitionBy) for unbounded group domains, or raise " +
+              "spark.graft.topk.maxGroupsPerPartition.")
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, revOrd)
           heaps.put(key.copy(), heap)
         }
@@ -91,14 +108,24 @@ final case class TopKPerGroupExec(
           heap.add(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) =>
-        val rows = new Array[UnsafeRow](heap.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // emit in sort order
-        out ++= rows
+      // Drain lazily, one group at a time — O(k) transient per group
+      // instead of re-buffering every kept row into one collection.
+      val heapIt = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var current: Array[UnsafeRow] = Array.empty
+        private var pos = 0
+        private def advance(): Unit =
+          while (pos >= current.length && heapIt.hasNext) {
+            val heap = heapIt.next()
+            val rows = new Array[UnsafeRow](heap.size())
+            var i = rows.length - 1
+            while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // emit in sort order
+            heapIt.remove() // release the drained heap's map entry
+            current = rows; pos = 0
+          }
+        override def hasNext: Boolean = { advance(); pos < current.length }
+        override def next(): InternalRow = { advance(); val r = current(pos); pos += 1; r }
       }
-      out.iterator
     }
   }
 
