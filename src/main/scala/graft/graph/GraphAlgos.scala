@@ -141,6 +141,80 @@ object GraphAlgos {
     frontiers.reduce(_ union _)
   }
 
+  /** All-pairs BFS hop distances on a BOUNDED subgraph — one frontier
+    * DataFrame carrying every source at once (src, id, depth), so the
+    * whole computation is ~diameter shuffles regardless of |V|, not |V|
+    * sequential BFS runs.
+    *
+    * BOUNDED BY CONTRACT: state is O(Σ component_size²) rows — exact
+    * diameter / average-path-length are inherently all-pairs (the
+    * reference computes them the same way, via whole-graph Cypher:
+    * neo4j_metrics_utils.py:129 get_shortest_path_lengths). Run it on a
+    * typed subgraph (see GraphQueries.metricsFull), never the full
+    * 100 TB projection; `maxDepth` caps runaway iteration. */
+  def allPairsDistances(g: PropertyGraph, maxDepth: Int = 32): DataFrame = {
+    val ue = g.undirectedEdges
+    val seed = g.nodes.select(col("id").as("src"), col("id"))
+      .withColumn("depth", lit(0)).localCheckpoint(true)
+    // Same frontier recurrence as kHop, keyed per source: on the
+    // undirected view a candidate's min-depth differs from the current
+    // depth by at most 1, so dedup needs only the current and previous
+    // frontiers of the SAME source — (src, id) anti-joins.
+    val frontiers = scala.collection.mutable.ArrayBuffer(seed)
+    var prev = seed.limit(0)
+    var frontier = seed
+    var d = 1
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
+      val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("id")).distinct()
+        .join(frontier.select(col("src"), col("id")), Seq("src", "id"), "left_anti")
+        .join(prev.select(col("src"), col("id")), Seq("src", "id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        frontiers += next
+        prev = frontier
+        frontier = next
+      }
+      d += 1
+    }
+    frontiers.reduce(_ union _)
+  }
+
+  /** Per-node triangle count + degree over canonical undirected edges
+    * (x < y, no self-loops) — the building block of the local
+    * clustering coefficient (reference optional metric `avg_clustering`,
+    * neo4j_metrics_utils.py:161). Same degree-ordered orientation as
+    * the triangle kernels; each closed wedge (u→v, u→w, edge v–w)
+    * credits all three corners, attributed with one explode over the
+    * intersection arrays. Returns (v, deg, tri). */
+  def localTriangles(canonEdges: DataFrame): DataFrame = {
+    val (e, ownE) = ensurePersisted(canonEdges.toDF("x", "y"))
+    val deg = e.select(col("x").as("v")).union(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val oriented = orient(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = oriented.groupBy(col("src")).agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contrib = closed.select(col("src").as("v"), size(col("ws")).cast("long").as("t"))
+      .union(closed.select(col("dst").as("v"), size(col("ws")).cast("long").as("t")))
+      .union(closed.select(explode(col("ws")).as("v"), lit(1L).as("t")))
+    val tri = contrib.groupBy(col("v")).agg(sum(col("t")).as("tri"))
+    val out = deg.join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .localCheckpoint(true) // materialize before releasing scratch caches
+    closed.unpersist(false)
+    oriented.unpersist(false)
+    if (ownE) e.unpersist(false)
+    out
+  }
+
   /** k-hop ego subgraph (cognee get_subgraph): the visited node set of
     * [[kHop]] plus every edge with both endpoints inside it. */
   def egoSubgraph(g: PropertyGraph, seeds: DataFrame, k: Int): PropertyGraph = {

@@ -307,6 +307,80 @@ object GraphQueries {
        |UNION ALL SELECT 'custom', 1
        |UNION ALL SELECT '__edges__', (SELECT count(*) FROM edges)""".stripMargin
 
+  /** The optional half of cognee's get_graph_metrics
+    * (kuzu/adapter.py:1353 include_optional=True; GraphMetrics model:
+    * num_connected_components, sizes_of_connected_components,
+    * num_selfloops, diameter, avg_shortest_path_length, avg_clustering —
+    * neo4j_metrics_utils.py:129,:161). Exact diameter / path length /
+    * clustering are all-pairs computations, so they run on the bounded
+    * supplier–nation–region subgraph (the reference runs them on its
+    * whole graph, which is similarly bounded); component structure and
+    * self-loops are single-shuffle aggregates. One summary row. */
+  def metricsFull(spark: SparkSession, dir: String): DataFrame = {
+    val g = snrSubgraph(spark, dir)
+    val counts = g.nodes.agg(count(lit(1)).as("num_nodes"))
+      .crossJoin(g.edges.agg(count(lit(1)).as("num_edges")))
+      .crossJoin(g.edges.filter(col("src") === col("dst")).agg(count(lit(1)).as("num_selfloops")))
+    val ccSizes = GraphAlgos.connectedComponents(g)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val ccStats = ccSizes.agg(count(lit(1)).as("num_components"),
+      max(col("sz")).as("largest_component"), min(col("sz")).as("smallest_component"))
+    val pathStats = GraphAlgos.allPairsDistances(g).filter(col("depth") > 0)
+      .agg(max(col("depth")).cast("long").as("diameter"),
+        round(avg(col("depth")), 4).as("avg_path_len"))
+    val ce = g.undirectedEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
+    val coeff = g.nodes.select(col("id").as("v"))
+      .join(GraphAlgos.localTriangles(ce), Seq("v"), "left")
+      .select(when(coalesce(col("deg"), lit(0L)) >= 2,
+          col("tri") * lit(2.0) / (col("deg") * (col("deg") - lit(1L))))
+        .otherwise(lit(0.0)).as("c"))
+      .agg(round(avg(col("c")), 4).as("avg_clustering"))
+    counts.crossJoin(ccStats).crossJoin(pathStats).crossJoin(coeff)
+  }
+
+  val metricsFullSql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sn AS (SELECT id FROM nodes WHERE ntype IN ('region', 'nation', 'supplier')),
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |ue AS (SELECT src, dst FROM sd UNION SELECT dst, src FROM sd),
+       |reach(a, b) AS (
+       |  SELECT id, id FROM sn
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN ue e ON r.b = e.src
+       |),
+       |csz AS (SELECT component, count(*) AS sz
+       |        FROM (SELECT a AS id, min(b) AS component FROM reach GROUP BY a) GROUP BY 1),
+       |bfs(s, id, d) AS (
+       |  SELECT id, id, 0 FROM sn
+       |  UNION
+       |  SELECT b.s, e.dst, b.d + 1 FROM bfs b JOIN ue e ON b.id = e.src WHERE b.d < 32
+       |),
+       |dist AS (SELECT s, id, min(d) AS d FROM bfs GROUP BY 1, 2),
+       |ce AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM sd WHERE src <> dst),
+       |nbr AS (SELECT x AS v, y AS w FROM ce UNION ALL SELECT y, x FROM ce),
+       |deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1),
+       |triv AS (SELECT a.v, count(*) AS tri FROM nbr a
+       |         JOIN nbr b ON a.v = b.v AND a.w < b.w
+       |         JOIN ce c ON c.x = a.w AND c.y = b.w GROUP BY a.v),
+       |coeff AS (SELECT n.id,
+       |            CASE WHEN coalesce(d.deg, 0) >= 2
+       |                 THEN 2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1))
+       |                 ELSE 0.0 END AS c
+       |          FROM sn n LEFT JOIN deg d ON d.v = n.id LEFT JOIN triv t ON t.v = n.id)
+       |SELECT
+       |  (SELECT count(*) FROM sn) AS num_nodes,
+       |  (SELECT count(*) FROM sd) AS num_edges,
+       |  (SELECT count(*) FROM sd WHERE src = dst) AS num_selfloops,
+       |  (SELECT count(*) FROM csz) AS num_components,
+       |  (SELECT max(sz) FROM csz) AS largest_component,
+       |  (SELECT min(sz) FROM csz) AS smallest_component,
+       |  (SELECT CAST(max(d) AS BIGINT) FROM dist WHERE d > 0) AS diameter,
+       |  (SELECT round(avg(d), 4) FROM dist WHERE d > 0) AS avg_path_len,
+       |  (SELECT round(avg(c), 4) FROM coeff) AS avg_clustering""".stripMargin
+
   /** Relational-schema-as-graph (reference: cognee/tasks/schema/
     * ingest_database_schema.py — SchemaTable nodes + SchemaRelationship
     * edges from a database's catalog). Tables become nodes carrying
@@ -341,6 +415,7 @@ object GraphQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_schema" -> ((s: SparkSession, d: String) => schemaGraph(s, d)),
+    "graph_metrics_full" -> ((s: SparkSession, d: String) => metricsFull(s, d)),
     "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
     "graph_export" -> ((s: SparkSession, d: String) => export(s, d)),
     "graph_mutations" -> ((s: SparkSession, d: String) => mutations(s, d)),
@@ -358,6 +433,7 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "graph_schema" -> schemaGraphSql,
+    "graph_metrics_full" -> metricsFullSql,
     "graph_nodeset_subgraph" -> nodesetSubgraphSql,
     "graph_export" -> exportSql,
     "graph_mutations" -> mutationsSql,

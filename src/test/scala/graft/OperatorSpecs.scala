@@ -314,6 +314,29 @@ class GraphAlgosSpec extends SparkSpecBase {
       TpchGraph(spark, sf).subgraphByType(Seq("region", "nation", "supplier")))
     assert(cc.select(col("component")).distinct().count() === 5L)
   }
+
+  // Triangle a-b-c with pendant c-d: hand-computable local clustering
+  // (a=1, b=1, c=1/3, d=0) and all-pairs distances (diameter 2 via the
+  // a-c-d / b-c-d paths).
+  test("localTriangles and allPairsDistances match hand-computed values") {
+    import TestSpark.spark.implicits._
+    val nodes = Seq(("a", "t", "a"), ("b", "t", "b"), ("c", "t", "c"), ("d", "t", "d"))
+      .toDF("id", "ntype", "name")
+    val edges = Seq(("a", "b", "e"), ("a", "c", "e"), ("b", "c", "e"), ("c", "d", "e"))
+      .toDF("src", "dst", "rel")
+    val g = graph.PropertyGraph(nodes, edges)
+    val lt = GraphAlgos.localTriangles(
+        g.undirectedEdges.filter(col("src") < col("dst"))
+          .select(col("src").as("x"), col("dst").as("y")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(lt === Map("a" -> ((2L, 1L)), "b" -> ((2L, 1L)), "c" -> ((3L, 1L)), "d" -> ((1L, 0L))))
+    val dists = GraphAlgos.allPairsDistances(g)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(dists.size === 16) // 4 sources x 4 reachable (incl. self at 0)
+    assert(dists(("a", "d")) === 2 && dists(("d", "a")) === 2)
+    assert(dists(("a", "b")) === 1 && dists(("c", "c")) === 0)
+    assert(dists.values.max === 2)
+  }
 }
 
 class GraphInterfaceSpec extends SparkSpecBase {
