@@ -35,6 +35,11 @@ object Graft {
   def cognify(spark: SparkSession, dir: String): Pipeline.CognifyResult =
     Pipeline.cognify(spark, dir)
 
+  /** Enrich the existing graph (cognee.memify): nodeset extraction +
+    * rule-association enrichment merged back, per-stage ledger. */
+  def memify(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.memify(spark, dir)
+
   /** Dispatch a search type to its retrieval plan (cognee.search). */
   def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
     case Chunks => operators.Retrievers.chunks(spark, dir)

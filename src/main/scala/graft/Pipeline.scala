@@ -172,6 +172,61 @@ object Pipeline {
       |UNION ALL SELECT 'entities_after', count(DISTINCT entity)
       |FROM (SELECT entity FROM untouched_m UNION ALL SELECT entity FROM new_m)""".stripMargin
 
+  /** Graph enrichment pipeline — the reference's fourth top-level API
+    * verb (cognee/modules/memify/memify.py: with no input data, the
+    * EXISTING graph — optionally filtered to a nodeset — feeds the
+    * extraction tasks, and the enrichment tasks' output merges back;
+    * shipped default tasks: tasks/memify/extract_subgraph_chunks.py +
+    * tasks/codingagents/coding_rule_associations.py). Deterministic
+    * analog: the nodeset is a fixed rule vocabulary of entity nodes;
+    * extraction pulls the mention subgraph of those entities; the
+    * enrichment derives one rule node per nodeset entity plus an
+    * `applies_to` edge to every mentioning document, merged through the
+    * PropertyGraph mutation API (keep-first node dedup, distinct
+    * edges). Returns the per-stage enrichment ledger. */
+  def memify(spark: SparkSession, dir: String,
+      vocab: Seq[String] = Seq("spark", "join", "window", "filter")): DataFrame = {
+    val r = cognify(spark, dir)
+    val nodesetEnt = r.entities.filter(col("entity").isin(vocab: _*))
+    val extracted = r.mentions.join(broadcast(nodesetEnt), Seq("entity"))
+    val rules = nodesetEnt.select(concat(lit("rule:"), col("entity")).as("id"),
+      lit("rule").as("ntype"), col("entity").as("name"))
+    val assoc = extracted.select(
+      concat(lit("rule:"), col("entity")).as("src"),
+      concat(lit("doc:"), col("doc_id").cast("string")).as("dst"),
+      lit("applies_to").as("rel")).distinct()
+    val enriched = r.graph.addNodes(rules).addEdges(assoc)
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("nodeset_entities", nodesetEnt)
+      .union(c("docs_extracted", extracted.select(col("doc_id")).distinct()))
+      .union(c("rules_added", rules))
+      .union(c("assoc_edges_added", assoc))
+      .union(c("nodes_after", enriched.nodes))
+      .union(c("edges_after", enriched.edges))
+  }
+
+  val memifySql: String =
+    """WITH vocab(v) AS (VALUES ('spark'), ('join'), ('window'), ('filter')),
+      |mentions AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS entity
+      |  FROM documents
+      |),
+      |entities AS (SELECT DISTINCT entity FROM mentions),
+      |nodeset AS (SELECT entity FROM entities WHERE entity IN (SELECT v FROM vocab)),
+      |extracted AS (
+      |  SELECT doc_id, entity FROM mentions WHERE entity IN (SELECT entity FROM nodeset)
+      |)
+      |SELECT 'nodeset_entities' AS stage, count(*) AS n FROM nodeset
+      |UNION ALL SELECT 'docs_extracted', count(DISTINCT doc_id) FROM extracted
+      |UNION ALL SELECT 'rules_added', count(*) FROM nodeset
+      |UNION ALL SELECT 'assoc_edges_added', count(*) FROM extracted
+      |UNION ALL SELECT 'nodes_after',
+      |  (SELECT count(*) FROM documents) + (SELECT count(*) FROM entities)
+      |    + (SELECT count(*) FROM nodeset)
+      |UNION ALL SELECT 'edges_after',
+      |  (SELECT count(*) FROM mentions) + (SELECT count(*) FROM extracted)""".stripMargin
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)
@@ -200,10 +255,12 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
     "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
+    "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
     "pipeline_delete" -> deleteDocsSql,
     "pipeline_update" -> updateDocsSql,
+    "pipeline_memify" -> memifySql,
     "pipeline_cognify" -> stageCountsSql)
 }

@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.CurateOps.queries, operators.CurateOps.oracles),
       (operators.OntologyOps.queries, operators.OntologyOps.oracles),
+      (operators.CodeGraphOps.queries, operators.CodeGraphOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (Pipeline.queries, Pipeline.oracles),

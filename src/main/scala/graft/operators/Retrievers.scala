@@ -429,7 +429,7 @@ object Retrievers {
   /** Deterministic code-corpus projection: every document becomes a code
     * file with a path, a symbol and a kind (function/class/module).
     * Both sides derive it from the same md5/modulo arithmetic. */
-  private def codeTable(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def codeTable(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents").select(
       col("doc_id").as("file_id"),
       concat(col("source"), lit("/doc_"), col("doc_id").cast("string"), lit(".txt")).as("path"),
@@ -438,7 +438,7 @@ object Retrievers {
       concat(lit("sym_"), substring(md5(col("text")), 1, 8)).as("symbol"),
       col("text").as("body"))
 
-  private val codeTableSql: String =
+  private[operators] val codeTableSql: String =
     """code AS (
       |  SELECT doc_id AS file_id,
       |    source || '/doc_' || doc_id || '.txt' AS path,

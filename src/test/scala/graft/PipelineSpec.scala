@@ -40,6 +40,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(back.count() === r.mentions.count())
   }
 
+  test("memify ledger is internally consistent with the cognify graph") {
+    val ledger = Pipeline.memify(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = Pipeline.cognify(spark, sf).graph
+    assert(ledger("rules_added") === ledger("nodeset_entities"))
+    assert(ledger("nodes_after") === g.nodes.count() + ledger("rules_added"))
+    assert(ledger("edges_after") === g.edges.count() + ledger("assoc_edges_added"))
+    assert(ledger("docs_extracted") <= ledger("assoc_edges_added"))
+    assert(ledger("nodeset_entities") > 0L)
+  }
+
+  test("code dependency graph: bounded fan-out, no self-edges, resolved providers") {
+    val deps = operators.CodeGraphOps.dependencies(spark, sf).collect()
+    assert(deps.nonEmpty && deps.length <= 20)
+    // a file's import block has at most 8 distinct names
+    assert(deps.forall(_.getLong(2) <= 8L))
+    // top-20 is ordered by fan-in
+    val fanIns = deps.map(_.getLong(3))
+    assert(fanIns.sameElements(fanIns.sortBy(-_)))
+  }
+
   test("graph mutations: add is idempotent, delete removes incident edges") {
     import TestSpark.spark.implicits._
     val g = PropertyGraph(

@@ -26,6 +26,7 @@ class PlanLintSpec extends SparkSpecBase {
     "search_completion_context", "search_completion_cot", "search_summary_completion",
     "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
     "vec_centroids", "ontology_resolve", "graph_metrics", "pipeline_cognify",
+    "graph_metrics_full", // crossJoin of five 1-row aggregates into the summary row
     "curate_pack") // 1-row (min,max) id-bounds broadcast
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
