@@ -59,8 +59,10 @@ object Bench {
     // ("parsed": null in every BENCH_r*.json). This line stays under ~1.8 KB so
     // it sits whole inside the tail window even with sbt's epilogue after it.
     val qsShort = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errsShort = if (errors.isEmpty) "" else s""","errors":$errs"""
+    val sfShort = sfDir.split('/').last
     System.out.println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort$errsShort,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }

@@ -591,7 +591,54 @@ object Retrievers {
        |)
        |SELECT entity, rank, src, rel, dst FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Brute-force triplet search (retrieval/utils/
+    * brute_force_triplet_search.py — the memory-fragment primitive every
+    * graph-completion retriever builds on: score EVERY graph triplet
+    * against the query, keep the best). The reference embeds each edge
+    * and vector-searches the edge collections; the deterministic
+    * stand-in scores a triplet by token-set Jaccard between the query
+    * and the triplet's rendered text (src name, relation, dst name).
+    * One pass over the edge relation — two equi-joins to resolve
+    * endpoint names, a per-row codegen'd score, TakeOrdered top-10; no
+    * per-triplet driver work at any scale. */
+  def triplets(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val queryToks = array(Seq("nation", "3", "located", "in").map(lit): _*)
+    val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
+    val ttoks = array_distinct(split(lower(rendered), "[ _-]"))
+    val score = round(size(array_intersect(ttoks, queryToks)).cast("double") /
+      size(array_union(ttoks, queryToks)), 4)
+    g.edges
+      .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
+      .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
+      .select(col("src"), col("rel"), col("dst"), score.as("score"))
+      .orderBy(col("score").desc, col("src").asc, col("rel").asc, col("dst").asc)
+      .limit(10)
+  }
+
+  val tripletsSql: String =
+    s"""${TpchGraph.withGraph},
+       |named AS (
+       |  SELECT e.src, e.rel, e.dst, ns.name AS sname, nd.name AS dname
+       |  FROM edges e
+       |  JOIN nodes ns ON ns.id = e.src
+       |  JOIN nodes nd ON nd.id = e.dst
+       |),
+       |scored AS (
+       |  SELECT src, rel, dst,
+       |    round(len(list_intersect(
+       |            list_distinct(string_split_regex(lower(sname || ' ' || rel || ' ' || dname), '[ _-]')),
+       |            ['nation', '3', 'located', 'in'])) * 1.0
+       |          / len(list_distinct(list_concat(
+       |            list_distinct(string_split_regex(lower(sname || ' ' || rel || ' ' || dname), '[ _-]')),
+       |            ['nation', '3', 'located', 'in']))), 4) AS score
+       |  FROM named
+       |)
+       |SELECT src, rel, dst, score FROM scored
+       |ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_triplets" -> ((s: SparkSession, d: String) => triplets(s, d)),
     "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
     "search_coding_rules" -> ((s: SparkSession, d: String) => codingRules(s, d)),
     "search_feedback" -> ((s: SparkSession, d: String) => feedback(s, d)),
@@ -609,6 +656,7 @@ object Retrievers {
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "search_triplets" -> tripletsSql,
     "search_code" -> codeSql,
     "search_coding_rules" -> codingRulesSql,
     "search_feedback" -> feedbackSql,
