@@ -119,10 +119,12 @@ object GraphAlgos {
       // self-join sides and use qualified names. next is referenced
       // twice downstream (accumulator + next level's anti-join) — eager
       // localCheckpoint prevents recompute AND exponential plan growth.
+      // Current+previous frontier dedup as ONE anti-join against their
+      // union (both sides are already-checkpointed blocks) — one dedup
+      // shuffle per level instead of two.
       val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id")).distinct()
-        .join(frontier.select(col("id")), Seq("id"), "left_anti")
-        .join(prev.select(col("id")), Seq("id"), "left_anti")
+        .join(frontier.select(col("id")).union(prev.select(col("id"))), Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(true)
       // The checkpoint already materialized next, so the emptiness probe
@@ -168,8 +170,8 @@ object GraphAlgos {
     while (d <= maxDepth && !exhausted) {
       val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("id")).distinct()
-        .join(frontier.select(col("src"), col("id")), Seq("src", "id"), "left_anti")
-        .join(prev.select(col("src"), col("id")), Seq("src", "id"), "left_anti")
+        .join(frontier.select(col("src"), col("id")).union(prev.select(col("src"), col("id"))),
+          Seq("src", "id"), "left_anti")
         .withColumn("depth", lit(d))
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true

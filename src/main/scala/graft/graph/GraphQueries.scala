@@ -142,7 +142,7 @@ object GraphQueries {
 
   /** Connected components of the supplier–nation–region subgraph. */
   def components(spark: SparkSession, dir: String): DataFrame =
-    GraphAlgos.connectedComponents(snrSubgraph(spark, dir))
+    snrSubgraph(spark, dir).connectedComponentsDf
 
   /** Top-100 PageRank (10 fixed iterations, damping 0.85) via GraphX
     * Pregel; GraphAlgos.pageRank is the DataFrame twin (same oracle). */
@@ -321,11 +321,11 @@ object GraphQueries {
     val counts = g.nodes.agg(count(lit(1)).as("num_nodes"))
       .crossJoin(g.edges.agg(count(lit(1)).as("num_edges")))
       .crossJoin(g.edges.filter(col("src") === col("dst")).agg(count(lit(1)).as("num_selfloops")))
-    val ccSizes = GraphAlgos.connectedComponents(g)
+    val ccSizes = g.connectedComponentsDf
       .groupBy(col("component")).agg(count(lit(1)).as("sz"))
     val ccStats = ccSizes.agg(count(lit(1)).as("num_components"),
       max(col("sz")).as("largest_component"), min(col("sz")).as("smallest_component"))
-    val pathStats = GraphAlgos.allPairsDistances(g).filter(col("depth") > 0)
+    val pathStats = g.allPairsDistancesDf.filter(col("depth") > 0)
       .agg(max(col("depth")).cast("long").as("diameter"),
         round(avg(col("depth")), 4).as("avg_path_len"))
     val ce = g.undirectedEdges.filter(col("src") < col("dst"))

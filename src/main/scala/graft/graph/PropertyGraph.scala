@@ -54,6 +54,21 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   lazy val graphXDirected: org.apache.spark.graphx.Graph[Unit, Unit] =
     GraphAlgos.buildGraphX(this, directed = true)
 
+  /** Connected-component labels (id, component), one materialization
+    * per graph instance — a derived graph artifact like
+    * [[undirectedEdges]]: every consumer (component query, full-metrics
+    * summary, size histograms) shares the one GraphX run. */
+  lazy val connectedComponentsDf: DataFrame =
+    GraphAlgos.connectedComponents(this)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** All-pairs hop-distance table — BOUNDED-subgraph artifact (see
+    * GraphAlgos.allPairsDistances for the O(Σ comp²) contract). Cached
+    * per instance so diameter/path-length consumers share one BFS. */
+  lazy val allPairsDistancesDf: DataFrame =
+    GraphAlgos.allPairsDistances(this)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Per-node in/out degree (cognee get_neighbors cardinality).
     * Two partial-aggregated counts + broadcast-free left joins; one
     * shuffle per side keyed on node id. */

@@ -74,8 +74,8 @@ final case class TopKPerGroupExec(
     // executor with no useful signal. Cap the per-partition group count
     // and fail with guidance instead — the window idiom spills, this
     // operator deliberately does not.
-    val maxGroups = sparkContext.getConf
-      .getLong("spark.graft.topk.maxGroupsPerPartition", 8L * 1024 * 1024)
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsPerPartition", (8L * 1024 * 1024).toString).toLong
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // Identity projection to UnsafeRow — the child is not guaranteed

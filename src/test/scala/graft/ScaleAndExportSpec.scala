@@ -40,6 +40,20 @@ class ScaleAndExportSpec extends SparkSpecBase {
     assert(viaOperator.nonEmpty)
   }
 
+  test("TopKPerGroup fails fast past the per-partition group cap") {
+    import TestSpark.spark.implicits._
+    val df = (1 to 100).map(i => (i, i)).toDF("g", "v").repartition(1)
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "10")
+    try {
+      val ex = intercept[org.apache.spark.SparkException] {
+        org.apache.spark.sql.graft.TopKPerGroup(
+          df, Seq(col("g")), Seq(col("v").asc), 1).collect()
+      }
+      assert(ex.getMessage.contains("maxGroupsPerPartition")
+        || String.valueOf(ex.getCause).contains("maxGroupsPerPartition"))
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+  }
+
   test("json-lines export carries every node and edge") {
     val g = TpchGraph(spark, sf)
     val lines = GraphExport.toJsonLines(g)
