@@ -57,6 +57,25 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("eventId")
 
+  /** Streaming cognify — the continuous twin of Pipeline.cognify's
+    * extraction stages, because at production scale the corpus ARRIVES
+    * as a stream (cognee's add→cognify loop run per ingest batch):
+    * documents
+    * are content-hash deduped within the watermark horizon (the
+    * idempotent add-with-dedup contract of Pipeline.addIncrement), then
+    * exploded into the same (doc_id, entity) mention increments batch
+    * cognify derives — each micro-batch appends exactly the rows a
+    * batch run over its new documents would produce, so the mention
+    * collection stays identical whichever path filled it. */
+  def cognifyStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("docId").as("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("entity"))
+
   /** 30-minute-gap sessionization with explicit state
     * (flatMapGroupsWithState, processing-time timeout). Emits a session
     * whenever a gap closes it; emits the open session on timeout.

@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("dedup").count() === evs.map(_.eventId).distinct.size.toLong)
   }
 
+  test("streaming cognify appends exactly the batch mention increments, re-ingest deduped") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, Long, String)]
+    // two micro-batches; the second replays batch 1's first doc verbatim
+    // under a NEW id — content-hash dedup must drop it
+    val t0 = 1700000000L
+    stream.addData(docs.take(25).map { case (id, tx) => (id, t0, tx) }.toSeq)
+    stream.addData(docs.drop(25).map { case (id, tx) => (id, t0 + 60, tx) }.toSeq
+      :+ ((99999L, t0 + 60, docs.head._2)))
+    val q = EventStream.cognifyStream(stream.toDF().toDF("docId", "tsSec", "text"))
+      .writeStream.format("memory").queryName("cogstream").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cogstream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = docs.flatMap { case (id, tx) =>
+      tx.split(" ").distinct.map(tok => (id, tok)) }.toSet
+    assert(got === expect) // no 99999 rows, nothing missing
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
