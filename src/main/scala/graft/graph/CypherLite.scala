@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * Supported grammar (linear path patterns, the shape cognee's
   * retrievers emit):
   * {{{
-  *   MATCH (a:type)-[:rel]->(b:type)(-[:rel2]->(c:type))*
+  *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)*
   *   [WHERE var.prop = 'literal' [AND ...]]
-  *   RETURN var.prop [AS alias] | count(*) AS alias [, ...]
+  *   RETURN [DISTINCT] var.prop [AS alias] | count(*) AS alias [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
-  * Node properties: id, ntype, name.
+  * Node properties: id, ntype, name. Untyped nodes `(x)` match any
+  * vertex; `-[:rel]-` (no arrowhead) traverses undirected — the
+  * get_connections neighborhood shape; `[:a|b]` unions relation types
+  * (one `isin` filter, still pushed to the scan).
   *
   * Compilation is declarative: each hop is an equi-join of the edges
   * DataFrame (filtered to the relation, so the predicate pushes into
@@ -25,8 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  private val nodeRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
-  private val relRe = """-\s*\[\s*:\s*(\w+)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*->""".r
+  private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
+  private val relRe = """-\s*\[\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
@@ -38,26 +41,31 @@ object CypherLite {
     val orderPart = sectionOpt(q, "ORDER BY", Seq("LIMIT"))
     val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
 
-    val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), m.group(2))).toSeq
-    // (rel, minHops, maxHops); plain -[:rel]-> is 1..1
+    val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), Option(m.group(2)))).toSeq
+    // (relTypes, minHops, maxHops, directed); plain -[:rel]-> is 1..1 directed
     val relPats = relRe.findAllMatchIn(matchPart).map { m =>
       val (lo, hi) =
         if (m.group(2) == null) (1, 1) else (m.group(2).toInt, m.group(3).toInt)
       require(lo >= 1 && hi >= lo && hi <= 10, s"unsupported path bounds *$lo..$hi")
-      (m.group(1), lo, hi)
+      (m.group(1).split("\\|").map(_.trim).toSeq, lo, hi, m.group(4) != null)
     }.toSeq
     require(nodePats.nonEmpty && relPats.length == nodePats.length - 1,
       s"unsupported pattern: $matchPart")
 
-    def nodeDf(v: String, t: String): DataFrame =
-      g.nodes.filter(col("ntype") === t).select(
+    def nodeDf(v: String, t: Option[String]): DataFrame =
+      t.fold(g.nodes)(tp => g.nodes.filter(col("ntype") === tp)).select(
         col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"))
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
-    relPats.zipWithIndex.foreach { case ((rel, lo, hi), i) =>
+    relPats.zipWithIndex.foreach { case ((rels, lo, hi, directed), i) =>
       val (pv, _) = nodePats(i)
       val (nv, nt) = nodePats(i + 1)
-      val hop = g.edges.filter(col("rel") === rel).select(col("src"), col("dst"))
+      val fwd = g.edges.filter(col("rel").isin(rels: _*)).select(col("src"), col("dst"))
+      // Undirected hop = both orientations of the typed edge set (the
+      // get_connections traversal view), deduplicated.
+      val hop =
+        if (directed) fwd
+        else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       // Variable-length: distinct (src,dst) pairs reachable in lo..hi
       // hops of `rel` — chained equi-joins unioned per length (Cypher
       // path-existence semantics; endpoints only, no path binding).
@@ -88,7 +96,9 @@ object CypherLite {
       }
     }
 
-    val items = retPart.split(",").map(_.trim).map {
+    val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
+    val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
+    val items = retBody.split(",").map(_.trim).map {
       case m @ retItemRe(v, p, alias) =>
         val isCount = v == null
         val name = Option(alias).getOrElse(if (isCount) "count" else s"${v}_$p")
@@ -98,8 +108,10 @@ object CypherLite {
     val aggItems = items.filter(_._1)
     val keyItems = items.filterNot(_._1)
     var out =
-      if (aggItems.isEmpty) df.select(items.map(_._2).toIndexedSeq: _*)
-      else df.groupBy(keyItems.map(_._2).toIndexedSeq: _*)
+      if (aggItems.isEmpty) {
+        val sel = df.select(items.map(_._2).toIndexedSeq: _*)
+        if (isDistinct) sel.distinct() else sel
+      } else df.groupBy(keyItems.map(_._2).toIndexedSeq: _*)
         .agg(aggItems.head._2, aggItems.tail.map(_._2).toIndexedSeq: _*)
 
     orderPart.foreach { o =>

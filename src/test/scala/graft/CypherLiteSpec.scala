@@ -37,6 +37,34 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toList === List(("delta", 2L)))
   }
 
+  test("undirected pattern traverses both orientations") {
+    // b:1 is reachable undirected from a:1 (outgoing) and c:1 (incoming)
+    val out = CypherLite.run(g,
+      "MATCH (x)-[:knows|in]-(y:b) RETURN DISTINCT x.id AS xid ORDER BY xid")
+      .collect().map(_.getString(0)).toList
+    assert(out === List("a:1", "a:2", "c:1"))
+  }
+
+  test("relation alternation unions edge types in one hop") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows|in]->(y) RETURN y.id AS yid, count(*) AS n ORDER BY yid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List(("b:1", 2L)))
+  }
+
+  test("untyped node matches any vertex type") {
+    val out = CypherLite.run(g,
+      "MATCH (x)-[:in]->(y) RETURN x.id AS xid, y.id AS yid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(out === List(("b:1", "c:1")))
+  }
+
+  test("RETURN DISTINCT collapses duplicate projection rows") {
+    val dup = CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) RETURN y.id AS yid").count()
+    val dis = CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) RETURN DISTINCT y.id AS yid").count()
+    assert(dup === 2L && dis === 1L)
+  }
+
   test("limit applies") {
     val out = CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) RETURN x.id AS xid ORDER BY xid LIMIT 1").collect()
     assert(out.map(_.getString(0)).toList === List("a:1"))
