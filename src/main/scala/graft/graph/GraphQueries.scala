@@ -328,10 +328,8 @@ object GraphQueries {
     val pathStats = g.allPairsDistancesDf.filter(col("depth") > 0)
       .agg(max(col("depth")).cast("long").as("diameter"),
         round(avg(col("depth")), 4).as("avg_path_len"))
-    val ce = g.undirectedEdges.filter(col("src") < col("dst"))
-      .select(col("src").as("x"), col("dst").as("y"))
     val coeff = g.nodes.select(col("id").as("v"))
-      .join(GraphAlgos.localTriangles(ce), Seq("v"), "left")
+      .join(g.localTrianglesDf, Seq("v"), "left")
       .select(when(coalesce(col("deg"), lit(0L)) >= 2,
           col("tri") * lit(2.0) / (col("deg") * (col("deg") - lit(1L))))
         .otherwise(lit(0.0)).as("c"))

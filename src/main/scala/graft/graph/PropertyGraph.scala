@@ -69,6 +69,15 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     GraphAlgos.allPairsDistances(this)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Per-node (deg, tri) over this graph's canonical undirected simple
+    * edges — the local-clustering building block, one materialization
+    * per instance (same artifact policy as [[connectedComponentsDf]]). */
+  lazy val localTrianglesDf: DataFrame =
+    GraphAlgos.localTriangles(
+        undirectedEdges.filter(col("src") < col("dst"))
+          .select(col("src").as("x"), col("dst").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Per-node in/out degree (cognee get_neighbors cardinality).
     * Two partial-aggregated counts + broadcast-free left joins; one
     * shuffle per side keyed on node id. */
