@@ -224,6 +224,23 @@ object RelationalOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Sketch twin of [[qPercentiles]] — approx_percentile
+    * (Greenwald-Khanna) per segment: at 100 TB the exact rank window
+    * sorts every group, while the sketch merges map-side partial state
+    * in one aggregate pass with bounded memory; accuracy is pinned
+    * against the exact ranks by spec (like the HLL precedent).
+    * Rows-only driver check — DuckDB's approx algorithm differs. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val c = load(spark, dir, "customer")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("approx_median"),
+        round(percentile_approx(col("o_totalprice"), lit(0.95), lit(10000)), 2).as("approx_p95"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** TPC-H Q10-style: revenue lost to returned items per customer over
     * a quarter, top-20 — selective fact filter + two broadcast dims. */
   def q10Returns(spark: SparkSession, dir: String): DataFrame = {
@@ -264,6 +281,7 @@ object RelationalOps {
     "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
     "q3_join_topn" -> ((s: SparkSession, d: String) => q3JoinTopN(s, d)),
     "q_approx_distinct" -> ((s: SparkSession, d: String) => approxDistinctUsers(s, d)),
+    "q_approx_percentiles" -> ((s: SparkSession, d: String) => approxPercentiles(s, d)),
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(

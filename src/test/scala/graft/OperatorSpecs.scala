@@ -264,6 +264,22 @@ class RelationalOpsSpec extends SparkSpecBase {
   }
 }
 
+class ApproxPercentileSpec extends SparkSpecBase {
+
+  test("approx percentiles land within 2% of the exact rank statistics") {
+    val exact = RelationalOps.qPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = RelationalOps.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (seg, (m, p95)) =>
+      val (am, ap) = approx(seg)
+      assert(math.abs(am - m) / m < 0.02, s"$seg median $am vs $m")
+      assert(math.abs(ap - p95) / p95 < 0.02, s"$seg p95 $ap vs $p95")
+    }
+  }
+}
+
 class GraphAlgosSpec extends SparkSpecBase {
 
   test("DataFrame PageRank matches GraphX staticPageRank to 1e-6") {
