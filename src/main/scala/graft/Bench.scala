@@ -58,11 +58,17 @@ object Bench {
     // rounds 1-3 proved a ~4 KB line gets front-truncated there and never parses
     // ("parsed": null in every BENCH_r*.json). This line stays under ~1.8 KB so
     // it sits whole inside the tail window even with sbt's epilogue after it.
-    val qsShort = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errsShort = if (errors.isEmpty) "" else s""","errors":$errs"""
     val sfShort = sfDir.split('/').last
-    System.out.println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort$errsShort,"sf":"$sfShort"}""")
+    def line(dec: Int): String = {
+      def f(d: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+      val qs2 = results.map { case (k, _, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$errsShort,"sf":"$sfShort"}"""
+    }
+    // Adaptive precision: keep every query in the map but degrade from
+    // 2 to 0 decimals if the inventory grows the line past the ~1.8 KB
+    // tail-window budget.
+    System.out.println((2 to 0 by -1).map(line).find(_.length <= 1800).getOrElse(line(0)))
     System.out.flush()
   }
 }
