@@ -331,6 +331,30 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(cc.select(col("component")).distinct().count() === 5L)
   }
 
+  // Soak: 50 disjoint 40-cliques (2000 nodes, 39k canonical edges) have
+  // exactly known structure — every kernel's answer is provable, at
+  // ~100x the hand-computed spec's size.
+  test("clique soak: components, clustering, and distances all exact") {
+    import TestSpark.spark.implicits._
+    val m = 40
+    val nodes = (0 until 50 * m).map(i => (f"v:$i%04d", "t", s"n$i")).toDF("id", "ntype", "name")
+    val edges = (for {
+      c <- 0 until 50; a <- 0 until m; b <- (a + 1) until m
+    } yield (f"v:${c * m + a}%04d", f"v:${c * m + b}%04d", "e")).toDF("src", "dst", "rel")
+    val g = graph.PropertyGraph(nodes, edges)
+    val cc = g.connectedComponentsDf.groupBy(col("component")).count().collect()
+    assert(cc.length === 50 && cc.forall(_.getLong(1) === m.toLong))
+    val lt = g.localTrianglesDf.collect()
+    // every vertex: deg = m-1, triangles = C(m-1, 2) -> clustering 1.0
+    assert(lt.length === 50 * m)
+    assert(lt.forall(r => r.getLong(1) === (m - 1).toLong
+      && r.getLong(2) === ((m - 1).toLong * (m - 2) / 2)))
+    val d = g.allPairsDistancesDf.groupBy(col("depth")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // depth 0 = self rows; depth 1 = ordered in-clique pairs; nothing deeper
+    assert(d === Map(0 -> 50L * m, 1 -> 50L * m * (m - 1)))
+  }
+
   // Triangle a-b-c with pendant c-d: hand-computable local clustering
   // (a=1, b=1, c=1/3, d=0) and all-pairs distances (diameter 2 via the
   // a-c-d / b-c-d paths).
