@@ -115,17 +115,33 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   /** Upsert nodes (keep-first on id collision — cognee add_nodes uses
     * deterministic ids, so re-adding is a no-op). Mutations compose as
     * plans over the base relations; materializing an increment is a
-    * parquet write of the result, not an in-place edit. */
-  def addNodes(newNodes: DataFrame): PropertyGraph =
+    * parquet write of the result, not an in-place edit.
+    *
+    * INCREMENT-SIZED, NOT BASE-SIZED: the increment is assumed small
+    * (interactive mutations), so collisions are found by probing the
+    * base with the BROADCAST increment — the base relation is scanned
+    * in place, never shuffled. The collision set (≤ increment) then
+    * broadcast-anti-joins the increment itself. A bulk merge should go
+    * through re-ingest instead. */
+  def addNodes(newNodes: DataFrame): PropertyGraph = {
+    val inc = newNodes.select(col("id"), col("ntype"), col("name"))
+      .dropDuplicates("id") // upsert semantics: deterministic ids, keep one
+    val collisions = nodes.join(broadcast(inc.select(col("id"))), Seq("id"), "left_semi")
+      .select(col("id"))
     PropertyGraph(
-      nodes.union(newNodes.join(nodes.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("ntype"), col("name"))),
+      nodes.union(inc.join(broadcast(collisions), Seq("id"), "left_anti")),
       edges)
+  }
 
-  /** Add edges (dedup exact triplets — add_edges). */
-  def addEdges(newEdges: DataFrame): PropertyGraph =
+  /** Add edges (dedup exact triplets — add_edges). Same increment-sized
+    * plan shape as [[addNodes]]: the former union+distinct reshuffled
+    * the WHOLE edge relation to admit a handful of rows. */
+  def addEdges(newEdges: DataFrame): PropertyGraph = {
+    val inc = newEdges.select(col("src"), col("dst"), col("rel")).distinct()
+    val dups = edges.join(broadcast(inc), Seq("src", "dst", "rel"), "left_semi")
     PropertyGraph(nodes,
-      edges.union(newEdges.select(col("src"), col("dst"), col("rel"))).distinct())
+      edges.union(inc.join(broadcast(dups), Seq("src", "dst", "rel"), "left_anti")))
+  }
 
   /** Delete nodes by id along with every incident edge (delete_nodes). */
   def deleteNodes(ids: DataFrame): PropertyGraph = {
