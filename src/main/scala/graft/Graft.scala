@@ -40,6 +40,26 @@ object Graft {
   def memify(spark: SparkSession, dir: String): DataFrame =
     Pipeline.memify(spark, dir)
 
+  /** Delete a document slice with hard-mode cascade (cognee.delete). */
+  def delete(spark: SparkSession, dir: String, source: String = "src5"): DataFrame =
+    Pipeline.deleteDocs(spark, dir, source)
+
+  /** Re-ingest changed revisions (cognee api/v1/update). */
+  def update(spark: SparkSession, dir: String, source: String = "src7"): DataFrame =
+    Pipeline.updateDocs(spark, dir, source)
+
+  /** Drop the whole graph (cognee.prune) — empty graph, same schema. */
+  def prune(g: graph.PropertyGraph): graph.PropertyGraph = g.deleteGraph
+
+  /** Offline HTML view of the graph (cognee.visualize_graph). */
+  def visualize(spark: SparkSession, dir: String, maxNodes: Int = 500): String =
+    graph.GraphExport.toHtml(graph.TpchGraph(spark, dir), maxNodes)
+
+  /** Score every graph triplet against the query
+    * (retrieval/utils/brute_force_triplet_search.py get_memory_fragment). */
+  def getMemoryFragment(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrievers.triplets(spark, dir)
+
   /** Dispatch a search type to its retrieval plan (cognee.search). */
   def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
     case Chunks => operators.Retrievers.chunks(spark, dir)

@@ -17,6 +17,16 @@ class PipelineSpec extends SparkSpecBase {
     assert(viaCypher.count() === 5L)
   }
 
+  test("facade covers every reference API verb") {
+    assert(Graft.delete(spark, sf).count() === 4L)  // 4 ledger stages
+    assert(Graft.update(spark, sf).count() === 4L)
+    assert(Graft.memify(spark, sf).count() === 6L)
+    val pruned = Graft.prune(Pipeline.cognify(spark, sf).graph)
+    assert(pruned.nodes.count() === 0L && pruned.edges.count() === 0L)
+    assert(Graft.visualize(spark, sf, maxNodes = 10).startsWith("<!DOCTYPE html>"))
+    assert(Graft.getMemoryFragment(spark, sf).count() === 10L)
+  }
+
   test("driver flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
