@@ -58,17 +58,25 @@ object Bench {
     // rounds 1-3 proved a ~4 KB line gets front-truncated there and never parses
     // ("parsed": null in every BENCH_r*.json). This line stays under ~1.8 KB so
     // it sits whole inside the tail window even with sbt's epilogue after it.
-    val errsShort = if (errors.isEmpty) "" else s""","errors":$errs"""
+    // Compact errors: the failing query NAMES must survive any budget
+    // squeeze (full messages live on the detail line above), so messages
+    // are pre-truncated here and dropped entirely as the last resort.
+    val errsCompact = errors.map { case (k, v) => "\"" + k + "\":\"" + v.take(40) + "\"" }
+      .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    def line(dec: Int): String = {
+    def line(dec: Int, withErrs: Boolean): String = {
       def f(d: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
       val qs2 = results.map { case (k, _, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$errsShort,"sf":"$sfShort"}"""
+      val e = if (errors.isEmpty) "" else if (withErrs) s""","errors":$errsCompact"""
+        else s""","n_errors":${errors.size}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$e,"sf":"$sfShort"}"""
     }
     // Adaptive precision: keep every query in the map but degrade from
-    // 2 to 0 decimals if the inventory grows the line past the ~1.8 KB
-    // tail-window budget.
-    System.out.println((2 to 0 by -1).map(line).find(_.length <= 1800).getOrElse(line(0)))
+    // 2 to 0 decimals — then drop error messages to a count — before
+    // ever exceeding the ~1.8 KB tail-window budget.
+    val candidates = (2 to 0 by -1).map(line(_, withErrs = true)) ++
+      (2 to 0 by -1).map(line(_, withErrs = false))
+    System.out.println(candidates.find(_.length <= 1800).getOrElse(candidates.last))
     System.out.flush()
   }
 }

@@ -195,7 +195,14 @@ object Pipeline {
       concat(lit("rule:"), col("entity")).as("src"),
       concat(lit("doc:"), col("doc_id").cast("string")).as("dst"),
       lit("applies_to").as("rel")).distinct()
-    val enriched = r.graph.addNodes(rules).addEdges(assoc)
+    // The enrichment is corpus-proportional (one edge per mentioning
+    // document), so it does NOT go through the increment-sized mutation
+    // API (addNodes/addEdges broadcast their increment); it merges as
+    // plain unions, sound because the derived sets are disjoint from
+    // the base by construction: "rule:" ids collide with no doc/entity
+    // id, and applies_to triplets share no key with mention edges.
+    val g = r.graph
+    val enriched = PropertyGraph(g.nodes.union(rules), g.edges.union(assoc))
     def c(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
     c("nodeset_entities", nodesetEnt)

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
   * Node properties: id, ntype, name. Untyped nodes `(x)` match any
-  * vertex; `-[:rel]-` (no arrowhead) traverses undirected — the
+  * vertex; `-[:rel]->` / `<-[:rel]-` traverse forward / reverse;
+  * `-[:rel]-` (no arrowhead) traverses undirected — the
   * get_connections neighborhood shape; `[:a|b]` unions relation types
   * (one `isin` filter, still pushed to the scan).
   *
@@ -29,7 +30,7 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val relRe = """-\s*\[\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
+  private val relRe = """(<)?-\s*\[\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
@@ -42,12 +43,21 @@ object CypherLite {
     val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
 
     val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), Option(m.group(2)))).toSeq
-    // (relTypes, minHops, maxHops, directed); plain -[:rel]-> is 1..1 directed
+    // (relTypes, minHops, maxHops, direction); plain -[:rel]-> is 1..1
+    // forward, <-[:rel]- reverse, -[:rel]- (no arrowhead) undirected.
+    sealed trait Dir; object Fwd extends Dir; object Rev extends Dir; object Undir extends Dir
     val relPats = relRe.findAllMatchIn(matchPart).map { m =>
       val (lo, hi) =
-        if (m.group(2) == null) (1, 1) else (m.group(2).toInt, m.group(3).toInt)
+        if (m.group(3) == null) (1, 1) else (m.group(3).toInt, m.group(4).toInt)
       require(lo >= 1 && hi >= lo && hi <= 10, s"unsupported path bounds *$lo..$hi")
-      (m.group(1).split("\\|").map(_.trim).toSeq, lo, hi, m.group(4) != null)
+      val dir = (m.group(1) != null, m.group(5) != null) match {
+        case (true, true) => throw new IllegalArgumentException(
+          s"unsupported double-headed relationship in: $matchPart")
+        case (true, false) => Rev
+        case (false, true) => Fwd
+        case (false, false) => Undir
+      }
+      (m.group(2).split("\\|").map(_.trim).toSeq, lo, hi, dir)
     }.toSeq
     require(nodePats.nonEmpty && relPats.length == nodePats.length - 1,
       s"unsupported pattern: $matchPart")
@@ -57,15 +67,18 @@ object CypherLite {
         col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"))
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
-    relPats.zipWithIndex.foreach { case ((rels, lo, hi, directed), i) =>
+    relPats.zipWithIndex.foreach { case ((rels, lo, hi, dir), i) =>
       val (pv, _) = nodePats(i)
       val (nv, nt) = nodePats(i + 1)
       val fwd = g.edges.filter(col("rel").isin(rels: _*)).select(col("src"), col("dst"))
+      val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
       // Undirected hop = both orientations of the typed edge set (the
       // get_connections traversal view), deduplicated.
-      val hop =
-        if (directed) fwd
-        else fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val hop = dir match {
+        case Fwd => fwd
+        case Rev => rev
+        case Undir => fwd.union(rev).distinct()
+      }
       // Variable-length: distinct (src,dst) pairs reachable in lo..hi
       // hops of `rel` — chained equi-joins unioned per length (Cypher
       // path-existence semantics; endpoints only, no path binding).

@@ -259,11 +259,17 @@ object GraphAlgos {
     }
     // Match GraphX staticPageRank's final normalization (ranks sum to N).
     val row = ranks.agg(count(lit(1)).cast("double"), sum(col("r"))).head()
-    // Scratch caches served their purpose (every iteration materialized);
-    // the final ranks stay persisted for the caller, the loop inputs do not.
+    // Hand the caller a checkpointed result (RDD blocks, released by the
+    // ContextCleaner once unreferenced) and release EVERY loop cache —
+    // a persisted `ranks` would be a CacheManager entry nobody could
+    // ever unpersist through the returned derived plan.
+    val out = ranks
+      .select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
+      .localCheckpoint(true)
+    ranks.unpersist(false)
     edgesW.unpersist(false)
     nodeIds.unpersist(false)
-    ranks.select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
+    out
   }
 
   /** Bipartite co-occurrence projection: items sharing a basket become

@@ -112,8 +112,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         (col("num_nodes") * (col("num_nodes") - lit(1L))), 8).as("edge_density"))
   }
 
-  /** Upsert nodes (keep-first on id collision — cognee add_nodes uses
-    * deterministic ids, so re-adding is a no-op). Mutations compose as
+  /** Upsert nodes (keep-first against the base on id collision — cognee
+    * add_nodes uses deterministic ids, so re-adding is a no-op; within
+    * the increment, conflicting rows for one id resolve to the minimum
+    * (ntype, name) so the result is partition-order-independent).
+    * Mutations compose as
     * plans over the base relations; materializing an increment is a
     * parquet write of the result, not an in-place edit.
     *
@@ -124,8 +127,12 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * broadcast-anti-joins the increment itself. A bulk merge should go
     * through re-ingest instead. */
   def addNodes(newNodes: DataFrame): PropertyGraph = {
-    val inc = newNodes.select(col("id"), col("ntype"), col("name"))
-      .dropDuplicates("id") // upsert semantics: deterministic ids, keep one
+    // Upsert semantics: one row per id, chosen DETERMINISTICALLY (min by
+    // (ntype, name)) — dropDuplicates would keep a partition-order-
+    // dependent row when an increment carries conflicting attributes.
+    val inc = newNodes.groupBy(col("id"))
+      .agg(min(struct(col("ntype"), col("name"))).as("s"))
+      .select(col("id"), col("s.ntype").as("ntype"), col("s.name").as("name"))
     val collisions = nodes.join(broadcast(inc.select(col("id"))), Seq("id"), "left_semi")
       .select(col("id"))
     PropertyGraph(
@@ -213,15 +220,14 @@ object TpchGraph {
   // The projection is referenced by many queries in one process (verify /
   // bench run the whole inventory); building it involves a distinct()
   // over lineitem, so cache the persisted result per (session, dir).
-  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+  private val cache = new SessionDirCache[PropertyGraph]((spark, dir) => {
+    val g = build(spark, dir)
+    PropertyGraph(
+      g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  })
 
-  def apply(spark: SparkSession, dir: String): PropertyGraph =
-    cache.getOrElseUpdate((spark, dir), {
-      val g = build(spark, dir)
-      PropertyGraph(
-        g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+  def apply(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir)
 
   private def build(spark: SparkSession, dir: String): PropertyGraph = {
     import graft.Tables.load

@@ -65,8 +65,14 @@ object EventStream {
     * idempotent add-with-dedup contract of Pipeline.addIncrement), then
     * exploded into the same (doc_id, entity) mention increments batch
     * cognify derives — each micro-batch appends exactly the rows a
-    * batch run over its new documents would produce, so the mention
-    * collection stays identical whichever path filled it. */
+    * batch run over its new documents would produce.
+    *
+    * Identity contract: a document IS its content hash (the reference
+    * assigns ids from the hash — ingestion/identify.py), so two stream
+    * records carrying identical text are one document and the second is
+    * dropped even if it arrives under a different transport id. Batch
+    * parity therefore holds for corpora whose distinct documents have
+    * distinct content — which the identity contract guarantees. */
   def cognifyStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("ts", timestamp_seconds(col("tsSec")))

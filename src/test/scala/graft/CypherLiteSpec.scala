@@ -45,6 +45,18 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out === List("a:1", "a:2", "c:1"))
   }
 
+  test("left-arrow pattern traverses reverse, not undirected") {
+    val out = CypherLite.run(g,
+      "MATCH (y:b)<-[:knows]-(x:a) RETURN x.id AS xid, y.id AS yid ORDER BY xid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(out === List(("a:1", "b:1"), ("a:2", "b:1")))
+    // reverse of 'in' from b:1 yields nothing (only b:1 -in-> c:1 exists)
+    assert(CypherLite.run(g, "MATCH (x:b)<-[:in]-(y) RETURN y.id AS yid").count() === 0L)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g, "MATCH (x:a)<-[:knows]->(y:b) RETURN x.id AS xid")
+    }
+  }
+
   test("relation alternation unions edge types in one hop") {
     val out = CypherLite.run(g,
       "MATCH (x:a)-[:knows|in]->(y) RETURN y.id AS yid, count(*) AS n ORDER BY yid")
