@@ -37,13 +37,17 @@ object Retrievers {
     val e = embD(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val docs = load(spark, dir, "documents")
+    // Top-5 BEFORE the snippet join: the corpus-wide work is the scored
+    // scan (TakeOrdered over it), and only the 5 winners join documents
+    // for their snippet text — not every scored row.
     e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("cosine"),
         array_join(slice(split(col("text"), " "), 1, 10), " ").as("snippet"))
-      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+      .orderBy(col("cosine").desc, col("doc_id").asc)
   }
 
   val chunksSql: String =

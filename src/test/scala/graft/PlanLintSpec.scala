@@ -40,6 +40,38 @@ class PlanLintSpec extends SparkSpecBase {
     }
   }
 
+  // A global Sort over raw (unbounded) rows is a full range-shuffle of
+  // the dataset. A sort is acceptable when its subtree bounds the data
+  // first — a Limit (top-k => TakeOrderedAndProject) or an Aggregate
+  // (presentation sort over grouped output). Raw-row global sorts with
+  // neither are rejected.
+  test("no registered query globally sorts unbounded raw rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val lp = fn(spark, sf).queryExecution.optimizedPlan
+      // A Sort directly under a Limit is the top-k idiom (physical
+      // TakeOrderedAndProject) — fine. Otherwise the sort's own subtree
+      // must bound the rows first (Limit or Aggregate below it).
+      def walk(p: logical.LogicalPlan, underLimit: Boolean): Seq[String] = {
+        val here = p match {
+          case s: logical.Sort if s.global && !underLimit &&
+            !s.child.exists(c => c.isInstanceOf[logical.GlobalLimit]
+              || c.isInstanceOf[logical.Aggregate]) => Seq(s.simpleString(60))
+          case _ => Seq.empty
+        }
+        // "Under a limit" survives the pruning Projects/Filters Catalyst
+        // interposes; any other node breaks the top-k association.
+        val nextUnder = p match {
+          case _: logical.GlobalLimit | _: logical.LocalLimit => true
+          case _: logical.Project | _: logical.Filter => underLimit
+          case _ => false
+        }
+        here ++ p.children.flatMap(walk(_, nextUnder))
+      }
+      val bad = walk(lp, underLimit = false)
+      assert(bad.isEmpty, s"$name globally sorts unbounded raw rows (full range shuffle): $bad")
+    }
+  }
+
   test("no registered query plans a cartesian join outside the reviewed tiny-broadcast set") {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!tinyBroadcastOk(name)) {
