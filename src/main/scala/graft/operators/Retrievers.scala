@@ -70,13 +70,16 @@ object Retrievers {
     val e = embD(spark, dir)
     val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
     val docs = load(spark, dir, "documents")
+    // Same top-k-first shape as [[chunks]]: only the 5 winners join
+    // documents to extract their summary text.
     e.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("cosine"),
         array_join(slice(split(col("text"), " "), 1, 16), " ").as("summary"))
-      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+      .orderBy(col("cosine").desc, col("doc_id").asc)
   }
 
   val summariesSql: String =
