@@ -32,6 +32,28 @@ class PlanLintSpec extends SparkSpecBase {
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     cond.exists(_.isInstanceOf[EqualTo])
 
+  // Documented rows-only sketches: no cross-engine oracle exists (ANN
+  // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
+  private val rowsOnlyByDesign: Set[String] =
+    Set("vec_knn_ivf", "vec_knn_lsh", "q_approx_distinct", "q_approx_percentiles")
+
+  test("every registered query has an oracle or is a documented rows-only sketch") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert((noOracle -- rowsOnlyByDesign).isEmpty,
+      s"queries without oracle or rows-only justification: ${noOracle -- rowsOnlyByDesign}")
+    val staleOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(staleOracles.isEmpty, s"oracles for unregistered queries: $staleOracles")
+    assert(rowsOnlyByDesign.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query output has unique column names (driver hashes by sorted name)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns
+      assert(cols.distinct.length === cols.length, s"$name has duplicate columns: ${cols.toList}")
+      assert(cols.forall(c => c == c.toLowerCase), s"$name has non-lowercase columns: ${cols.toList}")
+    }
+  }
+
   test("no registered query plans a partition-less window") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val lp = fn(spark, sf).queryExecution.optimizedPlan
