@@ -1,0 +1,37 @@
+package graft
+
+/** Physical-scan lint: the scale story depends on predicates and
+  * projections reaching the parquet reader — a scan that reads every
+  * column (or every row group) for a selective query silently costs
+  * 100x at 100 TB. These specs pin the executed plans' scan nodes, not
+  * the operator results.
+  */
+class PushdownSpec extends SparkSpecBase {
+
+  private def scanInfo(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      .toString.split("\n").filter(_.contains("FileScan")).mkString("\n")
+
+  test("selective date filters push into the parquet scan") {
+    // q10: o_orderdate range + l_returnflag equality must be PushedFilters
+    val q10 = scanInfo("q10_returns")
+    assert(q10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || q10.contains("EqualTo(l_returnflag,R)"), s"q10 scan:\n$q10")
+    assert(q10.contains("GreaterThanOrEqual(o_orderdate") || q10.contains("o_orderdate"),
+      s"q10 orders scan lacks date pushdown:\n$q10")
+    // graph_isolated: the 2001+ shipdate predicate reaches lineitem
+    val iso = scanInfo("graph_isolated")
+    assert(iso.contains("GreaterThanOrEqual(l_shipdate"), s"isolated scan:\n$iso")
+  }
+
+  test("narrow projections prune the parquet read schema") {
+    // text_tokens needs doc_id+text only — lang/source/n_chars must not be read
+    val tok = scanInfo("text_tokens")
+    assert(!tok.contains("n_chars") && !tok.contains("source"),
+      s"text_tokens reads pruned-away columns:\n$tok")
+    // q1_agg reads a handful of lineitem columns, never the comment-ish wide ones
+    val q1 = scanInfo("q1_agg")
+    assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"),
+      s"q1_agg reads unused join keys:\n$q1")
+  }
+}
