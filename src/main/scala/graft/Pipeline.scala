@@ -234,6 +234,50 @@ object Pipeline {
       |UNION ALL SELECT 'edges_after',
       |  (SELECT count(*) FROM mentions) + (SELECT count(*) FROM extracted)""".stripMargin
 
+  /** Pipeline-run metrics row (reference: cognee/modules/metrics/
+    * operations/get_pipeline_run_metrics.py:26 — one GraphMetrics record
+    * per pipeline run: corpus token count + the graph's node/edge/
+    * degree/density summary; the optional deep half — components,
+    * diameter, clustering — is `graph_metrics_full`). num_tokens is the
+    * summed per-doc token estimate (fetch_token_count sums
+    * Data.token_count); the graph is the cognify mention graph. Four
+    * single-row aggregates crossJoined — each side is one map-side
+    * partial agg, the join is trivially broadcast. */
+  def runMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val r = cognify(spark, dir)
+    val d = r.documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(ceil(length(col("text")) / 4.0).cast("long")).as("num_tokens"))
+    val e = r.entities.agg(count(lit(1)).as("n_ent"))
+    val m = r.mentions.agg(count(lit(1)).as("num_edges"))
+    val n = col("n_docs") + col("n_ent")
+    d.crossJoin(e).crossJoin(m).select(
+      col("num_tokens"),
+      n.as("num_nodes"),
+      col("num_edges"),
+      round(col("num_edges") * 2.0 / n, 4).as("mean_degree"),
+      round(col("num_edges") * 1.0 / (n * (n - lit(1L))), 8).as("edge_density"))
+  }
+
+  val runMetricsSql: String =
+    """WITH mentions AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS entity
+      |  FROM documents
+      |),
+      |d AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(ceil(length(text) / 4.0)) AS BIGINT) AS num_tokens
+      |  FROM documents
+      |),
+      |e AS (SELECT count(DISTINCT entity) AS n_ent FROM mentions),
+      |m AS (SELECT count(*) AS num_edges FROM mentions)
+      |SELECT num_tokens,
+      |  n_docs + n_ent AS num_nodes,
+      |  num_edges,
+      |  round(num_edges * 2.0 / (n_docs + n_ent), 4) AS mean_degree,
+      |  round(num_edges * 1.0 / ((n_docs + n_ent) * (n_docs + n_ent - 1)), 8) AS edge_density
+      |FROM d, e, m""".stripMargin
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)
@@ -263,11 +307,13 @@ object Pipeline {
     "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
     "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
     "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
+    "pipeline_metrics" -> ((s: SparkSession, d: String) => runMetrics(s, d)),
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
     "pipeline_delete" -> deleteDocsSql,
     "pipeline_update" -> updateDocsSql,
     "pipeline_memify" -> memifySql,
+    "pipeline_metrics" -> runMetricsSql,
     "pipeline_cognify" -> stageCountsSql)
 }

@@ -27,6 +27,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(Graft.getMemoryFragment(spark, sf).count() === 10L)
   }
 
+  test("pipeline run metrics agree with the cognify graph and token sum") {
+    val m = Pipeline.runMetrics(spark, sf).collect().head
+    val g = Pipeline.cognify(spark, sf).graph
+    assert(m.getAs[Long]("num_nodes") === g.nodes.count())
+    assert(m.getAs[Long]("num_edges") === g.edges.count())
+    val expectedTokens = Tables.load(spark, sf, "documents")
+      .select(sum(ceil(length(col("text")) / 4.0).cast("long"))).collect().head.getLong(0)
+    assert(m.getAs[Long]("num_tokens") === expectedTokens)
+    assert(m.getAs[Double]("mean_degree") > 0.0)
+  }
+
   test("driver flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
