@@ -190,7 +190,118 @@ object TextOps {
       |  md5(array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ')) AS chunk_hash
       |FROM c""".stripMargin
 
+  /** Greedy sentence-accumulation chunking — the reference's
+    * paragraph chunker (cognee/tasks/chunks/chunk_by_paragraph.py:7:
+    * sentences accumulate into a chunk until adding the NEXT sentence
+    * would exceed max_chunk_size, then the chunk cuts on the sentence
+    * boundary; an oversized single sentence becomes its own chunk;
+    * sentence units come from chunk_by_sentence.py:32 over
+    * chunk_by_word.py's SENTENCE_ENDINGS). The synthetic corpus has no
+    * punctuation, so the sentence-boundary rule is a deterministic
+    * stand-in (the fakeDecode precedent): a token ends a sentence iff
+    * fold16(md5(token)) % 7 == 0; the last token always ends one.
+    *
+    * Shape, and why it scales: tokens explode to rows once; sentence
+    * ids are a running flag-sum windowed PER DOCUMENT (bounded
+    * partitions — the same "a document fits in memory" contract the
+    * reference's generator loop has); sentences group back; the greedy
+    * fold is inherently sequential per doc, so it runs as one
+    * `aggregate` HOF over each doc's (small) sentence array, never on
+    * the driver. Emits one row per chunk with the boundary-preserving
+    * guarantee: concatenating a doc's chunks in order reproduces the
+    * token stream exactly (spec-pinned).
+    */
+  def chunkParagraph(spark: SparkSession, dir: String, maxSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isEnd = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 7 === 0
+    val toksRows = load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sentTok = toksRows.withColumn("sid",
+      coalesce(sum(when(isEnd, 1L).otherwise(0L)).over(byDoc), lit(0L)))
+    val sentences = sentTok.groupBy(col("doc_id"), col("sid"))
+      .agg(count(lit(1)).as("stoks"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("stext"))
+    // Per-doc greedy fold: bounds = the sentence ids where a new chunk
+    // starts (chunk 0 implicitly starts at the first sentence).
+    val perDoc = sentences.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("sid"), col("stoks"), col("stext")))).as("sents"))
+      .withColumn("bounds",
+        aggregate(
+          col("sents"),
+          struct(array().cast("array<bigint>").as("bs"), lit(0L).as("cur")),
+          (acc, s) => {
+            val cut = acc.getField("cur") > 0 && acc.getField("cur") + s.getField("stoks") > maxSize
+            struct(
+              when(cut, concat(acc.getField("bs"), array(s.getField("sid"))))
+                .otherwise(acc.getField("bs")).as("bs"),
+              when(cut, s.getField("stoks"))
+                .otherwise(acc.getField("cur") + s.getField("stoks")).as("cur"))
+          },
+          acc => acc.getField("bs")))
+    perDoc
+      .select(col("doc_id"), col("bounds"), explode(col("sents")).as("s"))
+      .select(col("doc_id"),
+        size(filter(col("bounds"), b => b <= col("s.sid"))).cast("long").as("chunk_idx"),
+        col("s.sid").as("sid"), col("s.stoks").as("stoks"), col("s.stext").as("stext"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("stoks")).as("n_tokens"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("sid"), col("stext")))),
+          x => x.getField("stext")), " ")).as("chunk_hash"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_sentences"), col("n_tokens"),
+        col("chunk_hash"),
+        when(col("n_tokens") > maxSize, "oversize").otherwise("fit").as("cut_type"))
+  }
+
+  val chunkParagraphSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |tok AS (
+      |  SELECT doc_id, CAST(u AS BIGINT) AS pos, toks[CAST(u AS INT) + 1] AS tok
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS u FROM t)
+      |),
+      |flagged AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN CAST(list_sum(list_transform(range(4),
+      |        i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1)
+      |             * power(16, 3 - i))) AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END AS flag
+      |  FROM tok
+      |),
+      |sent_tok AS (
+      |  SELECT doc_id, pos, tok,
+      |    COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+      |  FROM flagged
+      |),
+      |sentences AS (
+      |  SELECT doc_id, sid, count(*) AS stoks,
+      |    string_agg(tok, ' ' ORDER BY pos) AS stext,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY sid) AS i
+      |  FROM sent_tok GROUP BY doc_id, sid
+      |),
+      |r AS (
+      |  SELECT doc_id, i, sid, stoks, stext, CAST(0 AS BIGINT) AS chunk_idx, stoks AS cur
+      |  FROM sentences WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.doc_id, s.i, s.sid, s.stoks, s.stext,
+      |    CASE WHEN r.cur + s.stoks > 32 THEN r.chunk_idx + 1 ELSE r.chunk_idx END,
+      |    CASE WHEN r.cur + s.stoks > 32 THEN s.stoks ELSE r.cur + s.stoks END
+      |  FROM r JOIN sentences s ON s.doc_id = r.doc_id AND s.i = r.i + 1
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  count(*) AS n_sentences,
+      |  CAST(sum(stoks) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(stext, ' ' ORDER BY sid)) AS chunk_hash,
+      |  CASE WHEN sum(stoks) > 32 THEN 'oversize' ELSE 'fit' END AS cut_type
+      |FROM r GROUP BY doc_id, chunk_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_paragraph" -> ((s: SparkSession, d: String) => chunkParagraph(s, d)),
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
     "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
@@ -199,6 +310,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "text_chunk_paragraph" -> chunkParagraphSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_tokens" -> tokensSql,
     "text_quality" -> qualitySql,

@@ -241,6 +241,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(cmp === 0L)
   }
 
+  test("paragraph chunks preserve sentence boundaries and cover every token") {
+    val pc = TextOps.chunkParagraph(spark, sf).cache()
+    // exact coverage: chunk tokens sum back to the doc's token count
+    val toks = TextOps.tokens(spark, sf).select(col("doc_id"), col("n_ws_tokens"))
+    val bad = pc.groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("total"))
+      .join(toks, Seq("doc_id")).filter(col("total") =!= col("n_ws_tokens")).count()
+    assert(bad === 0L)
+    // greedy invariant: a chunk only exceeds maxSize when it is one
+    // oversized sentence (chunk_by_paragraph's single-sentence case)
+    assert(pc.filter(col("n_tokens") > 32 && col("n_sentences") > 1).count() === 0L)
+    assert(pc.filter(col("cut_type") === "oversize").count() > 0L)
+    // chunk indices are contiguous from 0 per doc
+    val idx = pc.groupBy(col("doc_id"))
+      .agg(min(col("chunk_idx")).as("lo"), max(col("chunk_idx")).as("hi"), count(lit(1)).as("n"))
+    assert(idx.filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1).count() === 0L)
+  }
+
   test("fingerprints: exact differs across docs, tokenset collides for shuffled dups") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     val n = fp.count()
