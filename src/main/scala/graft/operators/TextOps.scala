@@ -113,21 +113,51 @@ object TextOps {
       |  count(*) AS n
       |FROM scored GROUP BY 1, 2""".stripMargin
 
-  /** Per-doc content fingerprints: exact (md5 of text, folded to 64
-    * bits of hex) and order-insensitive token-set fingerprint — the
-    * ingest-identity step (reference: cognee/modules/ingestion/
-    * identify.py hashes content to a deterministic id). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents").select(
-      col("doc_id"),
-      substring(md5(col("text")), 1, 16).as("fp_exact"),
-      substring(md5(array_join(array_sort(array_distinct(toks)), " ")), 1, 16).as("fp_tokenset"))
+  /** Per-doc content fingerprints — the ingest-identity step
+    * (reference: cognee/modules/ingestion/identify.py hashes content
+    * to a deterministic id) plus the brief's rolling-hash variants:
+    *  - fp_exact: md5 of text (64 bits of hex) — byte identity.
+    *  - fp_tokenset: md5 of the sorted distinct token set — survives
+    *    word reordering.
+    *  - fp_rolling: Karp–Rabin polynomial hash over per-word hash
+    *    primitives, h := (h·31 + fold16(md5(w))) mod p — the O(n)
+    *    streaming fingerprint; one `aggregate` HOF, no UDF.
+    *  - fp_winnow: minimum 5-gram shingle hash (the 1-function
+    *    MinHash / winnowing-style fingerprint) — survives edits
+    *    outside the minimizing shingle, the near-dup-robust identity.
+    * All four are narrow per-row expressions; the oracle replays the
+    * identical arithmetic via hex-digit folds. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val p = lit(1000000007L)
+    def fold(c: Column, hexChars: Int): Column =
+      conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("tks"))
+      .select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp_exact"),
+        substring(md5(array_join(array_sort(array_distinct(col("tks"))), " ")), 1, 16).as("fp_tokenset"),
+        aggregate(col("tks"), lit(0L),
+          (acc, w) => (acc * lit(31L) + fold(w, 4)) % p).as("fp_rolling"),
+        array_min(transform(sequence(lit(0), size(col("tks")) - 5),
+          g => fold(array_join(slice(col("tks"), g + 1, lit(5)), " "), 8))).as("fp_winnow"))
+  }
 
   val fingerprintSql: String =
-    """SELECT doc_id,
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
       |  substr(md5(text), 1, 16) AS fp_exact,
-      |  substr(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 16) AS fp_tokenset
-      |FROM documents""".stripMargin
+      |  substr(md5(array_to_string(list_sort(list_distinct(toks)), ' ')), 1, 16) AS fp_tokenset,
+      |  list_reduce(list_transform(toks,
+      |    w -> CAST(list_sum(list_transform(range(4),
+      |           i -> (strpos('0123456789abcdef', substr(md5(w), CAST(i AS INT) + 1, 1)) - 1)
+      |                * power(16, 3 - i))) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling,
+      |  list_min(list_transform(range(len(toks) - 4),
+      |    g -> CAST(list_sum(list_transform(range(8),
+      |           i -> (strpos('0123456789abcdef', substr(md5(array_to_string(toks[CAST(g AS INT) + 1:CAST(g AS INT) + 5], ' ')), CAST(i AS INT) + 1, 1)) - 1)
+      |                * power(16, 7 - i))) AS BIGINT))) AS fp_winnow
+      |FROM t""".stripMargin
 
   /** Fixed word-window chunking (W=64): the TextChunker analog. Chunk
     * index derives from an exploded index sequence + array slice — no

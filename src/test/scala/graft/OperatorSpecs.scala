@@ -263,6 +263,24 @@ class TextOpsSpec extends SparkSpecBase {
     val n = fp.count()
     assert(fp.select(col("fp_exact")).distinct().count() === n)
     assert(fp.select(col("fp_tokenset")).distinct().count() < n)
+    // rolling is order-sensitive → as discriminating as exact here
+    assert(fp.select(col("fp_rolling")).distinct().count() === n)
+    assert(fp.filter(col("fp_winnow").isNull).count() === 0L)
+  }
+
+  test("winnow fingerprint survives edits away from the minimizing shingle") {
+    import TestSpark.spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // an edit at the far end keeps the minimizing 5-gram intact
+    val edited = base.replace("kappa", "lambda")
+    val out = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    Seq((1L, base, "en", "s", base.length), (2L, edited, "en", "s", edited.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val fp = TextOps.fingerprint(spark, out).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("fp_exact"), r.getAs[Long]("fp_winnow"))).toMap
+    assert(fp(1L)._1 !== fp(2L)._1)   // exact identity breaks
+    assert(fp(1L)._2 === fp(2L)._2)   // winnow identity holds
   }
 }
 
