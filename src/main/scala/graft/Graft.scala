@@ -51,6 +51,11 @@ object Graft {
   /** Drop the whole graph (cognee.prune) — empty graph, same schema. */
   def prune(g: graph.PropertyGraph): graph.PropertyGraph = g.deleteGraph
 
+  /** Prune obsolete + disconnected chunk nodes
+    * (tasks/chunks/remove_disconnected_chunks.py); per-stage ledger. */
+  def pruneChunks(spark: SparkSession, dir: String): DataFrame =
+    Pipeline.pruneChunks(spark, dir)
+
   /** Offline HTML view of the graph (cognee.visualize_graph). */
   def visualize(spark: SparkSession, dir: String, maxNodes: Int = 500): String =
     graph.GraphExport.toHtml(graph.TpchGraph(spark, dir), maxNodes)

@@ -234,6 +234,64 @@ object Pipeline {
       |UNION ALL SELECT 'edges_after',
       |  (SELECT count(*) FROM mentions) + (SELECT count(*) FROM extracted)""".stripMargin
 
+  /** Prune obsolete + disconnected chunk nodes (reference: cognee/
+    * tasks/chunks/remove_disconnected_chunks.py:5 — per document, every
+    * chunk with no `next_chunk` predecessor is obsolete and deleted;
+    * then fully disconnected nodes are deleted). The chunk graph is the
+    * TextChunker projection: document nodes, chunk nodes, `has_chunk`
+    * doc→chunk edges, `next_chunk` chain edges. Deletion sets here are
+    * corpus-proportional (one obsolete chunk per document), so — like
+    * memify's enrichment — they do NOT go through the increment-sized
+    * mutation API (which broadcasts its increment): cascades are plain
+    * shuffle-keyed anti-joins. Returns the per-stage prune ledger; the
+    * oracle derives the same counts in closed form from per-doc chunk
+    * counts, making the two sides independent derivations. */
+  def pruneChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = operators.TextOps.chunk(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"))
+    val chunkId = concat(lit("chunk:"), col("doc_id"), lit(":"), col("chunk_idx"))
+    val docId = concat(lit("doc:"), col("doc_id"))
+    val docNodes = chunks.select(docId.as("id")).distinct()
+    val chunkNodes = chunks.select(chunkId.as("id"))
+    val hasChunk = chunks.select(docId.as("src"), chunkId.as("dst"), lit("has_chunk").as("rel"))
+    val nextChunk = chunks.filter(col("chunk_idx") > 0).select(
+      concat(lit("chunk:"), col("doc_id"), lit(":"), col("chunk_idx") - 1).as("src"),
+      chunkId.as("dst"), lit("next_chunk").as("rel"))
+    val edges = hasChunk.union(nextChunk)
+    // obsolete = chunks with no incoming next_chunk (the reference rule)
+    val obsolete = chunkNodes.join(
+      nextChunk.select(col("dst").as("id")), Seq("id"), "left_anti")
+    val nodes1 = docNodes.union(chunkNodes).join(obsolete, Seq("id"), "left_anti")
+    val edges1 = edges
+      .join(obsolete.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(obsolete.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    // then: fully disconnected nodes go too
+    val touched = edges1.select(col("src").as("id"))
+      .union(edges1.select(col("dst").as("id"))).distinct()
+    val disconnected = nodes1.join(touched, Seq("id"), "left_anti")
+    val nodes2 = nodes1.join(disconnected, Seq("id"), "left_anti")
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("chunks_obsolete", obsolete)
+      .union(c("disconnected_deleted", disconnected))
+      .union(c("nodes_after", nodes2))
+      .union(c("edges_after", edges1))
+  }
+
+  val pruneChunksSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CAST(ceil(len(string_split(text, ' ')) / 64.0) AS BIGINT) AS nc
+      |  FROM documents
+      |)
+      |SELECT 'chunks_obsolete' AS stage, count(*) AS n FROM n
+      |UNION ALL SELECT 'disconnected_deleted', count(*) FROM n WHERE nc = 1
+      |UNION ALL SELECT 'nodes_after',
+      |  (SELECT count(*) FROM n WHERE nc > 1) + (SELECT CAST(sum(nc - 1) AS BIGINT) FROM n)
+      |UNION ALL SELECT 'edges_after',
+      |  (SELECT CAST(sum(nc - 1) AS BIGINT) FROM n)
+      |    + (SELECT CAST(sum(greatest(nc - 2, 0)) AS BIGINT) FROM n)""".stripMargin
+
   /** Pipeline-run metrics row (reference: cognee/modules/metrics/
     * operations/get_pipeline_run_metrics.py:26 — one GraphMetrics record
     * per pipeline run: corpus token count + the graph's node/edge/
@@ -308,6 +366,7 @@ object Pipeline {
     "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
     "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
     "pipeline_metrics" -> ((s: SparkSession, d: String) => runMetrics(s, d)),
+    "pipeline_prune" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -315,5 +374,6 @@ object Pipeline {
     "pipeline_update" -> updateDocsSql,
     "pipeline_memify" -> memifySql,
     "pipeline_metrics" -> runMetricsSql,
+    "pipeline_prune" -> pruneChunksSql,
     "pipeline_cognify" -> stageCountsSql)
 }
