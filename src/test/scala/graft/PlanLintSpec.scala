@@ -27,6 +27,7 @@ class PlanLintSpec extends SparkSpecBase {
     "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
     "vec_centroids", "ontology_resolve", "graph_metrics", "pipeline_cognify",
     "graph_metrics_full", // crossJoin of five 1-row aggregates into the summary row
+    "pipeline_metrics",   // crossJoin of three 1-row aggregates into the metrics row
     "curate_pack") // 1-row (min,max) id-bounds broadcast
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
