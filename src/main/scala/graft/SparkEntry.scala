@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.VectorOps.queries, operators.VectorOps.oracles),
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.CurateOps.queries, operators.CurateOps.oracles),
+      (operators.DatasetOps.queries, operators.DatasetOps.oracles),
       (operators.OntologyOps.queries, operators.OntologyOps.oracles),
       (operators.CodeGraphOps.queries, operators.CodeGraphOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),

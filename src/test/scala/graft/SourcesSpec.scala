@@ -33,6 +33,18 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("dataset inventory partitions the corpus exactly, datasetData slices one source") {
+    val inv = operators.DatasetOps.datasets(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(inv.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val one = inv.head.getAs[String]("dataset")
+    val slice = operators.DatasetOps.datasetData(spark, sf, one)
+    assert(slice.count() === inv.find(_.getAs[String]("dataset") == one).get.getAs[Long]("n_docs"))
+    // the slice filter reaches the parquet scan as a pushed filter
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(source,"))
+  }
+
   test("text and jsonl ingest land on the documents schema with stable content ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs.txt"),
