@@ -122,13 +122,42 @@ object EventOps {
       |  round(max(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-user interaction history, most recent first (reference:
+    * cognee/modules/search/operations/get_history.py:8 — the
+    * query+result ledger of a user ordered by created_at, LIMIT 10;
+    * log_query/log_result appends map to event-log appends). The events
+    * table is the interaction ledger; the per-user recency top-k is a
+    * rank window PARTITIONED BY user (bounded per-user history, never a
+    * global sort), tie-broken on event_id for a total order. */
+  def history(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    loadEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_sec"))
+      .withColumn("pos", row_number().over(byUser))
+      .filter(col("pos") <= k)
+  }
+
+  val historySql: String =
+    """SELECT user_id, event_id, event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, pos
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS pos
+      |  FROM events
+      |)
+      |WHERE pos <= 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "search_history" -> historySql,
     "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
