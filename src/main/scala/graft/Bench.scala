@@ -64,18 +64,24 @@ object Bench {
     val errsCompact = errors.map { case (k, v) => "\"" + k + "\":\"" + v.take(40) + "\"" }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    def line(dec: Int, withErrs: Boolean): String = {
+    def line(dec: Int, withErrs: Boolean, minSec: Double = 0.0): String = {
       def f(d: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
-      val qs2 = results.map { case (k, _, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val kept = results.filter { case (_, _, v) => v >= minSec }
+      val qs2 = kept.map { case (k, _, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val omitted = if (results.size == kept.size) ""
+        else s""","n_fast_omitted":${results.size - kept.size}"""
       val e = if (errors.isEmpty) "" else if (withErrs) s""","errors":$errsCompact"""
         else s""","n_errors":${errors.size}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$e,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e,"sf":"$sfShort"}"""
     }
-    // Adaptive precision: keep every query in the map but degrade from
-    // 2 to 0 decimals — then drop error messages to a count — before
-    // ever exceeding the ~1.8 KB tail-window budget.
+    // Adaptive degradation, mildest first: 2→0 decimals with every query
+    // present; drop error messages to a count; finally keep only the
+    // ≥0.5 s queries (the driver's gate reads `value` — the per-query
+    // map is diagnostic, and the hot queries are the diagnostic part) —
+    // all before ever exceeding the ~1.8 KB tail-window budget.
     val candidates = (2 to 0 by -1).map(line(_, withErrs = true)) ++
-      (2 to 0 by -1).map(line(_, withErrs = false))
+      (2 to 0 by -1).map(line(_, withErrs = false)) ++
+      Seq(line(2, withErrs = false, minSec = 0.5), line(1, withErrs = false, minSec = 0.5))
     System.out.println(candidates.find(_.length <= 1800).getOrElse(candidates.last))
     System.out.flush()
   }
