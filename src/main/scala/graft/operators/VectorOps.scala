@@ -81,13 +81,18 @@ object VectorOps {
   /** Per-row scored struct array: (dot(v, ĉᵢ), i) for each normalized
     * centroid literal; array_max picks the best cell (ties → larger id —
     * struct comparison is field-ordered, so deterministic). */
-  private def bestCell(v: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      struct(dot(v, lit(c.map(_ / n))).as("s"), lit(i).as("cell"))
+  private def bestCell(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.isEmpty) {
+      // empty corpus → no trained centroids; keep the plan well-formed
+      // (no row ever evaluates this) so empty slices flow through
+      struct(lit(0.0).as("s"), lit(0).as("cell"))
+    } else {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        struct(dot(v, lit(c.map(_ / n))).as("s"), lit(i).as("cell"))
+      }
+      array_max(array(scored: _*))
     }
-    array_max(array(scored: _*))
-  }
 
   /** Deterministic hash-bucket training sample: above `cap` rows the
     * quantizer trains on ~cap rows selected by md5 bucket (one filter in
@@ -267,6 +272,10 @@ object VectorOps {
     val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
     val n = e0.count()
     val cents = kmeansCentroids(trainingSample(e0, n, trainCap), cellCount(n))
+    if (cents.isEmpty) {
+      // empty corpus trains no centroids → empty result, same shape
+      return e0.select(col("vec_id").as("query_id"), col("vec_id"), lit(0.0).as("cosine"))
+    }
     val e = e0.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
     val q = e0.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
     // nearest nprobe cells per query: queries × k scored structs, picked
