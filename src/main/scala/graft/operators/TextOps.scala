@@ -187,7 +187,12 @@ object TextOps {
 
   /** Overlapping sliding-window chunking (window W, stride S < W): the
     * training-data variant of [[chunk]] where consecutive chunks share
-    * W−S tokens so no context is lost at boundaries. Chunk start
+    * W−S tokens so no context is lost at boundaries. This is also the
+    * reference's LangchainChunker (chunking/LangchainChunker.py:30):
+    * RecursiveCharacterTextSplitter with its word-count length_function
+    * over a single-separator corpus merges fixed-length word units
+    * greedily with a chunk_overlap carry — exactly a sliding window of
+    * chunk_size words at stride chunk_size−overlap. Chunk start
     * positions are 0, S, 2S, … while a full window still fits (plus one
     * tail chunk); same explode-the-index shape, no collect, no overlap
     * materialized twice beyond the slices themselves. */
