@@ -335,7 +335,54 @@ object TextOps {
       |  CASE WHEN sum(stoks) > 32 THEN 'oversize' ELSE 'fit' END AS cut_type
       |FROM r GROUP BY doc_id, chunk_idx""".stripMargin
 
+  /** Typed regex entity extraction (reference: cognee/tasks/
+    * entity_completion/entity_extractors/regex_entity_extractor.py:12 +
+    * regex_entity_config.json — one compiled pattern per entity type,
+    * finditer over the text, entities tagged with their type). The
+    * synthetic corpus carries no emails/dates/amounts, so the text under
+    * extraction is a deterministic per-doc metadata line derived from
+    * real columns (the fakeDecode precedent); the extraction machinery —
+    * per-type regexp_extract_all, explode, type tag — is the real
+    * operator and runs unchanged on natural text. Patterns use explicit
+    * ASCII classes only, so Java (Spark) and RE2 (DuckDB) agree. */
+  def entityExtract(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq( // (entity_type, pattern) — regex_entity_config.json rows
+      "EMAIL" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+      "DATE" -> "[0-9]{4}-[0-9]{2}-[0-9]{2}",
+      "MONEY" -> "\\$[0-9]+\\.[0-9]{2}")
+    val line = concat(
+      lit("contact u"), col("doc_id"), lit("@example.com on 2024-01-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+      lit(" cost $"), col("n_chars"), lit(".00"))
+    val base = load(spark, dir, "documents").select(col("doc_id"), line.as("meta"))
+    types.map { case (t, re) =>
+      base.select(col("doc_id"), lit(t).as("entity_type"),
+        explode(regexp_extract_all(col("meta"), lit(re), lit(0))).as("entity"))
+    }.reduce(_ union _)
+  }
+
+  val entityExtractSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    'contact u' || doc_id || '@example.com on 2024-01-' ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |    ' cost $' || n_chars || '.00' AS meta
+      |  FROM documents
+      |)
+      |SELECT doc_id, 'EMAIL' AS entity_type,
+      |  unnest(regexp_extract_all(meta, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS entity
+      |FROM base
+      |UNION ALL
+      |SELECT doc_id, 'DATE',
+      |  unnest(regexp_extract_all(meta, '[0-9]{4}-[0-9]{2}-[0-9]{2}'))
+      |FROM base
+      |UNION ALL
+      |SELECT doc_id, 'MONEY',
+      |  unnest(regexp_extract_all(meta, '\$[0-9]+\.[0-9]{2}'))
+      |FROM base""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "entity_extract_regex" -> ((s: SparkSession, d: String) => entityExtract(s, d)),
     "text_chunk_paragraph" -> ((s: SparkSession, d: String) => chunkParagraph(s, d)),
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
     "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
@@ -345,6 +392,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "entity_extract_regex" -> entityExtractSql,
     "text_chunk_paragraph" -> chunkParagraphSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_tokens" -> tokensSql,
