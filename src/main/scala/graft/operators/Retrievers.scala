@@ -143,6 +143,20 @@ object Retrievers {
       .select(col("src"), col("rel"), col("dst")).distinct()
   }
 
+  /** INSIGHTS result as a renderable graph (reference: cognee/modules/
+    * search/utils/transform_insights_to_graph.py:4 — triplets fold into
+    * a node map deduped by id, carrying name/type, and an edge map keyed
+    * (src, relationship, dst)). Node attributes come from the base graph
+    * by a semi-join on the triplet endpoints; both sides dedup
+    * distributively, nothing driver-side. */
+  def insightsAsGraph(spark: SparkSession, dir: String): graft.graph.PropertyGraph = {
+    val t = insights(spark, dir)
+    val ids = t.select(col("src").as("id")).union(t.select(col("dst").as("id"))).distinct()
+    graft.graph.PropertyGraph(
+      TpchGraph(spark, dir).nodes.join(ids, Seq("id")),
+      t.select(col("src"), col("dst"), col("rel")).distinct())
+  }
+
   val insightsSql: String =
     s"""WITH ${TpchGraph.nodesSql},
        |${TpchGraph.edgesSql},

@@ -449,6 +449,17 @@ class GraphInterfaceSpec extends SparkSpecBase {
 
 class RetrieverSurfaceSpec extends SparkSpecBase {
 
+  test("insightsAsGraph carries exactly the triplet endpoints, no dangling edges") {
+    val g = Retrievers.insightsAsGraph(spark, sf)
+    val t = Retrievers.insights(spark, sf)
+    assert(g.edges.count() === t.count())
+    val endpoints = t.select(col("src").as("id")).union(t.select(col("dst").as("id"))).distinct()
+    assert(g.nodes.count() === endpoints.count())
+    val dangling = g.edges.select(col("src").as("id")).union(g.edges.select(col("dst").as("id")))
+      .distinct().join(g.nodes.select(col("id")), Seq("id"), "left_anti").count()
+    assert(dangling === 0L)
+  }
+
   test("search_code returns the file and codepart channels, rank-tagged") {
     val r = Retrievers.code(spark, sf).collect()
     assert(r.map(_.getString(0)).toSet === Set("file", "codepart"))
