@@ -336,6 +336,38 @@ object Pipeline {
       |  round(num_edges * 1.0 / ((n_docs + n_ent) * (n_docs + n_ent - 1)), 8) AS edge_density
       |FROM d, e, m""".stripMargin
 
+  /** Pipeline run-status ledger (reference: cognee/modules/pipelines/
+    * operations — log_pipeline_run_initiated/start/complete/error append
+    * PipelineRun rows; get_pipeline_status.py:8 reads the latest row per
+    * dataset via a recency rank window). Append = a union of the tiny
+    * increment; status = the same rank-1 window the reference runs,
+    * partitioned by dataset (bounded per-dataset history). `seq` is the
+    * logical clock (created_at analog — wall clocks are not
+    * deterministic), tie-broken descending so replayed ledgers resolve
+    * identically. */
+  final case class RunLedger(runs: DataFrame) {
+    def log(runId: String, dataset: String, status: String, seq: Long): RunLedger = {
+      import runs.sparkSession.implicits._
+      RunLedger(runs.union(
+        Seq((runId, dataset, status, seq)).toDF("run_id", "dataset", "status", "seq")))
+    }
+
+    /** Latest status per dataset (get_pipeline_status). */
+    def status: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dataset")).orderBy(col("seq").desc, col("run_id").desc)
+      runs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dataset"), col("status"), col("run_id"))
+    }
+  }
+
+  object RunLedger {
+    def empty(spark: SparkSession): RunLedger = {
+      import spark.implicits._
+      RunLedger(Seq.empty[(String, String, String, Long)].toDF("run_id", "dataset", "status", "seq"))
+    }
+  }
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)

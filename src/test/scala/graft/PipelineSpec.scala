@@ -27,6 +27,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(Graft.getMemoryFragment(spark, sf).count() === 10L)
   }
 
+  test("run ledger resolves the latest status per dataset, replay-stable") {
+    val l = Pipeline.RunLedger.empty(spark)
+      .log("r1", "ds_a", "DATASET_PROCESSING_INITIATED", 0)
+      .log("r1", "ds_a", "DATASET_PROCESSING_STARTED", 1)
+      .log("r1", "ds_a", "DATASET_PROCESSING_COMPLETED", 2)
+      .log("r2", "ds_b", "DATASET_PROCESSING_STARTED", 1)
+      .log("r2", "ds_b", "DATASET_PROCESSING_ERRORED", 2)
+      .log("r3", "ds_b", "DATASET_PROCESSING_STARTED", 3)
+    val st = l.status.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(st("ds_a") === ("DATASET_PROCESSING_COMPLETED", "r1"))
+    assert(st("ds_b") === ("DATASET_PROCESSING_STARTED", "r3")) // retry wins by seq
+    assert(l.status.count() === 2L)
+  }
+
   test("pipeline run metrics agree with the cognify graph and token sum") {
     val m = Pipeline.runMetrics(spark, sf).collect().head
     val g = Pipeline.cognify(spark, sf).graph
