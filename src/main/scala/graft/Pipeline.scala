@@ -287,10 +287,11 @@ object Pipeline {
       |SELECT 'chunks_obsolete' AS stage, count(*) AS n FROM n
       |UNION ALL SELECT 'disconnected_deleted', count(*) FROM n WHERE nc = 1
       |UNION ALL SELECT 'nodes_after',
-      |  (SELECT count(*) FROM n WHERE nc > 1) + (SELECT CAST(sum(nc - 1) AS BIGINT) FROM n)
+      |  (SELECT count(*) FROM n WHERE nc > 1)
+      |    + (SELECT CAST(coalesce(sum(nc - 1), 0) AS BIGINT) FROM n)
       |UNION ALL SELECT 'edges_after',
-      |  (SELECT CAST(sum(nc - 1) AS BIGINT) FROM n)
-      |    + (SELECT CAST(sum(greatest(nc - 2, 0)) AS BIGINT) FROM n)""".stripMargin
+      |  (SELECT CAST(coalesce(sum(nc - 1), 0) AS BIGINT) FROM n)
+      |    + (SELECT CAST(coalesce(sum(greatest(nc - 2, 0)), 0) AS BIGINT) FROM n)""".stripMargin
 
   /** Pipeline-run metrics row (reference: cognee/modules/metrics/
     * operations/get_pipeline_run_metrics.py:26 — one GraphMetrics record
@@ -309,12 +310,14 @@ object Pipeline {
     val e = r.entities.agg(count(lit(1)).as("n_ent"))
     val m = r.mentions.agg(count(lit(1)).as("num_edges"))
     val n = col("n_docs") + col("n_ent")
+    // degenerate graphs (0 or 1 nodes) have no defined degree/density:
+    // NULL on both engines (DuckDB's IEEE float division would give NaN)
     d.crossJoin(e).crossJoin(m).select(
       col("num_tokens"),
       n.as("num_nodes"),
       col("num_edges"),
-      round(col("num_edges") * 2.0 / n, 4).as("mean_degree"),
-      round(col("num_edges") * 1.0 / (n * (n - lit(1L))), 8).as("edge_density"))
+      when(n > 0, round(col("num_edges") * 2.0 / n, 4)).as("mean_degree"),
+      when(n > 1, round(col("num_edges") * 1.0 / (n * (n - lit(1L))), 8)).as("edge_density"))
   }
 
   val runMetricsSql: String =
@@ -332,8 +335,9 @@ object Pipeline {
       |SELECT num_tokens,
       |  n_docs + n_ent AS num_nodes,
       |  num_edges,
-      |  round(num_edges * 2.0 / (n_docs + n_ent), 4) AS mean_degree,
-      |  round(num_edges * 1.0 / ((n_docs + n_ent) * (n_docs + n_ent - 1)), 8) AS edge_density
+      |  round(num_edges * 2.0 / nullif(n_docs + n_ent, 0), 4) AS mean_degree,
+      |  round(num_edges * 1.0
+      |        / nullif((n_docs + n_ent) * (n_docs + n_ent - 1), 0), 8) AS edge_density
       |FROM d, e, m""".stripMargin
 
   /** Pipeline run-status ledger (reference: cognee/modules/pipelines/
@@ -345,12 +349,25 @@ object Pipeline {
     * logical clock (created_at analog — wall clocks are not
     * deterministic), tie-broken descending so replayed ledgers resolve
     * identically. */
-  final case class RunLedger(runs: DataFrame) {
-    def log(runId: String, dataset: String, status: String, seq: Long): RunLedger = {
-      import runs.sparkSession.implicits._
-      RunLedger(runs.union(
-        Seq((runId, dataset, status, seq)).toDF("run_id", "dataset", "status", "seq")))
-    }
+  final case class RunLedger(
+      base: DataFrame,
+      pending: Vector[(String, String, String, Long)] = Vector.empty) {
+
+    /** Append one status event. Appends buffer driver-side and join the
+      * plan as ONE union when read — a per-append union would grow the
+      * plan tree linearly (the classic union-chain antipattern: analysis
+      * cost per append, StackOverflow at ledger scale). Persisting a
+      * long-lived ledger means writing `runs` to a parquet/table sink
+      * and reloading, like any other collection. */
+    def log(runId: String, dataset: String, status: String, seq: Long): RunLedger =
+      copy(pending = pending :+ ((runId, dataset, status, seq)))
+
+    def runs: DataFrame =
+      if (pending.isEmpty) base
+      else {
+        import base.sparkSession.implicits._
+        base.union(pending.toDF("run_id", "dataset", "status", "seq"))
+      }
 
     /** Latest status per dataset (get_pipeline_status). */
     def status: DataFrame = {

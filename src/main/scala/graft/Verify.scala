@@ -8,6 +8,12 @@ object Verify {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // loud, not vacuous: a typo'd selector must not look like a pass
+      System.err.println(s"[verify] unknown query names: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

@@ -150,11 +150,14 @@ object Retrievers {
     * by a semi-join on the triplet endpoints; both sides dedup
     * distributively, nothing driver-side. */
   def insightsAsGraph(spark: SparkSession, dir: String): graft.graph.PropertyGraph = {
-    val t = insights(spark, dir)
+    // the triplet set is top-k-bounded and referenced three times below
+    // — materialize once (eager localCheckpoint: no cache-entry leak,
+    // lineage released) instead of re-running the retrieval per branch
+    val t = insights(spark, dir).localCheckpoint(true)
     val ids = t.select(col("src").as("id")).union(t.select(col("dst").as("id"))).distinct()
     graft.graph.PropertyGraph(
       TpchGraph(spark, dir).nodes.join(ids, Seq("id")),
-      t.select(col("src"), col("dst"), col("rel")).distinct())
+      t.select(col("src"), col("dst"), col("rel"))) // insights is already distinct
   }
 
   val insightsSql: String =

@@ -139,8 +139,14 @@ object TextOps {
         substring(md5(array_join(array_sort(array_distinct(col("tks"))), " ")), 1, 16).as("fp_tokenset"),
         aggregate(col("tks"), lit(0L),
           (acc, w) => (acc * lit(31L) + fold(w, 4)) % p).as("fp_rolling"),
-        array_min(transform(sequence(lit(0), size(col("tks")) - 5),
-          g => fold(array_join(slice(col("tks"), g + 1, lit(5)), " "), 8))).as("fp_winnow"))
+        // guard: under 5 tokens there is no 5-shingle — NULL, matching
+        // the oracle's empty range(); an unguarded sequence(0, n-5)
+        // would generate a DESCENDING index list and slice() throws on
+        // start 0 (SQL arrays are 1-based)
+        when(size(col("tks")) >= 5,
+          array_min(transform(sequence(lit(0), size(col("tks")) - 5),
+            g => fold(array_join(slice(col("tks"), g + 1, lit(5)), " "), 8))))
+          .as("fp_winnow"))
   }
 
   val fingerprintSql: String =

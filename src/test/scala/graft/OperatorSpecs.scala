@@ -282,6 +282,16 @@ class TextOpsSpec extends SparkSpecBase {
     assert(fp(1L)._1 !== fp(2L)._1)   // exact identity breaks
     assert(fp(1L)._2 === fp(2L)._2)   // winnow identity holds
   }
+
+  test("fingerprint of a short (<5 token) doc yields NULL winnow, not a crash") {
+    import TestSpark.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_fp_short").toString
+    Seq((1L, "a b c", "en", "s", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val r = TextOps.fingerprint(spark, out).collect()
+    assert(r.length === 1 && r.head.isNullAt(r.head.fieldIndex("fp_winnow")))
+    assert(r.head.getAs[Long]("fp_rolling") > 0L)
+  }
 }
 
 class RelationalOpsSpec extends SparkSpecBase {
