@@ -13,6 +13,11 @@ final case class Event(eventId: Long, tsSec: Long, userId: Long, eventType: Stri
 final case class Session(userId: Long, sessId: Long, nEvents: Long, totalValue: Double,
                          startS: Long, endS: Long)
 
+/** One row of a user's recency-ranked history (same schema as the
+  * batch operators.EventOps.history output rows). */
+final case class HistoryEntry(userId: Long, pos: Int, eventId: Long,
+                              eventType: String, tsSec: Long)
+
 private final case class SessionState(sessId: Long, nEvents: Long, totalValue: Double,
                                       startS: Long, endS: Long)
 
@@ -81,6 +86,31 @@ object EventStream {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("docId").as("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("entity"))
+
+  /** Continuously-maintained per-user history — the streaming twin of
+    * EventOps.history (get_history's latest-k ledger read, kept hot as
+    * state instead of recomputed per query). State per user is the
+    * BOUNDED top-k list ordered by (tsSec, eventId) descending — k
+    * entries per key no matter how long the stream runs, sharded with
+    * the shuffle like all keyed state. Each micro-batch merges its
+    * arrivals into the list and re-emits the user's current history
+    * (Update mode — downstream sinks upsert on userId). */
+  def historyStream(events: Dataset[Event], k: Int = 10): Dataset[HistoryEntry] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[List[(Long, Long, String)], HistoryEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[(Long, Long, String)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              it.map(e => (e.tsSec, e.eventId, e.eventType)))
+            .sortBy(t => (-t._1, -t._2)).take(k)
+          state.update(merged)
+          merged.zipWithIndex.iterator.map { case ((ts, id, tpe), i) =>
+            HistoryEntry(userId, i + 1, id, tpe, ts)
+          }
+      }
+  }
 
   /** 30-minute-gap sessionization with explicit state
     * (flatMapGroupsWithState, processing-time timeout). Emits a session

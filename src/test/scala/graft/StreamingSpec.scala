@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(files.nonEmpty && files.forall(_.contains("event_date=2024-01-02")))
   }
 
+  test("streaming history state equals the batch recency ranking") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(loadEvents())
+    val q = EventStream.historyStream(stream.toDS())
+      .writeStream.format("memory").queryName("hist").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    q.stop()
+    // single micro-batch → one emission per user = the final state
+    val got = spark.table("hist")
+      .select(col("userId"), col("pos"), col("eventId"), col("eventType"), col("tsSec"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+    val expect = EventOps.history(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("pos"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"), r.getAs[Long]("ts_sec"))).toSet
+    assert(got === expect)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
