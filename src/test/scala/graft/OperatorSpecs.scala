@@ -258,6 +258,66 @@ class TextOpsSpec extends SparkSpecBase {
     assert(idx.filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1).count() === 0L)
   }
 
+  test("paragraph chunker matches an independent sequential implementation on random docs") {
+    import TestSpark.spark.implicits._
+    // deterministic random corpus: 30 docs, 1..300 tokens from a 20-word vocab
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "table", "key", "row", "scan", "fast", "merge",
+      "sort", "window", "part", "value")
+    val docs = (0 until 30).map { i =>
+      val n = 1 + rng.nextInt(300)
+      val text = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, text, "en", "gen", text.length.toLong)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_chunk_diff").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // independent sequential reference: same boundary rule, same greedy fold
+    def fold16(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString, 16)
+    }
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = docs.flatMap { case (id, text, _, _, _) =>
+      val toks = text.split(" ").toVector
+      val sentences = {
+        val b = Vector.newBuilder[Vector[String]]
+        var cur = Vector.empty[String]
+        toks.foreach { t =>
+          cur :+= t
+          if (fold16(t) % 7 == 0) { b += cur; cur = Vector.empty }
+        }
+        if (cur.nonEmpty) b += cur
+        b.result()
+      }
+      val chunks = {
+        val b = Vector.newBuilder[Vector[Vector[String]]]
+        var cur = Vector.empty[Vector[String]]
+        var curTok = 0
+        sentences.foreach { s =>
+          if (curTok > 0 && curTok + s.size > 32) { b += cur; cur = Vector(s); curTok = s.size }
+          else { cur :+= s; curTok += s.size }
+        }
+        if (cur.nonEmpty) b += cur
+        b.result()
+      }
+      chunks.zipWithIndex.map { case (c, idx) =>
+        (id, idx.toLong, c.size.toLong, c.map(_.size).sum.toLong,
+          md5hex(c.map(_.mkString(" ")).mkString(" ")))
+      }
+    }.toSet
+    val got = TextOps.chunkParagraph(spark, out).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_hash"))).toSet
+    assert(got === expected)
+  }
+
   test("fingerprints: exact differs across docs, tokenset collides for shuffled dups") {
     val fp = TextOps.fingerprint(spark, sf).cache()
     val n = fp.count()
