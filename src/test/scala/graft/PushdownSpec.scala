@@ -33,5 +33,13 @@ class PushdownSpec extends SparkSpecBase {
     val q1 = scanInfo("q1_agg")
     assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"),
       s"q1_agg reads unused join keys:\n$q1")
+    // data_datasets aggregates metadata columns only — the text payload
+    // (the overwhelmingly widest column) must never leave the scan
+    val ds = scanInfo("data_datasets")
+    assert(!ds.contains("text"), s"data_datasets reads the text payload:\n$ds")
+    // search_history reads 4 narrow event columns; props/value stay unread
+    val hist = scanInfo("search_history")
+    assert(!hist.contains("props") && !hist.contains("value"),
+      s"search_history reads pruned-away columns:\n$hist")
   }
 }
