@@ -37,4 +37,25 @@ object DocumentSource {
       spark.read.json(path).select(col("text").cast("string").as("text"))
         .filter(col("text").isNotNull && length(col("text")) > 0),
       sourceTag)
+
+  /** Extension → document-class mapping (reference: cognee/tasks/
+    * documents/classify_documents.py EXTENSION_TO_DOCUMENT_CLASS —
+    * pdf/txt→Text, docx-family→Unstructured, image formats→Image,
+    * audio formats→Audio; unknown extensions are Unstructured). The
+    * class routes each file to its loader/decoder (the multimodal
+    * plumbing in MultimodalOps); classification itself is one CASE
+    * projection over the path column — no I/O. */
+  def classify(paths: DataFrame, pathCol: String = "path"): DataFrame = {
+    val ext = lower(regexp_extract(col(pathCol), "\\.([A-Za-z0-9]+)$", 1))
+    val cls =
+      when(ext.isin("pdf", "txt", "md"), "TextDocument")
+        .when(ext.isin("docx", "doc", "odt", "xls", "xlsx", "ppt", "pptx", "odp", "ods"),
+          "UnstructuredDocument")
+        .when(ext.isin("png", "jpg", "jpeg", "gif", "webp", "bmp", "tif", "ico", "heic", "avif"),
+          "ImageDocument")
+        .when(ext.isin("mp3", "wav", "ogg", "flac", "aac", "m4a", "mid", "amr"),
+          "AudioDocument")
+        .otherwise("UnstructuredDocument")
+    paths.withColumn("extension", ext).withColumn("document_class", cls)
+  }
 }

@@ -45,6 +45,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(source,"))
   }
 
+  test("document classification routes extensions to the reference classes") {
+    import TestSpark.spark.implicits._
+    val got = DocumentSource.classify(
+      Seq("a/report.pdf", "b/notes.TXT", "c/photo.jpg", "d/talk.mp3", "e/data.bin", "f/noext")
+        .toDF("path"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got("a/report.pdf") === "TextDocument")
+    assert(got("b/notes.TXT") === "TextDocument") // case-insensitive
+    assert(got("c/photo.jpg") === "ImageDocument")
+    assert(got("d/talk.mp3") === "AudioDocument")
+    assert(got("e/data.bin") === "UnstructuredDocument")
+    assert(got("f/noext") === "UnstructuredDocument")
+  }
+
   test("text and jsonl ingest land on the documents schema with stable content ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs.txt"),
