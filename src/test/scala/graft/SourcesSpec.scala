@@ -45,6 +45,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(source,"))
   }
 
+  test("vector store round-trips the vector_db_interface method set") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore").toString
+    val store = sources.VectorStore(spark, root)
+    assert(!store.hasCollection("chunks"))
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 40)
+    store.createCollection("chunks", base)
+    assert(store.hasCollection("chunks") && store.collection("chunks").count() === 40L)
+    // append + retrieve
+    store.createDataPoints("chunks", Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= 40 && col("vec_id") < 50))
+    assert(store.collection("chunks").count() === 50L)
+    assert(store.retrieve("chunks", Seq(3L, 7L, 999999L)).count() === 2L)
+    // search: a stored vector's own embedding is its top hit with cosine 1
+    val q = base.filter(col("vec_id") === 5)
+      .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
+    val top = store.search("chunks", q, 5).collect()
+    assert(top.length === 5 && top.head.getLong(0) === 5L && top.head.getDouble(1) === 1.0)
+    // batch search partitions per query
+    val queries = Seq((0L, q.toSeq)).toDF("query_id", "qv")
+    assert(store.batchSearch("chunks", queries, 3).count() === 3L)
+    // delete rewrites without the ids
+    store.deleteDataPoints("chunks", Seq(5L, 6L))
+    assert(store.collection("chunks").count() === 48L)
+    assert(store.retrieve("chunks", Seq(5L)).count() === 0L)
+    store.prune()
+    assert(!store.hasCollection("chunks"))
+  }
+
   test("document classification routes extensions to the reference classes") {
     import TestSpark.spark.implicits._
     val got = DocumentSource.classify(
