@@ -31,6 +31,11 @@ object Graft {
   def add(existing: DataFrame, incoming: DataFrame): DataFrame =
     Pipeline.addIncrement(existing, incoming)
 
+  /** Open a parquet-backed vector-collection store (the
+    * vector_db_interface surface: collections, point CRUD, search). */
+  def vectorStore(spark: SparkSession, root: String): sources.VectorStore =
+    sources.VectorStore(spark, root)
+
   /** Build the knowledge artifacts (cognee.cognify). */
   def cognify(spark: SparkSession, dir: String): Pipeline.CognifyResult =
     Pipeline.cognify(spark, dir)
