@@ -39,21 +39,24 @@ object DocumentSource {
       sourceTag)
 
   /** Extension → document-class mapping (reference: cognee/tasks/
-    * documents/classify_documents.py EXTENSION_TO_DOCUMENT_CLASS —
-    * pdf/txt→Text, docx-family→Unstructured, image formats→Image,
-    * audio formats→Audio; unknown extensions are Unstructured). The
-    * class routes each file to its loader/decoder (the multimodal
-    * plumbing in MultimodalOps); classification itself is one CASE
-    * projection over the path column — no I/O. */
+    * documents/classify_documents.py EXTENSION_TO_DOCUMENT_CLASS,
+    * reproduced in full: pdf→Pdf, txt→Text, office formats→
+    * Unstructured, image formats→Image, audio formats→Audio; unknown
+    * extensions are Unstructured). The class routes each file to its
+    * loader/decoder (the multimodal plumbing in MultimodalOps);
+    * classification itself is one CASE projection over the path
+    * column — no I/O. */
   def classify(paths: DataFrame, pathCol: String = "path"): DataFrame = {
     val ext = lower(regexp_extract(col(pathCol), "\\.([A-Za-z0-9]+)$", 1))
     val cls =
-      when(ext.isin("pdf", "txt", "md"), "TextDocument")
+      when(ext === "pdf", "PdfDocument")
+        .when(ext === "txt", "TextDocument")
         .when(ext.isin("docx", "doc", "odt", "xls", "xlsx", "ppt", "pptx", "odp", "ods"),
           "UnstructuredDocument")
-        .when(ext.isin("png", "jpg", "jpeg", "gif", "webp", "bmp", "tif", "ico", "heic", "avif"),
+        .when(ext.isin("png", "dwg", "xcf", "jpg", "jpx", "apng", "gif", "webp",
+          "cr2", "tif", "bmp", "jxr", "psd", "ico", "heic", "avif"),
           "ImageDocument")
-        .when(ext.isin("mp3", "wav", "ogg", "flac", "aac", "m4a", "mid", "amr"),
+        .when(ext.isin("aac", "mid", "mp3", "m4a", "ogg", "flac", "wav", "amr", "aiff"),
           "AudioDocument")
         .otherwise("UnstructuredDocument")
     paths.withColumn("extension", ext).withColumn("document_class", cls)

@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.operators.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed vector-collection store — the Spark-native face of
@@ -56,23 +55,28 @@ final case class VectorStore(spark: SparkSession, root: String) {
 
   private def vcol: Column = transform(col("embedding"), x => x.cast("double"))
 
-  /** Cosine top-k for one query vector (search): score + TakeOrdered. */
+  /** Cosine top-k for one query vector (search): score + TakeOrdered.
+    * Results carry the point's payload columns (the reference's
+    * ScoredResult shape) minus the raw vector. */
   def search(name: String, query: Array[Double], k: Int): DataFrame =
     collection(name)
-      .select(col("vec_id"), round(VectorOps.cosine(vcol, lit(query)), 4).as("cosine"))
+      .withColumn("cosine", round(VectorOps.cosine(vcol, lit(query)), 4))
+      .drop("embedding")
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
 
   /** Cosine top-k per query row (batch_search): the query side is
-    * bounded (a request batch) and broadcasts; ranking partitions per
-    * query. Queries arrive as (query_id, qv ARRAY<DOUBLE>). */
+    * bounded (a request batch) and broadcasts; per-query ranking runs
+    * on the TopKPerGroup operator — bounded heaps, no per-group sort
+    * (the window idiom would range-sort a corpus-sized partition per
+    * query). Queries arrive as (query_id, qv ARRAY<DOUBLE>); results
+    * carry the payload columns like [[search]]. */
   def batchSearch(name: String, queries: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    collection(name).crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"),
-        round(VectorOps.cosine(vcol, col("qv")), 4).as("cosine"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .drop("rn")
+    val scored = collection(name).crossJoin(broadcast(queries))
+      .withColumn("cosine", round(VectorOps.cosine(vcol, col("qv")), 4))
+      .drop("embedding", "qv")
+    org.apache.spark.sql.graft.TopKPerGroup(
+      scored, Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
   }
 
   /** Drop every collection under root (prune). */

@@ -102,8 +102,12 @@ object EventStream {
       .flatMapGroupsWithState[List[(Long, Long, String)], HistoryEntry](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[(Long, Long, String)]]) =>
+          // dedup on eventId: an at-least-once source replays events, and
+          // a replayed event must not occupy two top-k slots (the batch
+          // ledger counts it once)
           val merged = (state.getOption.getOrElse(Nil) ++
               it.map(e => (e.tsSec, e.eventId, e.eventType)))
+            .distinctBy(_._2)
             .sortBy(t => (-t._1, -t._2)).take(k)
           state.update(merged)
           merged.zipWithIndex.iterator.map { case ((ts, id, tpe), i) =>

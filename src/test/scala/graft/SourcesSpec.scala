@@ -62,7 +62,11 @@ class SourcesSpec extends SparkSpecBase {
     val q = base.filter(col("vec_id") === 5)
       .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
     val top = store.search("chunks", q, 5).collect()
-    assert(top.length === 5 && top.head.getLong(0) === 5L && top.head.getDouble(1) === 1.0)
+    assert(top.length === 5 && top.head.getAs[Long]("vec_id") === 5L
+      && top.head.getAs[Double]("cosine") === 1.0)
+    // results carry the payload columns (ScoredResult shape), not the raw vector
+    val cols = store.search("chunks", q, 5).columns.toSet
+    assert(cols.contains("label") && !cols.contains("embedding"))
     // batch search partitions per query
     val queries = Seq((0L, q.toSeq)).toDF("query_id", "qv")
     assert(store.batchSearch("chunks", queries, 3).count() === 3L)
@@ -77,15 +81,18 @@ class SourcesSpec extends SparkSpecBase {
   test("document classification routes extensions to the reference classes") {
     import TestSpark.spark.implicits._
     val got = DocumentSource.classify(
-      Seq("a/report.pdf", "b/notes.TXT", "c/photo.jpg", "d/talk.mp3", "e/data.bin", "f/noext")
+      Seq("a/report.pdf", "b/notes.TXT", "c/photo.jpg", "d/talk.mp3", "e/data.bin",
+        "f/noext", "g/raw.cr2", "h/track.aiff")
         .toDF("path"))
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
-    assert(got("a/report.pdf") === "TextDocument")
+    assert(got("a/report.pdf") === "PdfDocument")
     assert(got("b/notes.TXT") === "TextDocument") // case-insensitive
     assert(got("c/photo.jpg") === "ImageDocument")
     assert(got("d/talk.mp3") === "AudioDocument")
     assert(got("e/data.bin") === "UnstructuredDocument")
     assert(got("f/noext") === "UnstructuredDocument")
+    assert(got("g/raw.cr2") === "ImageDocument")   // full reference table coverage
+    assert(got("h/track.aiff") === "AudioDocument")
   }
 
   test("text and jsonl ingest land on the documents schema with stable content ids") {

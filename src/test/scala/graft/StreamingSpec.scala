@@ -60,12 +60,18 @@ class StreamingSpec extends SparkSpecBase {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
-    stream.addData(loadEvents())
+    val events = loadEvents()
+    stream.addData(events)
     val q = EventStream.historyStream(stream.toDS())
       .writeStream.format("memory").queryName("hist").outputMode(OutputMode.Update()).start()
     q.processAllAvailable()
+    // at-least-once replay: the full batch again — state must dedup on
+    // eventId, so the re-emission is identical and the collected SET
+    // still equals the batch ledger (duplicates at shifted positions
+    // would break the equality)
+    stream.addData(events)
+    q.processAllAvailable()
     q.stop()
-    // single micro-batch → one emission per user = the final state
     val got = spark.table("hist")
       .select(col("userId"), col("pos"), col("eventId"), col("eventType"), col("tsSec"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
