@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-JSON-line-on-stdout contract. By default
+// sbt routes a forked run's stdout through its logger (`[info] ` prefix)
+// and appends a `[success] Total time: ...` epilogue — both of which made
+// the line unparseable in rounds 1-4. StdoutOutput bypasses the logger so
+// the forked process writes to stdout verbatim; showSuccess kills the
+// epilogue so the JSON line is the last thing printed.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
