@@ -20,6 +20,10 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // events.parquet carries TIMESTAMP(NANOS); read as long everywhere
+    // (Tables.loadEvents converts) — session-level so no query body ever
+    // has to mutate conf mid-flight.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   /** One-call attach for users switching from the reference: registers

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *   RETURN [DISTINCT] var.prop [AS alias] | count(*) AS alias [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
-  * Node properties: id, ntype, name. Untyped nodes `(x)` match any
+  * Node properties: id, ntype, name are the fixed columns; ANY other
+  * property name resolves into the node's `props` bag
+  * (`element_at(props, 'name')` — the reference's NodeData.properties,
+  * which its cypher_search queries predicate on; absent keys are NULL,
+  * so `=`/`<>`/... comparisons are false, matching Cypher's missing-
+  * property semantics). Untyped nodes `(x)` match any
   * vertex; `-[:rel]->` / `<-[:rel]-` traverse forward / reverse;
   * `-[:rel]-` (no arrowhead) traverses undirected — the
   * get_connections neighborhood shape; `[:a|b]` unions relation types
@@ -63,8 +68,17 @@ object CypherLite {
       s"unsupported pattern: $matchPart")
 
     def nodeDf(v: String, t: Option[String]): DataFrame =
-      t.fold(g.nodes)(tp => g.nodes.filter(col("ntype") === tp)).select(
-        col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"))
+      t.fold(g.nodesP)(tp => g.nodesP.filter(col("ntype") === tp)).select(
+        col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"),
+        col("props").as(s"${v}_props"))
+
+    // `v.prop`: fixed columns resolve directly; anything else reaches
+    // into the property bag (NULL when absent — Cypher missing-property
+    // semantics make every comparison against it false).
+    def propCol(v: String, p: String): Column = p match {
+      case "id" | "ntype" | "name" => col(s"${v}_$p")
+      case bagKey => element_at(col(s"${v}_props"), bagKey)
+    }
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
     relPats.zipWithIndex.foreach { case ((rels, lo, hi, dir), i) =>
@@ -98,7 +112,7 @@ object CypherLite {
     wherePart.foreach { w =>
       w.split("(?i) AND ").foreach {
         case whereRe(v, p, op, lit0) =>
-          val c = col(s"${v}_$p")
+          val c = propCol(v, p)
           df = df.filter(op match {
             case "=" => c === lit0
             case "<>" => c =!= lit0
@@ -115,7 +129,7 @@ object CypherLite {
       case m @ retItemRe(v, p, alias) =>
         val isCount = v == null
         val name = Option(alias).getOrElse(if (isCount) "count" else s"${v}_$p")
-        (isCount, if (isCount) count(lit(1)).as(name) else col(s"${v}_$p").as(name), name)
+        (isCount, if (isCount) count(lit(1)).as(name) else propCol(v, p).as(name), name)
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
     val aggItems = items.filter(_._1)

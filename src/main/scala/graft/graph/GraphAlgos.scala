@@ -226,7 +226,7 @@ object GraphAlgos {
       g.edges
         .join(visited.withColumnRenamed("id", "src"), Seq("src"))
         .join(visited.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src"), col("dst"), col("rel")))
+        .select(g.edges.columns.map(col).toIndexedSeq: _*))
   }
 
   /** PageRank by DataFrame power iteration: fixed iteration count,

@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphExport {
 
-  /** One JSON object per node/edge (JSON-lines interchange dump). */
-  def toJsonLines(g: PropertyGraph): DataFrame = {
-    val nodes = g.nodes.select(
-      to_json(struct(lit("node").as("kind"), col("id"), col("ntype"), col("name"))).as("line"))
-    val edges = g.edges.select(
-      to_json(struct(lit("edge").as("kind"), col("src"), col("rel"), col("dst"))).as("line"))
+  /** One JSON object per node/edge (JSON-lines interchange dump),
+    * property bags included. */
+  def toJsonLines(g: PropertyGraph): DataFrame =
+    toJsonLinesKinded(g).select(col("line"))
+
+  /** [[toJsonLines]] with the element kind carried as its own column
+    * beside the serialized line, so consumers that route/count by kind
+    * (the export query, a partitioned sink) don't re-parse the JSON
+    * they just produced. */
+  def toJsonLinesKinded(g: PropertyGraph): DataFrame = {
+    val nodes = g.nodesP.select(lit("node").as("kind"),
+      to_json(struct(lit("node").as("kind"), col("id"), col("ntype"), col("name"), col("props"))).as("line"))
+    val edges = g.edgesP.select(lit("edge").as("kind"),
+      to_json(struct(lit("edge").as("kind"), col("src"), col("rel"), col("dst"), col("props"))).as("line"))
     nodes.union(edges)
   }
 

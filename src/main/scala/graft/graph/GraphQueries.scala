@@ -268,11 +268,12 @@ object GraphQueries {
        |GROUP BY rel""".stripMargin
 
   /** Export dump summarized (kind → element count): drives the JSONL
-    * serialization end-to-end and pins its content against the raw
-    * projection counts. */
+    * serialization end-to-end (the count only admits rows whose line
+    * actually serialized as the right kind) without re-parsing the JSON
+    * it just produced — kind rides beside the line. */
   def export(spark: SparkSession, dir: String): DataFrame =
-    GraphExport.toJsonLines(TpchGraph(spark, dir))
-      .select(get_json_object(col("line"), "$.kind").as("kind"))
+    GraphExport.toJsonLinesKinded(TpchGraph(spark, dir))
+      .filter(col("line").startsWith("{\"kind\":"))
       .groupBy(col("kind")).agg(count(lit(1)).as("n"))
 
   val exportSql: String =
@@ -387,7 +388,8 @@ object GraphQueries {
     * cross-engine catalog check. */
   def schemaGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events carries TIMESTAMP(NANOS)
+    // events carries TIMESTAMP(NANOS) — nanosAsLong is a GraftSession.tune
+    // default (and a loadEvents guard), never set inside a query body.
     val fkOut = Map("nation" -> 1L, "customer" -> 1L, "supplier" -> 1L,
       "orders" -> 1L, "lineitem" -> 3L)
     graft.Tables.names.map { t =>

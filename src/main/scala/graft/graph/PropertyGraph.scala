@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
   * (reference: cognee/infrastructure/databases/graph/graph_db_interface.py:16
   * — NodeData/EdgeData as (source_id, target_id, relationship_name, props)).
   *
-  * `nodes`: (id STRING, ntype STRING, name STRING)
-  * `edges`: (src STRING, dst STRING, rel STRING)
+  * `nodes`: (id STRING, ntype STRING, name STRING [, props MAP<STRING,STRING>])
+  * `edges`: (src STRING, dst STRING, rel STRING [, props MAP<STRING,STRING>])
+  *
+  * `props` is the reference's arbitrary per-element property bag
+  * (NodeData/EdgeData `properties`; the kuzu/neo4j adapters persist and
+  * filter on it). It is OPTIONAL on input — [[PropertyGraph.ensureProps]]
+  * normalizes an absent column to an empty map, so fixed-schema callers
+  * keep working — and mutation results always carry it.
   *
   * Ids are typed strings `"<type>:<key>"` so heterogeneous entity sets
   * union into one vertex domain without key collisions. At cluster
@@ -17,6 +23,14 @@ import org.apache.spark.sql.functions._
   * the consuming operators declare; nothing here collects to the driver.
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+  import PropertyGraph.ensureProps
+
+  /** Nodes with the `props` bag guaranteed present (empty map if the
+    * underlying relation was built fixed-schema). */
+  def nodesP: DataFrame = ensureProps(nodes)
+
+  /** Edges with the `props` bag guaranteed present. */
+  def edgesP: DataFrame = ensureProps(edges)
 
   /** Both directions of every edge, deduplicated — the traversal view
     * used by undirected algorithms (BFS, components, triangles).
@@ -128,15 +142,20 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * through re-ingest instead. */
   def addNodes(newNodes: DataFrame): PropertyGraph = {
     // Upsert semantics: one row per id, chosen DETERMINISTICALLY (min by
-    // (ntype, name)) — dropDuplicates would keep a partition-order-
-    // dependent row when an increment carries conflicting attributes.
-    val inc = newNodes.groupBy(col("id"))
-      .agg(min(struct(col("ntype"), col("name"))).as("s"))
-      .select(col("id"), col("s.ntype").as("ntype"), col("s.name").as("name"))
-    val collisions = nodes.join(broadcast(inc.select(col("id"))), Seq("id"), "left_semi")
+    // (ntype, name, sorted props entries)) — dropDuplicates would keep a
+    // partition-order-dependent row when an increment carries conflicting
+    // attributes. Maps are not orderable, so the bag is compared as its
+    // key-sorted entry array and rebuilt after the min.
+    val inc = ensureProps(newNodes).groupBy(col("id"))
+      .agg(min(struct(col("ntype"), col("name"),
+        array_sort(map_entries(col("props"))).as("pe"))).as("s"))
+      .select(col("id"), col("s.ntype").as("ntype"), col("s.name").as("name"),
+        map_from_entries(col("s.pe")).as("props"))
+    val base = nodesP
+    val collisions = base.join(broadcast(inc.select(col("id"))), Seq("id"), "left_semi")
       .select(col("id"))
     PropertyGraph(
-      nodes.union(inc.join(broadcast(collisions), Seq("id"), "left_anti")),
+      base.union(inc.join(broadcast(collisions), Seq("id"), "left_anti")),
       edges)
   }
 
@@ -144,13 +163,22 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * plan shape as [[addNodes]]: the former union+distinct reshuffled
     * the WHOLE edge relation to admit a handful of rows. */
   def addEdges(newEdges: DataFrame): PropertyGraph = {
-    val inc = newEdges.select(col("src"), col("dst"), col("rel")).distinct()
-    val dups = edges.join(broadcast(inc), Seq("src", "dst", "rel"), "left_semi")
+    // One row per (src, dst, rel) triplet; conflicting increment bags
+    // resolve to the minimum sorted-entry array (same determinism rule
+    // as [[addNodes]]).
+    val inc = ensureProps(newEdges).groupBy(col("src"), col("dst"), col("rel"))
+      .agg(map_from_entries(min(array_sort(map_entries(col("props"))))).as("props"))
+    val base = edgesP
+    val dups = base.join(broadcast(inc.select(col("src"), col("dst"), col("rel"))),
+      Seq("src", "dst", "rel"), "left_semi")
     PropertyGraph(nodes,
-      edges.union(inc.join(broadcast(dups), Seq("src", "dst", "rel"), "left_anti")))
+      base.union(inc.join(broadcast(dups.select(col("src"), col("dst"), col("rel"))),
+        Seq("src", "dst", "rel"), "left_anti")))
   }
 
-  /** Delete nodes by id along with every incident edge (delete_nodes). */
+  /** Delete nodes by id along with every incident edge (delete_nodes).
+    * Column-preserving: the anti-joins keep whatever schema (props or
+    * not) the relations carry. */
   def deleteNodes(ids: DataFrame): PropertyGraph = {
     val idCol = ids.select(col("id"))
     PropertyGraph(
@@ -158,7 +186,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       edges
         .join(idCol.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(idCol.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"), col("rel")))
+        .select(edges.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Does an edge (src)-[rel]->(dst) exist? (graph_db_interface.py:318
@@ -191,7 +219,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       edges
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"), col("rel")))
+        .select(edges.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Drop everything (graph_db_interface.py delete_graph) — an empty
@@ -208,6 +236,16 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       nodes.filter(col("ntype").isin(types: _*)),
       edges.filter(keep(col("src")) && keep(col("dst"))))
   }
+}
+
+object PropertyGraph {
+  /** Normalize an optional property bag: absent `props` column → empty
+    * MAP<STRING,STRING> (the reference's NodeData/EdgeData default to an
+    * empty properties dict, graph_db_interface.py:16-34). A metadata-only
+    * projection — no shuffle, no data pass. */
+  def ensureProps(df: DataFrame): DataFrame =
+    if (df.columns.contains("props")) df
+    else df.withColumn("props", map().cast("map<string,string>"))
 }
 
 /** Knowledge-graph projection of the TPC-H-ish testdata — the analog of
@@ -241,14 +279,24 @@ object TpchGraph {
     val orders   = load(spark, dir, "orders")
     val lineitem = load(spark, dir, "lineitem")
 
+    // Per-type property bags (reference NodeData.properties): filterable
+    // attributes ride the graph as MAP<STRING,STRING> so CypherLite WHERE
+    // predicates and exports can reach them without re-joining the source
+    // tables.
     val nodes =
-      region.select(id("region", "r_regionkey").as("id"), lit("region").as("ntype"), col("r_name").as("name"))
-        .union(nation.select(id("nation", "n_nationkey"), lit("nation"), col("n_name")))
-        .union(supplier.select(id("supplier", "s_suppkey"), lit("supplier"), col("s_name")))
-        .union(customer.select(id("customer", "c_custkey"), lit("customer"), col("c_name")))
-        .union(part.select(id("part", "p_partkey"), lit("part"), col("p_name")))
+      region.select(id("region", "r_regionkey").as("id"), lit("region").as("ntype"), col("r_name").as("name"),
+          map().cast("map<string,string>").as("props"))
+        .union(nation.select(id("nation", "n_nationkey"), lit("nation"), col("n_name"),
+          map(lit("regionkey"), col("n_regionkey").cast("string"))))
+        .union(supplier.select(id("supplier", "s_suppkey"), lit("supplier"), col("s_name"),
+          map(lit("nationkey"), col("s_nationkey").cast("string"))))
+        .union(customer.select(id("customer", "c_custkey"), lit("customer"), col("c_name"),
+          map(lit("mktsegment"), col("c_mktsegment"))))
+        .union(part.select(id("part", "p_partkey"), lit("part"), col("p_name"),
+          map(lit("brand"), col("p_brand"))))
         .union(orders.select(id("order", "o_orderkey"), lit("order"),
-          concat(lit("order-"), col("o_orderkey").cast("string"))))
+          concat(lit("order-"), col("o_orderkey").cast("string")),
+          map(lit("status"), col("o_orderstatus"), lit("priority"), col("o_orderpriority"))))
 
     val edges =
       nation.select(id("nation", "n_nationkey").as("src"), id("region", "n_regionkey").as("dst"), lit("in_region").as("rel"))

@@ -431,6 +431,25 @@ object Retrievers {
        |WHERE sl.rel = 'located_in' AND sl.src LIKE 'supplier:%'
        |GROUP BY r.name ORDER BY region""".stripMargin
 
+  /** CYPHER with property-bag predicates: the reference's cypher_search
+    * queries routinely filter on NodeData.properties (graph_db_interface
+    * .py:16-34; kuzu/neo4j adapters persist and match on them) — here the
+    * WHERE reaches into the MAP<STRING,STRING> bags the TPC-H projection
+    * carries (order status/priority, customer mktsegment). */
+  val propsCypher: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer) " +
+      "WHERE o.status = 'F' AND c.mktsegment = 'BUILDING' " +
+      "RETURN c.name AS name, count(*) AS n_orders ORDER BY n_orders DESC, name LIMIT 10"
+
+  def cypherProps(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), propsCypher)
+
+  val cypherPropsSql: String =
+    """SELECT c_name AS name, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -677,6 +696,7 @@ object Retrievers {
     "search_temporal_graph" -> ((s: SparkSession, d: String) => temporalGraph(s, d)),
     "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
     "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
+    "search_cypher_props" -> ((s: SparkSession, d: String) => cypherProps(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -695,5 +715,6 @@ object Retrievers {
     "search_temporal_graph" -> temporalGraphSql,
     "search_feeling_lucky" -> feelingLuckySql,
     "search_cypher" -> cypherSql,
+    "search_cypher_props" -> cypherPropsSql,
     "search_natural_language" -> cypherSql)
 }

@@ -92,6 +92,75 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(sw.map(_.getString(0)).toSet === Set("a:1"))
   }
 
+  private lazy val gp: PropertyGraph = {
+    import TestSpark.spark.implicits._
+    PropertyGraph(
+      Seq(
+        ("a:1", "a", "alpha", Map("color" -> "red", "size" -> "9")),
+        ("a:2", "a", "beta", Map("color" -> "blue")),
+        ("b:1", "b", "gamma", Map.empty[String, String]))
+        .toDF("id", "ntype", "name", "props"),
+      Seq(("a:1", "b:1", "knows"), ("a:2", "b:1", "knows")).toDF("src", "dst", "rel"))
+  }
+
+  test("WHERE predicates reach the props bag; missing keys never match") {
+    val red = CypherLite.run(gp,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.color = 'red' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(red === List("a:1"))
+    // y has an empty bag: element_at → NULL → comparison false, row dropped
+    assert(CypherLite.run(gp,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE y.color = 'red' RETURN x.id AS xid").count() === 0L)
+    // <> against a missing key is also false (Cypher missing-property semantics)
+    val ne = CypherLite.run(gp,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.size <> '7' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(ne === List("a:1"))
+  }
+
+  test("RETURN projects props-bag values (NULL when absent)") {
+    val out = CypherLite.run(gp,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN x.id AS xid, x.size AS sz ORDER BY xid")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toList
+    assert(out === List(("a:1", Some("9")), ("a:2", None)))
+  }
+
+  test("props-less graphs still run props queries (empty-bag normalization)") {
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.color = 'red' RETURN x.id AS xid").count() === 0L)
+  }
+
+  test("mutations preserve and normalize props bags") {
+    import TestSpark.spark.implicits._
+    val g2 = gp.addNodes(Seq(("c:1", "c", "new", Map("k" -> "v"))).toDF("id", "ntype", "name", "props"))
+    val bag = g2.nodes.filter(col("id") === "c:1").select(col("props")).head()
+      .getMap[String, String](0)
+    assert(bag === Map("k" -> "v"))
+    // re-adding an existing id keeps the base row's bag (keep-first upsert)
+    val g3 = g2.addNodes(Seq(("a:1", "a", "alpha", Map("color" -> "green"))).toDF("id", "ntype", "name", "props"))
+    assert(g3.nodes.filter(col("id") === "a:1").select(col("props")).head()
+      .getMap[String, String](0).get("color").contains("red"))
+    assert(g3.nodes.count() === gp.nodes.count() + 1)
+    // props-less increments normalize to an empty bag
+    val g4 = gp.addNodes(Seq(("d:1", "d", "bare")).toDF("id", "ntype", "name"))
+    assert(g4.nodes.filter(col("id") === "d:1").select(col("props")).head()
+      .getMap[String, String](0).isEmpty)
+    // delete cascades still carry the schema through
+    val g5 = g4.deleteNodes(Seq("a:1").toDF("id"))
+    assert(g5.nodes.columns.contains("props") && g5.edges.count() === 1L)
+  }
+
+  test("tpch projection props: order status/priority and customer mktsegment ride the graph") {
+    val out = CypherLite.run(TpchGraph(spark, sf),
+      "MATCH (o:order)-[:placed_by]->(c:customer) WHERE o.status = 'F' " +
+        "RETURN o.priority AS priority, count(*) AS n ORDER BY priority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables.load(spark, sf, "orders").filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === direct && out.nonEmpty)
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name > 'a' RETURN x.id")

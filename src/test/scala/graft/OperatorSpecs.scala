@@ -512,7 +512,7 @@ class GraphInterfaceSpec extends SparkSpecBase {
   test("deleteGraph leaves an empty graph with the same schema") {
     val g = TpchGraph(spark, sf).deleteGraph
     assert(g.nodes.count() === 0L && g.edges.count() === 0L)
-    assert(g.nodes.columns.toSeq === Seq("id", "ntype", "name"))
+    assert(g.nodes.columns.toSeq === Seq("id", "ntype", "name", "props"))
     assert(g.edges.columns.toSeq === Seq("src", "dst", "rel"))
   }
 }

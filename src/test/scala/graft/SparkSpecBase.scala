@@ -6,14 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM, forked by sbt). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    // Same session posture as production (GraftSession.tune): specs then
+    // exercise the plans users actually get — AQE, broadcast threshold,
+    // nanosAsLong — instead of a divergent test-only configuration.
+    val s = GraftSession.tune(
+        SparkSession.builder().master("local[4]").appName("graft-test"), "4")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
