@@ -186,6 +186,49 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(sim.forall(_._3 <= 3))
     assert(sim.nonEmpty)
   }
+
+  test("prefix-filtered ngram jaccard: planted 100%-df hot shingle, zero lost pairs, pruned index") {
+    import TestSpark.spark.implicits._
+    // Every doc shares the hot phrase "aaa bbb ccc" (one 100%-df shingle
+    // + two 100%-df boundary shingles per doc); docs 0/1 and 2/3 are
+    // planted near-dup pairs, the rest are unique filler.
+    val hot = "aaa bbb ccc"
+    val docs = (0 until 40).map { i =>
+      val body = i match {
+        case 0 | 1 => s"dup${i / 2} w1 w2 w3 w4 w5 w6 w7 w8 w9 extra$i"
+        case 2 | 3 => s"dup${i / 2} v1 v2 v3 v4 v5 v6 v7 v8 v9 extra$i"
+        case _ => (0 until 12).map(k => s"u${i}_$k").mkString(" ")
+      }
+      (i.toLong, s"$hot $body")
+    }.toDF("doc_id", "text")
+
+    // Brute force: full shingle sets, all 780 pairs, exact jaccard.
+    val sets = DedupOps.shinglesOf(docs)
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val jac = inter / (size(col("s1")) + size(col("s2")) - inter)
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.ss").as("s1"), col("b.ss").as("s2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val pruned = DedupOps.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === brute, "prefix filtering must lose no pair at J >= tau")
+    assert(brute.map(p => (p._1, p._2)) === Set((0L, 1L), (2L, 3L)))
+
+    // The hot shingle sorts last under the df order, so it never enters
+    // any doc's prefix: the candidate join stays near-linear instead of
+    // the naive index's >= C(40,2) = 780 hot-key pairs in one reducer.
+    val idx = DedupOps.ngramPrefixIndex(docs, 0.5)
+    assert(idx.filter(col("h") === xxhash64(lit(hot))).count() === 0L)
+    val nCand = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(nCand <= 10L, s"candidate pairs should collapse to the planted dups, got $nCand")
+  }
 }
 
 class CurateOpsSpec extends SparkSpecBase {
