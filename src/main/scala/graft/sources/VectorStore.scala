@@ -32,11 +32,18 @@ final case class VectorStore(spark: SparkSession, root: String) {
 
   def collection(name: String): DataFrame = spark.read.parquet(path(name).toString)
 
-  /** Append new points (create_data_points). Dedup-on-ingest is the
-    * caller's contract via deterministic ids — mirroring the reference,
-    * which upserts by id. */
+  /** Upsert new points by id (create_data_points): the reference upserts
+    * by deterministic id, so re-ingesting a batch is a no-op. Ids already
+    * present keep their stored row (keep-first, like Pipeline.addIncrement);
+    * only genuinely new ids are appended — an anti-join against the
+    * existing id set, then an append of immutable files (no rewrite).
+    * Id-uniqueness WITHIN one increment is the caller's contract. */
   def createDataPoints(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(path(name).toString)
+    if (!hasCollection(name)) createCollection(name, df)
+    else {
+      val fresh = df.join(collection(name).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      fresh.write.mode("append").parquet(path(name).toString)
+    }
 
   /** Point lookup by id set (retrieve): broadcast semi-join. */
   def retrieve(name: String, ids: Seq[Long]): DataFrame = {
@@ -44,21 +51,105 @@ final case class VectorStore(spark: SparkSession, root: String) {
     collection(name).join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
   }
 
-  /** Delete by id set: broadcast anti-join + rewrite. */
+  /** Delete by id set: broadcast anti-join + ATOMIC SWAP. The survivors
+    * are written to a temporary sibling directory first, then swapped in
+    * via FileSystem renames (old aside → temp in → old dropped) — never
+    * an in-place overwrite of the directory being read, which would lose
+    * the whole collection if an executor died mid-rewrite (parquet
+    * overwrite deletes the source files before the job is durable). At
+    * worst a crash between the renames leaves the collection parked at
+    * `<name>.deleting` for manual recovery — it never truncates it. */
   def deleteDataPoints(name: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    val remaining = collection(name)
+    val tmp = path(name + ".tmp")
+    val old = path(name + ".deleting")
+    collection(name)
       .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_anti")
-      .localCheckpoint(true) // materialize before overwriting the source files
-    remaining.write.mode("overwrite").parquet(path(name).toString)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val f = fs
+    f.delete(old, true) // stale leftover from a previous crash
+    require(f.rename(path(name), old), s"swap failed: could not park $name")
+    require(f.rename(tmp, path(name)), s"swap failed: could not promote $tmp")
+    f.delete(old, true)
   }
 
   private def vcol: Column = transform(col("embedding"), x => x.cast("double"))
 
-  /** Cosine top-k for one query vector (search): score + TakeOrdered.
-    * Results carry the point's payload columns (the reference's
-    * ScoredResult shape) minus the raw vector. */
-  def search(name: String, query: Array[Double], k: Int): DataFrame =
+  // ---------------------------------------------------------------------
+  // IVF index surface (vector_db_interface.py:184 create_vector_index /
+  // :191 index_data_points): the trained coarse quantizer persists as a
+  // tiny centroid table and the collection persists cell-assigned,
+  // PARTITIONED BY cell — so an indexed search reads only the probed
+  // cells' files (partition pruning), the Faiss inverted-file layout
+  // re-expressed as a parquet directory structure.
+  // ---------------------------------------------------------------------
+
+  private def centroidsPath(name: String) = path(name + "__index/centroids")
+  private def cellsPath(name: String) = path(name + "__index/cells")
+
+  def hasIndex(name: String): Boolean = fs.exists(cellsPath(name))
+
+  private def assignCells(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", VectorOps.bestCell(vcol, cents).getField("cell"))
+
+  private def loadCentroids(name: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsPath(name).toString)
+      .select(col("cell"), col("centroid")).orderBy(col("cell").asc)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Train the coarse quantizer on the collection and persist the index:
+    * centroids (k rows) + the cell-assigned collection partitioned by
+    * cell. Training is the one-off offline step; [[search]] then takes
+    * the IVF path automatically and [[indexDataPoints]] extends the
+    * index without retraining. */
+  def createVectorIndex(name: String): Unit = {
+    import spark.implicits._
+    val vecs = collection(name).select(col("vec_id"), vcol.as("v"))
+    val n = vecs.count()
+    val cents = VectorOps.kmeansCentroids(
+      VectorOps.trainingSample(vecs, n, VectorOps.DefaultTrainCap), VectorOps.cellCount(n))
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(centroidsPath(name).toString)
+    assignCells(collection(name), cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsPath(name).toString)
+  }
+
+  /** Assign new points to their cells with the PERSISTED quantizer (no
+    * retrain — the Faiss practice) and append them to the index
+    * (index_data_points). Call after [[createDataPoints]] with the same
+    * increment, or re-run [[createVectorIndex]] to retrain wholesale. */
+  def indexDataPoints(name: String, df: DataFrame): Unit = {
+    require(hasIndex(name), s"no vector index for collection $name")
+    assignCells(df, loadCentroids(name))
+      .write.mode("append").partitionBy("cell").parquet(cellsPath(name).toString)
+  }
+
+  /** Cosine top-k for one query vector (search). With an index present,
+    * the query's nprobe nearest cells are picked DRIVER-SIDE (k×64
+    * scalar dot products against the persisted centroids) and only those
+    * cells' parquet partitions are scanned — the shortlist is then
+    * re-ranked exactly. Without an index: brute-force scan. nprobe ≥ the
+    * cell count provably reduces to brute force (spec-pinned). Results
+    * carry the point's payload columns (the reference's ScoredResult
+    * shape) minus the raw vector. */
+  def search(name: String, query: Array[Double], k: Int, nprobe: Int = 2): DataFrame =
+    if (!hasIndex(name)) searchBrute(name, query, k)
+    else {
+      val cents = loadCentroids(name)
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      val probes = cents.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        (c.zip(query).map { case (a, b) => a * b }.sum / (cn * qn), i)
+      }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
+      spark.read.parquet(cellsPath(name).toString)
+        .filter(col("cell").isin(probes.toIndexedSeq: _*))
+        .withColumn("cosine", round(VectorOps.cosine(vcol, lit(query)), 4))
+        .drop("embedding", "cell")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(k)
+    }
+
+  private def searchBrute(name: String, query: Array[Double], k: Int): DataFrame =
     collection(name)
       .withColumn("cosine", round(VectorOps.cosine(vcol, lit(query)), 4))
       .drop("embedding")

@@ -78,6 +78,76 @@ class SourcesSpec extends SparkSpecBase {
     assert(!store.hasCollection("chunks"))
   }
 
+  test("create_data_points upserts by id: re-ingest is a no-op, stored rows win") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vupsert").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 20)
+    store.createDataPoints("c", base) // creates on first ingest
+    assert(store.collection("c").count() === 20L)
+    // exact re-ingest: idempotent
+    store.createDataPoints("c", base)
+    assert(store.collection("c").count() === 20L)
+    // overlapping increment: stored rows keep their payload, new ids append
+    val sentinel = -777
+    val inc = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= 10 && col("vec_id") < 30)
+      .withColumn("label", lit(sentinel).cast(base.schema("label").dataType))
+    store.createDataPoints("c", inc)
+    assert(store.collection("c").count() === 30L)
+    assert(store.collection("c")
+      .filter(col("vec_id") < 20 && col("label") === sentinel).count() === 0L)
+    assert(store.collection("c")
+      .filter(col("vec_id") >= 20 && col("label") === sentinel).count() === 10L)
+    store.prune()
+  }
+
+  test("delete_data_points swaps atomically and leaves no scratch dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vdelete").toString
+    val store = sources.VectorStore(spark, root)
+    store.createCollection("c", Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 25))
+    store.deleteDataPoints("c", Seq(1L, 2L, 3L))
+    assert(store.collection("c").count() === 22L)
+    assert(store.retrieve("c", Seq(1L)).count() === 0L)
+    // neither the temp nor the parked directory survives the swap
+    val left = new java.io.File(root).list().toSet
+    assert(left === Set("c"), s"unexpected scratch dirs: $left")
+    store.prune()
+  }
+
+  test("vector index: IVF search with nprobe=all equals brute force; pruned scan otherwise") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vindex").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 60)
+    store.createCollection("c", base)
+    val q = base.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
+    val brute = store.search("c", q, 5).select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(!store.hasIndex("c"))
+    store.createVectorIndex("c")
+    assert(store.hasIndex("c"))
+    // nprobe >= cell count probes everything -> identical to brute force
+    val all = store.search("c", q, 5, nprobe = 64).select("vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(all === brute)
+    // small nprobe: the query vector's own cell is always probed first,
+    // so the self-hit at cosine 1.0 must surface
+    val ivf = store.search("c", q, 5, nprobe = 1)
+    assert(ivf.collect().head.getAs[Long]("vec_id") === 7L)
+    // the probed scan prunes partitions at the source (cell=... filter)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // index_data_points extends the index without retraining
+    val inc = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= 60 && col("vec_id") < 70)
+    store.createDataPoints("c", inc)
+    store.indexDataPoints("c", inc)
+    val q2 = inc.filter(col("vec_id") === 65)
+      .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
+    assert(store.search("c", q2, 3, nprobe = 1).collect().head.getAs[Long]("vec_id") === 65L)
+    store.prune()
+  }
+
   test("document classification routes extensions to the reference classes") {
     import TestSpark.spark.implicits._
     val got = DocumentSource.classify(
