@@ -122,13 +122,17 @@ object EventOps {
       |  round(max(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Per-user interaction history, most recent first (reference:
+  /** Per-user interaction history, MOST RECENT first (reference:
     * cognee/modules/search/operations/get_history.py:8 — the
-    * query+result ledger of a user ordered by created_at, LIMIT 10;
-    * log_query/log_result appends map to event-log appends). The events
-    * table is the interaction ledger; the per-user recency top-k is a
-    * rank window PARTITIONED BY user (bounded per-user history, never a
-    * global sort), tie-broken on event_id for a total order. */
+    * query+result ledger of a user, LIMIT 10; log_query/log_result
+    * appends map to event-log appends). DELIBERATE DIVERGENCE: the
+    * reference orders by created_at ASCENDING, so its LIMIT 10 returns
+    * the user's OLDEST rows — an apparent upstream bug for a "history"
+    * surface; recency (descending) is the intended semantics and what
+    * this operator implements. The events table is the interaction
+    * ledger; the per-user recency top-k is a rank window PARTITIONED BY
+    * user (bounded per-user history, never a global sort), tie-broken
+    * on event_id for a total order. */
   def history(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_sec").desc, col("event_id").desc)

@@ -349,7 +349,12 @@ object Retrievers {
     * (graph_completion_cot_retriever.py iterates exactly this loop
     * between LLM turns). */
   def completionCot(spark: SparkSession, dir: String): DataFrame = {
-    val e = embD(spark, dir).persist()
+    // Scratch artifacts use eager localCheckpoint (the repo-wide
+    // artifact-lifetime discipline): blocks are executor-local and the
+    // context cleaner reclaims them once the result is unreferenced —
+    // nothing registers in the CacheManager (spec-pinned: the returned
+    // plan carries no InMemoryRelation).
+    val e = embD(spark, dir).localCheckpoint(true)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame =
       // orderBy+limit → TakeOrderedAndProject; the rank window only ever
@@ -360,7 +365,7 @@ object Retrievers {
         .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
         .withColumn("rank", rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long"))
         .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
-    val r1 = topK(q, Seq(0L), 1).persist()
+    val r1 = topK(q, Seq(0L), 1).localCheckpoint(true)
     val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
       .join(e, Seq("vec_id")).select(col("v").as("qv"))
     val r1Ids = 0L +: r1.collect().map(_.getAs[Long]("doc_id")).toSeq // ≤3 ids — driver-side is fine

@@ -235,9 +235,14 @@ object TextOps {
     * paragraph chunker (cognee/tasks/chunks/chunk_by_paragraph.py:7:
     * sentences accumulate into a chunk until adding the NEXT sentence
     * would exceed max_chunk_size, then the chunk cuts on the sentence
-    * boundary; an oversized single sentence becomes its own chunk;
-    * sentence units come from chunk_by_sentence.py:32 over
-    * chunk_by_word.py's SENTENCE_ENDINGS). The synthetic corpus has no
+    * boundary; sentence units come from chunk_by_sentence.py:32 over
+    * chunk_by_word.py's SENTENCE_ENDINGS). DELIBERATE DIVERGENCE: the
+    * reference passes max_chunk_size into chunk_by_sentence, which cuts
+    * an oversized sentence at maximum_size so no chunk ever exceeds it;
+    * here an oversized single sentence is kept whole as its own chunk
+    * (cut_type='oversize') — boundary preservation is traded for the
+    * size cap, and Spark, oracle, and specs all agree on this choice.
+    * The synthetic corpus has no
     * punctuation, so the sentence-boundary rule is a deterministic
     * stand-in (the fakeDecode precedent): a token ends a sentence iff
     * fold16(md5(token)) % 7 == 0; the last token always ends one.

@@ -600,6 +600,18 @@ class RetrieverSurfaceSpec extends SparkSpecBase {
     assert(byEnt.keySet === Set("NATION_3", "NATION_7"))
     assert(byEnt.values.forall(rows => rows.nonEmpty && rows.length <= 3))
   }
+
+  test("completionCot leaves no CacheManager entries (scratch is checkpointed, not persisted)") {
+    val out = Retrievers.completionCot(spark, sf)
+    // persist() would surface as InMemoryRelation in the consuming plan;
+    // the checkpoint-and-release discipline leaves only LogicalRDD scans
+    // whose blocks the context cleaner reclaims once `out` is dropped.
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.isEmpty, "completionCot must not register CacheManager entries")
+    assert(out.count() === 6L)
+  }
 }
 
 class OntologyOpsSpec extends SparkSpecBase {
