@@ -392,7 +392,59 @@ object TextOps {
       |  unnest(regexp_extract_all(meta, '\$[0-9]+\.[0-9]{2}'))
       |FROM base""".stripMargin
 
+  /** Time-anchored event extraction from document text — the
+    * deterministic skeleton of the reference's temporal-graph pipeline
+    * (tasks/temporal_graph/extract_events_and_entities.py: an LLM pulls
+    * Event{name, time_from, ...} rows out of each chunk;
+    * tasks/temporal_graph/models.py Timestamp defaults unknown fields;
+    * generate_event_datapoint.py shapes the datapoint). The LLM call is
+    * out of scope per the brief, so trigger and anchor are md5 folds
+    * (the fakeDecode precedent, replayed bit-identically by the oracle):
+    * a token NAMES an event iff fold16(md5(token)) % 11 == 0, and the
+    * event's Timestamp anchors inside January 2024 by a fold of
+    * (doc_id, position). One row per event occurrence — (doc_id, pos,
+    * event, ts_sec, day) — the relation the search_temporal /
+    * search_temporal_graph window queries consume (spec-pinned).
+    * The extraction machinery (tokenize → posexplode → filter → anchor)
+    * is the real distributed operator and runs unchanged when an
+    * upstream extractor provides real triggers/timestamps. */
+  def temporalExtract(spark: SparkSession, dir: String): DataFrame = {
+    def fold(c: Column, hexChars: Int): Column =
+      conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+    val jan1 = lit(1704067200L) // 2024-01-01 00:00:00 UTC
+    val monthSecs = lit(2678400L) // 31 days
+    load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(fold(col("tok"), 4) % 11 === 0)
+      .select(col("doc_id"), col("pos"), col("tok").as("event"),
+        (jan1 + fold(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string")), 8) % monthSecs).as("ts_sec"))
+      .withColumn("day", from_unixtime(col("ts_sec"), "yyyy-MM-dd"))
+  }
+
+  val temporalExtractSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS tok
+      |  FROM t, unnest(range(len(toks))) AS u(i)
+      |),
+      |f AS (
+      |  SELECT doc_id, pos, tok,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) AS h4,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> (strpos('0123456789abcdef', substr(md5(doc_id || ':' || pos), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 7 - i))) AS BIGINT) AS h8
+      |  FROM tok
+      |)
+      |SELECT doc_id, pos, tok AS event,
+      |  1704067200 + (h8 % 2678400) AS ts_sec,
+      |  strftime(TIMESTAMP '2024-01-01 00:00:00' + ((h8 % 2678400) * INTERVAL 1 SECOND), '%Y-%m-%d') AS day
+      |FROM f WHERE h4 % 11 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_extract" -> ((s: SparkSession, d: String) => temporalExtract(s, d)),
     "entity_extract_regex" -> ((s: SparkSession, d: String) => entityExtract(s, d)),
     "text_chunk_paragraph" -> ((s: SparkSession, d: String) => chunkParagraph(s, d)),
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
@@ -403,6 +455,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "temporal_extract" -> temporalExtractSql,
     "entity_extract_regex" -> entityExtractSql,
     "text_chunk_paragraph" -> chunkParagraphSql,
     "text_chunk_overlap" -> chunkOverlapSql,

@@ -397,6 +397,29 @@ class TextOpsSpec extends SparkSpecBase {
   }
 }
 
+class TemporalExtractSpec extends SparkSpecBase {
+
+  test("extracted events are anchored inside the window and feed temporal aggregation") {
+    val ev = TextOps.temporalExtract(spark, sf)
+    val rows = ev.collect()
+    assert(rows.nonEmpty)
+    // every anchor lands inside January 2024 and day agrees with ts_sec
+    assert(rows.forall { r =>
+      val ts = r.getAs[Long]("ts_sec")
+      ts >= 1704067200L && ts < 1704067200L + 2678400L &&
+        r.getAs[String]("day").startsWith("2024-01")
+    })
+    // deterministic: a second extraction is row-identical
+    assert(TextOps.temporalExtract(spark, sf).collect().toSet === rows.toSet)
+    // the relation drives the search_temporal window shape: per-day
+    // counts over a sub-window sum back to the row count in that window
+    val windowed = ev.filter(col("day") >= "2024-01-08" && col("day") < "2024-01-15")
+    val byDay = windowed.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(byDay === windowed.count() && byDay > 0L)
+  }
+}
+
 class RelationalOpsSpec extends SparkSpecBase {
 
   test("approx distinct users within 5% of exact per event type") {
