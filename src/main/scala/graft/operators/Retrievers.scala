@@ -639,6 +639,90 @@ object Retrievers {
        |)
        |SELECT entity, rank, src, rel, dst FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** Triplet-search context providers (modules/retrieval/
+    * context_providers/): per query entity, brute-force triplet search
+    * with the entity-conditioned query "{entity_text} {query}" and
+    * top_k=3 (TripletSearchContextProvider._get_search_tasks), formatted
+    * as per-entity context rows; the SUMMARIZED variant
+    * (SummarizedTripletSearchContextProvider._format_triplets) collapses
+    * each entity's block to "Summary for {entity}: ..." — the LLM
+    * summarize_text step replaced by the extractive first-8-words rule
+    * (the search_summaries precedent). Both providers come back in one
+    * relation tagged by a `provider` column (the search_code two-channel
+    * shape).
+    *
+    * Scale: the entity set is tiny and broadcasts across the one
+    * edge-relation pass; scoring is a per-row codegen'd Jaccard; top-3
+    * is an entity-partitioned rank over scored triplets. */
+  def contextTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val query = "supplier activity around NATION_3 and NATION_7"
+    val g = TpchGraph(spark, dir)
+    val ents = g.nodes
+      .filter(col("ntype") === "nation" && col("name").isInCollection(query.split(" ").toSeq))
+      .select(col("name").as("entity"))
+    val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
+    val ttoks = array_distinct(split(lower(rendered), "[ _-]"))
+    // "{entity_text} {query}" stem: the entity's own name tokens + the
+    // query's content words (stopwords dropped deterministically).
+    val qtoks = array_distinct(concat(split(lower(col("entity")), "[ _-]"),
+      array(lit("supplier"), lit("activity"))))
+    val score = round(size(array_intersect(ttoks, qtoks)).cast("double") /
+      size(array_union(ttoks, qtoks)), 4)
+    val named = g.edges
+      .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
+      .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("score").desc, col("line").asc)
+    val top = named.crossJoin(broadcast(ents))
+      .select(col("entity"), rendered.as("line"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 3)
+      .localCheckpoint(true) // feeds both providers; ≤ 3×|entities| rows
+    val direct = top.select(lit("triplets").as("provider"), col("entity"), col("rank"),
+      col("line").as("context"))
+    val summarized = top
+      .groupBy(col("entity"))
+      .agg(array_sort(collect_list(struct(col("rank"), col("line")))).as("blk"))
+      .select(lit("summarized").as("provider"), col("entity"), lit(1L).as("rank"),
+        concat(lit("Summary for "), col("entity"), lit(": "),
+          array_join(slice(split(array_join(transform(col("blk"), b => b.getField("line")), " "), " "),
+            1, 8), " ")).as("context"))
+    direct.union(summarized)
+  }
+
+  val contextTripletsSql: String =
+    s"""${TpchGraph.withGraph},
+       |ents AS (
+       |  SELECT name AS entity FROM nodes
+       |  WHERE ntype = 'nation' AND name IN ('NATION_3', 'NATION_7')
+       |),
+       |named AS (
+       |  SELECT e.src, e.rel, e.dst, ns.name || ' ' || e.rel || ' ' || nd.name AS line
+       |  FROM edges e
+       |  JOIN nodes ns ON ns.id = e.src
+       |  JOIN nodes nd ON nd.id = e.dst
+       |),
+       |scored AS (
+       |  SELECT entity, line,
+       |    round(len(list_intersect(
+       |            list_distinct(string_split_regex(lower(line), '[ _-]')),
+       |            list_distinct(list_concat(string_split_regex(lower(entity), '[ _-]'), ['supplier', 'activity'])))) * 1.0
+       |          / len(list_distinct(list_concat(
+       |            list_distinct(string_split_regex(lower(line), '[ _-]')),
+       |            list_distinct(list_concat(string_split_regex(lower(entity), '[ _-]'), ['supplier', 'activity']))))), 4) AS score
+       |  FROM named, ents
+       |),
+       |top3 AS (
+       |  SELECT entity, line, score,
+       |    row_number() OVER (PARTITION BY entity ORDER BY score DESC, line ASC) AS rank
+       |  FROM scored QUALIFY rank <= 3
+       |)
+       |SELECT 'triplets' AS provider, entity, rank, line AS context FROM top3
+       |UNION ALL
+       |SELECT 'summarized', entity, 1,
+       |  'Summary for ' || entity || ': ' ||
+       |  array_to_string((string_split(string_agg(line, ' ' ORDER BY rank), ' '))[1:8], ' ')
+       |FROM top3 GROUP BY entity""".stripMargin
+
   /** Brute-force triplet search (retrieval/utils/
     * brute_force_triplet_search.py — the memory-fragment primitive every
     * graph-completion retriever builds on: score EVERY graph triplet
@@ -686,6 +770,7 @@ object Retrievers {
        |ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 10""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_context_triplets" -> ((s: SparkSession, d: String) => contextTriplets(s, d)),
     "search_triplets" -> ((s: SparkSession, d: String) => triplets(s, d)),
     "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
     "search_coding_rules" -> ((s: SparkSession, d: String) => codingRules(s, d)),
@@ -705,6 +790,7 @@ object Retrievers {
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "search_context_triplets" -> contextTripletsSql,
     "search_triplets" -> tripletsSql,
     "search_code" -> codeSql,
     "search_coding_rules" -> codingRulesSql,
