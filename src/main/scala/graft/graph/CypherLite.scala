@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * get_connections neighborhood shape; `[:a|b]` unions relation types
   * (one `isin` filter, still pushed to the scan).
   *
+  * Relationship variables: `-[r:rel]->` binds `r`; `r.rel` is the fixed
+  * column, any other name reads the edge's `props` bag (EdgeData
+  * properties). Binding restricts the hop to a SINGLE DIRECTED edge
+  * (no `*lo..hi`, no undirected) and each edge row is its own match —
+  * the endpoint-pair dedup that path-existence semantics apply is
+  * deliberately skipped, per Cypher's one-row-per-edge contract.
+  *
   * Compilation is declarative: each hop is an equi-join of the edges
   * DataFrame (filtered to the relation, so the predicate pushes into
   * the scan) with the nodes DataFrame — Catalyst plans/reorders the
@@ -35,7 +42,7 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val relRe = """(<)?-\s*\[\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
+  private val relRe = """(<)?-\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
@@ -48,24 +55,31 @@ object CypherLite {
     val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
 
     val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), Option(m.group(2)))).toSeq
-    // (relTypes, minHops, maxHops, direction); plain -[:rel]-> is 1..1
-    // forward, <-[:rel]- reverse, -[:rel]- (no arrowhead) undirected.
+    // (edgeVar, relTypes, minHops, maxHops, direction); plain -[:rel]->
+    // is 1..1 forward, <-[:rel]- reverse, -[:rel]- (no arrowhead)
+    // undirected; -[r:rel]-> binds the edge variable r.
     sealed trait Dir; object Fwd extends Dir; object Rev extends Dir; object Undir extends Dir
     val relPats = relRe.findAllMatchIn(matchPart).map { m =>
+      val evar = Option(m.group(2))
       val (lo, hi) =
-        if (m.group(3) == null) (1, 1) else (m.group(3).toInt, m.group(4).toInt)
+        if (m.group(4) == null) (1, 1) else (m.group(4).toInt, m.group(5).toInt)
       require(lo >= 1 && hi >= lo && hi <= 10, s"unsupported path bounds *$lo..$hi")
-      val dir = (m.group(1) != null, m.group(5) != null) match {
+      val dir = (m.group(1) != null, m.group(6) != null) match {
         case (true, true) => throw new IllegalArgumentException(
           s"unsupported double-headed relationship in: $matchPart")
         case (true, false) => Rev
         case (false, true) => Fwd
         case (false, false) => Undir
       }
-      (m.group(2).split("\\|").map(_.trim).toSeq, lo, hi, dir)
+      require(evar.isEmpty || (lo == 1 && hi == 1 && dir != Undir),
+        s"edge variable requires a single directed hop in: $matchPart")
+      (evar, m.group(3).split("\\|").map(_.trim).toSeq, lo, hi, dir)
     }.toSeq
     require(nodePats.nonEmpty && relPats.length == nodePats.length - 1,
       s"unsupported pattern: $matchPart")
+    val edgeVars: Set[String] = relPats.flatMap(_._1).toSet
+    require(!edgeVars.exists(nodePats.map(_._1).toSet),
+      s"variable bound as both node and edge in: $matchPart")
 
     def nodeDf(v: String, t: Option[String]): DataFrame =
       t.fold(g.nodesP)(tp => g.nodesP.filter(col("ntype") === tp)).select(
@@ -74,38 +88,59 @@ object CypherLite {
 
     // `v.prop`: fixed columns resolve directly; anything else reaches
     // into the property bag (NULL when absent — Cypher missing-property
-    // semantics make every comparison against it false).
-    def propCol(v: String, p: String): Column = p match {
-      case "id" | "ntype" | "name" => col(s"${v}_$p")
-      case bagKey => element_at(col(s"${v}_props"), bagKey)
-    }
+    // semantics make every comparison against it false). Edge variables
+    // expose `rel` as their fixed column.
+    def propCol(v: String, p: String): Column =
+      if (edgeVars(v)) p match {
+        case "rel" => col(s"${v}_rel")
+        case bagKey => element_at(col(s"${v}_props"), bagKey)
+      } else p match {
+        case "id" | "ntype" | "name" => col(s"${v}_$p")
+        case bagKey => element_at(col(s"${v}_props"), bagKey)
+      }
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
-    relPats.zipWithIndex.foreach { case ((rels, lo, hi, dir), i) =>
+    relPats.zipWithIndex.foreach { case ((evar, rels, lo, hi, dir), i) =>
       val (pv, _) = nodePats(i)
       val (nv, nt) = nodePats(i + 1)
-      val fwd = g.edges.filter(col("rel").isin(rels: _*)).select(col("src"), col("dst"))
-      val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
-      // Undirected hop = both orientations of the typed edge set (the
-      // get_connections traversal view), deduplicated.
-      val hop = dir match {
-        case Fwd => fwd
-        case Rev => rev
-        case Undir => fwd.union(rev).distinct()
+      val e = evar match {
+        case Some(r) =>
+          // Bound edge variable: one row PER EDGE (no endpoint dedup —
+          // Cypher's one-match-per-relationship contract), carrying the
+          // relation and its props bag under the variable's columns.
+          val base = PropertyGraph.ensureProps(g.edges)
+            .filter(col("rel").isin(rels: _*))
+          val oriented = dir match {
+            case Fwd => base
+            case _ => base.select(col("dst").as("src"), col("src").as("dst"),
+              col("rel"), col("props"))
+          }
+          oriented.select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"),
+            col("rel").as(s"${r}_rel"), col("props").as(s"${r}_props"))
+        case None =>
+          val fwd = g.edges.filter(col("rel").isin(rels: _*)).select(col("src"), col("dst"))
+          val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+          // Undirected hop = both orientations of the typed edge set (the
+          // get_connections traversal view), deduplicated.
+          val hop = dir match {
+            case Fwd => fwd
+            case Rev => rev
+            case Undir => fwd.union(rev).distinct()
+          }
+          // Variable-length: distinct (src,dst) pairs reachable in lo..hi
+          // hops of `rel` — chained equi-joins unioned per length (Cypher
+          // path-existence semantics; endpoints only, no path binding).
+          var reach: DataFrame = null
+          var cur = hop
+          for (len <- 1 to hi) {
+            if (len >= lo) reach = if (reach == null) cur else reach.union(cur)
+            if (len < hi) cur = cur.as("a")
+              .join(hop.as("b"), col("a.dst") === col("b.src"))
+              .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          }
+          reach.distinct()
+            .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
       }
-      // Variable-length: distinct (src,dst) pairs reachable in lo..hi
-      // hops of `rel` — chained equi-joins unioned per length (Cypher
-      // path-existence semantics; endpoints only, no path binding).
-      var reach: DataFrame = null
-      var cur = hop
-      for (len <- 1 to hi) {
-        if (len >= lo) reach = if (reach == null) cur else reach.union(cur)
-        if (len < hi) cur = cur.as("a")
-          .join(hop.as("b"), col("a.dst") === col("b.src"))
-          .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      }
-      val e = reach.distinct()
-        .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
       df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt), Seq(s"${nv}_id"))
     }
 

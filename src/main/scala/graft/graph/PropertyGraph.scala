@@ -298,15 +298,24 @@ object TpchGraph {
           concat(lit("order-"), col("o_orderkey").cast("string")),
           map(lit("status"), col("o_orderstatus"), lit("priority"), col("o_orderpriority"))))
 
+    // Edge property bags (reference EdgeData.properties): placed_by
+    // carries the order date — the relationship attribute CypherLite
+    // edge-variable predicates filter on; structural edges have empty
+    // bags.
+    val noProps = map().cast("map<string,string>")
     val edges =
-      nation.select(id("nation", "n_nationkey").as("src"), id("region", "n_regionkey").as("dst"), lit("in_region").as("rel"))
-        .union(supplier.select(id("supplier", "s_suppkey"), id("nation", "s_nationkey"), lit("located_in")))
-        .union(customer.select(id("customer", "c_custkey"), id("nation", "c_nationkey"), lit("located_in")))
-        .union(orders.select(id("order", "o_orderkey"), id("customer", "o_custkey"), lit("placed_by")))
+      nation.select(id("nation", "n_nationkey").as("src"), id("region", "n_regionkey").as("dst"), lit("in_region").as("rel"),
+          noProps.as("props"))
+        .union(supplier.select(id("supplier", "s_suppkey"), id("nation", "s_nationkey"), lit("located_in"), noProps))
+        .union(customer.select(id("customer", "c_custkey"), id("nation", "c_nationkey"), lit("located_in"), noProps))
+        .union(orders.select(id("order", "o_orderkey"), id("customer", "o_custkey"), lit("placed_by"),
+          map(lit("orderdate"), date_format(col("o_orderdate"), "yyyy-MM-dd"))))
         // lineitem fans out order→part / order→supplier; dedup to simple edges
         // (map-side partial distinct then one shuffle on (src,dst)).
-        .union(lineitem.select(id("order", "l_orderkey"), id("part", "l_partkey"), lit("contains")).distinct())
-        .union(lineitem.select(id("order", "l_orderkey"), id("supplier", "l_suppkey"), lit("supplied_by")).distinct())
+        .union(lineitem.select(id("order", "l_orderkey"), id("part", "l_partkey"), lit("contains")).distinct()
+          .select(col("*"), noProps))
+        .union(lineitem.select(id("order", "l_orderkey"), id("supplier", "l_suppkey"), lit("supplied_by")).distinct()
+          .select(col("*"), noProps))
 
     PropertyGraph(nodes, edges)
   }

@@ -455,6 +455,25 @@ object Retrievers {
       |WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
       |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
 
+  /** CYPHER with a bound relationship variable: `-[r:placed_by]->`
+    * binds the edge, and WHERE predicates reach its props bag
+    * (EdgeData.properties — here the order date riding the placed_by
+    * relationship). One row per matched edge, per Cypher's
+    * one-match-per-relationship contract. */
+  val edgeCypher: String =
+    "MATCH (o:order)-[r:placed_by]->(c:customer) " +
+      "WHERE r.orderdate STARTS WITH '1995-03' " +
+      "RETURN c.name AS name, count(*) AS n_orders ORDER BY n_orders DESC, name LIMIT 10"
+
+  def cypherEdgeProps(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), edgeCypher)
+
+  val cypherEdgePropsSql: String =
+    """SELECT c_name AS name, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1995-03%'
+      |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -787,6 +806,7 @@ object Retrievers {
     "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
     "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
     "search_cypher_props" -> ((s: SparkSession, d: String) => cypherProps(s, d)),
+    "search_cypher_edge_props" -> ((s: SparkSession, d: String) => cypherEdgeProps(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -807,5 +827,6 @@ object Retrievers {
     "search_feeling_lucky" -> feelingLuckySql,
     "search_cypher" -> cypherSql,
     "search_cypher_props" -> cypherPropsSql,
+    "search_cypher_edge_props" -> cypherEdgePropsSql,
     "search_natural_language" -> cypherSql)
 }

@@ -161,6 +161,51 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out === direct && out.nonEmpty)
   }
 
+  private lazy val ge: PropertyGraph = {
+    import TestSpark.spark.implicits._
+    PropertyGraph(
+      Seq(("a:1", "a", "alpha"), ("a:2", "a", "beta"), ("b:1", "b", "gamma"))
+        .toDF("id", "ntype", "name"),
+      Seq(
+        ("a:1", "b:1", "knows", Map("since" -> "2020")),
+        ("a:2", "b:1", "knows", Map("since" -> "2023")),
+        ("a:1", "b:1", "likes", Map.empty[String, String]))
+        .toDF("src", "dst", "rel", "props"))
+  }
+
+  test("edge variable binds rel and its props bag; WHERE filters on edge props") {
+    val out = CypherLite.run(ge,
+      "MATCH (x:a)-[r:knows]->(y:b) WHERE r.since = '2020' RETURN x.id AS xid, r.rel AS rel")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(out === List(("a:1", "knows")))
+    // projection of an edge prop; missing key -> NULL
+    val proj = CypherLite.run(ge,
+      "MATCH (x:a)-[r:knows|likes]->(y:b) RETURN x.id AS xid, r.rel AS rel, r.since AS since ORDER BY xid, rel")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toList
+    assert(proj === List(
+      ("a:1", "knows", Some("2020")), ("a:1", "likes", None), ("a:2", "knows", Some("2023"))))
+    // one row per edge: parallel knows+likes edges both match (no pair dedup)
+    assert(CypherLite.run(ge,
+      "MATCH (x:a)-[r:knows|likes]->(y:b) RETURN x.id AS xid").count() === 3L)
+    // reverse arrow orients the hop; props still reachable
+    val rev = CypherLite.run(ge,
+      "MATCH (y:b)<-[r:knows]-(x:a) WHERE r.since = '2023' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(rev === List("a:2"))
+    // props-less graphs normalize to empty bags under an edge variable
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[r:knows]->(y:b) WHERE r.since = '2020' RETURN x.id AS xid").count() === 0L)
+  }
+
+  test("edge variable rejects var-length and undirected hops") {
+    intercept[IllegalArgumentException] {
+      CypherLite.run(ge, "MATCH (x:a)-[r:knows*1..2]->(y:b) RETURN x.id AS xid")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(ge, "MATCH (x:a)-[r:knows]-(y:b) RETURN x.id AS xid")
+    }
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name > 'a' RETURN x.id")

@@ -32,7 +32,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "curate_sample", "curate_sample_stratified", "curate_split",
     "curate_decontaminate", "curate_pack",
     "vec_knn", "vec_knn_ivf", "vec_knn_lsh", "vec_dedup_cosine", "vec_centroids",
-    "data_datasets", "search_history",
+    "data_datasets", "search_history", "temporal_extract",
     "events_window_agg", "events_sessionize", "events_props_agg",
     "pipeline_cognify", "pipeline_prune")
 

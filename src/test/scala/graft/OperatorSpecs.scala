@@ -579,7 +579,7 @@ class GraphInterfaceSpec extends SparkSpecBase {
     val g = TpchGraph(spark, sf).deleteGraph
     assert(g.nodes.count() === 0L && g.edges.count() === 0L)
     assert(g.nodes.columns.toSeq === Seq("id", "ntype", "name", "props"))
-    assert(g.edges.columns.toSeq === Seq("src", "dst", "rel"))
+    assert(g.edges.columns.toSeq === Seq("src", "dst", "rel", "props"))
   }
 }
 
