@@ -70,6 +70,16 @@ object Graft {
   def getMemoryFragment(spark: SparkSession, dir: String): DataFrame =
     operators.Retrievers.triplets(spark, dir)
 
+  /** Per-entity triplet-search context, direct + summarized provider
+    * rows (modules/retrieval/context_providers/). */
+  def getContext(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrievers.contextTriplets(spark, dir)
+
+  /** Time-anchored event rows extracted from document text
+    * (tasks/temporal_graph extraction skeleton). */
+  def extractTemporal(spark: SparkSession, dir: String): DataFrame =
+    operators.TextOps.temporalExtract(spark, dir)
+
   /** Dispatch a search type to its retrieval plan (cognee.search). */
   def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
     case Chunks => operators.Retrievers.chunks(spark, dir)
