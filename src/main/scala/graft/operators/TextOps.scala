@@ -408,12 +408,18 @@ object TextOps {
     * The extraction machinery (tokenize → posexplode → filter → anchor)
     * is the real distributed operator and runs unchanged when an
     * upstream extractor provides real triggers/timestamps. */
-  def temporalExtract(spark: SparkSession, dir: String): DataFrame = {
+  def temporalExtract(spark: SparkSession, dir: String): DataFrame =
+    temporalExtractFrom(load(spark, dir, "documents"))
+
+  /** Extraction body over ANY (doc_id, text) relation — stateless row
+    * arithmetic, so the streaming twin (EventStream.temporalExtractStream)
+    * reuses it unchanged on a streaming frame. */
+  private[graft] def temporalExtractFrom(docs: DataFrame): DataFrame = {
     def fold(c: Column, hexChars: Int): Column =
       conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
     val jan1 = lit(1704067200L) // 2024-01-01 00:00:00 UTC
     val monthSecs = lit(2678400L) // 31 days
-    load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(fold(col("tok"), 4) % 11 === 0)
       .select(col("doc_id"), col("pos"), col("tok").as("event"),

@@ -87,6 +87,23 @@ object EventStream {
       .select(col("docId").as("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("entity"))
 
+  /** Streaming temporal extraction — the continuous twin of
+    * TextOps.temporalExtract, because the corpus the temporal graph is
+    * built from ARRIVES as an ingest stream: documents are content-hash
+    * deduped within the watermark horizon (the idempotent-add contract,
+    * like [[cognifyStream]]), then each micro-batch emits exactly the
+    * time-anchored event rows the batch extractor derives — the
+    * extraction itself is stateless row arithmetic, shared verbatim
+    * (spec proves batch parity on replayed input). */
+  def temporalExtractStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.temporalExtractFrom(
+      docs
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+        .withColumn("content_hash", md5(col("text")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("content_hash")
+        .select(col("docId").as("doc_id"), col("text")))
+
   /** Continuously-maintained per-user history — the streaming twin of
     * EventOps.history (get_history's latest-k ledger read, kept hot as
     * state instead of recomputed per query). State per user is the

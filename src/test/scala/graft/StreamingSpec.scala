@@ -118,6 +118,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect) // no 99999 rows, nothing missing
   }
 
+  test("streaming temporal extraction emits exactly the batch event rows, replay deduped") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, Long, String)]
+    val t0 = 1700000000L
+    stream.addData(docs.take(20).map { case (id, tx) => (id, t0, tx) }.toSeq)
+    // second batch replays a batch-1 document verbatim under a new id
+    stream.addData(docs.drop(20).map { case (id, tx) => (id, t0 + 60, tx) }.toSeq
+      :+ ((88888L, t0 + 60, docs.head._2)))
+    val q = EventStream.temporalExtractStream(stream.toDF().toDF("docId", "tsSec", "text"))
+      .writeStream.format("memory").queryName("tempstream").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tempstream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
+    val expect = operators.TextOps.temporalExtractFrom(
+        docs.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
+    assert(got === expect) // no 88888 rows, nothing missing
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
