@@ -148,6 +148,31 @@ class SourcesSpec extends SparkSpecBase {
     store.prune()
   }
 
+  test("graph store commits mutation plans and round-trips props across sessions") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gstore").toString
+    val store = sources.GraphStore(spark, root)
+    assert(!store.hasGraph("g") && store.listGraphs().isEmpty)
+    // a mutated graph (lazy plans) commits via save
+    val g = graph.TpchGraph(spark, sf)
+      .addNodes(Seq(("custom:1", "custom", "one", Map("k" -> "v"))).toDF("id", "ntype", "name", "props"))
+      .addEdges(Seq(("custom:1", "nation:0", "linked")).toDF("src", "dst", "rel"))
+    store.save("g", g)
+    assert(store.hasGraph("g") && store.listGraphs() === Seq("g"))
+    val back = store.load("g")
+    assert(back.nodes.count() === g.nodes.count() && back.edges.count() === g.edges.count())
+    // props bags survive the round-trip, both real and added
+    assert(back.nodes.filter(col("id") === "custom:1").head()
+      .getMap[String, String](3) === Map("k" -> "v"))
+    assert(back.edges.filter(col("rel") === "placed_by")
+      .filter(element_at(col("props"), "orderdate").isNull).count() === 0L)
+    // the reloaded graph is a full PropertyGraph: mutations keep composing
+    assert(back.deleteNodes(Seq("custom:1").toDF("id"))
+      .edges.filter(col("rel") === "linked").count() === 0L)
+    store.deleteGraph("g")
+    assert(!store.hasGraph("g"))
+  }
+
   test("document classification routes extensions to the reference classes") {
     import TestSpark.spark.implicits._
     val got = DocumentSource.classify(
