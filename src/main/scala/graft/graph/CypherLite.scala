@@ -43,7 +43,11 @@ object CypherLite {
 
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val relRe = """(<)?-\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
-  private val whereRe = """(\w+)\.(\w+)\s*(=|<>|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
+  // Ordered alternation: multi-char ops before their single-char
+  // prefixes (>= before >). Range ops compare lexicographically — the
+  // bags are strings, and the ISO dates / zero-padded numerics the
+  // projection stores order correctly under string comparison.
+  private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
   def run(g: PropertyGraph, cypher: String): DataFrame = {
@@ -151,6 +155,10 @@ object CypherLite {
           df = df.filter(op match {
             case "=" => c === lit0
             case "<>" => c =!= lit0
+            case ">=" => c >= lit0
+            case "<=" => c <= lit0
+            case ">" => c > lit0
+            case "<" => c < lit0
             case "STARTS WITH" => c.startsWith(lit0)
             case "CONTAINS" => c.contains(lit0)
           })

@@ -74,10 +74,19 @@ object EventOps {
     * per-user profile aggregates (temporal_retriever extracts a time
     * range, filters, then assembles context). Filter is pushed to the
     * parquet scan. */
-  def temporalSearch(spark: SparkSession, dir: String): DataFrame = {
-    val e = loadEvents(spark, dir)
-    val window = e.filter(col("ts") >= lit("2024-01-08 00:00:00") && col("ts") < lit("2024-01-15 00:00:00"))
-    window
+  def temporalSearch(spark: SparkSession, dir: String): DataFrame =
+    temporalInterval(spark, dir, Some("2024-01-08 00:00:00"), Some("2024-01-15 00:00:00"))
+
+  /** QueryInterval semantics (tasks/temporal_graph/models.py
+    * QueryInterval: starts_at/ends_at are each OPTIONAL) — either bound
+    * may be open; every present bound is one pushed-down scan
+    * predicate, so a half-open query ("everything since X") still
+    * prunes at the file level on a date-partitioned layout. */
+  def temporalInterval(spark: SparkSession, dir: String,
+      from: Option[String], until: Option[String]): DataFrame = {
+    val bounds = from.map(f => col("ts") >= lit(f)).toSeq ++
+      until.map(u => col("ts") < lit(u))
+    bounds.foldLeft(loadEvents(spark, dir))((df, p) => df.filter(p))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -86,11 +95,23 @@ object EventOps {
       .filter(col("n_events") >= 3)
   }
 
+  /** TEMPORAL with an open end (starts_at only) — "everything since". */
+  def temporalOpen(spark: SparkSession, dir: String): DataFrame =
+    temporalInterval(spark, dir, Some("2024-01-20 00:00:00"), None)
+
   val temporalSearchSql: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
       |FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY user_id
+      |HAVING count(*) >= 3""".stripMargin
+
+  val temporalOpenSql: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
       |GROUP BY user_id
       |HAVING count(*) >= 3""".stripMargin
 
@@ -158,12 +179,14 @@ object EventOps {
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
-    "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)))
+    "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)),
+    "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
   def oracles: Map[String, String] = Map(
     "search_history" -> historySql,
     "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
-    "search_temporal" -> temporalSearchSql)
+    "search_temporal" -> temporalSearchSql,
+    "search_temporal_open" -> temporalOpenSql)
 }

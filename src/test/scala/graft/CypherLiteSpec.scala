@@ -206,9 +206,24 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("range comparisons order lexicographically (ISO dates in bags)") {
+    // since: 2020 vs 2023 — string order == numeric order here
+    val ge = CypherLite.run(this.ge,
+      "MATCH (x:a)-[r:knows]->(y:b) WHERE r.since >= '2021' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(ge === List("a:2"))
+    val lt = CypherLite.run(this.ge,
+      "MATCH (x:a)-[r:knows]->(y:b) WHERE r.since < '2021' AND r.since > '1999' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(lt === List("a:1"))
+    // a missing key is NULL: no range op ever matches it
+    assert(CypherLite.run(this.ge,
+      "MATCH (x:a)-[r:likes]->(y:b) WHERE r.since <= '2999' RETURN x.id AS xid").count() === 0L)
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
-      CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name > 'a' RETURN x.id")
+      CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name ~ 'a' RETURN x.id")
     }
   }
 
