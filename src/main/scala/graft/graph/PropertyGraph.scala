@@ -189,6 +189,23 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         .select(edges.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Point lookup of nodes by id set (graph_db_interface.py:229
+    * get_node / :241 get_nodes): the asked ids broadcast against the
+    * node relation — one semi-join for any number of probes, returning
+    * the full NodeData shape (props included). */
+  def getNodes(ids: DataFrame): DataFrame =
+    nodesP.join(broadcast(ids.select(col("id"))), Seq("id"), "left_semi")
+
+  /** Every edge incident to a node id set (graph_db_interface.py:345
+    * get_edges): both-endpoint broadcast semi-joins, props included. */
+  def getEdges(ids: DataFrame): DataFrame = {
+    val idCol = ids.select(col("id"))
+    edgesP.join(broadcast(idCol.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      .union(edgesP.join(broadcast(idCol.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"), col("rel"), col("props")))
+      .dropDuplicates(Seq("src", "dst", "rel"))
+  }
+
   /** Does an edge (src)-[rel]->(dst) exist? (graph_db_interface.py:318
     * has_edge). One pushed-down filter on the edge relation. */
   def hasEdge(src: String, dst: String, rel: String): Boolean =

@@ -575,6 +575,23 @@ class GraphInterfaceSpec extends SparkSpecBase {
     assert(sub.edges.filter(col("dst") === "nation:0").count() > 0L) // neighbors included
   }
 
+  test("getNodes/getEdges point lookups return full NodeData/EdgeData shapes") {
+    import TestSpark.spark.implicits._
+    val g = TpchGraph(spark, sf)
+    val nodes = g.getNodes(Seq("nation:0", "region:1", "missing:9").toDF("id")).collect()
+    assert(nodes.length === 2)
+    assert(nodes.map(_.getString(0)).toSet === Set("nation:0", "region:1"))
+    assert(nodes.forall(!_.isNullAt(3))) // props bag present
+    val edges = g.getEdges(Seq("nation:0").toDF("id"))
+    assert(edges.columns.toSeq === Seq("src", "dst", "rel", "props"))
+    val rows = edges.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) == "nation:0" || r.getString(1) == "nation:0"))
+    // incident from both directions: nation:0 has an out-edge (in_region)
+    // and in-edges (located_in)
+    assert(rows.exists(_.getString(2) == "in_region") && rows.exists(_.getString(2) == "located_in"))
+  }
+
   test("deleteGraph leaves an empty graph with the same schema") {
     val g = TpchGraph(spark, sf).deleteGraph
     assert(g.nodes.count() === 0L && g.edges.count() === 0L)
