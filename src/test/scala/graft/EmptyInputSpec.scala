@@ -33,6 +33,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "curate_decontaminate", "curate_pack",
     "vec_knn", "vec_knn_ivf", "vec_knn_lsh", "vec_dedup_cosine", "vec_centroids",
     "data_datasets", "search_history", "temporal_extract",
+    "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg",
     "pipeline_cognify", "pipeline_prune")
 
