@@ -690,11 +690,19 @@ object Retrievers {
     val named = g.edges
       .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
       .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
+    val scored = named.crossJoin(broadcast(ents))
+      .select(col("entity"), rendered.as("line"), score.as("score"))
+    // Per-entity top-3 via TopKPerGroup, NOT a rank window: the entity
+    // set has cardinality 2, so partitionBy(entity) would range-sort the
+    // whole scored triplet relation inside two partitions. The two-phase
+    // bounded-heap operator instead scans with full parallelism and
+    // shuffles only partitions×groups×k survivor rows; the rank window
+    // then sees only the ≤ 3×|entities| survivors.
     val w = Window.partitionBy(col("entity"))
       .orderBy(col("score").desc, col("line").asc)
-    val top = named.crossJoin(broadcast(ents))
-      .select(col("entity"), rendered.as("line"), score.as("score"))
-      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 3)
+    val top = org.apache.spark.sql.graft.TopKPerGroup(
+        scored, Seq(col("entity")), Seq(col("score").desc, col("line").asc), 3)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .localCheckpoint(true) // feeds both providers; ≤ 3×|entities| rows
     val direct = top.select(lit("triplets").as("provider"), col("entity"), col("rank"),
       col("line").as("context"))

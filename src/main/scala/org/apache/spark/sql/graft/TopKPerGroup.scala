@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -15,9 +15,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * window-function idiom (`row_number().over(partitionBy(g).orderBy(o))
   * <= k`), which materializes a full sort of every group. The physical
   * operator keeps a bounded k-element heap per group inside each
-  * partition — O(n log k) with O(groups·k) memory, no sort, single
-  * shuffle on the group key (the same distribution the window idiom
-  * needs, minus the sort).
+  * partition — O(n log k) with O(groups·k) memory, no sort — and runs
+  * TWO-PHASE like a hash aggregate: a partial pass heaps within every
+  * scan partition (full parallelism even when the group domain is tiny,
+  * e.g. 2 query entities over a corpus-sized scored relation), so the
+  * group-key shuffle moves only partitions×groups×k survivor rows, and
+  * the final pass merges them (top-k of a union ≡ top-k of concatenated
+  * per-partition top-ks under a total order).
   *
   * Wire-up: `TopKPerGroup(df, groupCols, orderCols, k)` inserts the
   * logical node directly; `GraftExtensions` also injects the strategy
@@ -47,7 +51,10 @@ final case class TopKPerGroupPlan(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      // Partial (map-side) heaps feed the final merge across the one
+      // group-key shuffle — the partial-aggregation shape.
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -56,13 +63,16 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // One shuffle on the group key — every group lands whole in one task.
+  // Partial phase heaps wherever the rows already are; the final phase
+  // shuffles the ≤ partitions×groups×k survivors so every group lands
+  // whole in one task.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(groupExprs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
