@@ -13,6 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** The reference's full SearchType enum (modules/search/types/
+    * SearchType.py — all 16 members). */
   sealed abstract class SearchType(val name: String)
   case object Chunks extends SearchType("CHUNKS")
   case object ChunksLexical extends SearchType("CHUNKS_LEXICAL")
@@ -21,7 +23,11 @@ object Graft {
   case object RagCompletion extends SearchType("RAG_COMPLETION")
   case object GraphCompletion extends SearchType("GRAPH_COMPLETION")
   case object GraphCompletionCot extends SearchType("GRAPH_COMPLETION_COT")
+  case object GraphCompletionContextExtension extends SearchType("GRAPH_COMPLETION_CONTEXT_EXTENSION")
   case object GraphSummaryCompletion extends SearchType("GRAPH_SUMMARY_COMPLETION")
+  case object Code extends SearchType("CODE")
+  case object CodingRules extends SearchType("CODING_RULES")
+  case object Feedback extends SearchType("FEEDBACK")
   case object Temporal extends SearchType("TEMPORAL")
   case object Cypher extends SearchType("CYPHER")
   case object NaturalLanguage extends SearchType("NATURAL_LANGUAGE")
@@ -80,15 +86,21 @@ object Graft {
   def extractTemporal(spark: SparkSession, dir: String): DataFrame =
     operators.TextOps.temporalExtract(spark, dir)
 
-  /** Dispatch a search type to its retrieval plan (cognee.search). */
+  /** Dispatch a search type to its retrieval plan (cognee.search).
+    * CONTEXT_EXTENSION shares COT's two-round retrieval (the reference
+    * routes both through the same retriever loop). */
   def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
     case Chunks => operators.Retrievers.chunks(spark, dir)
     case ChunksLexical => operators.Retrievers.lexical(spark, dir)
     case Summaries => operators.Retrievers.summaries(spark, dir)
     case Insights => operators.Retrievers.insights(spark, dir)
     case RagCompletion | GraphCompletion => operators.Retrievers.completionContext(spark, dir)
-    case GraphCompletionCot => operators.Retrievers.completionCot(spark, dir)
+    case GraphCompletionCot | GraphCompletionContextExtension =>
+      operators.Retrievers.completionCot(spark, dir)
     case GraphSummaryCompletion => operators.Retrievers.summaryCompletion(spark, dir)
+    case Code => operators.Retrievers.code(spark, dir)
+    case CodingRules => operators.Retrievers.codingRules(spark, dir)
+    case Feedback => operators.Retrievers.feedback(spark, dir)
     case Temporal => operators.EventOps.temporalSearch(spark, dir)
     case Cypher => operators.Retrievers.cypher(spark, dir)
     case NaturalLanguage => operators.Retrievers.naturalLanguage(spark, dir)

@@ -7,8 +7,12 @@ class PipelineSpec extends SparkSpecBase {
 
   test("Graft facade dispatches every search type to a non-empty plan") {
     import Graft._
+    // all 16 reference SearchType members (GraphCompletion shares
+    // RagCompletion's plan; ContextExtension shares COT's)
     val types = Seq(Chunks, ChunksLexical, Summaries, Insights, RagCompletion,
-      GraphCompletionCot, GraphSummaryCompletion, Temporal, Cypher, NaturalLanguage, FeelingLucky)
+      GraphCompletion, GraphCompletionCot, GraphCompletionContextExtension,
+      GraphSummaryCompletion, Code, CodingRules, Feedback,
+      Temporal, Cypher, NaturalLanguage, FeelingLucky)
     types.foreach { t =>
       assert(Graft.search(spark, sf, t).count() > 0, s"search type ${t.name} empty")
     }
