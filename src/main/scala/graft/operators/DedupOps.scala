@@ -123,9 +123,16 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("cp"))
     // Suffix-bound pruning (the PPJoin idea, Xiao et al. WWW'08): overlap
-    // OUTSIDE the two prefixes is at most min(n1−p1, n2−p2), and J ≥ τ
-    // forces total overlap ≥ τ/(1+τ)·(n1+n2) — a pair whose best-case
-    // overlap cp + min(suffix) can't reach that is provably below τ.
+    // NOT counted by cp is at most max(n1−p1, n2−p2), and J ≥ τ forces
+    // total overlap ≥ τ/(1+τ)·(n1+n2) — a pair whose best-case overlap
+    // cp + max(suffix) can't reach that is provably below τ. max (not
+    // min) because prefixes are order-MINIMAL under one global total
+    // order: an uncounted overlap element sits in some doc's suffix, and
+    // two such elements can't sit in opposite suffixes (u in d1-suffix ∩
+    // d2-prefix and v in d2-suffix ∩ d1-prefix would need u>v and v>u) —
+    // so ALL uncounted overlap lies within a single doc's suffix. min()
+    // over-prunes containment-style pairs, where the superset doc's
+    // unique rare shingles fill its prefix and push the shared ones out.
     // Collisions/fp-epsilons only ever widen the candidate set (safe).
     // Measured at sf0.1: 409k raw prefix candidates → ~300 survivors,
     // so the exact verify below is O(true pairs), not O(candidates).
@@ -136,7 +143,7 @@ object DedupOps {
     val pruned = cand
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .filter(col("cp") + least(col("n1") - plen(col("n1")), col("n2") - plen(col("n2"))) >=
+      .filter(col("cp") + greatest(col("n1") - plen(col("n1")), col("n2") - plen(col("n2"))) >=
         lit(tau / (1 + tau)) * (col("n1") + col("n2")) - lit(1e-9))
       .select(col("d1"), col("d2"))
       .localCheckpoint(true)

@@ -229,6 +229,37 @@ class DedupOpsSpec extends SparkSpecBase {
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
     assert(nCand <= 10L, s"candidate pairs should collapse to the planted dups, got $nCand")
   }
+
+  test("suffix bound keeps length-skewed containment pairs (max, not min, over suffixes)") {
+    import TestSpark.spark.implicits._
+    // doc 0 ⊂ doc 1: x has 4 shingles, y = x plus 4 unique (df=1)
+    // shingles → J = 4/8 = 0.5 exactly at τ. Under the df-ascending
+    // order y's unique shingles fill its prefix and push the shared
+    // ones out, so a min(suffix) bound would prune the pair (cp=1,
+    // 1+min(1,3)=2 < 4 required) even though it qualifies; the sound
+    // max(suffix) bound keeps it (1+max(1,3)=4 ≥ 4).
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e f p q r s")) ++
+      (2 until 20).map(i => (i.toLong, (0 until 8).map(k => s"n${i}_$k").mkString(" ")))
+    val df_ = docs.toDF("doc_id", "text")
+
+    val sets = DedupOps.shinglesOf(df_)
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val jac = inter / (size(col("s1")) + size(col("s2")) - inter)
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.ss").as("s1"), col("b.ss").as("s2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.map(p => (p._1, p._2)) === Set((0L, 1L)), "fixture must plant the containment pair")
+
+    val pruned = DedupOps.ngramJaccardPairs(df_, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === brute, "containment pair at J = tau must survive the suffix bound")
+  }
 }
 
 class CurateOpsSpec extends SparkSpecBase {
