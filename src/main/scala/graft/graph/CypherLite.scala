@@ -44,9 +44,12 @@ object CypherLite {
   private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val relRe = """(<)?-\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
   // Ordered alternation: multi-char ops before their single-char
-  // prefixes (>= before >). Range ops compare lexicographically — the
-  // bags are strings, and the ISO dates / zero-padded numerics the
-  // projection stores order correctly under string comparison.
+  // prefixes (>= before >). Range ops are TYPE-AWARE: when the literal
+  // parses as a number both sides try_cast to double (so `qty > '9'`
+  // is numeric, and a non-numeric bag value compares NULL → false,
+  // Cypher's cross-type semantics); otherwise lexicographic, which is
+  // correct for the ISO-date strings the projection stores. Equality
+  // stays on the stored representation.
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
@@ -134,13 +137,21 @@ object CypherLite {
           // Variable-length: distinct (src,dst) pairs reachable in lo..hi
           // hops of `rel` — chained equi-joins unioned per length (Cypher
           // path-existence semantics; endpoints only, no path binding).
+          // Per-level distinct() keeps `cur` one row per reachable
+          // (src,dst) PAIR, not per path: without it a degree-d hub
+          // multiplies intermediate rows like d^len before the terminal
+          // distinct (the classic transitive-closure blow-up at scale).
+          // With it every level is bounded by |V|² — same result, BFS
+          // frontier semantics.
+          val hopD = if (hi > 1 && dir != Undir) hop.distinct() else hop
           var reach: DataFrame = null
-          var cur = hop
+          var cur = hopD
           for (len <- 1 to hi) {
             if (len >= lo) reach = if (reach == null) cur else reach.union(cur)
             if (len < hi) cur = cur.as("a")
-              .join(hop.as("b"), col("a.dst") === col("b.src"))
+              .join(hopD.as("b"), col("a.dst") === col("b.src"))
               .select(col("a.src").as("src"), col("b.dst").as("dst"))
+              .distinct()
           }
           reach.distinct()
             .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
@@ -152,13 +163,21 @@ object CypherLite {
       w.split("(?i) AND ").foreach {
         case whereRe(v, p, op, lit0) =>
           val c = propCol(v, p)
+          // Numeric literal → numeric range compare (try_cast: a
+          // non-numeric bag value becomes NULL, so the predicate is
+          // false rather than an ANSI cast error).
+          val numericLit = scala.util.Try(lit0.toDouble).toOption
+          def rng(f: (Column, Column) => Column): Column = numericLit match {
+            case Some(d) => f(c.try_cast("double"), lit(d))
+            case None => f(c, lit(lit0))
+          }
           df = df.filter(op match {
             case "=" => c === lit0
             case "<>" => c =!= lit0
-            case ">=" => c >= lit0
-            case "<=" => c <= lit0
-            case ">" => c > lit0
-            case "<" => c < lit0
+            case ">=" => rng(_ >= _)
+            case "<=" => rng(_ <= _)
+            case ">" => rng(_ > _)
+            case "<" => rng(_ < _)
             case "STARTS WITH" => c.startsWith(lit0)
             case "CONTAINS" => c.contains(lit0)
           })

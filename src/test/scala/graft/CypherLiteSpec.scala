@@ -221,6 +221,43 @@ class CypherLiteSpec extends SparkSpecBase {
       "MATCH (x:a)-[r:likes]->(y:b) WHERE r.since <= '2999' RETURN x.id AS xid").count() === 0L)
   }
 
+  test("numeric literals make range comparisons numeric, not lexicographic") {
+    import TestSpark.spark.implicits._
+    val gn = PropertyGraph(
+      Seq(("a:1", "a", "alpha"), ("b:1", "b", "gamma")).toDF("id", "ntype", "name"),
+      Seq(
+        ("a:1", "b:1", "e1", Map("qty" -> "10")),
+        ("a:1", "b:1", "e2", Map("qty" -> "9")),
+        ("a:1", "b:1", "e3", Map("qty" -> "100")),
+        ("a:1", "b:1", "e4", Map("qty" -> "n/a")))
+        .toDF("src", "dst", "rel", "props"))
+    def rels(q: String): Set[String] = CypherLite.run(gn,
+      s"MATCH (x:a)-[r:e1|e2|e3|e4]->(y:b) WHERE $q RETURN r.rel AS rel")
+      .collect().map(_.getString(0)).toSet
+    // lexicographic would say '10' < '9' and '100' < '9'; numeric must not
+    assert(rels("r.qty > '9'") === Set("e1", "e3"))
+    assert(rels("r.qty > '10'") === Set("e3"))
+    assert(rels("r.qty <= '10'") === Set("e1", "e2"))
+    // non-numeric bag value vs numeric literal: NULL compare, no error, no match
+    assert(!rels("r.qty >= '0'").contains("e4"))
+  }
+
+  test("var-length expansion is frontier-bounded on a hub-dense graph (*1..8)") {
+    import TestSpark.spark.implicits._
+    // Bidirectional 100-spoke star: without per-level dedup the length-8
+    // path count through the hub is ~100^4 per source (transitive-closure
+    // blow-up); with frontier semantics each level is <= |V|^2 = 10201.
+    val n = 100
+    val nodes = (("h", "a", "hub") +: (1 to n).map(i => (s"s:$i", "a", s"spoke$i"))).toDF("id", "ntype", "name")
+    val edges = (1 to n).flatMap(i => Seq((s"s:$i", "h", "n"), ("h", s"s:$i", "n"))).toDF("src", "dst", "rel")
+    val star = PropertyGraph(nodes, edges)
+    val cnt = CypherLite.run(star,
+      "MATCH (x:a)-[:n*1..8]->(y:a) RETURN x.id AS xid, y.id AS yid").count()
+    // closed form: every node reaches every node (incl. itself) within 2
+    // hops, so 1..8 reachability is the full (n+1)^2 pair set
+    assert(cnt === (n + 1).toLong * (n + 1))
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name ~ 'a' RETURN x.id")

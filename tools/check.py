@@ -34,11 +34,17 @@ def canon(df):
                 df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        unknown = set(only) - set(oracle)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -69,4 +75,4 @@ def main(out_dir, sf_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
