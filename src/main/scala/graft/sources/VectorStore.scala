@@ -58,19 +58,30 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * the whole collection if an executor died mid-rewrite (parquet
     * overwrite deletes the source files before the job is durable). At
     * worst a crash between the renames leaves the collection parked at
-    * `<name>.deleting` for manual recovery — it never truncates it. */
+    * `<name>.deleting` for manual recovery — it never truncates it.
+    *
+    * The IVF index (when present) is rewritten through the same
+    * anti-join + swap, preserving the cell partitioning without a
+    * retrain — otherwise deleted ids would keep surfacing from indexed
+    * [[search]]/[[batchSearch]] while the collection says they're gone. */
   def deleteDataPoints(name: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    val tmp = path(name + ".tmp")
-    val old = path(name + ".deleting")
-    collection(name)
-      .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp.toString)
-    val f = fs
-    f.delete(old, true) // stale leftover from a previous crash
-    require(f.rename(path(name), old), s"swap failed: could not park $name")
-    require(f.rename(tmp, path(name)), s"swap failed: could not promote $tmp")
-    f.delete(old, true)
+    val idDf = ids.toDF("vec_id")
+    def rewrite(dir: org.apache.hadoop.fs.Path, partitioned: Boolean): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")
+      val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
+      val survivors = spark.read.parquet(dir.toString)
+        .join(broadcast(idDf), Seq("vec_id"), "left_anti")
+      val w = survivors.write.mode("overwrite")
+      (if (partitioned) w.partitionBy("cell") else w).parquet(tmp.toString)
+      val f = fs
+      f.delete(old, true) // stale leftover from a previous crash
+      require(f.rename(dir, old), s"swap failed: could not park $dir")
+      require(f.rename(tmp, dir), s"swap failed: could not promote $tmp")
+      f.delete(old, true)
+    }
+    rewrite(path(name), partitioned = false)
+    if (hasIndex(name)) rewrite(cellsPath(name), partitioned = true)
   }
 
   private def vcol: Column = transform(col("embedding"), x => x.cast("double"))
@@ -161,8 +172,39 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * on the TopKPerGroup operator — bounded heaps, no per-group sort
     * (the window idiom would range-sort a corpus-sized partition per
     * query). Queries arrive as (query_id, qv ARRAY<DOUBLE>); results
-    * carry the payload columns like [[search]]. */
-  def batchSearch(name: String, queries: DataFrame, k: Int): DataFrame = {
+    * carry the payload columns like [[search]].
+    *
+    * With an index present, each query row is assigned its nprobe
+    * nearest cells against the broadcast centroid structs and the scan
+    * becomes an equi-join on the cell key — dynamic partition pruning
+    * reads only the probed cells' files, so the high-volume entry point
+    * rides the IVF layout instead of cross-joining the whole collection.
+    * nprobe ≥ the cell count provably reduces to brute force
+    * (spec-pinned). */
+  def batchSearch(name: String, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    if (!hasIndex(name)) batchSearchBrute(name, queries, k)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val cents = loadCentroids(name)
+      val centArr = cents.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("centroid"), lit(i).as("cell"))
+      }
+      val cellW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell").asc)
+      val probes = queries
+        .select(col("query_id"), col("qv"), explode(array(centArr.toIndexedSeq: _*)).as("cc"))
+        .select(col("query_id"), col("qv"), col("cc.cell").as("cell"),
+          VectorOps.cosine(col("qv"), col("cc.centroid")).as("ccos"))
+        .withColumn("rn", row_number().over(cellW)).filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cell"))
+      val scored = spark.read.parquet(cellsPath(name).toString)
+        .join(broadcast(probes), Seq("cell"))
+        .withColumn("cosine", round(VectorOps.cosine(vcol, col("qv")), 4))
+        .drop("embedding", "qv", "cell")
+      org.apache.spark.sql.graft.TopKPerGroup(
+        scored, Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
+    }
+
+  private def batchSearchBrute(name: String, queries: DataFrame, k: Int): DataFrame = {
     val scored = collection(name).crossJoin(broadcast(queries))
       .withColumn("cosine", round(VectorOps.cosine(vcol, col("qv")), 4))
       .drop("embedding", "qv")

@@ -148,6 +148,57 @@ class SourcesSpec extends SparkSpecBase {
     store.prune()
   }
 
+  test("delete keeps the IVF index consistent: deleted ids never resurface via indexed search") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vdelidx").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 60)
+    store.createCollection("c", base)
+    store.createVectorIndex("c")
+    val q = base.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
+    // pre-delete: the self-hit surfaces through the index
+    assert(store.search("c", q, 5, nprobe = 64).collect().head.getAs[Long]("vec_id") === 7L)
+    store.deleteDataPoints("c", Seq(7L, 8L))
+    // indexed search (still taking the IVF path) must not see deleted ids
+    assert(store.hasIndex("c"))
+    val hits = store.search("c", q, 60, nprobe = 64).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(!hits.contains(7L) && !hits.contains(8L))
+    // index copy and collection agree on the surviving row count
+    assert(spark.read.parquet(s"$root/c__index/cells").count() === store.collection("c").count())
+    // no scratch dirs left behind by either swap
+    val left = new java.io.File(root).list().toSet
+    assert(left === Set("c", "c__index"), s"unexpected scratch dirs: $left")
+    store.prune()
+  }
+
+  test("indexed batch_search equals brute force at nprobe=all and prunes cell partitions") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vbatchidx").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 60)
+    store.createCollection("c", base)
+    val qs = base.filter(col("vec_id").isin(3L, 11L))
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .toDF("query_id", "qv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = canon(store.batchSearch("c", qs, 5)) // no index yet → brute path
+    store.createVectorIndex("c")
+    val indexed = store.batchSearch("c", qs, 5, nprobe = 64)
+    assert(canon(indexed) === brute)
+    // each query's own cell is probed first: self-hits survive small nprobe
+    val narrow = canon(store.batchSearch("c", qs, 5, nprobe = 1))
+    assert(narrow.contains((3L, 3L, 1.0)) && narrow.contains((11L, 11L, 1.0)))
+    // the cell equi-join prunes the partitioned scan (static or dynamic)
+    val plan = store.batchSearch("c", qs, 5, nprobe = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    store.prune()
+  }
+
   test("graph store commits mutation plans and round-trips props across sessions") {
     import TestSpark.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gstore").toString
