@@ -17,15 +17,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as raw long (legacy conf) and
-    * expose both a µs-truncated TimestampType `ts` and an exact
-    * whole-seconds `ts_sec` — all downstream temporal math uses whole
-    * seconds so the DuckDB oracle (which keeps ns) can't drift
-    * (SURVEY.md §4). Integer `DIV`, never double division: epoch-ns
-    * (~1.7e18) exceeds double's 2^53 exact-integer range.
+    * parquet reader rejects. Read nanos as raw long (legacy conf, set at
+    * session construction by GraftSession.tune — loaders never mutate a
+    * shared session's conf) and expose both a µs-truncated TimestampType
+    * `ts` and an exact whole-seconds `ts_sec` — all downstream temporal
+    * math uses whole seconds so the DuckDB oracle (which keeps ns) can't
+    * drift (SURVEY.md §4). Integer `DIV`, never double division:
+    * epoch-ns (~1.7e18) exceeds double's 2^53 exact-integer range.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session via GraftSession (spark.sql.legacy.parquet.nanosAsLong=true " +
+        "must be set at construction — events.parquet is TIMESTAMP(NANOS))")
     load(spark, dir, "events")
       .withColumn("ts_sec", org.apache.spark.sql.functions.expr("ts DIV 1000000000"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))

@@ -7,12 +7,25 @@ import org.apache.spark.sql.SparkSession
   * build once per live session+dataset, evict every entry of a session
   * the moment it is found stopped — a long-lived JVM that creates many
   * sessions (test runners, repeated bench mains) must not pin artifact
-  * references for dead sessions forever. */
-final class SessionDirCache[T](build: (SparkSession, String) => T) {
-  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), T]
+  * references for dead sessions forever.
+  *
+  * An optional `stamp` captures corpus freshness (e.g. the parquet file
+  * listing): when the stamp of a cached entry no longer matches, the
+  * artifact is rebuilt — so an ingest that appends to the corpus mid-
+  * session can't keep serving a quantizer trained on the old data. */
+final class SessionDirCache[T](build: (SparkSession, String) => T,
+    stamp: (SparkSession, String) => String = (_, _) => "") {
+  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, T)]
 
   def apply(spark: SparkSession, dir: String): T = {
     cache.keysIterator.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((spark, dir), build(spark, dir))
+    val s = stamp(spark, dir)
+    cache.get((spark, dir)) match {
+      case Some((`s`, v)) => v
+      case _ =>
+        val v = build(spark, dir)
+        cache.put((spark, dir), (s, v))
+        v
+    }
   }
 }

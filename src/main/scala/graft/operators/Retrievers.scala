@@ -137,9 +137,13 @@ object Retrievers {
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
       .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
+    // One equi-join per endpoint (broadcast hash joins), unioned, instead
+    // of an OR-condition join (which can only plan as a nested-loop);
+    // distinct dedups edges matching on both endpoints.
     val edges = TpchGraph(spark, dir).edges
-    edges.join(broadcast(topNations),
-        col("src") === col("nid") || col("dst") === col("nid"))
+    val n = broadcast(topNations.localCheckpoint(true))
+    edges.join(n, col("src") === col("nid"))
+      .unionByName(edges.join(n, col("dst") === col("nid")))
       .select(col("src"), col("rel"), col("dst")).distinct()
   }
 

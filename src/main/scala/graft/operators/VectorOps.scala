@@ -85,12 +85,23 @@ object VectorOps {
     * one process (bench warm passes; dedup + IVF sharing one corpus) skip
     * the count() + Lloyd's passes and go straight to scan + shortlist.
     * Only the default-trainCap quantizer is cached; explicit caps (spec
-    * probes) train ad hoc. */
+    * probes) train ad hoc. The cache is stamped with the corpus' parquet
+    * file listing (name, length, mtime) — an ingest that rewrites or
+    * appends embeddings mid-session retrains instead of silently serving
+    * centroids from the old corpus (IVF recall would degrade unseen). */
   private val quantizerCache = new graft.graph.SessionDirCache[Array[Array[Double]]](
     (spark, dir) => {
       val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
       val n = e0.count()
       kmeansCentroids(trainingSample(e0, n, DefaultTrainCap), cellCount(n))
+    },
+    stamp = (spark, dir) => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) "absent"
+      else fs.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
     })
 
   /** Per-row scored struct array: (dot(v, ĉᵢ), i) for each normalized

@@ -89,19 +89,23 @@ object EventStream {
 
   /** Streaming temporal extraction — the continuous twin of
     * TextOps.temporalExtract, because the corpus the temporal graph is
-    * built from ARRIVES as an ingest stream: documents are content-hash
-    * deduped within the watermark horizon (the idempotent-add contract,
-    * like [[cognifyStream]]), then each micro-batch emits exactly the
-    * time-anchored event rows the batch extractor derives — the
-    * extraction itself is stateless row arithmetic, shared verbatim
-    * (spec proves batch parity on replayed input). */
+    * built from ARRIVES as an ingest stream: replayed records ((docId,
+    * content_hash) duplicates within the watermark horizon) are dropped
+    * — the idempotent re-add contract — then each micro-batch emits
+    * exactly the time-anchored event rows the batch extractor derives;
+    * the extraction itself is stateless row arithmetic, shared verbatim
+    * (spec proves batch parity on replayed input). Dedup keys on the
+    * PAIR, not content alone: batch extraction anchors events by
+    * (doc_id, pos), so two distinct docs carrying identical text each
+    * emit their own rows — content-only dedup would silently drop the
+    * second doc and break parity on duplicate-text corpora. */
   def temporalExtractStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.temporalExtractFrom(
       docs
         .withColumn("ts", timestamp_seconds(col("tsSec")))
         .withColumn("content_hash", md5(col("text")))
         .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark("content_hash")
+        .dropDuplicatesWithinWatermark("docId", "content_hash")
         .select(col("docId").as("doc_id"), col("text")))
 
   /** Continuously-maintained per-user history — the streaming twin of

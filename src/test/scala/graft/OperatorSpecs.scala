@@ -644,6 +644,16 @@ class RetrieverSurfaceSpec extends SparkSpecBase {
     assert(dangling === 0L)
   }
 
+  test("insights expands the neighborhood through hash equi-joins, not a nested-loop OR-join") {
+    // the only nested-loop allowed is the whitelisted 1-row query-vector
+    // crossJoin feeding the centroid ranking; the edge expansion itself
+    // must plan as two broadcast HASH joins on the endpoint keys
+    val plan = Retrievers.insights(spark, sf).queryExecution.executedPlan.toString
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"edge expansion fell back to nested-loop:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("search_code returns the file and codepart channels, rank-tagged") {
     val r = Retrievers.code(spark, sf).collect()
     assert(r.map(_.getString(0)).toSet === Set("file", "codepart"))

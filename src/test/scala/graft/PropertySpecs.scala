@@ -9,6 +9,17 @@ class PropertySpecs extends SparkSpecBase {
 
   private val rng = new scala.util.Random(1234)
 
+  test("SessionDirCache rebuilds when the corpus stamp changes, not otherwise") {
+    var stampVal = "s1"
+    var builds = 0
+    val cache = new graft.graph.SessionDirCache[Int](
+      (_, _) => { builds += 1; builds }, stamp = (_, _) => stampVal)
+    assert(cache(spark, "d") === 1 && cache(spark, "d") === 1 && builds === 1)
+    stampVal = "s2" // corpus changed (e.g. an ingest appended a file)
+    assert(cache(spark, "d") === 2 && builds === 2)
+    assert(cache(spark, "d") === 2 && builds === 2) // stable again
+  }
+
   test("cosine is symmetric and bounded on random vectors") {
     import TestSpark.spark.implicits._
     val cases = Seq.fill(20)((

@@ -126,10 +126,17 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val stream = MemoryStream[(Long, Long, String)]
     val t0 = 1700000000L
+    // a doc that actually extracts events (not every doc mentions a date)
+    val emitting = operators.TextOps.temporalExtractFrom(docs.toSeq.toDF("doc_id", "text"))
+      .select(col("doc_id")).distinct().head().getLong(0)
+    val emittingText = docs.find(_._1 == emitting).get._2
     stream.addData(docs.take(20).map { case (id, tx) => (id, t0, tx) }.toSeq)
-    // second batch replays a batch-1 document verbatim under a new id
+    // second batch: a true replay (same id, same text — at-least-once
+    // redelivery, must be dropped) AND a DISTINCT doc id carrying
+    // identical text — batch extraction anchors events by (doc_id, pos),
+    // so the duplicate-text doc must still emit its own rows.
     stream.addData(docs.drop(20).map { case (id, tx) => (id, t0 + 60, tx) }.toSeq
-      :+ ((88888L, t0 + 60, docs.head._2)))
+      ++ Seq((emitting, t0 + 60, emittingText), (88888L, t0 + 60, emittingText)))
     val q = EventStream.temporalExtractStream(stream.toDF().toDF("docId", "tsSec", "text"))
       .writeStream.format("memory").queryName("tempstream").outputMode(OutputMode.Append()).start()
     q.processAllAvailable()
@@ -137,9 +144,10 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("tempstream")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
     val expect = operators.TextOps.temporalExtractFrom(
-        docs.toSeq.toDF("doc_id", "text"))
+        (docs.toSeq :+ ((88888L, emittingText))).toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
-    assert(got === expect) // no 88888 rows, nothing missing
+    assert(got === expect) // replay deduped; duplicate-text doc 88888 present
+    assert(got.map(_._1).contains(88888L))
     assert(got.nonEmpty)
   }
 
