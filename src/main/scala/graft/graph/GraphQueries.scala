@@ -411,7 +411,97 @@ object GraphQueries {
       |  CAST(coalesce(f.n, 0) AS BIGINT) AS n_fks_out
       |FROM cols c LEFT JOIN fks f USING (table_name)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Events → knowledge graph (reference: cognee/tasks/temporal_graph/
+  // extract_knowledge_graph_from_events.py:8 + enrich_events.py — the
+  // Event datapoints extracted from document chunks are wired into the
+  // entity graph as event nodes with time/involvement edges, which the
+  // temporal retrievers then traverse). Spark-first: the extraction
+  // relation (TextOps.temporalExtract) projects into event/doc/day node
+  // and edge increments, merged into the base projection through the
+  // BULK mutation API (mergeNodes/mergeEdges) — the extraction is
+  // corpus-sized, so the interactive addNodes broadcast contract
+  // doesn't apply.
+  // -------------------------------------------------------------------
+
+  private def eventId = concat(lit("event:"), col("doc_id"), lit(":"), col("pos"))
+
+  private val temporalGraphCache = new SessionDirCache[PropertyGraph]((spark, dir) => {
+    // the extraction feeds five increment projections below — compute
+    // its token scan once (eager checkpoint, lineage released)
+    val ev = graft.operators.TextOps.temporalExtract(spark, dir).localCheckpoint(true)
+    val emptyBag = map().cast("map<string,string>")
+    val eventNodes = ev.select(eventId.as("id"), lit("event").as("ntype"),
+      col("event").as("name"),
+      map_from_arrays(array(lit("ts_sec"), lit("day")),
+        array(col("ts_sec").cast("string"), col("day"))).as("props"))
+    val docNodes = ev.select(col("doc_id")).distinct()
+      .select(concat(lit("doc:"), col("doc_id")).as("id"),
+        lit("document").as("ntype"), col("doc_id").cast("string").as("name"),
+        emptyBag.as("props"))
+    val dayNodes = ev.select(col("day")).distinct()
+      .select(concat(lit("day:"), col("day")).as("id"),
+        lit("day").as("ntype"), col("day").as("name"), emptyBag.as("props"))
+    val occurred = ev.select(eventId.as("src"),
+      concat(lit("doc:"), col("doc_id")).as("dst"), lit("occurred_in").as("rel"),
+      emptyBag.as("props"))
+    val happened = ev.select(eventId.as("src"),
+      concat(lit("day:"), col("day")).as("dst"), lit("happened_at").as("rel"),
+      map_from_arrays(array(lit("ts_sec")), array(col("ts_sec").cast("string"))).as("props"))
+    TpchGraph(spark, dir)
+      .mergeNodes(eventNodes.unionByName(docNodes).unionByName(dayNodes))
+      .mergeEdges(occurred.unionByName(happened))
+  })
+
+  /** The TPC-H projection with the extracted temporal event graph merged
+    * in — the relation the temporal-awareness retrievers traverse. */
+  def temporalGraph(spark: SparkSession, dir: String): PropertyGraph =
+    temporalGraphCache(spark, dir)
+
+  /** Per-day activity read back THROUGH the merged graph (not the
+    * extraction relation): happened_at edges resolve the day node's
+    * name, occurred_in edges count distinct linked documents — so the
+    * oracle check covers the node/edge merge end-to-end. */
+  def temporalGraphBuild(spark: SparkSession, dir: String): DataFrame = {
+    val g = temporalGraph(spark, dir)
+    val happened = g.edges.filter(col("rel") === "happened_at")
+      .select(col("src").as("event_id"), col("dst").as("day_id"))
+    val occurred = g.edges.filter(col("rel") === "occurred_in")
+      .select(col("src").as("event_id"), col("dst").as("doc_node"))
+    val days = g.nodes.filter(col("ntype") === "day")
+      .select(col("id").as("day_id"), col("name").as("day"))
+    happened.join(occurred, Seq("event_id"))
+      .join(days, Seq("day_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("doc_node")).as("n_docs"))
+  }
+
+  val temporalGraphBuildSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS tok
+      |  FROM t, unnest(range(len(toks))) AS u(i)
+      |),
+      |f AS (
+      |  SELECT doc_id, pos,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) AS h4,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> (strpos('0123456789abcdef', substr(md5(doc_id || ':' || pos), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 7 - i))) AS BIGINT) AS h8
+      |  FROM tok
+      |),
+      |ev AS (
+      |  SELECT doc_id,
+      |    strftime(TIMESTAMP '2024-01-01 00:00:00' + ((h8 % 2678400) * INTERVAL 1 SECOND), '%Y-%m-%d') AS day
+      |  FROM f WHERE h4 % 11 = 0
+      |)
+      |SELECT day, count(*) AS n_events, count(DISTINCT doc_id) AS n_docs
+      |FROM ev GROUP BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
     "graph_schema" -> ((s: SparkSession, d: String) => schemaGraph(s, d)),
     "graph_metrics_full" -> ((s: SparkSession, d: String) => metricsFull(s, d)),
     "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
@@ -430,6 +520,7 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "temporal_graph_build" -> temporalGraphBuildSql,
     "graph_schema" -> schemaGraphSql,
     "graph_metrics_full" -> metricsFullSql,
     "graph_nodeset_subgraph" -> nodesetSubgraphSql,

@@ -176,6 +176,38 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         Seq("src", "dst", "rel"), "left_anti")))
   }
 
+  /** Bulk-merge nodes: same keep-first upsert semantics as [[addNodes]],
+    * but CORPUS-SIZED increments welcome — the collision probe is a
+    * plain keyed anti-join (shuffle/SMJ as Catalyst decides; AQE still
+    * broadcasts when the increment turns out small), never a forced
+    * broadcast of the increment. This is the projection path for merges
+    * derived from a full corpus pass (e.g. the extracted temporal event
+    * graph), where [[addNodes]]'s interactive-increment contract would
+    * pin the whole extraction in driver/executor memory. */
+  def mergeNodes(newNodes: DataFrame): PropertyGraph = {
+    val inc = ensureProps(newNodes).groupBy(col("id"))
+      .agg(min(struct(col("ntype"), col("name"),
+        array_sort(map_entries(col("props"))).as("pe"))).as("s"))
+      .select(col("id"), col("s.ntype").as("ntype"), col("s.name").as("name"),
+        map_from_entries(col("s.pe")).as("props"))
+    val base = nodesP
+    PropertyGraph(
+      base.union(inc.join(base.select(col("id")), Seq("id"), "left_anti")),
+      edges)
+  }
+
+  /** Bulk-merge edges: [[addEdges]] semantics at corpus scale — keyed
+    * anti-join on the (src, dst, rel) triplet instead of a forced
+    * broadcast of the increment. */
+  def mergeEdges(newEdges: DataFrame): PropertyGraph = {
+    val inc = ensureProps(newEdges).groupBy(col("src"), col("dst"), col("rel"))
+      .agg(map_from_entries(min(array_sort(map_entries(col("props"))))).as("props"))
+    val base = edgesP
+    PropertyGraph(nodes,
+      base.union(inc.join(base.select(col("src"), col("dst"), col("rel")),
+        Seq("src", "dst", "rel"), "left_anti")))
+  }
+
   /** Delete nodes by id along with every incident edge (delete_nodes).
     * Column-preserving: the anti-joins keep whatever schema (props or
     * not) the relations carry. */

@@ -449,6 +449,39 @@ class TemporalExtractSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("n")).sum
     assert(byDay === windowed.count() && byDay > 0L)
   }
+
+  test("events merge into the knowledge graph: base preserved, typed nodes, traversable edges") {
+    val base = graph.TpchGraph(spark, sf)
+    val g = graph.GraphQueries.temporalGraph(spark, sf)
+    val ev = TextOps.temporalExtract(spark, sf)
+    // base projection survives the merge intact
+    assert(g.nodes.join(base.nodes.select(col("id")), Seq("id"), "left_semi").count()
+      === base.nodes.count())
+    assert(g.edges.filter(!col("rel").isin("occurred_in", "happened_at")).count()
+      === base.edges.count())
+    // one event node per extraction row; one edge of each kind per event
+    val nEv = ev.count()
+    assert(g.nodes.filter(col("ntype") === "event").count() === nEv)
+    assert(g.edges.filter(col("rel") === "occurred_in").count() === nEv)
+    assert(g.edges.filter(col("rel") === "happened_at").count() === nEv)
+    // event nodes carry their anchor in the props bag, readable via cypher:
+    // events on a given day resolved through the happened_at edge agree
+    // with a props-bag predicate on the event node itself
+    val someDay = ev.select(col("day")).groupBy(col("day")).count()
+      .orderBy(col("count").desc, col("day")).head().getString(0)
+    val viaEdge = graph.CypherLite.run(g,
+      s"MATCH (e:event)-[:happened_at]->(d:day) WHERE d.name = '$someDay' RETURN e.id AS eid")
+      .collect().map(_.getString(0)).toSet
+    val viaProps = graph.CypherLite.run(g,
+      s"MATCH (e:event)-[:occurred_in]->(x:document) WHERE e.day = '$someDay' RETURN e.id AS eid")
+      .collect().map(_.getString(0)).toSet
+    assert(viaEdge === viaProps && viaEdge.nonEmpty)
+    // re-merging the same increments is a no-op (keep-first upsert)
+    val again = g.mergeNodes(g.nodes.filter(col("ntype") === "event"))
+      .mergeEdges(g.edges.filter(col("rel") === "happened_at"))
+    assert(again.nodes.count() === g.nodes.count())
+    assert(again.edges.count() === g.edges.count())
+  }
 }
 
 class RelationalOpsSpec extends SparkSpecBase {
