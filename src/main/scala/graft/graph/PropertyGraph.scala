@@ -208,6 +208,32 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         Seq("src", "dst", "rel"), "left_anti")))
   }
 
+  /** Increment the `feedback_weight` edge prop (reference:
+    * graph_db_interface apply_feedback_weight, kuzu/adapter.py:1724 —
+    * edges of `rel` whose SOURCE node is in the weight set get their
+    * stored weight bumped by that node's weight; user_qa_feedback.py:79
+    * calls it with the graded interactions' ids and the sentiment
+    * score). Declarative update: a keyed left join tags each edge row
+    * with its increment (NULL → untouched), and the bag is rebuilt with
+    * the one key replaced — no driver-side fetch-update-writeback loop
+    * like the reference adapters; the whole update is one distributed
+    * pass over the edge relation. Repeat application keeps summing, the
+    * reference's increment semantics. */
+  def applyFeedbackWeight(weights: DataFrame,
+      rel: String = "used_graph_element_to_answer"): PropertyGraph = {
+    val w = weights.groupBy(col("id").as("src")).agg(sum(col("weight")).as("w_inc"))
+    val e = edgesP.join(w, Seq("src"), "left")
+    val bumped = map_from_entries(concat(
+      filter(map_entries(col("props")), ent => ent.getField("key") =!= "feedback_weight"),
+      array(struct(lit("feedback_weight").as("key"),
+        (coalesce(element_at(col("props"), "feedback_weight").cast("double"), lit(0.0))
+          + col("w_inc")).cast("string").as("value")))))
+    PropertyGraph(nodes,
+      e.select(col("src"), col("dst"), col("rel"),
+        when(col("rel") === rel && col("w_inc").isNotNull, bumped)
+          .otherwise(col("props")).as("props")))
+  }
+
   /** Delete nodes by id along with every incident edge (delete_nodes).
     * Column-preserving: the anti-joins keep whatever schema (props or
     * not) the relations carry. */

@@ -124,7 +124,10 @@ object Retrievers {
     * neighborhood as triplets (insights_retriever.py: vector search on
     * entities + get_connections). Entities = label centroids resolved
     * to nation nodes; query = vector 0; top-3 cells. */
-  def insights(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-label centroid cosine vs query vector 0 — the entity scoring
+    * every completion-context retrieval starts from; shared by
+    * [[insights]] and the feedback-weighted re-rank. */
+  private[graft] def nationCentroidScores(spark: SparkSession, dir: String): DataFrame = {
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
     val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -133,8 +136,12 @@ object Retrievers {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("centroid"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val topNations = cent.crossJoin(broadcast(q))
+    cent.crossJoin(broadcast(q))
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
+  }
+
+  def insights(spark: SparkSession, dir: String): DataFrame = {
+    val topNations = nationCentroidScores(spark, dir)
       .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
     // One equi-join per endpoint (broadcast hash joins), unioned, instead
@@ -579,15 +586,21 @@ object Retrievers {
     * call replaced by a deterministic lexicon count), attached to the
     * document they grade; retrieval re-ranks the cosine top-20 chunk
     * candidates by cosine + 0.05·score. */
-  def feedback(spark: SparkSession, dir: String): DataFrame = {
+  /** The lexicon sentiment ledger behind both feedback queries: every
+    * 4th document is a feedback record scoring in [-5, 5]. */
+  private[graft] def feedbackScores(spark: SparkSession, dir: String): DataFrame = {
     val posW = Seq("fast", "small", "spark")
     val negW = Seq("slow", "big")
     val fbToks = slice(split(col("text"), " "), 1, 8)
     val pos = size(filter(fbToks, t => t.isInCollection(posW)))
     val neg = size(filter(fbToks, t => t.isInCollection(negW)))
-    val fb = load(spark, dir, "documents").filter(col("doc_id") % 4 === 0)
+    load(spark, dir, "documents").filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"),
         least(greatest((pos - neg).cast("double"), lit(-5.0)), lit(5.0)).as("fb_score"))
+  }
+
+  def feedback(spark: SparkSession, dir: String): DataFrame = {
+    val fb = feedbackScores(spark, dir)
     val e = embD(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -625,6 +638,84 @@ object Retrievers {
        |SELECT row_number() OVER (ORDER BY combined DESC, doc_id ASC) AS rank,
        |  doc_id, cosine, fb_score, combined
        |FROM rer ORDER BY combined DESC, doc_id ASC LIMIT 5""".stripMargin
+
+  /** The interaction ledger merged into the graph and weighted by
+    * feedback — the full loop of graph_completion_retriever.py:200 (each
+    * interaction records which graph elements answered it via
+    * `used_graph_element_to_answer` edges, feedback_weight 0) +
+    * user_qa_feedback.py:79 (apply_feedback_weight bumps those edges by
+    * the feedback's sentiment score). Deterministic projection: each
+    * feedback document IS an interaction record (`interaction:{doc_id}`)
+    * that used nation `doc_id % 10`'s neighborhood to answer; its
+    * lexicon score becomes the edge weight. Cached per (session, dir) —
+    * the weighted graph is a shared artifact like the projection. */
+  private val feedbackGraphCache = new graft.graph.SessionDirCache[graft.graph.PropertyGraph](
+    (spark, dir) => {
+      val fb = feedbackScores(spark, dir).localCheckpoint(true)
+      val inter = fb.select(concat(lit("interaction:"), col("doc_id")).as("id"),
+        lit("interaction").as("ntype"), col("doc_id").cast("string").as("name"))
+      val used = fb.select(concat(lit("interaction:"), col("doc_id")).as("src"),
+        concat(lit("nation:"), (col("doc_id") % 10).cast("string")).as("dst"),
+        lit("used_graph_element_to_answer").as("rel"),
+        map_from_arrays(array(lit("feedback_weight")), array(lit("0.0"))).as("props"))
+      TpchGraph(spark, dir).mergeNodes(inter).mergeEdges(used)
+        .applyFeedbackWeight(fb.select(
+          concat(lit("interaction:"), col("doc_id")).as("id"), col("fb_score").as("weight")))
+    })
+
+  def feedbackGraph(spark: SparkSession, dir: String): graft.graph.PropertyGraph =
+    feedbackGraphCache(spark, dir)
+
+  /** FEEDBACK-WEIGHTED completion context: the entity ranking every
+    * completion retrieval starts from (centroid cosine vs the query),
+    * re-ranked by the feedback weights READ BACK FROM THE GRAPH's
+    * `used_graph_element_to_answer` edge props — closing the loop the
+    * reference leaves implicit between apply_feedback_weight and the
+    * next GRAPH_COMPLETION retrieval. Output carries both ranks so the
+    * rank shift is the oracle-checked observable. */
+  def feedbackWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val g = feedbackGraph(spark, dir)
+    val fbw = g.edges.filter(col("rel") === "used_graph_element_to_answer")
+      .groupBy(col("dst").as("nid"))
+      .agg(sum(element_at(col("props"), "feedback_weight").cast("double")).as("fb_weight"))
+    val scored = nationCentroidScores(spark, dir)
+      .select(concat(lit("nation:"), col("label").cast("string")).as("nid"),
+        col("label"), col("ccos"))
+    scored.join(fbw, Seq("nid"), "left")
+      .select(col("label"), col("ccos"), coalesce(col("fb_weight"), lit(0.0)).as("fb_weight"))
+      .withColumn("base_rank", rankOver(col("label"), col("ccos").desc, col("label").asc).cast("long"))
+      .withColumn("weighted_rank", rankOver(col("label"),
+        (col("ccos") + col("fb_weight") * 0.02).desc, col("label").asc).cast("long"))
+      .select(col("label"), round(col("ccos"), 4).as("ccos"), col("fb_weight"),
+        col("base_rank"), col("weighted_rank"))
+  }
+
+  val feedbackWeightedSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT label, i AS pos, v[i + 1] AS x FROM e, unnest(range(len(v))) AS u(i)),
+      |cent AS (
+      |  SELECT label, list(cx ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(x) AS cx FROM dims GROUP BY 1, 2) GROUP BY label
+      |),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT label,
+      |    list_dot_product(qv, centroid)
+      |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) AS ccos
+      |  FROM cent, q
+      |),
+      |fb AS (
+      |  SELECT doc_id,
+      |    least(greatest(
+      |      len(list_filter((string_split(text, ' '))[1:8], t -> t IN ('fast', 'small', 'spark'))) * 1.0
+      |      - len(list_filter((string_split(text, ' '))[1:8], t -> t IN ('slow', 'big'))), -5.0), 5.0) AS fb_score
+      |  FROM documents WHERE doc_id % 4 = 0
+      |),
+      |w AS (SELECT doc_id % 10 AS label, sum(fb_score) AS fb_weight FROM fb GROUP BY 1)
+      |SELECT s.label, round(s.ccos, 4) AS ccos, coalesce(w.fb_weight, 0.0) AS fb_weight,
+      |  row_number() OVER (ORDER BY s.ccos DESC, s.label ASC) AS base_rank,
+      |  row_number() OVER (ORDER BY s.ccos + coalesce(w.fb_weight, 0.0) * 0.02 DESC, s.label ASC) AS weighted_rank
+      |FROM scored s LEFT JOIN w ON s.label = w.label""".stripMargin
 
   /** ENTITY completion context (EntityCompletionRetriever.py:42
     * get_context): extract entity mentions from the query (token match
@@ -806,6 +897,7 @@ object Retrievers {
     "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
     "search_coding_rules" -> ((s: SparkSession, d: String) => codingRules(s, d)),
     "search_feedback" -> ((s: SparkSession, d: String) => feedback(s, d)),
+    "search_feedback_weighted" -> ((s: SparkSession, d: String) => feedbackWeighted(s, d)),
     "search_entity" -> ((s: SparkSession, d: String) => entity(s, d)),
     "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
@@ -827,6 +919,7 @@ object Retrievers {
     "search_code" -> codeSql,
     "search_coding_rules" -> codingRulesSql,
     "search_feedback" -> feedbackSql,
+    "search_feedback_weighted" -> feedbackWeightedSql,
     "search_entity" -> entitySql,
     "search_chunks" -> chunksSql,
     "search_summaries" -> summariesSql,

@@ -687,6 +687,33 @@ class RetrieverSurfaceSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("feedback weights persist on graph edges and shift the completion ranking") {
+    val g = Retrievers.feedbackGraph(spark, sf)
+    val used = g.edges.filter(col("rel") === "used_graph_element_to_answer")
+    // one edge per interaction, each carrying its feedback score as weight
+    val nInter = g.nodes.filter(col("ntype") === "interaction").count()
+    assert(used.count() === nInter && nInter > 0L)
+    val weights = used.select(element_at(col("props"), "feedback_weight").cast("double"))
+      .collect().map(_.getDouble(0))
+    assert(weights.exists(_ != 0.0), "some interaction must carry a non-zero sentiment")
+    // re-applying feedback INCREMENTS (the reference's += semantics)
+    import TestSpark.spark.implicits._
+    val someEdge = used.filter(element_at(col("props"), "feedback_weight") =!= "0.0")
+      .select(col("src"), element_at(col("props"), "feedback_weight").cast("double")).head()
+    val again = g.applyFeedbackWeight(Seq((someEdge.getString(0), 2.5)).toDF("id", "weight"))
+    val bumped = again.edges.filter(col("rel") === "used_graph_element_to_answer"
+        && col("src") === someEdge.getString(0))
+      .select(element_at(col("props"), "feedback_weight").cast("double")).head().getDouble(0)
+    assert(math.abs(bumped - (someEdge.getDouble(1) + 2.5)) < 1e-9)
+    // non-matching edges keep their bags untouched
+    assert(again.edges.filter(col("rel") =!= "used_graph_element_to_answer").count()
+      === g.edges.filter(col("rel") =!= "used_graph_element_to_answer").count())
+    // and the ranking consumed from the graph actually moves
+    val out = Retrievers.feedbackWeighted(spark, sf).collect()
+    assert(out.exists(r => r.getAs[Long]("base_rank") != r.getAs[Long]("weighted_rank")),
+      "feedback weights must change at least one rank")
+  }
+
   test("search_code returns the file and codepart channels, rank-tagged") {
     val r = Retrievers.code(spark, sf).collect()
     assert(r.map(_.getString(0)).toSet === Set("file", "codepart"))
