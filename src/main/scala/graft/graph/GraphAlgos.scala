@@ -143,6 +143,37 @@ object GraphAlgos {
     frontiers.reduce(_ union _)
   }
 
+  /** Directed k-hop over a (src, dst) adjacency RELATION — the
+    * traversal shape for a bucketed adjacency reloaded from GraphStore
+    * (saveAdjacency persists edges bucketed+sorted by src, so each
+    * hop's equi-join on src reads co-located buckets with no Exchange
+    * on the edge side; only the small frontier shuffles). Same
+    * frontier/min-depth semantics as [[kHop]] but directed — the
+    * adjacency layout is per-source — so dedup anti-joins the full
+    * visited set (a directed back-edge can reach any earlier depth). */
+  def kHopAdjacency(adj: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val seed = seeds.select(col("id")).distinct()
+      .withColumn("depth", lit(0)).localCheckpoint(true)
+    var visited = seed
+    var frontier = seed
+    var d = 1
+    var exhausted = false
+    while (d <= k && !exhausted) {
+      val next = frontier.as("f").join(adj.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      d += 1
+    }
+    visited
+  }
+
   /** All-pairs BFS hop distances on a BOUNDED subgraph — one frontier
     * DataFrame carrying every source at once (src, id, depth), so the
     * whole computation is ~diameter shuffles regardless of |V|, not |V|

@@ -58,4 +58,12 @@ final case class GraphStore(spark: SparkSession, root: String) {
   def saveAdjacency(name: String, g: PropertyGraph, table: String, nBuckets: Int): Unit =
     BucketedStore.write(PropertyGraph.ensureProps(g.edges), table, "src", nBuckets,
       path(name, "adjacency").toString)
+
+  /** Reload a bucketed adjacency by catalog name. Per-hop expansion
+    * joins on `src` read the co-located buckets directly — only the
+    * (small) frontier side exchanges; feed it to
+    * [[graft.graph.GraphAlgos.kHopAdjacency]] (the spec pins the
+    * one-Exchange-per-hop plan vs two for an unbucketed reload). */
+  def loadAdjacency(table: String): org.apache.spark.sql.DataFrame =
+    BucketedStore.read(spark, table)
 }

@@ -199,6 +199,42 @@ class SourcesSpec extends SparkSpecBase {
     store.prune()
   }
 
+  test("k-hop over a reloaded bucketed adjacency: exchange-free edge side, same rows") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_adj").toString
+    val store = sources.GraphStore(spark, root)
+    val g = graph.TpchGraph(spark, sf)
+    store.save("g", g) // plain parquet reload = the unbucketed baseline
+    store.saveAdjacency("g", g, "b_adj", 4) // matches test shuffle.partitions
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val adj = store.loadAdjacency("b_adj")
+      // suppliers reach depth 2 directed: supplier→nation→region
+      val seeds = Seq("supplier:1", "supplier:2").toDF("id")
+      // the bucketed layout halves the per-hop shuffle: only the frontier
+      // exchanges; the unbucketed reload exchanges both sides
+      def hopPlan(edges: org.apache.spark.sql.DataFrame) =
+        seeds.join(edges, seeds("id") === edges("src"))
+          .queryExecution.executedPlan.toString
+      val bucketedExchanges = hopPlan(adj).linesIterator.count(_.contains("Exchange"))
+      val plainExchanges = hopPlan(store.load("g").edges).linesIterator.count(_.contains("Exchange"))
+      assert(bucketedExchanges === 1, s"bucketed side must not exchange:\n${hopPlan(adj).take(1500)}")
+      assert(plainExchanges === 2)
+      // and the traversal over the reloaded adjacency is row-identical
+      // to the same directed traversal over the in-memory edge relation
+      val viaStore = graph.GraphAlgos.kHopAdjacency(adj, seeds, 2)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val direct = graph.GraphAlgos.kHopAdjacency(g.edges, seeds, 2)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(viaStore === direct && viaStore.exists(_._2 === 2))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_adj")
+      store.deleteGraph("g")
+    }
+  }
+
   test("graph store commits mutation plans and round-trips props across sessions") {
     import TestSpark.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gstore").toString
