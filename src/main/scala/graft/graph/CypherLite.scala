@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   * Supported grammar (linear path patterns, the shape cognee's
   * retrievers emit):
   * {{{
-  *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)*
+  *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
+  *   [OPTIONAL MATCH pattern]*
   *   [WHERE var.prop = 'literal' [AND ...]]
   *   RETURN [DISTINCT] var.prop [AS alias] | count(*) AS alias [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
+  * Comma-separated patterns conjoin on shared node variables (each
+  * extra pattern must share at least one — a cartesian product is
+  * rejected). OPTIONAL MATCH left-joins one pattern: unmatched rows
+  * keep NULL bindings, and the one global WHERE applies AFTER the
+  * optional joins (predicating an optional binding therefore drops
+  * unmatched rows, like a post-WHERE in Cypher, not the attached-WHERE
+  * form).
   * Node properties: id, ntype, name are the fixed columns; ANY other
   * property name resolves into the node's `props` bag
   * (`element_at(props, 'name')` — the reference's NodeData.properties,
@@ -53,14 +61,11 @@ object CypherLite {
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
   private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
-  def run(g: PropertyGraph, cypher: String): DataFrame = {
-    val q = cypher.trim.replaceAll("\\s+", " ")
-    val matchPart = section(q, "MATCH", Seq("WHERE", "RETURN"))
-    val wherePart = sectionOpt(q, "WHERE", Seq("RETURN"))
-    val retPart = section(q, "RETURN", Seq("ORDER BY", "LIMIT"))
-    val orderPart = sectionOpt(q, "ORDER BY", Seq("LIMIT"))
-    val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
-
+  /** Compile ONE linear path pattern to (relation, node vars, edge
+    * vars). The relation carries `${v}_id/_ntype/_name/_props` per node
+    * variable and `${r}_rel/_props` per bound edge variable. */
+  private def compileChain(g: PropertyGraph, chain: String): (DataFrame, Seq[String], Set[String]) = {
+    val matchPart = chain
     val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), Option(m.group(2)))).toSeq
     // (edgeVar, relTypes, minHops, maxHops, direction); plain -[:rel]->
     // is 1..1 forward, <-[:rel]- reverse, -[:rel]- (no arrowhead)
@@ -92,19 +97,6 @@ object CypherLite {
       t.fold(g.nodesP)(tp => g.nodesP.filter(col("ntype") === tp)).select(
         col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"),
         col("props").as(s"${v}_props"))
-
-    // `v.prop`: fixed columns resolve directly; anything else reaches
-    // into the property bag (NULL when absent — Cypher missing-property
-    // semantics make every comparison against it false). Edge variables
-    // expose `rel` as their fixed column.
-    def propCol(v: String, p: String): Column =
-      if (edgeVars(v)) p match {
-        case "rel" => col(s"${v}_rel")
-        case bagKey => element_at(col(s"${v}_props"), bagKey)
-      } else p match {
-        case "id" | "ntype" | "name" => col(s"${v}_$p")
-        case bagKey => element_at(col(s"${v}_props"), bagKey)
-      }
 
     var df = nodeDf(nodePats.head._1, nodePats.head._2)
     relPats.zipWithIndex.foreach { case ((evar, rels, lo, hi, dir), i) =>
@@ -158,6 +150,64 @@ object CypherLite {
       }
       df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt), Seq(s"${nv}_id"))
     }
+    (df, nodePats.map(_._1), edgeVars)
+  }
+
+  def run(g: PropertyGraph, cypher: String): DataFrame = {
+    val q = cypher.trim.replaceAll("\\s+", " ")
+    val matchPart = section(q, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "RETURN"))
+    val optParts = optionalSections(q)
+    val wherePart = sectionOpt(q, "WHERE", Seq("RETURN"))
+    val retPart = section(q, "RETURN", Seq("ORDER BY", "LIMIT"))
+    val orderPart = sectionOpt(q, "ORDER BY", Seq("LIMIT"))
+    val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
+
+    // Comma-separated patterns conjoin on their SHARED node variables
+    // (one equi-join per pattern); OPTIONAL MATCH left-joins instead, so
+    // unmatched rows keep the mandatory bindings with NULLs for the
+    // optional ones (Cypher's semantics). A pattern sharing no variable
+    // with what precedes it would be a cartesian product — rejected.
+    val chains = matchPart.split(",").map(_.trim).filter(_.nonEmpty)
+    require(chains.nonEmpty, s"empty MATCH in: $q")
+    var (df, headVars, headEdges) = compileChain(g, chains.head)
+    var allNode: Set[String] = headVars.toSet
+    var allEdge: Set[String] = headEdges
+    def merge(chainText: String, joinType: String): Unit = {
+      val (cdf, nv, evs) = compileChain(g, chainText)
+      require((evs intersect allEdge).isEmpty,
+        s"edge variable reused across patterns in: $q")
+      require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
+        s"variable bound as both node and edge in: $q")
+      val shared = nv.toSet intersect allNode
+      require(shared.nonEmpty,
+        s"pattern shares no variable with the preceding patterns (cartesian product unsupported): $chainText")
+      val right = cdf.drop(shared.toSeq.flatMap(v =>
+        Seq(s"${v}_ntype", s"${v}_name", s"${v}_props")): _*)
+      df = df.join(right, shared.map(v => s"${v}_id").toSeq, joinType)
+      allNode ++= nv
+      allEdge ++= evs
+    }
+    chains.tail.foreach(merge(_, "inner"))
+    // one pattern per OPTIONAL MATCH: comma-conjunction inside an
+    // optional block is all-or-nothing in Cypher, which a per-chain
+    // left join wouldn't honor — keep the supported subset honest
+    optParts.foreach { opt =>
+      require(!opt.contains(","), s"unsupported multi-pattern OPTIONAL MATCH: $opt")
+      merge(opt, "left")
+    }
+
+    // `v.prop`: fixed columns resolve directly; anything else reaches
+    // into the property bag (NULL when absent — Cypher missing-property
+    // semantics make every comparison against it false). Edge variables
+    // expose `rel` as their fixed column.
+    def propCol(v: String, p: String): Column =
+      if (allEdge(v)) p match {
+        case "rel" => col(s"${v}_rel")
+        case bagKey => element_at(col(s"${v}_props"), bagKey)
+      } else p match {
+        case "id" | "ntype" | "name" => col(s"${v}_$p")
+        case bagKey => element_at(col(s"${v}_props"), bagKey)
+      }
 
     wherePart.foreach { w =>
       w.split("(?i) AND ").foreach {
@@ -217,6 +267,22 @@ object CypherLite {
 
   private def section(q: String, kw: String, stops: Seq[String]): String =
     sectionOpt(q, kw, stops).getOrElse(throw new IllegalArgumentException(s"missing $kw in: $q"))
+
+  /** Every `OPTIONAL MATCH <pattern>` block, in order. Each ends at the
+    * next OPTIONAL MATCH / WHERE / RETURN. */
+  private def optionalSections(q: String): Seq[String] = {
+    val up = q.toUpperCase
+    val kw = "OPTIONAL MATCH "
+    val starts = Iterator.iterate(up.indexOf(kw))(i => up.indexOf(kw, i + 1))
+      .takeWhile(_ >= 0).toSeq
+    starts.zipWithIndex.map { case (s, i) =>
+      val from = s + kw.length
+      val nextOpt = starts.drop(i + 1).headOption.getOrElse(Int.MaxValue)
+      val end = (Seq("WHERE", "RETURN")
+        .map(st => up.indexOf(" " + st + " ", from)).filter(_ >= 0) :+ nextOpt :+ q.length).min
+      q.substring(from, math.min(end, q.length)).trim
+    }
+  }
 
   private def sectionOpt(q: String, kw: String, stops: Seq[String]): Option[String] = {
     val up = q.toUpperCase

@@ -485,6 +485,42 @@ object Retrievers {
       |WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1995-03%'
       |GROUP BY 1 ORDER BY n_orders DESC, name LIMIT 10""".stripMargin
 
+  /** CYPHER multi-pattern: comma-separated patterns conjoin on the
+    * shared node variable (each becomes one equi-join) — same answer as
+    * the chained form, compiled from the conjunctive shape the
+    * reference's cypher_search callers also write. */
+  val multiCypher: String =
+    "MATCH (s:supplier)-[:located_in]->(n:nation), (n)-[:in_region]->(r:region) " +
+      "RETURN r.name AS region, count(*) AS n_suppliers ORDER BY region"
+
+  def cypherMulti(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), multiCypher)
+
+  /** CYPHER OPTIONAL MATCH: every nation keeps its row even when no
+    * supplier is located there — the left-join shape (NULL supplier
+    * binding) the reference's graph backends answer natively. */
+  val optionalCypher: String =
+    "MATCH (n:nation)-[:in_region]->(r:region) " +
+      "OPTIONAL MATCH (s:supplier)-[:located_in]->(n) " +
+      "RETURN r.name AS region, n.name AS nation, s.id AS supplier"
+
+  def cypherOptional(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), optionalCypher)
+
+  val cypherOptionalSql: String =
+    s"""${TpchGraph.withGraph},
+       |nr AS (
+       |  SELECT n.id AS nid, r.name AS region, n.name AS nation
+       |  FROM edges ir
+       |  JOIN nodes n ON n.id = ir.src JOIN nodes r ON r.id = ir.dst
+       |  WHERE ir.rel = 'in_region'
+       |)
+       |SELECT nr.region, nr.nation, sl.src AS supplier
+       |FROM nr LEFT JOIN (
+       |  SELECT src, dst FROM edges
+       |  WHERE rel = 'located_in' AND src LIKE 'supplier:%'
+       |) sl ON sl.dst = nr.nid""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -911,6 +947,8 @@ object Retrievers {
     "search_cypher" -> ((s: SparkSession, d: String) => cypher(s, d)),
     "search_cypher_props" -> ((s: SparkSession, d: String) => cypherProps(s, d)),
     "search_cypher_edge_props" -> ((s: SparkSession, d: String) => cypherEdgeProps(s, d)),
+    "search_cypher_multi" -> ((s: SparkSession, d: String) => cypherMulti(s, d)),
+    "search_cypher_optional" -> ((s: SparkSession, d: String) => cypherOptional(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -933,5 +971,7 @@ object Retrievers {
     "search_cypher" -> cypherSql,
     "search_cypher_props" -> cypherPropsSql,
     "search_cypher_edge_props" -> cypherEdgePropsSql,
+    "search_cypher_multi" -> cypherSql, // same answer as the chained form
+    "search_cypher_optional" -> cypherOptionalSql,
     "search_natural_language" -> cypherSql)
 }

@@ -258,6 +258,61 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(cnt === (n + 1).toLong * (n + 1))
   }
 
+  test("multi-pattern MATCH conjoins on shared variables") {
+    // (x)-[:knows]->(y), (y)-[:in]->(z) == the two-hop chain
+    val multi = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b), (y)-[:in]->(z:c) RETURN x.id AS xid, z.id AS zid ORDER BY xid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    val chained = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b)-[:in]->(z:c) RETURN x.id AS xid, z.id AS zid ORDER BY xid")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(multi === chained && multi.nonEmpty)
+    // shared-variable type filters still apply on the second pattern
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b), (y:c)-[:in]->(z) RETURN x.id AS xid").count() === 0L)
+    // a disjoint pattern would be a cartesian product: rejected
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b), (p:c)-[:in]->(r:c) RETURN x.id AS xid")
+    }
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with NULL bindings") {
+    import TestSpark.spark.implicits._
+    // a:1 and a:2 know b:1; only b:1 is 'in' c:1 — b:2 (known by a:3) is not
+    val go = PropertyGraph(
+      Seq(("a:1", "a", "alpha"), ("a:2", "a", "beta"), ("a:3", "a", "gamma"),
+        ("b:1", "b", "one"), ("b:2", "b", "two"), ("c:1", "c", "delta"))
+        .toDF("id", "ntype", "name"),
+      Seq(("a:1", "b:1", "knows"), ("a:2", "b:1", "knows"), ("a:3", "b:2", "knows"),
+        ("b:1", "c:1", "in")).toDF("src", "dst", "rel"))
+    val out = CypherLite.run(go,
+      "MATCH (x:a)-[:knows]->(y:b) OPTIONAL MATCH (y)-[:in]->(z:c) " +
+        "RETURN x.id AS xid, z.id AS zid ORDER BY xid")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toList
+    assert(out === List(
+      ("a:1", Some("c:1")), ("a:2", Some("c:1")), ("a:3", None)))
+    // WHERE after the optional join predicates the NULL binding away
+    val whereOut = CypherLite.run(go,
+      "MATCH (x:a)-[:knows]->(y:b) OPTIONAL MATCH (y)-[:in]->(z:c) " +
+        "WHERE z.name = 'delta' RETURN x.id AS xid ORDER BY xid")
+      .collect().map(_.getString(0)).toList
+    assert(whereOut === List("a:1", "a:2"))
+    // optional edge variables project their props as NULL when unmatched
+    val withEdge = CypherLite.run(go,
+      "MATCH (x:a)-[:knows]->(y:b) OPTIONAL MATCH (y)-[r:in]->(z:c) " +
+        "RETURN x.id AS xid, r.rel AS rel ORDER BY xid")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toList
+    assert(withEdge === List(("a:1", Some("in")), ("a:2", Some("in")), ("a:3", None)))
+    // chained optionals extend the frontier left-to-right
+    val two = CypherLite.run(go,
+      "MATCH (x:a) OPTIONAL MATCH (x)-[:knows]->(y:b) OPTIONAL MATCH (y)-[:in]->(z:c) " +
+        "RETURN x.id AS xid, y.id AS yid, z.id AS zid ORDER BY xid")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toList
+    assert(two === List(
+      ("a:1", Some("b:1"), Some("c:1")), ("a:2", Some("b:1"), Some("c:1")),
+      ("a:3", Some("b:2"), None)))
+  }
+
   test("rejects malformed WHERE") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(g, "MATCH (x:a)-[:knows]->(y:b) WHERE x.name ~ 'a' RETURN x.id")
