@@ -103,37 +103,54 @@ object DedupOps {
     // global rarest-first total order — and the prefix is a slice of
     // the sorted array. +1e-9 guards fp rounding of (1−τ)·n landing a
     // hair under an integer: overshooting only ADDS candidates (safe).
+    // `pos` is the element's 1-based rank in the doc's FULL sorted
+    // shingle list (prefix = first ⌊(1−τ)n⌋+1 elements, so the in-slice
+    // index IS the global-order rank) — the positional suffix bound
+    // below needs it.
     hs.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
       .select(col("doc_id"),
-        explode(slice(col("arr"), lit(1),
-          (floor(size(col("arr")) * (1 - tau) + 1e-9) + 1).cast("int"))).as("e"))
-      .select(col("doc_id"), col("e.h").as("h"))
+        posexplode(slice(col("arr"), lit(1),
+          (floor(size(col("arr")) * (1 - tau) + 1e-9) + 1).cast("int"))))
+      .select(col("doc_id"), col("col.h").as("h"), (col("pos") + 1).as("pos"))
   }
 
   private[graft] def ngramJaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
     val sh = hashedShingles(docs).persist()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val capped = prefixIndexOf(sh, tau)
-    // Candidate pairs WITH their prefix-overlap count cp (a hash agg on
-    // the join output — no distinct materialization of the pair set).
+    // Candidate pairs WITH their prefix-overlap count cp AND the last
+    // match's global-order rank in each doc (a hash agg on the join
+    // output — no distinct materialization of the pair set). Positions
+    // within a doc are monotone in the ONE global (df, h) order, so the
+    // globally-largest common prefix element maximizes pos on BOTH
+    // sides at once: max(a.pos)/max(b.pos) are the PPJoin last-match
+    // positions without a max_by.
     val cand = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("cp"))
-    // Suffix-bound pruning (the PPJoin idea, Xiao et al. WWW'08): overlap
-    // NOT counted by cp is at most max(n1−p1, n2−p2), and J ≥ τ forces
-    // total overlap ≥ τ/(1+τ)·(n1+n2) — a pair whose best-case overlap
-    // cp + max(suffix) can't reach that is provably below τ. max (not
-    // min) because prefixes are order-MINIMAL under one global total
-    // order: an uncounted overlap element sits in some doc's suffix, and
-    // two such elements can't sit in opposite suffixes (u in d1-suffix ∩
-    // d2-prefix and v in d2-suffix ∩ d1-prefix would need u>v and v>u) —
-    // so ALL uncounted overlap lies within a single doc's suffix. min()
-    // over-prunes containment-style pairs, where the superset doc's
-    // unique rare shingles fill its prefix and push the shared ones out.
-    // Collisions/fp-epsilons only ever widen the candidate set (safe).
+      .agg(count(lit(1)).as("cp"), max(col("a.pos")).as("i1"), max(col("b.pos")).as("i2"))
+    // Suffix-bound pruning (PPJoin, Xiao et al. WWW'08): any overlap
+    // element NOT counted by cp lies outside at least one prefix, hence
+    // in some doc's suffix, hence sorts STRICTLY AFTER the last counted
+    // match in the global order — i.e. after rank i1 in d1 AND after
+    // rank i2 in d2. So uncounted overlap ≤ min(n1−i1, n2−i2) (the
+    // positional bound, which also subsumes the classic length filter
+    // since cp ≤ min(i1, i2)), and independently ≤ max(n1−p1, n2−p2)
+    // (two uncounted elements can't sit in OPPOSITE suffixes: u in
+    // d1-suffix ∩ d2-prefix and v in d2-suffix ∩ d1-prefix would need
+    // u>v and v>u — so all uncounted overlap shares one suffix). J ≥ τ
+    // forces total overlap ≥ τ/(1+τ)·(n1+n2); a pair whose best case
+    // cp + least(both bounds) can't reach that is provably below τ.
+    // A naive min(n1−p1, n2−p2) would over-prune containment pairs
+    // (the superset's unique rare shingles fill its prefix and push
+    // shared ones out); the positional bound charges those pushes to
+    // i2, not to d1's suffix, so it prunes length-skewed noise the
+    // max() bound must keep. Hash-collision TIES in (df, h) could in
+    // principle blur "strictly after" — at 2⁻⁶⁴ per doc pair that is
+    // the same accepted risk class as the merged-df index itself;
+    // fp-epsilons only ever widen the candidate set (safe).
     // Measured at sf0.1: 409k raw prefix candidates → ~300 survivors,
     // so the exact verify below is O(true pairs), not O(candidates).
     def plen(n: Column) = floor(n * (1 - tau) + 1e-9) + 1
@@ -143,7 +160,9 @@ object DedupOps {
     val pruned = cand
       .join(cnt.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
       .join(cnt.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
-      .filter(col("cp") + greatest(col("n1") - plen(col("n1")), col("n2") - plen(col("n2"))) >=
+      .filter(col("cp") + least(
+          least(col("n1") - col("i1"), col("n2") - col("i2")),
+          greatest(col("n1") - plen(col("n1")), col("n2") - plen(col("n2")))) >=
         lit(tau / (1 + tau)) * (col("n1") + col("n2")) - lit(1e-9))
       .select(col("d1"), col("d2"))
       .localCheckpoint(true)

@@ -260,6 +260,37 @@ class DedupOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pruned === brute, "containment pair at J = tau must survive the suffix bound")
   }
+
+  test("positional suffix bound keeps qualifying length-skewed pairs (last-match ranks differ per doc)") {
+    import TestSpark.spark.implicits._
+    // doc 1 extends doc 0: 8 vs 10 shingles sharing 7 → J = 7/11 ≥ 0.5,
+    // with the last common prefix match sitting at DIFFERENT ranks in
+    // the two docs (doc 1's unique tail shingles are df=1 and crowd its
+    // prefix). An unsound positional bound (e.g. strict ">" turned into
+    // off-by-one, or i1/i2 swapped) prunes exactly this shape; brute
+    // parity pins it.
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i k1 k2 k3")) ++
+      (2 until 24).map(i => (i.toLong, (0 until 9).map(k => s"n${i}_$k").mkString(" ")))
+    val df_ = docs.toDF("doc_id", "text")
+
+    val sets = DedupOps.shinglesOf(df_)
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val jac = inter / (size(col("s1")) + size(col("s2")) - inter)
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.ss").as("s1"), col("b.ss").as("s2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.map(p => (p._1, p._2)) === Set((0L, 1L)), "fixture must plant the skewed pair")
+
+    val pruned = DedupOps.ngramJaccardPairs(df_, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === brute, "qualifying skewed pair must survive the positional bound")
+  }
 }
 
 class CurateOpsSpec extends SparkSpecBase {
