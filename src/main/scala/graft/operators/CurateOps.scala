@@ -190,14 +190,74 @@ object CurateOps {
       |  min(doc_id) AS first_doc
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Default mixture: src0 is the eval holdout (weight 0 — never in a
+    * training mix), src1 is upsampled 2.5×, src2 1.3×, src3 kept at
+    * 40%, everything else passes through at 1×. */
+  val defaultMixWeights: Map[String, Int] =
+    Map("src0" -> 0, "src1" -> 250, "src2" -> 130, "src3" -> 40)
+
+  /** Domain-mixture materialization — the corpus-reweighting step of a
+    * training-data pipeline (DoReMi-style domain weights, epoching the
+    * underrepresented sources and thinning the overrepresented ones).
+    *
+    * Weights are INTEGER PERCENT multiplicities: a doc in a weight-w
+    * source appears ⌊w/100⌋ guaranteed epochs plus one more iff its
+    * content-hash bucket < w mod 100 — so the realized multiplicity is
+    * deterministic per document (same rows on every retry and at any
+    * partitioning), yet the expected per-source volume is exactly
+    * w/100 × |source|. Fractional sampling reuses [[bucket]], the same
+    * md5 primitive as sample/split, so mixture membership is consistent
+    * with split assignment across the suite.
+    *
+    * Scale shape: the weight table is a broadcast dimension (a when()
+    * chain would re-compile per vocabulary change; a shuffle join would
+    * move the corpus for a dimension of a few hundred rows), and the
+    * epoch fan-out is a per-row explode — the whole mixture is a single
+    * narrow map stage over the corpus scan, zero shuffles at any scale. */
+  def mix(spark: SparkSession, dir: String,
+      weights: Map[String, Int] = defaultMixWeights): DataFrame = {
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("source", "wt")
+    load(spark, dir, "documents")
+      .join(broadcast(wdf), Seq("source"), "left")
+      .withColumn("wt", coalesce(col("wt"), lit(100)))
+      .withColumn("m",
+        floor(col("wt") / 100) + when(bucket < col("wt") % 100, 1L).otherwise(0L))
+      .filter(col("m") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("m"))).as("epoch"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  }
+
+  val mixSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250
+      |                WHEN 'src2' THEN 130 WHEN 'src3' THEN 40 ELSE 100 END AS wt,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |),
+      |m AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    wt // 100 + CASE WHEN bucket < wt % 100 THEN 1 ELSE 0 END AS m
+      |  FROM w
+      |)
+      |SELECT doc_id, source, e AS epoch, n_tokens
+      |FROM m, unnest(generate_series(CAST(1 AS BIGINT), CAST(m AS BIGINT))) AS u(e)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
+    "curate_mix" -> ((s: SparkSession, d: String) => mix(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_mix" -> mixSql,
     "curate_pack" -> packSql,
     "curate_sample" -> sampleSql,
     "curate_sample_stratified" -> sampleStratifiedSql,

@@ -295,6 +295,31 @@ class DedupOpsSpec extends SparkSpecBase {
 
 class CurateOpsSpec extends SparkSpecBase {
 
+  test("mixture multiplicities follow the integer-percent weights and the holdout never leaks") {
+    val mixed = CurateOps.mix(spark, sf).cache()
+    // Eval holdout (weight 0) must never appear in a training mixture.
+    assert(mixed.filter(col("source") === "src0").count() === 0L)
+    // Per-doc multiplicity: every src1 doc (250%) appears 2 or 3 times,
+    // every src3 doc (40%) 0 or 1 times, defaults exactly once.
+    val perDoc = mixed.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("m"), max(col("epoch")).as("max_epoch"))
+    assert(perDoc.filter(col("source") === "src1" && (col("m") < 2 || col("m") > 3)).count() === 0L)
+    assert(perDoc.filter(col("source") === "src3" && col("m") =!= 1).count() === 0L)
+    assert(perDoc.filter(!col("source").isin("src0", "src1", "src2", "src3") && col("m") =!= 1).count() === 0L)
+    // Epochs are dense 1..m (the explode fans out a contiguous range).
+    assert(perDoc.filter(col("max_epoch") =!= col("m")).count() === 0L)
+    // src1's realized volume sits near 2.5x its corpus size (hash
+    // thresholding is deterministic, not RNG — but the fixture corpus is
+    // finite, so pin the broad band, and pin exact determinism below).
+    val src1Docs = Tables.load(spark, sf, "documents").filter(col("source") === "src1").count()
+    val src1Rows = mixed.filter(col("source") === "src1").count()
+    assert(src1Rows >= 2 * src1Docs && src1Rows <= 3 * src1Docs)
+    // Retry-stability: a second run materializes byte-identical rows.
+    val again = CurateOps.mix(spark, sf)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    mixed.unpersist()
+  }
+
   test("distributed pack cumsum matches single-window reference and uses >1 bucket") {
     import org.apache.spark.sql.expressions.Window
     val running = CurateOps.packRunning(spark, sf, numParts = 8).cache()
