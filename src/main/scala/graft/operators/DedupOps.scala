@@ -208,33 +208,55 @@ object DedupOps {
     * 0.1↔0.89+ between noise and planted dups; miss probability at
     * j≥0.8 is ≤ 2e-4 per pair).
     */
-  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Minwise family h_i(x) = (a_i·x + b_i) mod p, p = 2³¹-1: the mod
-    // wrap makes each slot's argmin independent (a plain affine c_i·x+i
-    // is monotone in x — every slot picks the same shingle and the 64
-    // hashes collapse to one). Products stay < 2^62 — no overflow even
-    // under ANSI mode. Constants from a fixed LCG for determinism.
-    val p = 2147483647L
+  // Minwise family h_i(x) = (a_i·x + b_i) mod p, p = 2³¹-1: the mod
+  // wrap makes each slot's argmin independent (a plain affine c_i·x+i
+  // is monotone in x — every slot picks the same shingle and the 64
+  // hashes collapse to one). Products stay < 2^62 — no overflow even
+  // under ANSI mode. Constants from a fixed LCG for determinism; shared
+  // by the batch LSH and the streaming near-dup twin so their
+  // signatures are bit-identical.
+  private val minhashP = 2147483647L
+  private val (minhashA, minhashB) = {
     val rng = new java.util.Random(42)
-    val as_ = Array.fill(64)(1L + rng.nextInt(Int.MaxValue - 1))
-    val bs_ = Array.fill(64)(rng.nextInt(Int.MaxValue).toLong)
-    val sh = shingles(spark, dir).persist()
-    // One cheap hash per (doc, shingle); the 64 minhash slots are then a
-    // per-doc array computation (no 64× row explosion, one shuffle).
-    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).bitwiseAND(lit(0x7fffffffL)).as("h31"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(collect_list(col("h31")).as("hs"))
+    (Array.fill(64)(1L + rng.nextInt(Int.MaxValue - 1)),
+      Array.fill(64)(rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (doc_id, band, band_sig) per document — the LSH bucketing relation.
+    *
+    * Computed ENTIRELY in-row (shingle array → 31-bit hashes → 64
+    * argmin slots → 16 band-slice hashes, all higher-order array
+    * functions over the doc's own text): no explode, no groupBy — a
+    * narrow map stage, so the batch path saves the signature shuffle
+    * and the STREAMING path can reuse it verbatim ahead of its single
+    * stateful operator (a mid-stream collect_list aggregation would be
+    * a second stateful op). array_min is order-insensitive, so the
+    * slots equal the former explode→collect_list formulation exactly. */
+  private[graft] def bandSignaturesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => array_join(slice(col("toks"), i + 1, lit(3)), " "))).as("ss"))
+      .select(col("doc_id"),
+        transform(col("ss"), s => xxhash64(s).bitwiseAND(lit(0x7fffffffL))).as("hs"))
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(63)),
           i => array_min(transform(col("hs"),
-            h => (h * element_at(lit(as_), i + 1) + element_at(lit(bs_), i + 1)) % p))).as("sig"))
+            h => (h * element_at(lit(minhashA), i + 1) + element_at(lit(minhashB), i + 1)) % minhashP))).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * 4 + 1, lit(4))).as("band_sig"))
+
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).persist()
     // 16 bands × 4 rows; band signature hashes the in-band slice. With
     // independent slots, miss probability at the planted j≥0.8 dup band
     // is (1-j⁴)¹⁶ ≤ 2e-4, while j≈0.1 noise pairs collide at 0.16% —
     // ~8× fewer false candidates than a 32×2 shape.
-    val bands = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(slice(col("sig"), col("band") * 4 + 1, lit(4))).as("band_sig"))
+    val bands = bandSignaturesOf(load(spark, dir, "documents"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -18,6 +18,11 @@ final case class Session(userId: Long, sessId: Long, nEvents: Long, totalValue: 
 final case class HistoryEntry(userId: Long, pos: Int, eventId: Long,
                               eventType: String, tsSec: Long)
 
+/** A streaming near-duplicate candidate: d1 < d2 collided in `band`.
+  * Candidates, not verdicts — the batch DedupOps.minHashLsh verify
+  * stage owns exact-Jaccard confirmation. */
+final case class NearDupCandidate(d1: Long, d2: Long, band: Int)
+
 private final case class SessionState(sessId: Long, nEvents: Long, totalValue: Double,
                                       startS: Long, endS: Long)
 
@@ -107,6 +112,60 @@ object EventStream {
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("docId", "content_hash")
         .select(col("docId").as("doc_id"), col("text")))
+
+  /** Streaming near-duplicate detection — the continuous twin of
+    * DedupOps.minHashLsh's candidate stage, because at production scale
+    * near-dup screening runs AT INGEST (flag the arriving document
+    * against everything already accepted), not as a nightly all-corpus
+    * batch. The signature math is shared verbatim with batch
+    * ([[graft.operators.DedupOps.bandSignaturesOf]] — in-row minhash,
+    * same LCG constants), so a stream replay emits exactly the batch
+    * band-collision candidate set.
+    *
+    * Shape: the stateless prefix maps each doc to its 16 (band,
+    * band_sig) bucket keys (narrow — no mid-stream aggregation, which
+    * would be a second stateful operator); the ONE stateful op keys the
+    * state store by bucket and keeps the doc ids seen in that bucket. A
+    * new arrival emits a candidate pair against each resident, then
+    * joins the bucket; a replayed (already-resident) id emits nothing —
+    * the idempotent re-add contract. State per bucket is capped at
+    * [[maxBucketResidents]] ids: a bucket that hot means a degenerate
+    * band (the batch equivalent is the skew the banded equi-join
+    * bounds); over-cap arrivals still pair against the stored residents
+    * but are not appended, so state stays bounded for the life of the
+    * stream and pairs among over-cap docs are deferred to the batch
+    * sweep. Candidates are emitted once per colliding band (d1 < d2);
+    * downstream dedups pairs exactly like the batch candidate
+    * distinct(). */
+  val maxBucketResidents = 128
+
+  def nearDupStream(docs: DataFrame): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.DedupOps.bandSignaturesOf(
+        docs.select(col("docId").as("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("band_sig"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState[List[Long], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), it: Iterator[(Long, Int, Long)], state: GroupState[List[Long]]) =>
+          var residents = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupCandidate]
+          // Sort the micro-batch for a deterministic emission order
+          // (iterator order within a group is not defined).
+          it.map(_._1).toIndexedSeq.distinct.sorted.foreach { id =>
+            if (!residents.contains(id)) {
+              residents.foreach { r =>
+                out += NearDupCandidate(math.min(r, id), math.max(r, id), key._1)
+              }
+              if (residents.length < maxBucketResidents) residents = id :: residents
+            }
+          }
+          state.update(residents)
+          out.result().iterator
+      }
+  }
 
   /** Continuously-maintained per-user history — the streaming twin of
     * EventOps.history (get_history's latest-k ledger read, kept hot as

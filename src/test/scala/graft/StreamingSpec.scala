@@ -151,6 +151,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming near-dup detection emits exactly the batch band-collision candidates, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, Long, String)]
+    val t0 = 1700000000L
+    // Two micro-batches split the corpus, so cross-batch pairs exercise
+    // the bucket state; the second batch also replays batch 1's first
+    // doc verbatim — a resident id must emit nothing new.
+    stream.addData(docs.take(60).map { case (id, tx) => (id, t0, tx) }.toSeq)
+    stream.addData(docs.drop(60).map { case (id, tx) => (id, t0 + 60, tx) }.toSeq
+      :+ ((docs.head._1, t0 + 60, docs.head._2)))
+    val q = EventStream.nearDupStream(stream.toDF().toDF("docId", "tsSec", "text"))
+      .writeStream.format("memory").queryName("neardupstream").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardupstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Batch candidate stage over the same corpus: distinct band-bucket
+    // collisions (the pre-verification pair set of minHashLsh).
+    val bands = operators.DedupOps.bandSignaturesOf(docs.toSeq.toDF("doc_id", "text"))
+    val expect = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+    // The verified batch near-dup pairs are a subset of the stream's
+    // candidates (recall contract: the stream misses nothing batch LSH
+    // would surface for this corpus).
+    val verified = operators.DedupOps.minHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => docs.exists(_._1 == a) && docs.exists(_._1 == b) }.toSet
+    assert(verified.subsetOf(got))
+    assert(got.nonEmpty)
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
