@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE var.prop = 'literal' [AND ...]]
-  *   RETURN [DISTINCT] var.prop [AS alias] | count(*) AS alias [, ...]
+  *   RETURN [DISTINCT] var.prop [AS alias]
+  *          | count(*) | agg(var.prop) [AS alias] [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
+  * Aggregates: `count` (non-null, Cypher semantics), `sum`/`avg`
+  * (numeric — both try_cast the bag string to double, non-numeric
+  * values aggregate as NULL), `min`/`max` (on the stored
+  * representation — correct for the ISO-date / zero-padded strings the
+  * projection stores), and `collect` (canonicalized to a SORTED list:
+  * Cypher's collect is unordered, a nondeterministic order would break
+  * result reproducibility). Mixing aggregated and plain items groups by
+  * the plain ones, like Cypher's implicit grouping.
   * Comma-separated patterns conjoin on shared node variables (each
   * extra pattern must share at least one — a cartesian product is
   * rejected). OPTIONAL MATCH left-joins one pattern: unmatched rows
@@ -59,7 +68,8 @@ object CypherLite {
   // correct for the ISO-date strings the projection stores. Equality
   // stays on the stored representation.
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
-  private val retItemRe = """(?:(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
+  private val retItemRe =
+    """(?:(count|sum|avg|min|max|collect)\s*\(\s*(\w+)\.(\w+)\s*\)|(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
 
   /** Compile ONE linear path pattern to (relation, node vars, edge
     * vars). The relation carries `${v}_id/_ntype/_name/_props` per node
@@ -238,10 +248,26 @@ object CypherLite {
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
     val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
     val items = retBody.split(",").map(_.trim).map {
-      case m @ retItemRe(v, p, alias) =>
-        val isCount = v == null
-        val name = Option(alias).getOrElse(if (isCount) "count" else s"${v}_$p")
-        (isCount, if (isCount) count(lit(1)).as(name) else propCol(v, p).as(name), name)
+      case m @ retItemRe(aggFn, av, ap, v, p, alias) =>
+        if (aggFn != null) {
+          val name = Option(alias).getOrElse(s"${aggFn}_${av}_$ap")
+          val c = propCol(av, ap)
+          val agg = aggFn match {
+            case "count" => count(c)
+            case "sum" => sum(c.try_cast("double"))
+            case "avg" => avg(c.try_cast("double"))
+            case "min" => min(c)
+            case "max" => max(c)
+            case "collect" => sort_array(collect_list(c))
+          }
+          (true, agg.as(name), name)
+        } else if (v != null) {
+          val name = Option(alias).getOrElse(s"${v}_$p")
+          (false, propCol(v, p).as(name), name)
+        } else {
+          val name = Option(alias).getOrElse("count")
+          (true, count(lit(1)).as(name), name)
+        }
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
     val aggItems = items.filter(_._1)

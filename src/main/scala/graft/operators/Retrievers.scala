@@ -521,6 +521,26 @@ object Retrievers {
        |  WHERE rel = 'located_in' AND src LIKE 'supplier:%'
        |) sl ON sl.dst = nr.nid""".stripMargin
 
+  /** CYPHER aggregates beyond count(*): min/max over the placed_by
+    * edge's props-bag orderdate (first/last order per market segment —
+    * lexicographic min/max is chronological on the ISO strings the
+    * projection stores), grouped implicitly by the plain RETURN item
+    * per Cypher's grouping rule. */
+  val aggCypher: String =
+    "MATCH (o:order)-[r:placed_by]->(c:customer) " +
+      "RETURN c.mktsegment AS segment, count(*) AS n_orders, " +
+      "min(r.orderdate) AS first_order, max(r.orderdate) AS last_order ORDER BY segment"
+
+  def cypherAgg(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), aggCypher)
+
+  val cypherAggSql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+      |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_order,
+      |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -949,6 +969,7 @@ object Retrievers {
     "search_cypher_edge_props" -> ((s: SparkSession, d: String) => cypherEdgeProps(s, d)),
     "search_cypher_multi" -> ((s: SparkSession, d: String) => cypherMulti(s, d)),
     "search_cypher_optional" -> ((s: SparkSession, d: String) => cypherOptional(s, d)),
+    "search_cypher_agg" -> ((s: SparkSession, d: String) => cypherAgg(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -973,5 +994,6 @@ object Retrievers {
     "search_cypher_edge_props" -> cypherEdgePropsSql,
     "search_cypher_multi" -> cypherSql, // same answer as the chained form
     "search_cypher_optional" -> cypherOptionalSql,
+    "search_cypher_agg" -> cypherAggSql,
     "search_natural_language" -> cypherSql)
 }

@@ -125,6 +125,35 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out === List(("a:1", Some("9")), ("a:2", None)))
   }
 
+  test("RETURN aggregates: sum/avg are numeric, min/max stored-repr, collect sorted, count skips NULLs") {
+    import TestSpark.spark.implicits._
+    val ga = PropertyGraph(
+      Seq(
+        ("a:1", "a", "alpha", Map("qty" -> "9")),
+        ("a:2", "a", "beta", Map("qty" -> "10")),
+        ("a:3", "a", "gold", Map.empty[String, String]),
+        ("b:1", "b", "hub", Map.empty[String, String]))
+        .toDF("id", "ntype", "name", "props"),
+      Seq(("a:1", "b:1", "knows"), ("a:2", "b:1", "knows"), ("a:3", "b:1", "knows"))
+        .toDF("src", "dst", "rel"))
+    val out = CypherLite.run(ga,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN y.id AS yid, count(x.qty) AS n_qty, " +
+        "sum(x.qty) AS total, avg(x.qty) AS mean, min(x.name) AS lo, max(x.name) AS hi, " +
+        "collect(x.name) AS names ORDER BY yid").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "b:1")
+    assert(r.getLong(1) === 2L) // count(x.qty) skips the missing-key NULL
+    assert(r.getDouble(2) === 19.0) // numeric: lexicographic would make "10" < "9"
+    assert(r.getDouble(3) === 9.5)
+    assert(r.getString(4) === "alpha" && r.getString(5) === "gold")
+    assert(r.getSeq[String](6).toList === List("alpha", "beta", "gold")) // canonical sorted
+    // keyless aggregate returns one global row
+    val tot = CypherLite.run(ga, "MATCH (x:a)-[:knows]->(y:b) RETURN sum(x.qty) AS total")
+      .collect()
+    assert(tot.map(_.getDouble(0)).toList === List(19.0))
+  }
+
   test("props-less graphs still run props queries (empty-bag normalization)") {
     assert(CypherLite.run(g,
       "MATCH (x:a)-[:knows]->(y:b) WHERE x.color = 'red' RETURN x.id AS xid").count() === 0L)
