@@ -89,20 +89,22 @@ object VectorOps {
     * file listing (name, length, mtime) — an ingest that rewrites or
     * appends embeddings mid-session retrains instead of silently serving
     * centroids from the old corpus (IVF recall would degrade unseen). */
+  private val corpusStamp: (SparkSession, String) => String = (spark, dir) => {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   private val quantizerCache = new graft.graph.SessionDirCache[Array[Array[Double]]](
     (spark, dir) => {
       val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
       val n = e0.count()
       kmeansCentroids(trainingSample(e0, n, DefaultTrainCap), cellCount(n))
     },
-    stamp = (spark, dir) => {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) "absent"
-      else fs.listStatus(p)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString(",")
-    })
+    stamp = corpusStamp)
 
   /** Per-row scored struct array: (dot(v, ĉᵢ), i) for each normalized
     * centroid literal; array_max picks the best cell (ties → larger id —
@@ -134,18 +136,33 @@ object VectorOps {
         .cast("long") % 100 < pct)
     }
 
+  /** Best cell under EUCLIDEAN distance: argmin |v−cᵢ|² = argmax
+    * 2·v·cᵢ − |cᵢ|² (the |v|² term is constant across cells, so it
+    * drops out of the argmax — one dot per cell, no per-row norm).
+    * The PQ codebook metric: L2 on subvectors directly bounds the
+    * inner-product estimation error by |q_sub|·|v_sub − c|, which the
+    * spherical [[bestCell]] (direction-only) does not. */
+  private[graft] def bestCellL2(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.isEmpty) struct(lit(0.0).as("s"), lit(0).as("cell"))
+    else array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct((dot(v, lit(c)) * 2 - lit(c.map(x => x * x).sum)).as("s"), lit(i).as("cell"))
+    }: _*))
+
   /** Lloyd's k-means with deterministic init (members ordered by
     * md5(vec_id), first k) and a fixed iteration count — no RNG, so the
     * quantizer is reproducible across runs and sessions. Only k×64
     * centroid doubles ever reach the driver (SURVEY §5 tiny-broadcast
-    * rule); assignment and the dimension means are distributed. */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 4): Array[Array[Double]] = {
+    * rule); assignment and the dimension means are distributed.
+    * `l2` switches the assignment metric from spherical (the coarse
+    * IVF quantizer) to Euclidean (PQ codebooks). */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int = 4, l2: Boolean = false): Array[Array[Double]] = {
     var cents = e.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h").asc, col("vec_id").asc).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
+      val assign = if (l2) bestCellL2(col("v"), cents) else bestCell(col("v"), cents)
+      val assigned = e.withColumn("cell", assign.getField("cell"))
       val dimMeans = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
@@ -335,6 +352,110 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization: m subspaces × ks codewords. The 100 TB ANN
+  // memory shape — a 64-dim float vector is 512 bytes, its PQ code is
+  // m bytes + one stored norm, so the searchable representation shrinks
+  // ~50× and the shortlist scan touches codes, not vectors; only the
+  // refine stage reads true vectors, for queries×R rows.
+  // ---------------------------------------------------------------------
+
+  private[graft] val PqM = 8 // subspaces over the corpus' 64 dims (8 dims each)
+  private[graft] val PqKs = 16 // codewords per subspace
+
+  /** PQ codebooks per (session, corpus dir), stamped like the coarse
+    * quantizer: m independent L2 Lloyd's runs over the subvector
+    * slices (flat PQ — codes quantize raw subvectors, not coarse-cell
+    * residuals; documented simplification of IVFPQ). */
+  private val pqCache = new graft.graph.SessionDirCache[Array[Array[Array[Double]]]](
+    (spark, dir) => {
+      val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+      val n = e0.count()
+      val sample = trainingSample(e0, n, DefaultTrainCap)
+      Array.tabulate(PqM) { j =>
+        kmeansCentroids(
+          sample.select(col("vec_id"), slice(col("v"), j * 8 + 1, 8).as("v")),
+          PqKs, l2 = true)
+      }
+    },
+    stamp = corpusStamp)
+
+  /** Encoded corpus per (session, dir): coarse cell + m codes + stored
+    * norm — the compact searchable representation, persisted because
+    * codes are INDEX data (Faiss encodes at build time, not per query).
+    * v is dropped here; the search plan reads codes only and joins back
+    * to the vector table for the refine survivors. */
+  private val encodedCache = new graft.graph.SessionDirCache[DataFrame](
+    (spark, dir) => {
+      val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+      val cents = quantizerCache(spark, dir)
+      val books = pqCache(spark, dir)
+      val codes = array(Array.tabulate(PqM) { j =>
+        bestCellL2(slice(col("v"), j * 8 + 1, 8), books(j)).getField("cell")
+      }: _*)
+      e0.withColumn("cell", bestCell(col("v"), cents).getField("cell"))
+        .withColumn("codes", codes)
+        .withColumn("vnorm", norm(col("v")))
+        .select(col("vec_id"), col("cell"), col("codes"), col("vnorm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    },
+    stamp = corpusStamp)
+
+  /** IVF + product-quantization ANN with exact refine (the Faiss
+    * IVFPQ+refine pattern): the query probes its nprobe coarse cells,
+    * the probed cells' members are scored by the ASYMMETRIC DISTANCE
+    * estimate (per subspace, dot of the query subvector with the
+    * candidate's codeword — the candidate contributes only its m-byte
+    * code and stored norm), the top `refine` per query re-rank exactly
+    * against their true vectors, and the top 5 of those are returned.
+    *
+    * Scale shape: the ADC scan reads (cell, codes, vnorm) — never the
+    * vector column — so at 100 TB the shortlist stage streams the ~50×
+    * smaller code table; the exact stage joins the queries×refine
+    * survivors (a broadcast) back to the vector store by key. With
+    * refine ≥ the probed population the exact stage re-ranks everything
+    * the coarse quantizer admitted, which is [[knnIvf]] by definition —
+    * the spec pins that reduction and measures default-parameter recall
+    * against brute force. Approximate → rows-only driver check. */
+  def knnIvfPq(spark: SparkSession, dir: String, nprobe: Int = 3,
+      refine: Int = 20): DataFrame = {
+    val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+    val cents = quantizerCache(spark, dir)
+    if (cents.isEmpty)
+      return e0.select(col("vec_id").as("query_id"), col("vec_id"), lit(0.0).as("cosine"))
+    val books = pqCache(spark, dir)
+    val enc = encodedCache(spark, dir)
+    val q = e0.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val centArr = cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("centroid"), lit(i).as("cell"))
+    }
+    val cellW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell").asc)
+    val probes = q.select(col("query_id"), col("qv"), explode(array(centArr: _*)).as("cc"))
+      .select(col("query_id"), col("qv"), col("cc.cell").as("cell"),
+        cosine(col("qv"), col("cc.centroid")).as("ccos"))
+      .withColumn("rn", row_number().over(cellW)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // ADC estimate: Σⱼ qⱼ · codebookⱼ[codeⱼ] — the codeword literal is
+    // selected per row by the candidate's code; estimated cosine
+    // divides by the STORED norm (the Faiss cosine-metric practice).
+    val est = Array.tabulate(PqM) { j =>
+      dot(slice(col("qv"), j * 8 + 1, 8),
+        element_at(typedLit(books(j).map(_.toSeq).toSeq), element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _) / (norm(col("qv")) * col("vnorm"))
+    val adcW = Window.partitionBy(col("query_id")).orderBy(col("est").desc, col("vec_id").asc)
+    val shortlist = enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("est", est)
+      .withColumn("rn", row_number().over(adcW)).filter(col("rn") <= refine)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    // Exact refine: true cosine for the queries×refine survivors only.
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    e0.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH ANN with multi-probe: nbits sign bits
     * (deterministic ±1 planes) define the bucket; the query probes its
     * own bucket plus every bucket within hamming distance `probeHamming`
@@ -380,7 +501,8 @@ object VectorOps {
     "vec_knn" -> ((s: SparkSession, d: String) => knn(s, d)),
     "vec_dedup_cosine" -> ((s: SparkSession, d: String) => dedupCosine(s, d)),
     "vec_centroids" -> ((s: SparkSession, d: String) => centroids(s, d)),
-    "vec_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
+    "vec_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "vec_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)))
 
   def oracles: Map[String, String] = Map(
     "vec_knn" -> knnSql,

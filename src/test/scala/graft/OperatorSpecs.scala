@@ -67,6 +67,29 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall") // shortlist covers a useful share at 3/ k cells
   }
 
+  test("IVFPQ with refine >= probed population reduces to IVF-flat at the same nprobe") {
+    // A refine budget covering everything the coarse quantizer admits
+    // means the exact stage re-ranks the whole IVF shortlist — byte
+    // parity with knnIvf by construction (shared cached quantizer).
+    val flat = VectorOps.knnIvf(spark, sf, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = VectorOps.knnIvfPq(spark, sf, nprobe = 3, refine = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq === flat)
+  }
+
+  test("IVFPQ ADC shortlist recall: default refine recovers most of IVF-flat's answer") {
+    // Isolates the PQ estimate's quality from coarse-cell loss: compare
+    // against IVF-flat at the SAME nprobe; the 4x-k refine budget must
+    // let the exact stage recover the bulk of the flat answer.
+    val flat = VectorOps.knnIvf(spark, sf, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.knnIvfPq(spark, sf, nprobe = 3, refine = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(flat).size.toDouble / flat.size
+    assert(recall >= 0.7, s"ADC recall vs IVF-flat $recall")
+  }
+
   test("cell-blocked dedupCosine equals brute-force all-pairs (no pair >= tau lost)") {
     import TestSpark.spark.implicits._
     val e = Tables.load(spark, sf, "embeddings")

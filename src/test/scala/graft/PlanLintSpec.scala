@@ -38,7 +38,7 @@ class PlanLintSpec extends SparkSpecBase {
   // Documented rows-only sketches: no cross-engine oracle exists (ANN
   // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
   private val rowsOnlyByDesign: Set[String] =
-    Set("vec_knn_ivf", "vec_knn_lsh", "q_approx_distinct", "q_approx_percentiles")
+    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "q_approx_distinct", "q_approx_percentiles")
 
   test("every registered query has an oracle or is a documented rows-only sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
