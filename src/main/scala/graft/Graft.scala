@@ -86,17 +86,16 @@ object Graft {
   def extractTemporal(spark: SparkSession, dir: String): DataFrame =
     operators.TextOps.temporalExtract(spark, dir)
 
-  /** Dispatch a search type to its retrieval plan (cognee.search).
-    * CONTEXT_EXTENSION shares COT's two-round retrieval (the reference
-    * routes both through the same retriever loop). */
+  /** Dispatch a search type to its retrieval plan (cognee.search). */
   def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
     case Chunks => operators.Retrievers.chunks(spark, dir)
     case ChunksLexical => operators.Retrievers.lexical(spark, dir)
     case Summaries => operators.Retrievers.summaries(spark, dir)
     case Insights => operators.Retrievers.insights(spark, dir)
     case RagCompletion | GraphCompletion => operators.Retrievers.completionContext(spark, dir)
-    case GraphCompletionCot | GraphCompletionContextExtension =>
-      operators.Retrievers.completionCot(spark, dir)
+    case GraphCompletionCot => operators.Retrievers.completionCot(spark, dir)
+    case GraphCompletionContextExtension =>
+      operators.Retrievers.completionContextExtension(spark, dir)
     case GraphSummaryCompletion => operators.Retrievers.summaryCompletion(spark, dir)
     case Code => operators.Retrievers.code(spark, dir)
     case CodingRules => operators.Retrievers.codingRules(spark, dir)

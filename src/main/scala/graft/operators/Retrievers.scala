@@ -120,6 +120,45 @@ object Retrievers {
       |WHERE len(list_intersect(toks, ['spark', 'fast', 'join', 'window'])) > 0
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** CHUNKS_LEXICAL, frequency-aware: the reference's
+    * multiset_jaccard=True constructor option (jaccard_retrival.py:52
+    * — Σ min(q_t, c_t) / Σ max(q_t, c_t) over the token union). With
+    * each query token appearing once, the sums reduce to in-row
+    * arithmetic over per-token occurrence counts: Σmin = Σ min(c_t, 1),
+    * Σmax over the union = N_doc − Σ c_t + Σ max(c_t, 1) — a narrow
+    * map stage (4 array filters per row), no explode, no shuffle
+    * before the top-k. Repeated tokens now LOWER a chatty doc's score
+    * (the frequency awareness the set variant deliberately ignores). */
+  def lexicalMultiset(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val cts = queryTokens.map(t => size(filter(toks, x => x === lit(t))))
+    val sumC = cts.reduce(_ + _)
+    val sumMin = cts.map(c => least(c, lit(1))).reduce(_ + _)
+    val sumMax = cts.map(c => greatest(c, lit(1))).reduce(_ + _)
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(sumMin.cast("double") / (size(toks) - sumC + sumMax), 4).as("score"),
+        sumMin.as("nz"))
+      .filter(col("nz") > 0).drop("nz")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+  }
+
+  val lexicalMultisetSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS c1,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'fast')) AS c2,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'join')) AS c3,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'window')) AS c4
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  round((least(c1,1)+least(c2,1)+least(c3,1)+least(c4,1)) * 1.0
+      |        / (n - (c1+c2+c3+c4) + greatest(c1,1)+greatest(c2,1)+greatest(c3,1)+greatest(c4,1)), 4) AS score
+      |FROM c
+      |WHERE least(c1,1)+least(c2,1)+least(c3,1)+least(c4,1) > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** INSIGHTS: vector-match entities, then expand their 1-hop
     * neighborhood as triplets (insights_retriever.py: vector search on
     * entities + get_connections). Entities = label centroids resolved
@@ -407,6 +446,101 @@ object Retrievers {
        |)
        |SELECT 1 AS hop, rank, doc_id, cosine FROM r1
        |UNION ALL SELECT 2 AS hop, rank, doc_id, cosine FROM r2""".stripMargin
+
+  /** GRAPH_COMPLETION_CONTEXT_EXTENSION — the reference's DISTINCT
+    * retriever loop (graph_completion_context_extension_retriever.py:
+    * up to context_extension_rounds=4 rounds that ACCUMULATE triplets:
+    * retrieve top-k for the current query, generate a completion over
+    * everything retrieved, re-query with it, stop early when a round
+    * surfaces nothing new — unlike COT, which refines an answer over a
+    * fixed two-hop retrieval). The LLM completion is stubbed
+    * deterministically as the rank-1 new triplet's rendered tokens,
+    * which extend (union) the query token set — the same best-result-
+    * becomes-next-query discipline completionCot pins.
+    *
+    * Scale shape: the scored-triplet relation is checkpointed once and
+    * re-scored per round with a LITERAL token array (narrow scan +
+    * TakeOrdered top-5; the growing exclusion list is ≤ 4×5 ids, a
+    * driver-side literal like completionCot's). Early exit probes a
+    * ≤5-row checkpointed round — the BFS frontier discipline. */
+  def completionContextExtension(spark: SparkSession, dir: String,
+      maxRounds: Int = 4): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
+    val base = g.edges
+      .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
+      .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
+      .select(col("src"), col("rel"), col("dst"),
+        array_distinct(split(lower(rendered), "[ _-]")).as("ttoks"))
+      .localCheckpoint(true)
+    var toks = Seq("nation", "3", "located", "in")
+    var retrieved = Seq.empty[String]
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var done = false
+    while (r <= maxRounds && !done) {
+      val qarr = array(toks.map(lit): _*)
+      val score = round(size(array_intersect(col("ttoks"), qarr)).cast("double") /
+        size(array_union(col("ttoks"), qarr)), 4)
+      val cand = base
+        .withColumn("score", score)
+        .filter(col("score") > 0)
+        .filter(!concat_ws("|", col("src"), col("rel"), col("dst")).isin(retrieved: _*))
+        .orderBy(col("score").desc, col("src").asc, col("rel").asc, col("dst").asc)
+        .limit(5)
+        .select(lit(r).as("round"), col("src"), col("rel"), col("dst"), col("score"), col("ttoks"))
+        .localCheckpoint(true)
+      // ≤5 rows per round — the same bounded driver-side read as
+      // completionCot's exclusion ids.
+      val rows = cand.collect().sortBy(rw =>
+        (-rw.getDouble(4), rw.getString(1), rw.getString(2), rw.getString(3)))
+      if (rows.isEmpty) done = true
+      else {
+        rounds += cand.drop("ttoks")
+        retrieved ++= rows.map(rw =>
+          s"${rw.getString(1)}|${rw.getString(2)}|${rw.getString(3)}")
+        toks = (toks ++ rows.head.getSeq[String](5)).distinct
+        r += 1
+      }
+    }
+    if (rounds.isEmpty)
+      base.limit(0).select(lit(0).as("round"), col("src"), col("rel"), col("dst"), lit(0.0).as("score"))
+    else rounds.reduce(_ union _)
+  }
+
+  val completionContextExtensionSql: String = {
+    // q-token lists ride as cross-joined columns, never subqueries in
+    // expressions — DuckDB rejects subqueries inside list lambdas.
+    def roundSql(r: Int): String =
+      s"""s$r AS (
+         |  SELECT t.*, round(len(list_intersect(ttoks, q.toks)) * 1.0
+         |    / len(list_distinct(list_concat(ttoks, q.toks))), 4) AS score
+         |  FROM t, q$r AS q
+         |  ${if (r == 1) "" else s"WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} a WHERE a.src = t.src AND a.rel = t.rel AND a.dst = t.dst)"}
+         |),
+         |r$r AS (
+         |  SELECT $r AS round, src, rel, dst, score, ttoks FROM s$r WHERE score > 0
+         |  ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 5
+         |),
+         |acc$r AS (SELECT src, rel, dst FROM r$r${if (r == 1) "" else s" UNION SELECT src, rel, dst FROM acc${r - 1}"}),
+         |q${r + 1} AS (
+         |  SELECT list_distinct(list_concat(q.toks, coalesce(b.ttoks, []::VARCHAR[]))) AS toks
+         |  FROM q$r AS q LEFT JOIN
+         |    (SELECT ttoks FROM r$r ORDER BY score DESC, src, rel, dst LIMIT 1) b ON true
+         |)""".stripMargin
+    s"""${graft.graph.TpchGraph.withGraph},
+       |t AS (
+       |  SELECT e.src, e.rel, e.dst,
+       |    list_distinct(regexp_split_to_array(lower(ns.name || ' ' || e.rel || ' ' || nd.name), '[ _-]')) AS ttoks
+       |  FROM edges e JOIN nodes ns ON ns.id = e.src JOIN nodes nd ON nd.id = e.dst
+       |),
+       |q1 AS (SELECT ['nation', '3', 'located', 'in'] AS toks),
+       |${(1 to 4).map(roundSql).mkString(",\n")}
+       |SELECT round, src, rel, dst, score FROM r1
+       |UNION ALL SELECT round, src, rel, dst, score FROM r2
+       |UNION ALL SELECT round, src, rel, dst, score FROM r3
+       |UNION ALL SELECT round, src, rel, dst, score FROM r4""".stripMargin
+  }
 
   /** TEMPORAL over the graph (temporal_awareness/temporal_graph tasks):
     * events in a time window resolved through the entity graph
@@ -958,9 +1092,11 @@ object Retrievers {
     "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
+    "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
     "search_completion_cot" -> ((s: SparkSession, d: String) => completionCot(s, d)),
+    "search_completion_extension" -> ((s: SparkSession, d: String) => completionContextExtension(s, d)),
     "search_summary_completion" -> ((s: SparkSession, d: String) => summaryCompletion(s, d)),
     "search_temporal_graph" -> ((s: SparkSession, d: String) => temporalGraph(s, d)),
     "search_feeling_lucky" -> ((s: SparkSession, d: String) => feelingLucky(s, d)),
@@ -983,9 +1119,11 @@ object Retrievers {
     "search_chunks" -> chunksSql,
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,
+    "search_lexical_multiset" -> lexicalMultisetSql,
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
     "search_completion_cot" -> completionCotSql,
+    "search_completion_extension" -> completionContextExtensionSql,
     "search_summary_completion" -> summaryCompletionSql,
     "search_temporal_graph" -> temporalGraphSql,
     "search_feeling_lucky" -> feelingLuckySql,
