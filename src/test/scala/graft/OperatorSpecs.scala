@@ -343,6 +343,15 @@ class CurateOpsSpec extends SparkSpecBase {
     mixed.unpersist()
   }
 
+  test("mixture materialization plans one narrow map stage — zero shuffles") {
+    val plan = CurateOps.mix(spark, sf).queryExecution.executedPlan.toString
+    // the weights dimension broadcast is the ONLY exchange; no shuffle
+    // of the corpus at any scale
+    assert(!plan.replace("BroadcastExchange", "").contains("Exchange"),
+      plan.linesIterator.take(25).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"), "weights must join as a broadcast dimension")
+  }
+
   test("distributed pack cumsum matches single-window reference and uses >1 bucket") {
     import org.apache.spark.sql.expressions.Window
     val running = CurateOps.packRunning(spark, sf, numParts = 8).cache()
