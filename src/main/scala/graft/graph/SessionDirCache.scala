@@ -12,10 +12,21 @@ import org.apache.spark.sql.SparkSession
   * An optional `stamp` captures corpus freshness (e.g. the parquet file
   * listing): when the stamp of a cached entry no longer matches, the
   * artifact is rebuilt — so an ingest that appends to the corpus mid-
-  * session can't keep serving a quantizer trained on the old data. */
+  * session can't keep serving a quantizer trained on the old data.
+  * A replaced or session-evicted artifact that is itself a persisted
+  * DataFrame is unpersisted on the way out: Spark's CacheManager never
+  * drops plan-keyed entries on its own, so a stamp-driven rebuild of a
+  * persisted artifact (the PQ-encoded corpus) would otherwise leak the
+  * superseded cache entry for the life of the session. */
 final class SessionDirCache[T](build: (SparkSession, String) => T,
     stamp: (SparkSession, String) => String = (_, _) => "") {
   private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, T)]
+
+  private def release(spark: SparkSession, v: T): Unit = v match {
+    case df: org.apache.spark.sql.DataFrame if !spark.sparkContext.isStopped =>
+      df.unpersist(blocking = false)
+    case _ => ()
+  }
 
   def apply(spark: SparkSession, dir: String): T = {
     cache.keysIterator.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
@@ -24,7 +35,7 @@ final class SessionDirCache[T](build: (SparkSession, String) => T,
       case Some((`s`, v)) => v
       case _ =>
         val v = build(spark, dir)
-        cache.put((spark, dir), (s, v))
+        cache.put((spark, dir), (s, v)).foreach { case (_, old) => release(spark, old) }
         v
     }
   }

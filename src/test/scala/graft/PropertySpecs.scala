@@ -20,6 +20,28 @@ class PropertySpecs extends SparkSpecBase {
     assert(cache(spark, "d") === 2 && builds === 2) // stable again
   }
 
+  test("SessionDirCache unpersists a replaced persisted-DataFrame artifact") {
+    import TestSpark.spark.implicits._
+    var stampVal = "s1"
+    val built = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val cache = new graft.graph.SessionDirCache[org.apache.spark.sql.DataFrame](
+      (_, _) => {
+        val df = Seq(built.length).toDF("x").persist()
+        df.count() // materialize so the CacheManager entry exists
+        built += df
+        df
+      }, stamp = (_, _) => stampVal)
+    cache(spark, "d")
+    assert(built.head.storageLevel.useMemory)
+    stampVal = "s2" // ingest rewrote the corpus — artifact must rebuild
+    cache(spark, "d")
+    assert(built.length === 2)
+    // the superseded artifact must not linger in the CacheManager
+    assert(built.head.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(built(1).storageLevel.useMemory)
+    built(1).unpersist()
+  }
+
   test("cosine is symmetric and bounded on random vectors") {
     import TestSpark.spark.implicits._
     val cases = Seq.fill(20)((
