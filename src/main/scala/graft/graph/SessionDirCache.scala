@@ -22,6 +22,11 @@ final class SessionDirCache[T](build: (SparkSession, String) => T,
     stamp: (SparkSession, String) => String = (_, _) => "") {
   private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, T)]
 
+  // Safe under the concurrent double-build race (two threads miss, both
+  // build, the loser's value is released while its caller holds it):
+  // unpersist only drops cached blocks — the DataFrame's lineage stays
+  // valid and recomputes on access, so the race costs a recompute,
+  // never a wrong result.
   private def release(spark: SparkSession, v: T): Unit = v match {
     case df: org.apache.spark.sql.DataFrame if !spark.sparkContext.isStopped =>
       df.unpersist(blocking = false)
