@@ -8,7 +8,7 @@ class PipelineSpec extends SparkSpecBase {
   test("Graft facade dispatches every search type to a non-empty plan") {
     import Graft._
     // all 16 reference SearchType members (GraphCompletion shares
-    // RagCompletion's plan; ContextExtension shares COT's)
+    // RagCompletion's plan; ContextExtension has its OWN fixpoint loop)
     val types = Seq(Chunks, ChunksLexical, Summaries, Insights, RagCompletion,
       GraphCompletion, GraphCompletionCot, GraphCompletionContextExtension,
       GraphSummaryCompletion, Code, CodingRules, Feedback,
@@ -16,6 +16,10 @@ class PipelineSpec extends SparkSpecBase {
     types.foreach { t =>
       assert(Graft.search(spark, sf, t).count() > 0, s"search type ${t.name} empty")
     }
+    // CONTEXT_EXTENSION no longer aliases COT: distinct operators,
+    // distinct shapes (accumulated triplet rounds vs doc-retrieval hops)
+    assert(Graft.search(spark, sf, GraphCompletionContextExtension).columns.contains("round"))
+    assert(Graft.search(spark, sf, GraphCompletionCot).columns.contains("hop"))
     val viaCypher = Graft.searchCypher(spark, sf,
       "MATCH (n:nation)-[:in_region]->(r:region) RETURN r.name AS region, count(*) AS n ORDER BY region")
     assert(viaCypher.count() === 5L)
