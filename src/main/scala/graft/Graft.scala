@@ -86,24 +86,53 @@ object Graft {
   def extractTemporal(spark: SparkSession, dir: String): DataFrame =
     operators.TextOps.temporalExtract(spark, dir)
 
-  /** Dispatch a search type to its retrieval plan (cognee.search). */
-  def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame = tpe match {
-    case Chunks => operators.Retrievers.chunks(spark, dir)
-    case ChunksLexical => operators.Retrievers.lexical(spark, dir)
-    case Summaries => operators.Retrievers.summaries(spark, dir)
-    case Insights => operators.Retrievers.insights(spark, dir)
-    case RagCompletion | GraphCompletion => operators.Retrievers.completionContext(spark, dir)
-    case GraphCompletionCot => operators.Retrievers.completionCot(spark, dir)
-    case GraphCompletionContextExtension =>
-      operators.Retrievers.completionContextExtension(spark, dir)
-    case GraphSummaryCompletion => operators.Retrievers.summaryCompletion(spark, dir)
-    case Code => operators.Retrievers.code(spark, dir)
-    case CodingRules => operators.Retrievers.codingRules(spark, dir)
-    case Feedback => operators.Retrievers.feedback(spark, dir)
-    case Temporal => operators.EventOps.temporalSearch(spark, dir)
-    case Cypher => operators.Retrievers.cypher(spark, dir)
-    case NaturalLanguage => operators.Retrievers.naturalLanguage(spark, dir)
-    case FeelingLucky => operators.Retrievers.feelingLucky(spark, dir)
+  /** Dispatch a search type to its retrieval plan with the
+    * deterministic default seeds (cognee.search with no params). */
+  def search(spark: SparkSession, dir: String, tpe: SearchType): DataFrame =
+    search(spark, dir, tpe, SearchParams())
+
+  /** The parameterized search surface (api/v1/search/search.py:17 —
+    * `search(query_type, query_text, datasets, top_k)`): the caller's
+    * query text / tokens / vector, top-k, dataset scope, temporal
+    * interval, or cypher pattern thread into the retriever plans.
+    * Every [[SearchParams]] field defaults to the pinned verification
+    * seed, so `search(spark, dir, tpe)` ≡ the registered operators. */
+  def search(spark: SparkSession, dir: String, tpe: SearchType, p: SearchParams): DataFrame = {
+    import operators.{EventOps, Retrievers => R}
+    // Free text tokenizes to the lexical token set when no explicit
+    // token list rides along (base_retriever.py tokenizes query_text).
+    def toks(default: Seq[String]): Seq[String] =
+      p.queryTokens.orElse(p.queryText.map(_.toLowerCase.split("\\s+").toSeq)).getOrElse(default)
+    def vec(defaultId: Long): QueryVec = p.queryVec.getOrElse(QueryVec.Id(defaultId))
+    tpe match {
+      case Chunks => R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), p.datasets)
+      case ChunksLexical =>
+        R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), p.datasets)
+      case Summaries => R.summaries(spark, dir, vec(1), p.topK.getOrElse(5))
+      case Insights => R.insights(spark, dir, vec(0), p.topK.getOrElse(3))
+      case RagCompletion | GraphCompletion =>
+        R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), p.datasets)
+      case GraphCompletionCot => R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3))
+      case GraphCompletionContextExtension =>
+        R.completionContextExtension(spark, dir,
+          seedTokens = toks(Seq("nation", "3", "located", "in")))
+      case GraphSummaryCompletion => R.summaryCompletion(spark, dir, vec(2))
+      case Code => R.code(spark, dir, toks(R.queryTokens))
+      case CodingRules => R.codingRules(spark, dir)
+      case Feedback => R.feedback(spark, dir, vec(0), p.topK.getOrElse(5))
+      case Temporal => p.interval match {
+        case Some((from, until)) => EventOps.temporalInterval(spark, dir, from, until)
+        case None => EventOps.temporalSearch(spark, dir)
+      }
+      case Cypher => p.cypher match {
+        case Some(q) => searchCypher(spark, dir, q)
+        case None => R.cypher(spark, dir)
+      }
+      case NaturalLanguage =>
+        R.naturalLanguage(spark, dir,
+          p.queryText.getOrElse("how many suppliers are located in each region"))
+      case FeelingLucky => R.feelingLucky(spark, dir)
+    }
   }
 
   /** CYPHER with a caller-supplied pattern. */

@@ -1,0 +1,43 @@
+package graft
+
+/** A caller-supplied query vector for the vector-search surface
+  * (reference: vector_db_interface.py `search(query_text │
+  * query_vector)` — a search either names a stored embedding to use as
+  * the query or ships a literal vector).
+  */
+sealed trait QueryVec
+object QueryVec {
+  /** Use the stored embedding with this `vec_id` as the query (the
+    * stored row is excluded from the candidate set, like the
+    * reference's self-match suppression). */
+  final case class Id(id: Long) extends QueryVec
+  /** A literal caller vector (nothing is excluded from candidates). */
+  final case class Lit(v: Seq[Double]) extends QueryVec
+}
+
+/** Caller parameters for [[Graft.search]] — the reference's
+  * `search(query_type, query_text, datasets, top_k)` surface
+  * (cognee/api/v1/search/search.py:17 — `query_text` carries the
+  * free-text / tokens / cypher payload per type, `datasets` scopes
+  * retrieval, `top_k` bounds the result). Every field defaults to the
+  * deterministic seed the verification suite pins, so
+  * `search(tpe, SearchParams())` ≡ the registered operator.
+  *
+  * @param queryText  free text (NATURAL_LANGUAGE routing, entity
+  *                   extraction seeds)
+  * @param queryTokens lexical/code query token set
+  * @param queryVec   vector-search query (stored id or literal vector)
+  * @param topK       result bound where the type has one
+  * @param datasets   dataset scope — only documents whose `source` is
+  *                   in this set are searched (empty = all)
+  * @param interval   TEMPORAL half-open bounds (either side optional)
+  * @param cypher     CYPHER pattern override
+  */
+final case class SearchParams(
+    queryText: Option[String] = None,
+    queryTokens: Option[Seq[String]] = None,
+    queryVec: Option[QueryVec] = None,
+    topK: Option[Int] = None,
+    datasets: Seq[String] = Nil,
+    interval: Option[(Option[String], Option[String])] = None,
+    cypher: Option[String] = None)

@@ -18,6 +18,28 @@ object Retrievers {
     load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** Resolve a caller [[graft.QueryVec]] against the embedding relation:
+    * a one-row `qv` frame (always broadcast into the scoring scan) plus
+    * the candidate predicate (a stored query id excludes itself — the
+    * reference's self-match suppression; a literal vector excludes
+    * nothing). */
+  private def resolveQuery(e: DataFrame, qv: graft.QueryVec): (DataFrame, Column) = qv match {
+    case graft.QueryVec.Id(id) =>
+      (e.filter(col("vec_id") === id).select(col("v").as("qv")), col("vec_id") =!= id)
+    case graft.QueryVec.Lit(v) =>
+      (e.sparkSession.range(1).select(array(v.map(lit): _*).as("qv")), lit(true))
+  }
+
+  /** The `datasets` scope of the reference search API
+    * (api/v1/search/search.py:102 — retrieval is restricted to the
+    * named datasets): documents filtered on `source`, a predicate that
+    * pushes into the parquet scan (file-level pruning on a
+    * source-partitioned layout). Empty = unscoped. */
+  private def docsScoped(spark: SparkSession, dir: String, datasets: Seq[String]): DataFrame = {
+    val d = load(spark, dir, "documents")
+    if (datasets.isEmpty) d else d.filter(col("source").isInCollection(datasets))
+  }
+
   private val cosSql =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
 
@@ -31,51 +53,73 @@ object Retrievers {
     row_number().over(
       Window.partitionBy(length(anchor.cast("string")) * lit(0)).orderBy(order: _*))
 
-  /** CHUNKS: cosine top-5 documents for query vector 0, with snippet
-    * payload (chunks_retriever.py → vector search → chunk text). */
-  def chunks(spark: SparkSession, dir: String): DataFrame = {
+  /** CHUNKS: cosine top-k documents for the caller's query vector, with
+    * snippet payload (chunks_retriever.py → vector search → chunk
+    * text). Defaults (query = stored vector 0, k = 5, unscoped) are
+    * the verification seeds; callers pass their own query/top_k/
+    * datasets (base_retriever.py's `query` arg + search.py's scope). */
+  def chunks(spark: SparkSession, dir: String, qv: graft.QueryVec = graft.QueryVec.Id(0),
+      k: Int = 5, datasets: Seq[String] = Nil): DataFrame = {
     val e = embD(spark, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val docs = load(spark, dir, "documents")
-    // Top-5 BEFORE the snippet join: the corpus-wide work is the scored
-    // scan (TakeOrdered over it), and only the 5 winners join documents
+    val (q, candidate) = resolveQuery(e, qv)
+    val docs = docsScoped(spark, dir, datasets)
+    // A dataset scope prunes candidates BEFORE scoring: equi-semi-join
+    // on the scoped doc ids (AQE broadcasts when the scope is small).
+    val cand =
+      if (datasets.isEmpty) e.filter(candidate)
+      else e.filter(candidate)
+        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    // Top-k BEFORE the snippet join: the corpus-wide work is the scored
+    // scan (TakeOrdered over it), and only the k winners join documents
     // for their snippet text — not every scored row.
-    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    cand.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("cosine"),
         array_join(slice(split(col("text"), " "), 1, 10), " ").as("snippet"))
       .orderBy(col("cosine").desc, col("doc_id").asc)
   }
 
-  val chunksSql: String =
+  /** Dataset scope pinned by the scoped CORRECTNESS entry. */
+  private[graft] val scopedDatasets = Seq("src1", "src2", "src3")
+
+  private def chunksSqlFor(vecId: Long, k: Int, datasets: Seq[String]): String = {
+    val where =
+      if (datasets.isEmpty) ""
+      else s" WHERE source IN (${datasets.map(s => s"'$s'").mkString(", ")})"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $vecId),
+       |d AS (SELECT * FROM documents$where),
        |scored AS (
        |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
-       |  FROM e, q WHERE e.vec_id <> 0
+       |  FROM e, q WHERE e.vec_id <> $vecId
        |)
        |SELECT s.doc_id, s.cosine,
        |  array_to_string((string_split(d.text, ' '))[1:10], ' ') AS snippet
-       |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
-       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
+       |FROM scored s JOIN d ON d.doc_id = s.doc_id
+       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT $k""".stripMargin
+  }
+
+  val chunksSql: String = chunksSqlFor(0, 5, Nil)
+  val chunksScopedSql: String = chunksSqlFor(0, 5, scopedDatasets)
 
   /** SUMMARIES: deterministic extractive summary (first 16 words) of
     * the cosine top-5 for query vector 1 (summaries_retriever.py over a
     * summaries collection; the LLM summarizer is replaced by a
     * deterministic extract). */
-  def summaries(spark: SparkSession, dir: String): DataFrame = {
+  def summaries(spark: SparkSession, dir: String, qv: graft.QueryVec = graft.QueryVec.Id(1),
+      k: Int = 5): DataFrame = {
     val e = embD(spark, dir)
-    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val (q, candidate) = resolveQuery(e, qv)
     val docs = load(spark, dir, "documents")
-    // Same top-k-first shape as [[chunks]]: only the 5 winners join
+    // Same top-k-first shape as [[chunks]]: only the k winners join
     // documents to extract their summary text.
-    e.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
+    e.filter(candidate).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("doc_id").asc).limit(5)
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("cosine"),
         array_join(slice(split(col("text"), " "), 1, 16), " ").as("summary"))
@@ -94,19 +138,21 @@ object Retrievers {
        |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
        |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
 
-  private val queryTokens = Seq("spark", "fast", "join", "window")
+  private[graft] val queryTokens = Seq("spark", "fast", "join", "window")
 
-  /** CHUNKS_LEXICAL: token-set Jaccard of a literal query against each
-    * document, top-20 (lexical_retriever.py / jaccard_retrival.py). */
-  def lexical(spark: SparkSession, dir: String): DataFrame = {
+  /** CHUNKS_LEXICAL: token-set Jaccard of the caller's query tokens
+    * against each document, top-k (lexical_retriever.py /
+    * jaccard_retrival.py — the `query` arg tokenized). */
+  def lexical(spark: SparkSession, dir: String, tokens: Seq[String] = queryTokens,
+      k: Int = 20, datasets: Seq[String] = Nil): DataFrame = {
     val dtoks = array_distinct(split(col("text"), " "))
-    val qarr = array(queryTokens.map(lit): _*)
+    val qarr = array(tokens.map(lit): _*)
     val inter = size(array_intersect(dtoks, qarr)).cast("double")
     val uni = size(array_union(dtoks, qarr))
-    load(spark, dir, "documents")
+    docsScoped(spark, dir, datasets)
       .select(col("doc_id"), round(inter / uni, 4).as("score"))
       .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   val lexicalSql: String =
@@ -129,9 +175,10 @@ object Retrievers {
     * map stage (4 array filters per row), no explode, no shuffle
     * before the top-k. Repeated tokens now LOWER a chatty doc's score
     * (the frequency awareness the set variant deliberately ignores). */
-  def lexicalMultiset(spark: SparkSession, dir: String): DataFrame = {
+  def lexicalMultiset(spark: SparkSession, dir: String,
+      tokens: Seq[String] = queryTokens, k: Int = 20): DataFrame = {
     val toks = split(col("text"), " ")
-    val cts = queryTokens.map(t => size(filter(toks, x => x === lit(t))))
+    val cts = tokens.map(t => size(filter(toks, x => x === lit(t))))
     val sumC = cts.reduce(_ + _)
     val sumMin = cts.map(c => least(c, lit(1))).reduce(_ + _)
     val sumMax = cts.map(c => greatest(c, lit(1))).reduce(_ + _)
@@ -140,7 +187,7 @@ object Retrievers {
         round(sumMin.cast("double") / (size(toks) - sumC + sumMax), 4).as("score"),
         sumMin.as("nz"))
       .filter(col("nz") > 0).drop("nz")
-      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
   val lexicalMultisetSql: String =
@@ -166,7 +213,8 @@ object Retrievers {
   /** Per-label centroid cosine vs query vector 0 — the entity scoring
     * every completion-context retrieval starts from; shared by
     * [[insights]] and the feedback-weighted re-rank. */
-  private[graft] def nationCentroidScores(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def nationCentroidScores(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0)): DataFrame = {
     val e = load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
     val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -174,14 +222,16 @@ object Retrievers {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("centroid"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val (q, _) = resolveQuery(e, qv) // centroids never self-match: no exclusion
     cent.crossJoin(broadcast(q))
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
   }
 
-  def insights(spark: SparkSession, dir: String): DataFrame = {
-    val topNations = nationCentroidScores(spark, dir)
-      .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc)).filter(col("rn") <= 3)
+  def insights(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), kEntities: Int = 3): DataFrame = {
+    val topNations = nationCentroidScores(spark, dir, qv)
+      .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc))
+      .filter(col("rn") <= kEntities)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
     // One equi-join per endpoint (broadcast hash joins), unioned, instead
     // of an OR-condition join (which can only plan as a nested-loop);
@@ -238,14 +288,16 @@ object Retrievers {
     * context the completion prompt would consume
     * (graph_completion_retriever.py builds exactly this before the LLM
     * call). */
-  def completionContext(spark: SparkSession, dir: String): DataFrame = {
-    val chunkPart = chunks(spark, dir).limit(3)
+  def completionContext(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
+      datasets: Seq[String] = Nil): DataFrame = {
+    val chunkPart = chunks(spark, dir, qv, k, datasets).limit(k)
       .select(lit("chunk").as("part"),
         rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
-    val tripletPart = insights(spark, dir)
+    val tripletPart = insights(spark, dir, qv)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
-      .orderBy(col("ref").asc).limit(3)
+      .orderBy(col("ref").asc).limit(k)
       .select(lit("triplet").as("part"),
         rankOver(col("ref"), col("ref").asc).cast("long").as("rank"), col("ref"))
     chunkPart.union(tripletPart)
@@ -295,15 +347,16 @@ object Retrievers {
     * SUMMARIES (not raw chunks) + graph triplets
     * (graph_summary_completion_retriever.py = summaries_retriever ∘
     * graph context). Query vector 2; same rank-tagged context shape. */
-  def summaryCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def summaryCompletion(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(2)): DataFrame = {
     val e = embD(spark, dir)
-    val q = e.filter(col("vec_id") === 2).select(col("v").as("qv"))
+    val (q, candidate) = resolveQuery(e, qv)
     val docs = load(spark, dir, "documents")
     // Top-3 via orderBy+limit → TakeOrderedAndProject (per-partition
     // heaps + tiny merge); the rank window then runs over 3 rows only.
     // A no-partition row_number over the scored corpus would funnel the
     // whole corpus through one task.
-    val sumPart = e.filter(col("vec_id") =!= 2).crossJoin(broadcast(q))
+    val sumPart = e.filter(candidate).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
@@ -398,27 +451,34 @@ object Retrievers {
     * excluding already-retrieved docs
     * (graph_completion_cot_retriever.py iterates exactly this loop
     * between LLM turns). */
-  def completionCot(spark: SparkSession, dir: String): DataFrame = {
+  def completionCot(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3): DataFrame = {
     // Scratch artifacts use eager localCheckpoint (the repo-wide
     // artifact-lifetime discipline): blocks are executor-local and the
     // context cleaner reclaims them once the result is unreferenced —
     // nothing registers in the CacheManager (spec-pinned: the returned
     // plan carries no InMemoryRelation).
     val e = embD(spark, dir).localCheckpoint(true)
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame =
+    val (q, _) = resolveQuery(e, qv)
+    val selfIds = qv match { // hop-1 self-match suppression for a stored query id
+      case graft.QueryVec.Id(id) => Seq(id)
+      case _ => Seq.empty[Long]
+    }
+    def topK(queryV: DataFrame, exclude: Seq[Long], hop: Int): DataFrame = {
       // orderBy+limit → TakeOrderedAndProject; the rank window only ever
-      // sees the 3 surviving rows (never the scored corpus).
-      e.filter(!col("vec_id").isin(exclude: _*)).crossJoin(broadcast(queryV))
+      // sees the k surviving rows (never the scored corpus).
+      val base = if (exclude.isEmpty) e else e.filter(!col("vec_id").isin(exclude: _*))
+      base.crossJoin(broadcast(queryV))
         .select(col("vec_id").as("doc_id"),
           round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-        .orderBy(col("cosine").desc, col("doc_id").asc).limit(3)
+        .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
         .withColumn("rank", rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long"))
         .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
-    val r1 = topK(q, Seq(0L), 1).localCheckpoint(true)
+    }
+    val r1 = topK(q, selfIds, 1).localCheckpoint(true)
     val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
       .join(e, Seq("vec_id")).select(col("v").as("qv"))
-    val r1Ids = 0L +: r1.collect().map(_.getAs[Long]("doc_id")).toSeq // ≤3 ids — driver-side is fine
+    val r1Ids = selfIds ++ r1.collect().map(_.getAs[Long]("doc_id")).toSeq // ≤k+1 ids — driver-side is fine
     r1.union(topK(top1, r1Ids, 2))
   }
 
@@ -465,9 +525,10 @@ object Retrievers {
     * completionCot's). Early exit probes a ≤5-row checkpointed round —
     * the BFS frontier discipline. */
   def completionContextExtension(spark: SparkSession, dir: String,
-      maxRounds: Int = 4): DataFrame = {
+      maxRounds: Int = 4,
+      seedTokens: Seq[String] = Seq("nation", "3", "located", "in")): DataFrame = {
     val base = renderedTriplets(spark, dir)
-    var toks = Seq("nation", "3", "located", "in")
+    var toks = seedTokens
     var retrieved = Seq.empty[String]
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1
@@ -672,8 +733,8 @@ object Retrievers {
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
-  def naturalLanguage(spark: SparkSession, dir: String): DataFrame = {
-    val question = "how many suppliers are located in each region"
+  def naturalLanguage(spark: SparkSession, dir: String,
+      question: String = "how many suppliers are located in each region"): DataFrame = {
     val cypherQ =
       if (question.contains("suppliers") && question.contains("region")) supplierCypher
       else throw new IllegalArgumentException(s"no route for: $question")
@@ -715,9 +776,10 @@ object Retrievers {
     * (CodeFile_name) and class/function definitions
     * (ClassDefinition/FunctionDefinition_source_code) — each scored by
     * query-token overlap, top-3 per channel, rank-tagged. */
-  def code(spark: SparkSession, dir: String): DataFrame = {
+  def code(spark: SparkSession, dir: String,
+      tokens: Seq[String] = queryTokens): DataFrame = {
     val c = codeTable(spark, dir)
-    val qarr = array(queryTokens.map(lit): _*)
+    val qarr = array(tokens.map(lit): _*)
     val btoks = array_distinct(split(col("body"), " "))
     val score = round(size(array_intersect(btoks, qarr)).cast("double") /
       size(array_union(btoks, qarr)), 4)
@@ -783,18 +845,19 @@ object Retrievers {
         least(greatest((pos - neg).cast("double"), lit(-5.0)), lit(5.0)).as("fb_score"))
   }
 
-  def feedback(spark: SparkSession, dir: String): DataFrame = {
+  def feedback(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 5): DataFrame = {
     val fb = feedbackScores(spark, dir)
     val e = embD(spark, dir)
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    val (q, candidate) = resolveQuery(e, qv)
+    val cand = e.filter(candidate).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col("doc_id").asc).limit(20)
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(4 * k)
     cand.join(broadcast(fb), Seq("doc_id"), "left")
       .select(col("doc_id"), col("cosine"), coalesce(col("fb_score"), lit(0.0)).as("fb_score"),
         (floor((col("cosine") + coalesce(col("fb_score"), lit(0.0)) * 0.05) * 10000) / 10000).as("combined"))
-      .orderBy(col("combined").desc, col("doc_id").asc).limit(5)
+      .orderBy(col("combined").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", rankOver(col("doc_id"), col("combined").desc, col("doc_id").asc).cast("long"))
       .select(col("rank"), col("doc_id"), col("cosine"), col("fb_score"), col("combined"))
   }
@@ -906,8 +969,8 @@ object Retrievers {
     * against graph node names — the LLM extractor's deterministic
     * stand-in), then assemble each entity's 1-hop triplet context,
     * top-3 per entity. */
-  def entity(spark: SparkSession, dir: String): DataFrame = {
-    val query = "supplier activity around NATION_3 and NATION_7"
+  def entity(spark: SparkSession, dir: String,
+      query: String = "supplier activity around NATION_3 and NATION_7"): DataFrame = {
     val toks = query.split(" ").toSeq
     val g = TpchGraph(spark, dir)
     val ents = g.nodes.filter(col("ntype") === "nation" && col("name").isInCollection(toks))
@@ -952,8 +1015,15 @@ object Retrievers {
     * Scale: the entity set is tiny and broadcasts across the one
     * edge-relation pass; scoring is a per-row codegen'd Jaccard; top-3
     * is an entity-partitioned rank over scored triplets. */
-  def contextTriplets(spark: SparkSession, dir: String): DataFrame = {
-    val query = "supplier activity around NATION_3 and NATION_7"
+  def contextTriplets(spark: SparkSession, dir: String,
+      query: String = "supplier activity around NATION_3 and NATION_7"): DataFrame = {
+    // Deterministic content-word rule (the LLM keyword extractor's
+    // stand-in): drop stopwords and entity-mention-shaped tokens
+    // (ALL_CAPS — those route to the entity match below, not the
+    // Jaccard stem).
+    val stop = Set("around", "and", "the", "a", "of", "to", "in", "about")
+    val contentWords = query.split(" ").toSeq
+      .filter(t => !stop(t.toLowerCase) && t != t.toUpperCase).map(_.toLowerCase)
     val g = TpchGraph(spark, dir)
     val ents = g.nodes
       .filter(col("ntype") === "nation" && col("name").isInCollection(query.split(" ").toSeq))
@@ -963,7 +1033,7 @@ object Retrievers {
     // "{entity_text} {query}" stem: the entity's own name tokens + the
     // query's content words (stopwords dropped deterministically).
     val qtoks = array_distinct(concat(split(lower(col("entity")), "[ _-]"),
-      array(lit("supplier"), lit("activity"))))
+      array(contentWords.map(lit): _*)))
     val score = round(size(array_intersect(ttoks, qtoks)).cast("double") /
       size(array_union(ttoks, qtoks)), 4)
     val named = g.edges
@@ -1058,14 +1128,15 @@ object Retrievers {
   private[graft] def renderedTriplets(spark: SparkSession, dir: String): DataFrame =
     renderedTripletsCache(spark, dir)
 
-  def triplets(spark: SparkSession, dir: String): DataFrame = {
-    val queryToks = array(Seq("nation", "3", "located", "in").map(lit): _*)
+  def triplets(spark: SparkSession, dir: String,
+      tokens: Seq[String] = Seq("nation", "3", "located", "in"), k: Int = 10): DataFrame = {
+    val queryToks = array(tokens.map(lit): _*)
     val score = round(size(array_intersect(col("ttoks"), queryToks)).cast("double") /
       size(array_union(col("ttoks"), queryToks)), 4)
     renderedTriplets(spark, dir)
       .select(col("src"), col("rel"), col("dst"), score.as("score"))
       .orderBy(col("score").desc, col("src").asc, col("rel").asc, col("dst").asc)
-      .limit(10)
+      .limit(k)
   }
 
   val tripletsSql: String =
@@ -1098,6 +1169,8 @@ object Retrievers {
     "search_feedback_weighted" -> ((s: SparkSession, d: String) => feedbackWeighted(s, d)),
     "search_entity" -> ((s: SparkSession, d: String) => entity(s, d)),
     "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
+    "search_chunks_scoped" -> ((s: SparkSession, d: String) =>
+      chunks(s, d, graft.QueryVec.Id(0), 5, scopedDatasets)),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
@@ -1125,6 +1198,7 @@ object Retrievers {
     "search_feedback_weighted" -> feedbackWeightedSql,
     "search_entity" -> entitySql,
     "search_chunks" -> chunksSql,
+    "search_chunks_scoped" -> chunksScopedSql,
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,
     "search_lexical_multiset" -> lexicalMultisetSql,

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Retrievers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The parameterized search facade (api/v1/search/search.py:17):
+  * `Graft.search(tpe, SearchParams(...))` must thread the caller's
+  * query text / tokens / vector / top-k / dataset scope into the same
+  * plans the verification suite pins — and with no params must be
+  * EXACTLY the registered operators.
+  */
+class FacadeSpec extends SparkSpecBase {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("default-params search ≡ the registered operator, per type") {
+    val pairs: Seq[(Graft.SearchType, String)] = Seq(
+      (Graft.Chunks, "search_chunks"),
+      (Graft.ChunksLexical, "search_lexical"),
+      (Graft.Summaries, "search_summaries"),
+      (Graft.Insights, "search_insights"),
+      (Graft.Feedback, "search_feedback"),
+      (Graft.Temporal, "search_temporal"),
+      (Graft.GraphCompletion, "search_completion_context"))
+    for ((tpe, name) <- pairs)
+      assert(rows(Graft.search(spark, sf, tpe)) === rows(SparkEntry.queries(name)(spark, sf)),
+        s"facade default for ${tpe.name} diverges from $name")
+  }
+
+  test("a literal query vector behaves like its stored twin") {
+    // Passing embedding 0's vector literally ≡ naming vec_id 0, except
+    // the literal query does not self-suppress: doc 0 (cosine 1.0)
+    // tops the list and the remaining k rows are the stored-id result.
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()(0).getSeq[Double](0)
+    val litRows = Retrievers.chunks(spark, sf, QueryVec.Lit(v0), 6)
+    assert(litRows.filter(col("doc_id") === 0).count() === 1L,
+      "literal query must not self-suppress the stored twin row")
+    assert(rows(litRows.filter(col("doc_id") =!= 0)) ===
+      rows(Retrievers.chunks(spark, sf, QueryVec.Id(0), 5)))
+  }
+
+  test("top-k threads through: a larger k extends the same ranking") {
+    val k7 = rows(Graft.search(spark, sf, Graft.ChunksLexical, SearchParams(topK = Some(7))))
+    val k20 = Retrievers.lexical(spark, sf).collect().map(_.toString).take(7).sorted.toSeq
+    assert(k7 === k20, "top-7 must be the 7-prefix of the default top-20 ranking")
+  }
+
+  test("caller tokens reach the lexical scorer") {
+    val custom = Graft.search(spark, sf, Graft.ChunksLexical,
+      SearchParams(queryTokens = Some(Seq("nation")), topK = Some(5)))
+    assert(custom.count() <= 5)
+    // every hit really contains the token (score > 0 ⇒ intersection
+    // non-empty with a single-token query)
+    val hits = custom.join(
+      spark.read.parquet(s"$sf/documents.parquet"), Seq("doc_id"))
+    assert(hits.filter(!col("text").contains("nation")).count() === 0L)
+    // free text tokenizes when no explicit token list rides along
+    val viaText = Graft.search(spark, sf, Graft.ChunksLexical,
+      SearchParams(queryText = Some("NATION"), topK = Some(5)))
+    assert(rows(custom) === rows(viaText))
+  }
+
+  test("dataset scope restricts retrieval to the named sources") {
+    val scoped = Graft.search(spark, sf, Graft.Chunks,
+      SearchParams(datasets = Retrievers.scopedDatasets))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcs = scoped.join(docs, Seq("doc_id")).select(col("source"))
+      .collect().map(_.getString(0)).toSet
+    assert(srcs.subsetOf(Retrievers.scopedDatasets.toSet), s"leaked sources: $srcs")
+    // scoping ≡ searching a pre-filtered corpus: the scoped result is
+    // the top-5 of exactly the in-scope candidates
+    assert(scoped.count() === 5L)
+    // and the facade entry matches the registered scoped operator
+    assert(rows(scoped) === rows(SparkEntry.queries("search_chunks_scoped")(spark, sf)))
+  }
+
+  test("temporal interval threads through the facade") {
+    val open = Graft.search(spark, sf, Graft.Temporal,
+      SearchParams(interval = Some((Some("2024-01-20 00:00:00"), None))))
+    assert(rows(open) === rows(operators.EventOps.temporalOpen(spark, sf)))
+  }
+
+  test("cypher override threads through the facade") {
+    val viaParams = Graft.search(spark, sf, Graft.Cypher,
+      SearchParams(cypher = Some(Retrievers.supplierCypher)))
+    assert(rows(viaParams) === rows(Retrievers.cypher(spark, sf)))
+  }
+}

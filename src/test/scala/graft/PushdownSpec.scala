@@ -24,6 +24,16 @@ class PushdownSpec extends SparkSpecBase {
     assert(iso.contains("GreaterThanOrEqual(l_shipdate"), s"isolated scan:\n$iso")
   }
 
+  test("the dataset scope pushes the source predicate into the documents scan") {
+    // search_chunks_scoped: the datasets filter must reach the parquet
+    // reader as an In(source, ...) pushed filter — at 100 TB this is
+    // file-level pruning on a source-partitioned layout, not a
+    // post-scan filter over the whole corpus.
+    val scoped = scanInfo("search_chunks_scoped")
+    assert(scoped.contains("In(source, [src1,src2,src3])")
+      || scoped.contains("EqualTo(source"), s"scoped scan lacks source pushdown:\n$scoped")
+  }
+
   test("narrow projections prune the parquet read schema") {
     // text_tokens needs doc_id+text only — lang/source/n_chars must not be read
     val tok = scanInfo("text_tokens")
