@@ -220,7 +220,7 @@ object CypherLite {
       }
 
     wherePart.foreach { w =>
-      w.split("(?i) AND ").foreach {
+      splitOutsideQuotes(w, " AND ").foreach {
         case whereRe(v, p, op, lit0) =>
           val c = propCol(v, p)
           // Numeric literal → numeric range compare (try_cast: a
@@ -278,6 +278,10 @@ object CypherLite {
         if (isDistinct) sel.distinct() else sel
       } else df.groupBy(keyItems.map(_._2).toIndexedSeq: _*)
         .agg(aggItems.head._2, aggItems.tail.map(_._2).toIndexedSeq: _*)
+        // groupBy emits keys-then-aggregates; re-project to the RETURN
+        // list's order (Cypher projection order — what a schema-
+        // sensitive consumer expects).
+        .select(items.map(i => col(i._3)).toIndexedSeq: _*)
 
     orderPart.foreach { o =>
       val sorts = o.split(",").map(_.trim).map { s =>
@@ -294,10 +298,40 @@ object CypherLite {
   private def section(q: String, kw: String, stops: Seq[String]): String =
     sectionOpt(q, kw, stops).getOrElse(throw new IllegalArgumentException(s"missing $kw in: $q"))
 
+  /** Uppercased copy of `q` with every single-quoted literal span
+    * masked (index-preserving), so clause-keyword scans and top-level
+    * splits can't match inside string literals — `WHERE x.name =
+    * 'THE RETURN HOME'` must not truncate the predicate at the quoted
+    * RETURN. */
+  private def maskedUpper(q: String): String = {
+    val sb = new java.lang.StringBuilder(q.length)
+    var in = false
+    q.foreach { ch =>
+      if (ch == '\'') { in = !in; sb.append('\'') }
+      else sb.append(if (in) ' ' else Character.toUpperCase(ch))
+    }
+    sb.toString
+  }
+
+  /** Split on `sep` (uppercase) at occurrences OUTSIDE quoted literals. */
+  private def splitOutsideQuotes(s: String, sep: String): Seq[String] = {
+    val m = maskedUpper(s)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = m.indexOf(sep)
+    while (i >= 0) {
+      parts += s.substring(start, i)
+      start = i + sep.length
+      i = m.indexOf(sep, start)
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
   /** Every `OPTIONAL MATCH <pattern>` block, in order. Each ends at the
     * next OPTIONAL MATCH / WHERE / RETURN. */
   private def optionalSections(q: String): Seq[String] = {
-    val up = q.toUpperCase
+    val up = maskedUpper(q)
     val kw = "OPTIONAL MATCH "
     val starts = Iterator.iterate(up.indexOf(kw))(i => up.indexOf(kw, i + 1))
       .takeWhile(_ >= 0).toSeq
@@ -311,7 +345,7 @@ object CypherLite {
   }
 
   private def sectionOpt(q: String, kw: String, stops: Seq[String]): Option[String] = {
-    val up = q.toUpperCase
+    val up = maskedUpper(q)
     val i = up.indexOf(kw + " ")
     if (i < 0) None
     else {

@@ -134,7 +134,8 @@ object GraphQueries {
   // built once and shared across calls (per-call instances would
   // re-index and re-cache the graph on every invocation).
   private val snrCache = new SessionDirCache[PropertyGraph]((spark, dir) =>
-    TpchGraph(spark, dir).subgraphByType(Seq("region", "nation", "supplier")))
+    TpchGraph(spark, dir).subgraphByType(Seq("region", "nation", "supplier")),
+    stamp = SessionDirCache.parquetStamp(SessionDirCache.graphTables))
 
   private[graph] def snrSubgraph(spark: SparkSession, dir: String): PropertyGraph =
     snrCache(spark, dir)
@@ -161,7 +162,7 @@ object GraphQueries {
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
     GraphAlgos.coOccurrenceEdges(li)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  })
+  }, stamp = SessionDirCache.parquetStamp(Seq("lineitem")))
 
   private def coPurchase(spark: SparkSession, dir: String): DataFrame =
     coPurchaseCache(spark, dir)
@@ -451,7 +452,7 @@ object GraphQueries {
     TpchGraph(spark, dir)
       .mergeNodes(eventNodes.unionByName(docNodes).unionByName(dayNodes))
       .mergeEdges(occurred.unionByName(happened))
-  })
+  }, stamp = SessionDirCache.parquetStamp(SessionDirCache.graphTables ++ Seq("documents")))
 
   /** The TPC-H projection with the extracted temporal event graph merged
     * in — the relation the temporal-awareness retrievers traverse. */

@@ -338,7 +338,7 @@ object TpchGraph {
     PropertyGraph(
       g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  })
+  }, stamp = SessionDirCache.parquetStamp(SessionDirCache.graphTables))
 
   def apply(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir)
 

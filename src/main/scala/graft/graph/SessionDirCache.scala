@@ -18,6 +18,32 @@ import org.apache.spark.sql.SparkSession
   * drops plan-keyed entries on its own, so a stamp-driven rebuild of a
   * persisted artifact (the PQ-encoded corpus) would otherwise leak the
   * superseded cache entry for the life of the session. */
+object SessionDirCache {
+  /** The relational tables the knowledge-graph projection (and every
+    * artifact derived from it) reads — the dependency set their
+    * freshness stamps must cover. */
+  val graphTables: Seq[String] =
+    Seq("region", "nation", "supplier", "customer", "part", "orders", "lineitem")
+
+  /** Corpus-freshness stamp over the named parquet tables of the sf
+    * dir: the (name, length, mtime) file listing, cheap (a driver-side
+    * FS listing, no data read) and change-sensitive — an ingest that
+    * rewrites or appends any input table mid-session rebuilds the
+    * artifact instead of silently serving the stale one. One shared
+    * stamp shape across vector caches (quantizer/PQ/encoded) and graph
+    * caches (projection/triplets/feedback/temporal) keeps the
+    * freshness story consistent across artifacts. */
+  def parquetStamp(tables: Seq[String]): (SparkSession, String) => String =
+    (spark, dir) => tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) s"$t:absent"
+      else fs.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    }.mkString(";")
+}
+
 final class SessionDirCache[T](build: (SparkSession, String) => T,
     stamp: (SparkSession, String) => String = (_, _) => "") {
   private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, T)]
@@ -30,6 +56,9 @@ final class SessionDirCache[T](build: (SparkSession, String) => T,
   private def release(spark: SparkSession, v: T): Unit = v match {
     case df: org.apache.spark.sql.DataFrame if !spark.sparkContext.isStopped =>
       df.unpersist(blocking = false)
+    case g: PropertyGraph if !spark.sparkContext.isStopped =>
+      g.nodes.unpersist(blocking = false)
+      g.edges.unpersist(blocking = false)
     case _ => ()
   }
 

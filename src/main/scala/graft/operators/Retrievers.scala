@@ -908,7 +908,8 @@ object Retrievers {
       TpchGraph(spark, dir).mergeNodes(inter).mergeEdges(used)
         .applyFeedbackWeight(fb.select(
           concat(lit("interaction:"), col("doc_id")).as("id"), col("fb_score").as("weight")))
-    })
+    }, stamp = graft.graph.SessionDirCache.parquetStamp(
+      graft.graph.SessionDirCache.graphTables ++ Seq("documents")))
 
   def feedbackGraph(spark: SparkSession, dir: String): graft.graph.PropertyGraph =
     feedbackGraphCache(spark, dir)
@@ -1123,7 +1124,8 @@ object Retrievers {
         .select(col("src"), col("rel"), col("dst"),
           array_distinct(split(lower(rendered), "[ _-]")).as("ttoks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }, stamp = graft.graph.SessionDirCache.parquetStamp(
+      graft.graph.SessionDirCache.graphTables))
 
   private[graft] def renderedTriplets(spark: SparkSession, dir: String): DataFrame =
     renderedTripletsCache(spark, dir)

@@ -63,25 +63,41 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * The IVF index (when present) is rewritten through the same
     * anti-join + swap, preserving the cell partitioning without a
     * retrain — otherwise deleted ids would keep surfacing from indexed
-    * [[search]]/[[batchSearch]] while the collection says they're gone. */
+    * [[search]]/[[batchSearch]] while the collection says they're gone.
+    *
+    * Crash ordering across the two swaps: BOTH temp rewrites complete
+    * before EITHER rename fires (shrinking the vulnerable window from
+    * a distributed job to two metadata renames), and the INDEX swaps
+    * FIRST — so a crash between the swaps leaves "delete not yet
+    * durable in the collection" (re-running the delete converges)
+    * rather than "collection says deleted but the index still serves
+    * the ids". A crash mid-swap parks the old dir at `.deleting` as
+    * the recovery breadcrumb; it never truncates. */
   def deleteDataPoints(name: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     val idDf = ids.toDF("vec_id")
-    def rewrite(dir: org.apache.hadoop.fs.Path, partitioned: Boolean): Unit = {
+    def writeTmp(dir: org.apache.hadoop.fs.Path, partitioned: Boolean): org.apache.hadoop.fs.Path = {
       val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")
-      val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
       val survivors = spark.read.parquet(dir.toString)
         .join(broadcast(idDf), Seq("vec_id"), "left_anti")
       val w = survivors.write.mode("overwrite")
       (if (partitioned) w.partitionBy("cell") else w).parquet(tmp.toString)
+      tmp
+    }
+    def swap(dir: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+      val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
       val f = fs
       f.delete(old, true) // stale leftover from a previous crash
       require(f.rename(dir, old), s"swap failed: could not park $dir")
       require(f.rename(tmp, dir), s"swap failed: could not promote $tmp")
       f.delete(old, true)
     }
-    rewrite(path(name), partitioned = false)
-    if (hasIndex(name)) rewrite(cellsPath(name), partitioned = true)
+    // index first in the swap order; collection first in the write
+    // order is irrelevant (neither live dir is touched while writing)
+    val targets = (if (hasIndex(name)) Seq(cellsPath(name) -> true) else Nil) :+
+      (path(name) -> false)
+    val tmps = targets.map { case (dir, part) => dir -> writeTmp(dir, part) }
+    tmps.foreach { case (dir, tmp) => swap(dir, tmp) }
   }
 
   private def vcol: Column = transform(col("embedding"), x => x.cast("double"))
@@ -143,10 +159,10 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * cell count provably reduces to brute force (spec-pinned). Results
     * carry the point's payload columns (the reference's ScoredResult
     * shape) minus the raw vector. */
-  def search(name: String, query: Array[Double], k: Int, nprobe: Int = 2): DataFrame =
-    if (!hasIndex(name)) searchBrute(name, query, k)
+  def search(name: String, query: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    lazy val cents = loadCentroids(name)
+    if (!hasIndex(name) || cents.isEmpty) searchBrute(name, query, k)
     else {
-      val cents = loadCentroids(name)
       val qn = math.sqrt(query.map(x => x * x).sum)
       val probes = cents.zipWithIndex.map { case (c, i) =>
         val cn = math.sqrt(c.map(x => x * x).sum)
@@ -159,6 +175,7 @@ final case class VectorStore(spark: SparkSession, root: String) {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(k)
     }
+  }
 
   private def searchBrute(name: String, query: Array[Double], k: Int): DataFrame =
     collection(name)
@@ -180,12 +197,19 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * reads only the probed cells' files, so the high-volume entry point
     * rides the IVF layout instead of cross-joining the whole collection.
     * nprobe ≥ the cell count provably reduces to brute force
-    * (spec-pinned). */
-  def batchSearch(name: String, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
-    if (!hasIndex(name)) batchSearchBrute(name, queries, k)
+    * (spec-pinned).
+    *
+    * Contract (same as [[search]]): once [[createVectorIndex]] has run,
+    * batch results are APPROXIMATE — only the nprobe probed cells are
+    * scanned, so a far-from-centroid true neighbor can be missed.
+    * Callers needing exactness on an indexed collection pass
+    * nprobe ≥ the cell count (≡ brute force). A degenerate index with
+    * no trained centroids falls back to the exact brute-force path. */
+  def batchSearch(name: String, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    lazy val cents = loadCentroids(name)
+    if (!hasIndex(name) || cents.isEmpty) batchSearchBrute(name, queries, k)
     else {
       import org.apache.spark.sql.expressions.Window
-      val cents = loadCentroids(name)
       val centArr = cents.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("centroid"), lit(i).as("cell"))
       }
@@ -203,6 +227,7 @@ final case class VectorStore(spark: SparkSession, root: String) {
       org.apache.spark.sql.graft.TopKPerGroup(
         scored, Seq(col("query_id")), Seq(col("cosine").desc, col("vec_id").asc), k)
     }
+  }
 
   private def batchSearchBrute(name: String, queries: DataFrame, k: Int): DataFrame = {
     val scored = collection(name).crossJoin(broadcast(queries))

@@ -154,6 +154,30 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(tot.map(_.getDouble(0)).toList === List(19.0))
   }
 
+  test("mixed aggregate + plain RETURN keeps the RETURN-list column order") {
+    // aggregate listed FIRST: groupBy would emit (zn, n); the output
+    // must follow the RETURN list as written — (n, zn)
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b)-[:in]->(z:c) RETURN count(*) AS n, z.name AS zn")
+    assert(out.columns.toSeq === Seq("n", "zn"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSet === Set((2L, "delta")))
+  }
+
+  test("clause keywords inside quoted literals don't mis-split the query") {
+    // ' RETURN ' inside the WHERE literal must not truncate the predicate
+    val none = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'THE RETURN HOME' RETURN x.id AS xid")
+    assert(none.count() === 0L)
+    // ' AND ' inside a literal must not split the conjunction
+    val one = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'alpha' AND y.name <> 'UP AND DOWN' RETURN x.id AS xid")
+    assert(one.collect().map(_.getString(0)).toSeq === Seq("a:1"))
+    // ' WHERE ' inside a literal likewise
+    val two = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'SOMEWHERE WHERE IT HIDES' RETURN x.id AS xid")
+    assert(two.count() === 0L)
+  }
+
   test("props-less graphs still run props queries (empty-bag normalization)") {
     assert(CypherLite.run(g,
       "MATCH (x:a)-[:knows]->(y:b) WHERE x.color = 'red' RETURN x.id AS xid").count() === 0L)

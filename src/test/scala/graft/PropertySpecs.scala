@@ -42,6 +42,30 @@ class PropertySpecs extends SparkSpecBase {
     built(1).unpersist()
   }
 
+  test("graph-side artifacts rebuild when an input table is rewritten") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val tmp = Files.createTempDirectory("graft_stamp").toString
+    for (t <- graft.graph.SessionDirCache.graphTables ++ Seq("documents", "embeddings", "events"))
+      Files.copy(Path.of(s"$sf/$t.parquet"), Path.of(s"$tmp/$t.parquet"))
+    val g1 = graft.graph.TpchGraph(spark, tmp)
+    val t1 = operators.Retrievers.renderedTriplets(spark, tmp)
+    // stable while the corpus is untouched — same cached instances
+    assert(graft.graph.TpchGraph(spark, tmp) eq g1)
+    assert(operators.Retrievers.renderedTriplets(spark, tmp) eq t1)
+    // an ingest rewrites one input table (new mtime → new stamp)
+    Files.copy(Path.of(s"$sf/nation.parquet"), Path.of(s"$tmp/nation.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(Path.of(s"$tmp/nation.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    val g2 = graft.graph.TpchGraph(spark, tmp)
+    assert(!(g2 eq g1), "projection must rebuild after the corpus rewrite")
+    assert(!(operators.Retrievers.renderedTriplets(spark, tmp) eq t1),
+      "rendered-triplet artifact must rebuild with the projection")
+    // the superseded projection's persisted blocks were released
+    assert(g1.nodes.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("cosine is symmetric and bounded on random vectors") {
     import TestSpark.spark.implicits._
     val cases = Seq.fill(20)((

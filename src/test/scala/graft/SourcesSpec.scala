@@ -171,6 +171,27 @@ class SourcesSpec extends SparkSpecBase {
     store.prune()
   }
 
+  test("degenerate index (no trained centroids) falls back to exact search") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vdegen").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 30)
+    store.createCollection("c", base)
+    store.createVectorIndex("c")
+    // wreck the centroid table (schema kept, zero rows) — search and
+    // batchSearch must fall back to the exact brute-force path instead
+    // of returning an empty shortlist
+    val cSchema = spark.read.parquet(s"$root/c__index/centroids").schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cSchema)
+      .write.mode("overwrite").parquet(s"$root/c__index/centroids")
+    val q = base.filter(col("vec_id") === 3)
+      .select(transform(col("embedding"), x => x.cast("double"))).head.getSeq[Double](0).toArray
+    assert(store.search("c", q, 5).count() === 5L)
+    val queries = Seq((0L, q.toSeq)).toDF("query_id", "qv")
+    assert(store.batchSearch("c", queries, 5).count() === 5L)
+    store.prune()
+  }
+
   test("indexed batch_search equals brute force at nprobe=all and prunes cell partitions") {
     import TestSpark.spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_vbatchidx").toString
