@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
   *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE var.prop = 'literal' [AND ...]]
-  *   RETURN [DISTINCT] var.prop [AS alias]
-  *          | count(*) | agg(var.prop) [AS alias] [, ...]
+  *   [WITH var | var.prop AS alias | agg(var.prop) AS alias [, ...]
+  *     [WHERE alias op literal [AND ...]]
+  *    MATCH ... (one WITH; the chained MATCH…WITH…MATCH shape)]
+  *   RETURN [DISTINCT] var.prop [AS alias] | alias
+  *          | count(*) | agg(var.prop) | agg(alias) [AS alias] [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
   * }}}
+  * WITH projects between pattern segments: a bare node variable carries
+  * its whole binding, aliased expressions become value columns, and an
+  * aggregate item triggers Cypher's implicit grouping over the
+  * non-aggregate items; the WITH-attached WHERE filters the projection
+  * (post-aggregation — the HAVING shape). The following MATCH joins on
+  * the carried node variables; later WHERE/RETURN reference projected
+  * values by alias.
   * Aggregates: `count` (non-null, Cypher semantics), `sum`/`avg`
   * (numeric — both try_cast the bag string to double, non-numeric
   * values aggregate as NULL), `min`/`max` (on the stored
@@ -68,8 +78,18 @@ object CypherLite {
   // correct for the ISO-date strings the projection stores. Equality
   // stays on the stored representation.
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
+  // RETURN items: agg(v.prop) | agg(alias) | v.prop | count(*) | alias,
+  // each optionally AS-renamed. Bare names resolve WITH-projected value
+  // columns only (a bare node variable would be Cypher's return-the-
+  // node, which the tabular subset doesn't model).
   private val retItemRe =
-    """(?:(count|sum|avg|min|max|collect)\s*\(\s*(\w+)\.(\w+)\s*\)|(\w+)\.(\w+)|count\(\*\))(?:\s+[aA][sS]\s+(\w+))?""".r
+    """(?:(count|sum|avg|min|max|collect)\s*\(\s*(?:(\w+)\.(\w+)|(\w+))\s*\)|(\w+)\.(\w+)|count\(\*\)|(\w+))(?:\s+[aA][sS]\s+(\w+))?""".r
+  // WITH items: aliased aggregate, aliased scalar, or bare node variable
+  private val withAggRe = """(count|sum|avg|min|max|collect)\s*\(\s*(\w+)\.(\w+)\s*\)\s+[aA][sS]\s+(\w+)""".r
+  private val withScalarRe = """(\w+)\.(\w+)\s+[aA][sS]\s+(\w+)""".r
+  private val withBareRe = """(\w+)""".r
+  // WITH-attached WHERE: alias vs quoted-string or numeric literal
+  private val withPredRe = """(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|(\d+(?:\.\d+)?))""".r
 
   /** Compile ONE linear path pattern to (relation, node vars, edge
     * vars). The relation carries `${v}_id/_ntype/_name/_props` per node
@@ -165,46 +185,17 @@ object CypherLite {
 
   def run(g: PropertyGraph, cypher: String): DataFrame = {
     val q = cypher.trim.replaceAll("\\s+", " ")
-    val matchPart = section(q, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "RETURN"))
-    val optParts = optionalSections(q)
-    val wherePart = sectionOpt(q, "WHERE", Seq("RETURN"))
-    val retPart = section(q, "RETURN", Seq("ORDER BY", "LIMIT"))
-    val orderPart = sectionOpt(q, "ORDER BY", Seq("LIMIT"))
-    val limitPart = sectionOpt(q, "LIMIT", Seq.empty)
+    // At most one WITH: MATCH… WITH items [WHERE pred] MATCH… RETURN…
+    // — the chained shape the reference's cypher examples emit. The
+    // split is literal-aware (WITH inside a quoted string is data) and
+    // operator-aware (the WITH of `STARTS WITH` is not a clause).
+    val withParts = splitOnWithClause(q)
+    require(withParts.length <= 2, s"at most one WITH segment supported: $q")
 
-    // Comma-separated patterns conjoin on their SHARED node variables
-    // (one equi-join per pattern); OPTIONAL MATCH left-joins instead, so
-    // unmatched rows keep the mandatory bindings with NULLs for the
-    // optional ones (Cypher's semantics). A pattern sharing no variable
-    // with what precedes it would be a cartesian product — rejected.
-    val chains = matchPart.split(",").map(_.trim).filter(_.nonEmpty)
-    require(chains.nonEmpty, s"empty MATCH in: $q")
-    var (df, headVars, headEdges) = compileChain(g, chains.head)
-    var allNode: Set[String] = headVars.toSet
-    var allEdge: Set[String] = headEdges
-    def merge(chainText: String, joinType: String): Unit = {
-      val (cdf, nv, evs) = compileChain(g, chainText)
-      require((evs intersect allEdge).isEmpty,
-        s"edge variable reused across patterns in: $q")
-      require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
-        s"variable bound as both node and edge in: $q")
-      val shared = nv.toSet intersect allNode
-      require(shared.nonEmpty,
-        s"pattern shares no variable with the preceding patterns (cartesian product unsupported): $chainText")
-      val right = cdf.drop(shared.toSeq.flatMap(v =>
-        Seq(s"${v}_ntype", s"${v}_name", s"${v}_props")): _*)
-      df = df.join(right, shared.map(v => s"${v}_id").toSeq, joinType)
-      allNode ++= nv
-      allEdge ++= evs
-    }
-    chains.tail.foreach(merge(_, "inner"))
-    // one pattern per OPTIONAL MATCH: comma-conjunction inside an
-    // optional block is all-or-nothing in Cypher, which a per-chain
-    // left join wouldn't honor — keep the supported subset honest
-    optParts.foreach { opt =>
-      require(!opt.contains(","), s"unsupported multi-pattern OPTIONAL MATCH: $opt")
-      merge(opt, "left")
-    }
+    var df: DataFrame = null
+    var allNode: Set[String] = Set.empty
+    var allEdge: Set[String] = Set.empty
+    var aliases: Set[String] = Set.empty // WITH-projected value columns
 
     // `v.prop`: fixed columns resolve directly; anything else reaches
     // into the property bag (NULL when absent — Cypher missing-property
@@ -219,7 +210,25 @@ object CypherLite {
         case bagKey => element_at(col(s"${v}_props"), bagKey)
       }
 
-    wherePart.foreach { w =>
+    def merge(chainText: String, joinType: String): Unit = {
+      val (cdf, nv, evs) = compileChain(g, chainText)
+      require((evs intersect allEdge).isEmpty,
+        s"edge variable reused across patterns in: $q")
+      require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
+        s"variable bound as both node and edge in: $q")
+      require((nv.toSet intersect aliases).isEmpty && (evs intersect aliases).isEmpty,
+        s"pattern variable shadows a WITH alias in: $q")
+      val shared = nv.toSet intersect allNode
+      require(shared.nonEmpty,
+        s"pattern shares no variable with the preceding patterns (cartesian product unsupported): $chainText")
+      val right = cdf.drop(shared.toSeq.flatMap(v =>
+        Seq(s"${v}_ntype", s"${v}_name", s"${v}_props")): _*)
+      df = df.join(right, shared.map(v => s"${v}_id").toSeq, joinType)
+      allNode ++= nv
+      allEdge ++= evs
+    }
+
+    def applyWhere(w: String): Unit =
       splitOutsideQuotes(w, " AND ").foreach {
         case whereRe(v, p, op, lit0) =>
           val c = propCol(v, p)
@@ -243,15 +252,122 @@ object CypherLite {
           })
         case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
       }
+
+    // Compile one segment's MATCH body (chains + OPTIONAL MATCHes +
+    // WHERE) into the accumulated frame. Comma-separated patterns
+    // conjoin on their SHARED node variables (one equi-join per
+    // pattern); OPTIONAL MATCH left-joins instead, so unmatched rows
+    // keep the mandatory bindings with NULLs for the optional ones
+    // (Cypher's semantics). A pattern sharing no variable with what
+    // precedes it would be a cartesian product — rejected.
+    def compileBody(text: String): Unit = {
+      val matchPart = section(text, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "RETURN"))
+      val optParts = optionalSections(text)
+      val wherePart = sectionOpt(text, "WHERE", Seq("RETURN"))
+      val chains = matchPart.split(",").map(_.trim).filter(_.nonEmpty)
+      require(chains.nonEmpty, s"empty MATCH in: $q")
+      var rest: Seq[String] = chains.toIndexedSeq
+      if (df == null) {
+        val (d, nv, ev) = compileChain(g, chains.head)
+        df = d; allNode = nv.toSet; allEdge = ev
+        rest = rest.tail
+      }
+      rest.foreach(merge(_, "inner"))
+      // one pattern per OPTIONAL MATCH: comma-conjunction inside an
+      // optional block is all-or-nothing in Cypher, which a per-chain
+      // left join wouldn't honor — keep the supported subset honest
+      optParts.foreach { opt =>
+        require(!opt.contains(","), s"unsupported multi-pattern OPTIONAL MATCH: $opt")
+        merge(opt, "left")
+      }
+      wherePart.foreach(applyWhere)
     }
+
+    compileBody(withParts.head)
+
+    // ---- WITH projection/aggregation between the two MATCH bodies ----
+    // Items: a bare node variable carries the whole binding forward;
+    // `v.prop AS alias` projects a value column; `agg(v.prop) AS alias`
+    // aggregates with Cypher's implicit grouping (group by every
+    // non-aggregate item). A WHERE attached to the WITH filters on the
+    // projected aliases (Cypher's post-aggregation predicate — the
+    // HAVING shape). Edge variables don't survive a WITH unless
+    // projected into a value column.
+    val finalText = if (withParts.length == 2) {
+      val tail = withParts(1)
+      val mUp = " " + maskedUpper(tail)
+      val mIdx = mUp.indexOf(" MATCH ")
+      require(mIdx >= 0, s"WITH must be followed by MATCH: $q")
+      val head = tail.substring(0, mIdx).trim
+      val restText = tail.substring(mIdx)
+      val hw = splitOutsideQuotes(head, " WHERE ")
+      require(hw.length <= 2, s"multiple WHERE in WITH: $q")
+      var keyCols = Vector.empty[Column]
+      var aggCols = Vector.empty[Column]
+      var carried = Set.empty[String]
+      hw.head.split(",").map(_.trim).foreach {
+        case withAggRe(fn, v, p, alias) =>
+          val c = propCol(v, p)
+          val agg = fn match {
+            case "count" => count(c)
+            case "sum" => sum(c.try_cast("double"))
+            case "avg" => avg(c.try_cast("double"))
+            case "min" => min(c)
+            case "max" => max(c)
+            case "collect" => sort_array(collect_list(c))
+          }
+          aggCols :+= agg.as(alias); aliases += alias
+        case withScalarRe(v, p, alias) =>
+          keyCols :+= propCol(v, p).as(alias); aliases += alias
+        case withBareRe(v) =>
+          require(allNode(v), s"WITH carries node variables or aliased expressions, got: $v")
+          carried += v
+          keyCols ++= Seq(s"${v}_id", s"${v}_ntype", s"${v}_name", s"${v}_props").map(col)
+        case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
+      }
+      df = if (aggCols.nonEmpty) {
+        require(keyCols.nonEmpty, s"ungrouped WITH aggregation unsupported: $q")
+        df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else df.select(keyCols: _*)
+      allNode = carried
+      allEdge = Set.empty
+      hw.lift(1).foreach { w =>
+        splitOutsideQuotes(w, " AND ").foreach {
+          case withPredRe(name, op, strLit, numLit) =>
+            require(aliases(name), s"WITH WHERE references unknown alias '$name' in: $q")
+            val c = col(name)
+            val l: Column = if (strLit != null) lit(strLit) else lit(numLit.toDouble)
+            df = df.filter(op match {
+              case "=" => c === l
+              case "<>" => c =!= l
+              case ">=" => c >= l
+              case "<=" => c <= l
+              case ">" => c > l
+              case "<" => c < l
+            })
+          case other => throw new IllegalArgumentException(s"unsupported WITH predicate: $other")
+        }
+      }
+      compileBody(restText)
+      restText
+    } else withParts.head
+
+    val retPart = section(finalText, "RETURN", Seq("ORDER BY", "LIMIT"))
+    val orderPart = sectionOpt(finalText, "ORDER BY", Seq("LIMIT"))
+    val limitPart = sectionOpt(finalText, "LIMIT", Seq.empty)
 
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
     val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
     val items = retBody.split(",").map(_.trim).map {
-      case m @ retItemRe(aggFn, av, ap, v, p, alias) =>
+      case m @ retItemRe(aggFn, av, ap, aggBare, v, p, bare, alias) =>
         if (aggFn != null) {
-          val name = Option(alias).getOrElse(s"${aggFn}_${av}_$ap")
-          val c = propCol(av, ap)
+          val (c, defName) =
+            if (av != null) (propCol(av, ap), s"${aggFn}_${av}_$ap")
+            else {
+              require(aliases(aggBare), s"aggregate over unknown alias '$aggBare' in: $q")
+              (col(aggBare), s"${aggFn}_$aggBare")
+            }
+          val name = Option(alias).getOrElse(defName)
           val agg = aggFn match {
             case "count" => count(c)
             case "sum" => sum(c.try_cast("double"))
@@ -264,6 +380,11 @@ object CypherLite {
         } else if (v != null) {
           val name = Option(alias).getOrElse(s"${v}_$p")
           (false, propCol(v, p).as(name), name)
+        } else if (bare != null) {
+          // a WITH-projected value column referenced by its alias
+          require(aliases(bare), s"unsupported RETURN item: $bare")
+          val name = Option(alias).getOrElse(bare)
+          (false, col(bare).as(name), name)
         } else {
           val name = Option(alias).getOrElse("count")
           (true, count(lit(1)).as(name), name)
@@ -323,6 +444,30 @@ object CypherLite {
       parts += s.substring(start, i)
       start = i + sep.length
       i = m.indexOf(sep, start)
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
+  /** Split on clause-level ` WITH ` boundaries: occurrences inside
+    * quoted literals are masked away, and a WITH immediately preceded
+    * by the word STARTS is the `STARTS WITH` operator, not a clause. */
+  private def splitOnWithClause(s: String): Seq[String] = {
+    val m = maskedUpper(s)
+    val sep = " WITH "
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = m.indexOf(sep)
+    while (i >= 0) {
+      val pre = m.substring(0, i)
+      val isOperator = pre.endsWith("STARTS") &&
+        (pre.length == 6 || !Character.isLetterOrDigit(pre.charAt(pre.length - 7)))
+      if (isOperator) i = m.indexOf(sep, i + 1)
+      else {
+        parts += s.substring(start, i)
+        start = i + sep.length
+        i = m.indexOf(sep, start)
+      }
     }
     parts += s.substring(start)
     parts.toSeq

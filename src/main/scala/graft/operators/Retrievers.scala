@@ -730,6 +730,31 @@ object Retrievers {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** CYPHER WITH: aggregate per customer, filter on the aggregate, then
+    * continue matching from the carried variable — the chained
+    * MATCH…WITH…MATCH shape the reference's cypher examples emit
+    * (e.g. examples/low_level/product_recommendation.py). Compiles to
+    * aggregate → filter → join: the post-WITH MATCH joins the (already
+    * reduced) carried frame, so the big orders table is scanned once. */
+  val withCypher: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer) " +
+      "WITH c, count(o.id) AS n_orders WHERE n_orders >= 15 " +
+      "MATCH (c)-[:located_in]->(n:nation) " +
+      "RETURN n.name AS nation, count(c.id) AS n_big_customers, " +
+      "max(n_orders) AS max_orders ORDER BY nation"
+
+  def cypherWith(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), withCypher)
+
+  val cypherWithSql: String =
+    """WITH big AS (
+      |  SELECT o_custkey AS ck, count(*) AS n_orders
+      |  FROM orders GROUP BY 1 HAVING count(*) >= 15
+      |)
+      |SELECT n_name AS nation, count(*) AS n_big_customers, max(n_orders) AS max_orders
+      |FROM big JOIN customer ON c_custkey = ck JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -1189,6 +1214,7 @@ object Retrievers {
     "search_cypher_multi" -> ((s: SparkSession, d: String) => cypherMulti(s, d)),
     "search_cypher_optional" -> ((s: SparkSession, d: String) => cypherOptional(s, d)),
     "search_cypher_agg" -> ((s: SparkSession, d: String) => cypherAgg(s, d)),
+    "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1217,5 +1243,6 @@ object Retrievers {
     "search_cypher_multi" -> cypherSql, // same answer as the chained form
     "search_cypher_optional" -> cypherOptionalSql,
     "search_cypher_agg" -> cypherAggSql,
+    "search_cypher_with" -> cypherWithSql,
     "search_natural_language" -> cypherSql)
 }

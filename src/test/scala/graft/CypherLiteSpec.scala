@@ -178,6 +178,57 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(two.count() === 0L)
   }
 
+  test("WITH carries a node variable through an aggregate and chains a second MATCH") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS nx " +
+        "MATCH (y)-[:in]->(z:c) RETURN z.name AS zn, nx ORDER BY zn")
+    assert(out.columns.toSeq === Seq("zn", "nx"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toList === List(("delta", 2L)))
+  }
+
+  test("WITH-attached WHERE filters post-aggregation (the HAVING shape)") {
+    val none = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS nx WHERE nx >= 3 " +
+        "MATCH (y)-[:in]->(z:c) RETURN z.name AS zn, nx")
+    assert(none.count() === 0L)
+    val kept = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS nx WHERE nx >= 2 " +
+        "MATCH (y)-[:in]->(z:c) RETURN z.name AS zn, nx")
+    assert(kept.collect().map(r => (r.getString(0), r.getLong(1))).toList === List(("delta", 2L)))
+  }
+
+  test("WITH scalar aliases survive into RETURN, bare and aggregated") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, x.name AS xn " +
+        "MATCH (y)-[:in]->(z:c) RETURN z.name AS zn, collect(xn) AS names")
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "delta")
+    assert(rows(0).getSeq[String](1).toList === List("alpha", "beta"))
+  }
+
+  test("WITH rejects the unsupported shapes loudly") {
+    // two WITH segments
+    intercept[IllegalArgumentException] { CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n1 MATCH (y)-[:in]->(z:c) " +
+        "WITH z, count(y.id) AS n2 MATCH (z)-[:in]->(w) RETURN w.id AS wid") }
+    // bare WITH item must be a bound node variable
+    intercept[IllegalArgumentException] { CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH q MATCH (q)-[:in]->(z:c) RETURN z.id AS zid") }
+    // RETURN of a name that is neither var.prop nor a WITH alias
+    intercept[IllegalArgumentException] { CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS nx " +
+        "MATCH (y)-[:in]->(z:c) RETURN z.name AS zn, bogus") }
+    // post-WITH pattern variable shadowing a WITH alias
+    intercept[IllegalArgumentException] { CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS nx " +
+        "MATCH (y)-[:in]->(nx) RETURN nx.id AS nid") }
+    // ' WITH ' inside a quoted literal is data, not a clause boundary
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'GONE WITH THE WIND' RETURN x.id AS xid")
+      .count() === 0L)
+  }
+
   test("props-less graphs still run props queries (empty-bag normalization)") {
     assert(CypherLite.run(g,
       "MATCH (x:a)-[:knows]->(y:b) WHERE x.color = 'red' RETURN x.id AS xid").count() === 0L)
