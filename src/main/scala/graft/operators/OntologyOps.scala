@@ -71,8 +71,10 @@ object OntologyOps {
       |UNION ALL SELECT entity, term, method, sim FROM best WHERE rn = 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ontology_resolve" -> ((s: SparkSession, d: String) => resolve(s, d)))
+    "ontology_resolve" -> ((s: SparkSession, d: String) => resolve(s, d)),
+    "ontology_graph" -> ((s: SparkSession, d: String) => OntologyRdf.ontologyGraph(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "ontology_resolve" -> resolveSql)
+    "ontology_resolve" -> resolveSql,
+    "ontology_graph" -> OntologyRdf.ontologyGraphSql)
 }

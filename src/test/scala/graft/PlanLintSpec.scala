@@ -26,7 +26,7 @@ class PlanLintSpec extends SparkSpecBase {
     "search_feedback_weighted", // 1-row query-vector cross into the centroid ranking
     "search_completion_context", "search_completion_cot", "search_summary_completion",
     "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
-    "vec_centroids", "ontology_resolve", "graph_metrics", "pipeline_cognify",
+    "vec_centroids", "ontology_resolve", "ontology_graph", "graph_metrics", "pipeline_cognify",
     "graph_metrics_full", // crossJoin of five 1-row aggregates into the summary row
     "pipeline_metrics",   // crossJoin of three 1-row aggregates into the metrics row
     "search_context_triplets", // 2-row entity set broadcast across the triplet pass
