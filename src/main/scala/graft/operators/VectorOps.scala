@@ -363,20 +363,76 @@ object VectorOps {
   private[graft] val PqM = 8 // subspaces over the corpus' 64 dims (8 dims each)
   private[graft] val PqKs = 16 // codewords per subspace
 
-  /** PQ codebooks per (session, corpus dir), stamped like the coarse
-    * quantizer: m independent L2 Lloyd's runs over the subvector
-    * slices (flat PQ — codes quantize raw subvectors, not coarse-cell
-    * residuals; documented simplification of IVFPQ). */
+  /** One-pass PQ training: all m subspace codebooks advance TOGETHER —
+    * per Lloyd iteration one distributed job (per-row per-subspace
+    * assignment, posexplode of the subvector dims, one
+    * (subspace, cell, pos) mean aggregation) instead of m independent
+    * Lloyd's runs (m × iters assignment passes and driver collects).
+    * The math per subspace is exactly [[kmeansCentroids]]'s: same
+    * md5-ordered init rows (collected once, sliced per subspace), same
+    * L2 assignment, same dimension means, empty cells keep their
+    * previous centroid — spec-pinned equal to the sequential runs. */
+  private[graft] def pqTrainCodebooks(sample: DataFrame, m: Int = PqM, ks: Int = PqKs,
+      iters: Int = 4, dimsPer: Int = 8): Array[Array[Array[Double]]] = {
+    val init = sample.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(ks)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var books = Array.tabulate(m)(j => init.map(_.slice(j * dimsPer, (j + 1) * dimsPer)))
+    for (_ <- 1 to iters) {
+      val subStructs = array(Array.tabulate(m) { j =>
+        val sv = slice(col("v"), j * dimsPer + 1, dimsPer)
+        struct(lit(j).as("sub"), bestCellL2(sv, books(j)).getField("cell").as("cell"), sv.as("sv"))
+      }: _*)
+      val dimMeans = sample.select(explode(subStructs).as("sc"))
+        .select(col("sc.sub").as("sub"), col("sc.cell").as("cell"),
+          posexplode(col("sc.sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos")).agg(avg(col("x")).as("cx"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      val bySubCell = dimMeans.groupBy(t => (t._1, t._2))
+      books = Array.tabulate(m) { j =>
+        books(j).zipWithIndex.map { case (old, c) =>
+          bySubCell.get((j, c)) match {
+            case Some(ds) => ds.sortBy(_._3).map(_._4)
+            case None     => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  private def centsLit(cents: Array[Array[Double]]): Column =
+    typedLit(cents.map(_.toSeq).toSeq)
+
+  /** Elementwise residual v − centroid(cell) against the broadcast
+    * coarse-centroid literal (the Faiss IVFPQ encoding input). */
+  private def residualOf(v: Column, cell: Column, cents: Array[Array[Double]]): Column =
+    zip_with(v, element_at(centsLit(cents), cell + 1), (a, b) => a - b)
+
+  /** Flat-PQ codebooks per (session, corpus dir), stamped like the
+    * coarse quantizer: codes quantize raw subvectors. Kept as the
+    * measured comparison baseline for the residual books. */
   private val pqCache = new graft.graph.SessionDirCache[Array[Array[Array[Double]]]](
     (spark, dir) => {
       val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
       val n = e0.count()
+      pqTrainCodebooks(trainingSample(e0, n, DefaultTrainCap))
+    },
+    stamp = corpusStamp)
+
+  /** Residual-PQ codebooks (the true Faiss IVFPQ form): codes quantize
+    * v − centroid(cell), so each codebook models the within-cell
+    * displacement distribution instead of the global one — tighter
+    * quantization at the same (m, ks), spec-pinned recall ≥ flat PQ. */
+  private val pqResidualCache = new graft.graph.SessionDirCache[Array[Array[Array[Double]]]](
+    (spark, dir) => {
+      val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+      val cents = quantizerCache(spark, dir)
+      val n = e0.count()
       val sample = trainingSample(e0, n, DefaultTrainCap)
-      Array.tabulate(PqM) { j =>
-        kmeansCentroids(
-          sample.select(col("vec_id"), slice(col("v"), j * 8 + 1, 8).as("v")),
-          PqKs, l2 = true)
-      }
+      val resid = sample.select(col("vec_id"),
+        residualOf(col("v"), bestCell(col("v"), cents).getField("cell"), cents).as("v"))
+      pqTrainCodebooks(resid)
     },
     stamp = corpusStamp)
 
@@ -401,6 +457,27 @@ object VectorOps {
     },
     stamp = corpusStamp)
 
+  /** Residual-encoded corpus: same compact (cell, codes, vnorm) shape,
+    * codes taken against the residual books. The residual is computed
+    * once per row and sliced per subspace. */
+  private val encodedResidualCache = new graft.graph.SessionDirCache[DataFrame](
+    (spark, dir) => {
+      val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+      val cents = quantizerCache(spark, dir)
+      val books = pqResidualCache(spark, dir)
+      val withRes = e0
+        .withColumn("cell", bestCell(col("v"), cents).getField("cell"))
+        .withColumn("rv", residualOf(col("v"), col("cell"), cents))
+      val codes = array(Array.tabulate(PqM) { j =>
+        bestCellL2(slice(col("rv"), j * 8 + 1, 8), books(j)).getField("cell")
+      }: _*)
+      withRes.withColumn("codes", codes)
+        .withColumn("vnorm", norm(col("v")))
+        .select(col("vec_id"), col("cell"), col("codes"), col("vnorm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    },
+    stamp = corpusStamp)
+
   /** IVF + product-quantization ANN with exact refine (the Faiss
     * IVFPQ+refine pattern): the query probes its nprobe coarse cells,
     * the probed cells' members are scored by the ASYMMETRIC DISTANCE
@@ -408,6 +485,12 @@ object VectorOps {
     * candidate's codeword — the candidate contributes only its m-byte
     * code and stored norm), the top `refine` per query re-rank exactly
     * against their true vectors, and the top 5 of those are returned.
+    *
+    * By default codes are RESIDUAL-encoded (quantize v − centroid(cell),
+    * Faiss IVFPQ's true form) and the ADC estimate adds the exact
+    * query·centroid term per candidate cell; `residual = false` selects
+    * the flat books (codes over raw subvectors) — kept as the measured
+    * baseline the residual recall spec compares against.
     *
     * Scale shape: the ADC scan reads (cell, codes, vnorm) — never the
     * vector column — so at 100 TB the shortlist stage streams the ~50×
@@ -418,13 +501,13 @@ object VectorOps {
     * the spec pins that reduction and measures default-parameter recall
     * against brute force. Approximate → rows-only driver check. */
   def knnIvfPq(spark: SparkSession, dir: String, nprobe: Int = 3,
-      refine: Int = 20): DataFrame = {
+      refine: Int = 20, residual: Boolean = true): DataFrame = {
     val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
     val cents = quantizerCache(spark, dir)
     if (cents.isEmpty)
       return e0.select(col("vec_id").as("query_id"), col("vec_id"), lit(0.0).as("cosine"))
-    val books = pqCache(spark, dir)
-    val enc = encodedCache(spark, dir)
+    val books = if (residual) pqResidualCache(spark, dir) else pqCache(spark, dir)
+    val enc = if (residual) encodedResidualCache(spark, dir) else encodedCache(spark, dir)
     val q = e0.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val centArr = cents.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("centroid"), lit(i).as("cell"))
@@ -436,12 +519,18 @@ object VectorOps {
       .withColumn("rn", row_number().over(cellW)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     // ADC estimate: Σⱼ qⱼ · codebookⱼ[codeⱼ] — the codeword literal is
-    // selected per row by the candidate's code; estimated cosine
-    // divides by the STORED norm (the Faiss cosine-metric practice).
-    val est = Array.tabulate(PqM) { j =>
+    // selected per row by the candidate's code; with residual codes the
+    // exact query·centroid(cell) term is added (q·v = q·c + q·r, the
+    // Faiss IVFPQ decomposition); estimated cosine divides by the
+    // STORED norm (the Faiss cosine-metric practice).
+    val subEst = Array.tabulate(PqM) { j =>
       dot(slice(col("qv"), j * 8 + 1, 8),
         element_at(typedLit(books(j).map(_.toSeq).toSeq), element_at(col("codes"), j + 1) + 1))
-    }.reduce(_ + _) / (norm(col("qv")) * col("vnorm"))
+    }.reduce(_ + _)
+    val ipEst =
+      if (residual) dot(col("qv"), element_at(centsLit(cents), col("cell") + 1)) + subEst
+      else subEst
+    val est = ipEst / (norm(col("qv")) * col("vnorm"))
     val adcW = Window.partitionBy(col("query_id")).orderBy(col("est").desc, col("vec_id").asc)
     val shortlist = enc.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -90,6 +90,32 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"ADC recall vs IVF-flat $recall")
   }
 
+  test("one-pass PQ training equals m sequential per-subspace Lloyd's runs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val onePass = VectorOps.pqTrainCodebooks(e)
+    val seq = Array.tabulate(8) { j =>
+      VectorOps.kmeansCentroids(
+        e.select(col("vec_id"), slice(col("v"), j * 8 + 1, 8).as("v")), 16, l2 = true)
+    }
+    for (j <- 0 until 8; c <- 0 until 16)
+      assert(onePass(j)(c).toSeq === seq(j)(c).toSeq, s"book $j cell $c diverges")
+  }
+
+  test("residual ADC recall >= flat ADC recall at the same (m, ks)") {
+    // Same coarse cells, same refine budget — the only difference is
+    // what the codes quantize (within-cell residuals vs raw vectors),
+    // so the comparison isolates codebook quality.
+    val flatIvf = VectorOps.knnIvf(spark, sf, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(residual: Boolean) =
+      VectorOps.knnIvfPq(spark, sf, nprobe = 3, refine = 20, residual = residual).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(flatIvf).size.toDouble / flatIvf.size
+    val (rRes, rFlat) = (recall(residual = true), recall(residual = false))
+    assert(rRes >= rFlat, s"residual recall $rRes < flat recall $rFlat")
+  }
+
   test("cell-blocked dedupCosine equals brute-force all-pairs (no pair >= tau lost)") {
     import TestSpark.spark.implicits._
     val e = Tables.load(spark, sf, "embeddings")
