@@ -281,6 +281,38 @@ class SourcesSpec extends SparkSpecBase {
     assert(!store.hasGraph("g"))
   }
 
+  test("derived graphs (temporal merge, feedback-weighted) survive the store round-trip") {
+    // The reference adapters persist every mutation; here the
+    // corpus-derived merges (events→KG via mergeNodes/mergeEdges, the
+    // feedback-weighted graph via applyFeedbackWeight) commit through
+    // GraphStore.save and answer the same CypherLite queries after a
+    // reload — no re-derivation, weights riding the stored props bags.
+    val root = java.nio.file.Files.createTempDirectory("graft_gstore_derived").toString
+    val store = sources.GraphStore(spark, root)
+
+    val tg = graph.GraphQueries.temporalGraph(spark, sf)
+    store.save("temporal", tg)
+    val tq = "MATCH (e:event)-[:happened_at]->(d:day) RETURN d.name AS day, count(*) AS n ORDER BY day"
+    val liveT = graph.CypherLite.run(tg, tq).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    val backT = graph.CypherLite.run(store.load("temporal"), tq).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(liveT.nonEmpty && backT === liveT)
+
+    val fg = operators.Retrievers.feedbackGraph(spark, sf)
+    store.save("feedback", fg)
+    val fq = "MATCH (i:interaction)-[r:used_graph_element_to_answer]->(n:nation) " +
+      "RETURN n.name AS nation, sum(r.feedback_weight) AS w ORDER BY nation"
+    val liveF = graph.CypherLite.run(fg, fq).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toList
+    val backF = graph.CypherLite.run(store.load("feedback"), fq).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toList
+    assert(liveF.nonEmpty && liveF.exists(_._2 != 0.0) && backF === liveF)
+
+    store.deleteGraph("temporal"); store.deleteGraph("feedback")
+    assert(store.listGraphs().isEmpty)
+  }
+
   test("document classification routes extensions to the reference classes") {
     import TestSpark.spark.implicits._
     val got = DocumentSource.classify(
