@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DataFrame-planned graph queries over the TPC-H knowledge-graph
@@ -501,7 +501,78 @@ object GraphQueries {
       |SELECT day, count(*) AS n_events, count(DISTINCT doc_id) AS n_docs
       |FROM ev GROUP BY day""".stripMargin
 
+  /** Chunk-graph hygiene (reference: tasks/chunks/
+    * remove_disconnected_chunks.py): over the document→chunk graph
+    * (has_chunk edges doc→chunk, next_chunk edges chunk→successor),
+    * chunks with NO next_chunk predecessor are obsolete and deleted
+    * (with their incident edges, the delete_nodes cascade), then fully
+    * disconnected nodes (get_disconnected_nodes) are deleted. Both
+    * passes are keyed anti-joins — no driver loop over documents like
+    * the reference's per-document successor walk. Returns the surviving
+    * census by kind. */
+  def pruneChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.TextOps.chunk(spark, dir)
+    def chunkId(idx: Column) = concat(lit("chunk:"), col("doc_id"), lit(":"), idx)
+    val docNodes = ch.select(col("doc_id")).distinct()
+      .select(concat(lit("doc:"), col("doc_id")).as("id"),
+        lit("document").as("ntype"), col("doc_id").cast("string").as("name"))
+    val chunkNodes = ch.select(chunkId(col("chunk_idx")).as("id"),
+      lit("chunk").as("ntype"), col("chunk_hash").as("name"))
+    val hasChunk = ch.select(concat(lit("doc:"), col("doc_id")).as("src"),
+      chunkId(col("chunk_idx")).as("dst"), lit("has_chunk").as("rel"))
+    val nextChunk = ch.filter(col("chunk_idx") > 0)
+      .select(chunkId(col("chunk_idx") - 1).as("src"),
+        chunkId(col("chunk_idx")).as("dst"), lit("next_chunk").as("rel"))
+    val g0 = PropertyGraph(docNodes.union(chunkNodes), hasChunk.union(nextChunk))
+    // obsolete: has_chunk successors lacking a next_chunk predecessor
+    val chunkIds = g0.edges.filter(col("rel") === "has_chunk").select(col("dst").as("id")).distinct()
+    val withPred = g0.edges.filter(col("rel") === "next_chunk").select(col("dst").as("id")).distinct()
+    val g1 = g0.deleteNodes(chunkIds.join(withPred, Seq("id"), "left_anti"))
+    // fully disconnected survivors of the cascade
+    val touched = g1.edges.select(col("src").as("id"))
+      .union(g1.edges.select(col("dst").as("id"))).distinct()
+    val g2 = g1.deleteNodes(g1.nodes.select(col("id")).join(touched, Seq("id"), "left_anti"))
+    g2.nodes.groupBy(concat(lit("node:"), col("ntype")).as("kind"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(g2.edges.groupBy(concat(lit("edge:"), col("rel")).as("kind"))
+        .agg(count(lit(1)).as("n")))
+  }
+
+  /** Closed form: a document with nc chunks loses chunk 0 (the only
+    * chunk with no next_chunk predecessor) and, when nc = 1, becomes
+    * disconnected and is deleted too. Zero-count kinds are absent on
+    * both sides. */
+  val pruneChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 64.0) AS BIGINT) AS nc
+      |  FROM documents
+      |),
+      |k AS (SELECT doc_id, nc FROM t WHERE nc >= 2)
+      |SELECT kind, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'node:document' AS kind, count(*) AS n FROM k
+      |  UNION ALL SELECT 'node:chunk', COALESCE(sum(nc - 1), 0) FROM k
+      |  UNION ALL SELECT 'edge:has_chunk', COALESCE(sum(nc - 1), 0) FROM k
+      |  UNION ALL SELECT 'edge:next_chunk', COALESCE(sum(nc - 2), 0) FROM k
+      |) WHERE n > 0""".stripMargin
+
+  /** Edge-type census (reference: tasks/storage/index_graph_edges.py —
+    * counts distinct relationship types from the graph engine into
+    * EdgeType data points and indexes them in the vector store; the
+    * VectorStore spec covers the indexing leg). One hash aggregate over
+    * the edge relation. */
+  def edgeTypes(spark: SparkSession, dir: String): DataFrame =
+    TpchGraph(spark, dir).edges
+      .groupBy(col("rel").as("relationship_name"))
+      .agg(count(lit(1)).as("number_of_edges"))
+
+  val edgeTypesSql: String =
+    s"""${TpchGraph.withGraph}
+       |SELECT rel AS relationship_name, count(*) AS number_of_edges
+       |FROM edges GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
+    "graph_edge_types" -> ((s: SparkSession, d: String) => edgeTypes(s, d)),
     "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
     "graph_schema" -> ((s: SparkSession, d: String) => schemaGraph(s, d)),
     "graph_metrics_full" -> ((s: SparkSession, d: String) => metricsFull(s, d)),
@@ -521,6 +592,8 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "graph_prune_chunks" -> pruneChunksSql,
+    "graph_edge_types" -> edgeTypesSql,
     "temporal_graph_build" -> temporalGraphBuildSql,
     "graph_schema" -> schemaGraphSql,
     "graph_metrics_full" -> metricsFullSql,

@@ -281,6 +281,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(!store.hasGraph("g"))
   }
 
+  test("edge-type census indexes into the vector store and is searchable (index_graph_edges)") {
+    // tasks/storage/index_graph_edges.py: count relationship types from
+    // the graph, wrap as EdgeType points, index relationship_name in the
+    // vector store. The LLM embedder is out of scope — the md5-fold stub
+    // embedding is deterministic on both sides, so the search leg is
+    // honest: the stored point for a relation is the top-1 hit (cosine 1)
+    // for that relation's query embedding.
+    val root = java.nio.file.Files.createTempDirectory("graft_etype").toString
+    val store = sources.VectorStore(spark, root)
+    val census = graph.GraphQueries.edgeTypes(spark, sf)
+    val stub = transform(sequence(lit(0), lit(7)), i =>
+      conv(substring(md5(col("relationship_name")), i * 2 + 1, lit(2)), 16, 10).cast("double") / 255.0)
+    store.createCollection("EdgeType_relationship_name", census
+      .withColumn("vec_id", conv(substring(md5(col("relationship_name")), 1, 8), 16, 10).cast("long"))
+      .withColumn("embedding", stub)
+      .select(col("vec_id"), col("embedding"), col("relationship_name"), col("number_of_edges")))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("located_in".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val qEmb = Array.tabulate(8)(i => java.lang.Long.parseLong(md.substring(i * 2, i * 2 + 2), 16) / 255.0)
+    val expectedId = java.lang.Long.parseLong(md.substring(0, 8), 16)
+    val top = store.search("EdgeType_relationship_name", qEmb, 1).collect()
+    assert(top.length === 1)
+    assert(top(0).getAs[Long]("vec_id") === expectedId)
+    assert(top(0).getAs[Double]("cosine") > 0.9999)
+    // the census itself matches the graph's edge relation
+    val rels = census.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rels.keySet === Set("in_region", "located_in", "placed_by", "contains", "supplied_by"))
+    store.prune()
+  }
+
   test("derived graphs (temporal merge, feedback-weighted) survive the store round-trip") {
     // The reference adapters persist every mutation; here the
     // corpus-derived merges (events→KG via mergeNodes/mergeEdges, the
