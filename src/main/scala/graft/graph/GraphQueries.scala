@@ -511,7 +511,9 @@ object GraphQueries {
     * the reference's per-document successor walk. Returns the surviving
     * census by kind. */
   def pruneChunks(spark: SparkSession, dir: String): DataFrame = {
-    val ch = graft.operators.TextOps.chunk(spark, dir)
+    // the extraction feeds four projections and two anti-join cascades —
+    // compute the token scan once (eager checkpoint, lineage released)
+    val ch = graft.operators.TextOps.chunk(spark, dir).localCheckpoint(true)
     def chunkId(idx: Column) = concat(lit("chunk:"), col("doc_id"), lit(":"), idx)
     val docNodes = ch.select(col("doc_id")).distinct()
       .select(concat(lit("doc:"), col("doc_id")).as("id"),
@@ -524,13 +526,22 @@ object GraphQueries {
       .select(chunkId(col("chunk_idx") - 1).as("src"),
         chunkId(col("chunk_idx")).as("dst"), lit("next_chunk").as("rel"))
     val g0 = PropertyGraph(docNodes.union(chunkNodes), hasChunk.union(nextChunk))
-    // obsolete: has_chunk successors lacking a next_chunk predecessor
-    val chunkIds = g0.edges.filter(col("rel") === "has_chunk").select(col("dst").as("id")).distinct()
-    val withPred = g0.edges.filter(col("rel") === "next_chunk").select(col("dst").as("id")).distinct()
-    val g1 = g0.deleteNodes(chunkIds.join(withPred, Seq("id"), "left_anti"))
+    // obsolete: has_chunk successors lacking a next_chunk predecessor.
+    // No distinct()s: has_chunk/next_chunk targets are one-edge-per-
+    // chunk already, and an anti-join's right side needs no dedup.
+    val chunkIds = g0.edges.filter(col("rel") === "has_chunk").select(col("dst").as("id"))
+    val withPred = g0.edges.filter(col("rel") === "next_chunk").select(col("dst").as("id"))
+    val g1d = g0.deleteNodes(chunkIds.join(withPred, Seq("id"), "left_anti"))
+    // Checkpoint between the two mutation passes: the second pass reads
+    // g1's relations four times (touched union, node anti-join, census),
+    // and composed lazy deletes re-inline the whole anti-join cascade at
+    // every reference — a ~1.5k-node physical plan whose planning/codegen
+    // dwarfs the (tiny) data. Same contract as the reference: delete_nodes
+    // commits before get_disconnected_nodes runs.
+    val g1 = PropertyGraph(g1d.nodes.localCheckpoint(true), g1d.edges.localCheckpoint(true))
     // fully disconnected survivors of the cascade
     val touched = g1.edges.select(col("src").as("id"))
-      .union(g1.edges.select(col("dst").as("id"))).distinct()
+      .union(g1.edges.select(col("dst").as("id")))
     val g2 = g1.deleteNodes(g1.nodes.select(col("id")).join(touched, Seq("id"), "left_anti"))
     g2.nodes.groupBy(concat(lit("node:"), col("ntype")).as("kind"))
       .agg(count(lit(1)).as("n"))
