@@ -89,5 +89,9 @@ class FacadeSpec extends SparkSpecBase {
     val viaParams = Graft.search(spark, sf, Graft.Cypher,
       SearchParams(cypher = Some(Retrievers.supplierCypher)))
     assert(rows(viaParams) === rows(Retrievers.cypher(spark, sf)))
+    // the override accepts the full grammar, WITH-chained queries included
+    val viaWith = Graft.search(spark, sf, Graft.Cypher,
+      SearchParams(cypher = Some(Retrievers.withCypher)))
+    assert(rows(viaWith) === rows(SparkEntry.queries("search_cypher_with")(spark, sf)))
   }
 }
