@@ -167,6 +167,29 @@ object EventStream {
       }
   }
 
+  /** Streaming IVF index maintenance — the at-ingest twin of
+    * VectorStore.indexDataPoints (reference: tasks/storage/
+    * index_data_points.py runs per ingest batch). Each micro-batch of
+    * arriving vectors upserts into the collection and lands in its IVF
+    * cell with the PERSISTED quantizer (no retrain — the Faiss
+    * practice), through the store's own append paths. Replay-idempotent:
+    * only ids not yet in the collection are written, pinned by an eager
+    * checkpoint BEFORE the collection mutates so the second write can't
+    * see its own upsert. foreachBatch is the documented sink shape for
+    * idempotent upsert stores; at scale the anti-join and the cell
+    * assignment shard with the batch, nothing driver-side. */
+  def indexStream(vectors: DataFrame, store: graft.sources.VectorStore,
+      name: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch
+          .join(store.collection(name).select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        store.createDataPoints(name, fresh)
+        store.indexDataPoints(name, fresh)
+        ()
+      }.start()
+
   /** Continuously-maintained per-user history — the streaming twin of
     * EventOps.history (get_history's latest-k ledger read, kept hot as
     * state instead of recomputed per query). State per user is the

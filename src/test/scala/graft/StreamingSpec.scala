@@ -190,6 +190,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming IVF index maintenance: arrivals land in their cells, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    val store = sources.VectorStore(spark, root)
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"),
+        col("label").cast("string").as("label"))
+    store.createCollection("chunks", base.filter(col("vec_id") < 40))
+    store.createVectorIndex("chunks")
+    // a twin collection holding what the final state should be, un-indexed
+    // (search on it is exact brute force — the parity oracle)
+    store.createCollection("oracle", base.filter(col("vec_id") < 60))
+
+    val arrivals = base.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, Seq[Double], String)]
+    val q = EventStream.indexStream(
+      stream.toDS().toDF("vec_id", "embedding", "label"), store, "chunks")
+    stream.addData(arrivals)
+    q.processAllAvailable()
+    stream.addData(arrivals.take(10)) // replayed micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    // replays deduped in both the collection and the cell layout
+    assert(store.collection("chunks").count() === 60L)
+    assert(spark.read.parquet(s"$root/chunks__index/cells").count() === 60L)
+    // full-probe indexed search over the streamed state ≡ exact brute
+    // force over the final collection (the nprobe ≥ cells reduction)
+    val qv = base.filter(col("vec_id") === 55).head().getSeq[Double](1).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cosine")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows(store.search("chunks", qv, 5, nprobe = 99)) ===
+      rows(store.search("oracle", qv, 5)))
+    store.prune()
+  }
+
   test("stateful sessionization emits exactly the batch-closed sessions") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
