@@ -151,15 +151,22 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: (Int, Long), it: Iterator[(Long, Int, Long)], state: GroupState[List[Long]]) =>
           var residents = state.getOption.getOrElse(Nil)
+          // O(1) membership beside the stored list (the cap bounds the
+          // list, but a hot replayed bucket would still pay O(cap) per
+          // arrival on a linear scan).
+          var residentSet = residents.toSet
           val out = List.newBuilder[NearDupCandidate]
           // Sort the micro-batch for a deterministic emission order
           // (iterator order within a group is not defined).
           it.map(_._1).toIndexedSeq.distinct.sorted.foreach { id =>
-            if (!residents.contains(id)) {
+            if (!residentSet(id)) {
               residents.foreach { r =>
                 out += NearDupCandidate(math.min(r, id), math.max(r, id), key._1)
               }
-              if (residents.length < maxBucketResidents) residents = id :: residents
+              if (residents.length < maxBucketResidents) {
+                residents = id :: residents
+                residentSet += id
+              }
             }
           }
           state.update(residents)
