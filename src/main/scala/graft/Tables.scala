@@ -16,22 +16,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as raw long (legacy conf, set at
-    * session construction by GraftSession.tune — loaders never mutate a
-    * shared session's conf) and expose both a µs-truncated TimestampType
-    * `ts` and an exact whole-seconds `ts_sec` — all downstream temporal
-    * math uses whole seconds so the DuckDB oracle (which keeps ns) can't
-    * drift (SURVEY.md §4). Integer `DIV`, never double division:
-    * epoch-ns (~1.7e18) exceeds double's 2^53 exact-integer range.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a raw long via the legacy nanosAsLong conf, set at session
+    * construction by GraftSession) and native TIMESTAMP(MICROS) (read as
+    * TimestampType/TimestampNTZType). Branch on the *loaded* schema rather
+    * than assuming a writer precision, and expose a uniform surface either
+    * way: a TimestampType `ts` plus an exact whole-seconds BIGINT `ts_sec`
+    * — all downstream temporal math uses whole seconds so the DuckDB
+    * oracle (`CAST(floor(epoch(ts)) AS BIGINT)`) can't drift (SURVEY.md
+    * §4). In the nanos branch use integer `DIV`, never double division:
+    * epoch-ns (~1.7e18) exceeds double's 2^53 exact-integer range. In the
+    * timestamp branch `unix_timestamp` is exact whole seconds under the
+    * session's UTC zone, and NTZ is cast to TimestampType (identity at
+    * UTC) so consumers see one type regardless of isAdjustedToUTC.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session via GraftSession (spark.sql.legacy.parquet.nanosAsLong=true " +
-        "must be set at construction — events.parquet is TIMESTAMP(NANOS))")
-    load(spark, dir, "events")
-      .withColumn("ts_sec", org.apache.spark.sql.functions.expr("ts DIV 1000000000"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.functions.{col, expr, unix_timestamp}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw epoch-ns long
+        raw
+          .withColumn("ts_sec", expr("ts DIV 1000000000"))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType =>
+        raw.withColumn("ts_sec", unix_timestamp(col("ts")))
+      case TimestampNTZType =>
+        val asTz = raw.withColumn("ts", col("ts").cast(TimestampType))
+        asTz.withColumn("ts_sec", unix_timestamp(col("ts")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other " +
+            "(expected TIMESTAMP(NANOS) as long, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
 
   /** Register every table as a temp view (used by the SQL/cypher surface). */
