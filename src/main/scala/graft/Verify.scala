@@ -17,11 +17,23 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // A query that throws must surface as a red row, not a missing key:
+    // round 7's gate looked green while 8 queries were dead because a
+    // failed dump simply wasn't there. Record every failure twice — an
+    // _ERROR marker inside the query's dump dir (so per-dir consumers see
+    // it) and a top-level errors.json (so the driver/judge see the full
+    // failure set even for rows-only queries with no oracle entry).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val dumpDir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dumpDir)
+        Files.writeString(dumpDir.resolve("_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Exit 0 even on per-query failures: the driver must still run the
+    // oracle compare over the queries that DID dump; the failure signal
+    // is errors.json + the _ERROR markers, which check.py turns into
+    // explicit FAIL rows.
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

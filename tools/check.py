@@ -45,8 +45,25 @@ def main(out_dir, sf_dir, only=()):
             print(f"unknown query names: {sorted(unknown)}")
             return 2
         oracle = {k: v for k, v in oracle.items() if k in set(only)}
+    # Queries that threw during Verify are recorded in errors.json and as
+    # an _ERROR marker in their dump dir — report each as a FAIL row (this
+    # also covers rows-only queries that have no oracle_sql entry, which
+    # would otherwise vanish from the report entirely).
+    err_path = os.path.join(out_dir, "errors.json")
+    errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
+    if only:
+        errors = {k: v for k, v in errors.items() if k in set(only)}
     n_pass = n_fail = 0
+    for name, msg in sorted(errors.items()):
+        print(f"FAIL {name}: query threw during Verify: {msg}")
+        n_fail += 1
+        oracle.pop(name, None)
     for name, sql in sorted(oracle.items()):
+        if os.path.exists(os.path.join(out_dir, name, "_ERROR")):
+            marker = open(os.path.join(out_dir, name, "_ERROR")).read().strip()
+            print(f"FAIL {name}: query threw during Verify: {marker}")
+            n_fail += 1
+            continue
         try:
             expect = canon(con.execute(sql).df())
             got = canon(load_result(os.path.join(out_dir, name)))
