@@ -148,6 +148,32 @@ object VectorOps {
       struct((dot(v, lit(c)) * 2 - lit(c.map(x => x * x).sum)).as("s"), lit(i).as("cell"))
     }: _*))
 
+  /** [[bestCellL2]]'s argmax folded into one `aggregate` HOF over the
+    * codebook literal, returning just the cell index. Semantics are
+    * identical, including ties: `>=` lets a later (larger) cell index
+    * replace an equal score, matching `array_max`'s struct ordering.
+    * Exists because m unrolled copies of the ks-way argmax inside a
+    * single whole-stage `explode` consumer exceed the JVM's 64 KB
+    * method limit (a Generate consumer's code can't be split), so the
+    * whole training stage silently fell back to interpreted execution.
+    * An HOF is CodegenFallback, which keeps the generated stage code a
+    * small compiled shell around an eval call. */
+  private[graft] def bestCellL2Cell(v: Column, cents: Array[Array[Double]]): Column =
+    if (cents.isEmpty) lit(0)
+    else {
+      val cells = typedLit(cents.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq, c.map(x => x * x).sum)
+      }.toSeq)
+      aggregate(
+        cells,
+        struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("cell")),
+        (acc, x) => {
+          val s = dot(v, x.getField("_2")) * 2 - x.getField("_3")
+          when(s >= acc.getField("s"),
+            struct(s.as("s"), x.getField("_1").as("cell"))).otherwise(acc)
+        }).getField("cell")
+    }
+
   /** Lloyd's k-means with deterministic init (members ordered by
     * md5(vec_id), first k) and a fixed iteration count — no RNG, so the
     * quantizer is reproducible across runs and sessions. Only k×64
@@ -379,9 +405,12 @@ object VectorOps {
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     var books = Array.tabulate(m)(j => init.map(_.slice(j * dimsPer, (j + 1) * dimsPer)))
     for (_ <- 1 to iters) {
+      // bestCellL2Cell (HOF), not bestCellL2: m unrolled argmaxes in this
+      // generator blew the 64 KB generated-method limit (the explode
+      // consumer can't split code) and de-optimized the whole stage.
       val subStructs = array(Array.tabulate(m) { j =>
         val sv = slice(col("v"), j * dimsPer + 1, dimsPer)
-        struct(lit(j).as("sub"), bestCellL2(sv, books(j)).getField("cell").as("cell"), sv.as("sv"))
+        struct(lit(j).as("sub"), bestCellL2Cell(sv, books(j)).as("cell"), sv.as("sv"))
       }: _*)
       val dimMeans = sample.select(explode(subStructs).as("sc"))
         .select(col("sc.sub").as("sub"), col("sc.cell").as("cell"),

@@ -102,6 +102,21 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(onePass(j)(c).toSeq === seq(j)(c).toSeq, s"book $j cell $c diverges")
   }
 
+  test("PQ training compiles under the 64 KB codegen method limit (no interpreted fallback)") {
+    // With fallback disabled a janino CompileException ("Code of method
+    // grows beyond 64 KB") aborts the job instead of silently running
+    // the training interpreted — which is exactly the regression this
+    // guards against (round 7 shipped 4 such fallbacks per training).
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val books = VectorOps.pqTrainCodebooks(e)
+      assert(books.length === 8 && books.forall(_.length === 16))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("residual ADC recall >= flat ADC recall at the same (m, ks)") {
     // Same coarse cells, same refine budget — the only difference is
     // what the codes quantize (within-cell residuals vs raw vectors),
