@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE var.prop = 'literal' [AND ...]]
-  *   [WITH var | var.prop AS alias | agg(var.prop) AS alias [, ...]
+  *   [WITH var | alias | var.prop AS alias | agg(var.prop) AS alias [, ...]
   *     [WHERE alias op literal [AND ...]]
-  *    MATCH ... (one WITH; the chained MATCH…WITH…MATCH shape)]
+  *    MATCH ...]*   (arbitrary MATCH…WITH…MATCH…WITH… chains)
   *   RETURN [DISTINCT] var.prop [AS alias] | alias
   *          | count(*) | agg(var.prop) | agg(alias) [AS alias] [, ...]
   *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
@@ -185,12 +185,14 @@ object CypherLite {
 
   def run(g: PropertyGraph, cypher: String): DataFrame = {
     val q = cypher.trim.replaceAll("\\s+", " ")
-    // At most one WITH: MATCH… WITH items [WHERE pred] MATCH… RETURN…
-    // — the chained shape the reference's cypher examples emit. The
-    // split is literal-aware (WITH inside a quoted string is data) and
-    // operator-aware (the WITH of `STARTS WITH` is not a clause).
+    // Arbitrary WITH chains: MATCH… (WITH items [WHERE pred] MATCH…)*
+    // RETURN… — the reference forwards whatever Cypher the caller
+    // writes (cypher_search_retriever.py:24), and chained reductions
+    // (aggregate, filter, re-expand) are the natural second-level
+    // query. The split is literal-aware (WITH inside a quoted string is
+    // data) and operator-aware (the WITH of `STARTS WITH` is not a
+    // clause).
     val withParts = splitOnWithClause(q)
-    require(withParts.length <= 2, s"at most one WITH segment supported: $q")
 
     var df: DataFrame = null
     var allNode: Set[String] = Set.empty
@@ -285,16 +287,20 @@ object CypherLite {
 
     compileBody(withParts.head)
 
-    // ---- WITH projection/aggregation between the two MATCH bodies ----
-    // Items: a bare node variable carries the whole binding forward;
+    // ---- WITH projection/aggregation between MATCH bodies (looped per
+    // segment for arbitrary chains) ----
+    // Items: a bare node variable carries the whole binding forward; a
+    // bare name that is a live alias carries that value column;
     // `v.prop AS alias` projects a value column; `agg(v.prop) AS alias`
     // aggregates with Cypher's implicit grouping (group by every
     // non-aggregate item). A WHERE attached to the WITH filters on the
     // projected aliases (Cypher's post-aggregation predicate — the
-    // HAVING shape). Edge variables don't survive a WITH unless
-    // projected into a value column.
-    val finalText = if (withParts.length == 2) {
-      val tail = withParts(1)
+    // HAVING shape). Each WITH is a hard projection: only its items
+    // survive into the next segment (edge variables and un-reprojected
+    // aliases drop, per Cypher's scoping).
+    var finalText = withParts.head
+    for (segIdx <- 1 until withParts.length) {
+      val tail = withParts(segIdx)
       val mUp = " " + maskedUpper(tail)
       val mIdx = mUp.indexOf(" MATCH ")
       require(mIdx >= 0, s"WITH must be followed by MATCH: $q")
@@ -305,6 +311,7 @@ object CypherLite {
       var keyCols = Vector.empty[Column]
       var aggCols = Vector.empty[Column]
       var carried = Set.empty[String]
+      var segAliases = Set.empty[String] // aliases live AFTER this WITH
       hw.head.split(",").map(_.trim).foreach {
         case withAggRe(fn, v, p, alias) =>
           val c = propCol(v, p)
@@ -316,13 +323,15 @@ object CypherLite {
             case "max" => max(c)
             case "collect" => sort_array(collect_list(c))
           }
-          aggCols :+= agg.as(alias); aliases += alias
+          aggCols :+= agg.as(alias); segAliases += alias
         case withScalarRe(v, p, alias) =>
-          keyCols :+= propCol(v, p).as(alias); aliases += alias
-        case withBareRe(v) =>
-          require(allNode(v), s"WITH carries node variables or aliased expressions, got: $v")
+          keyCols :+= propCol(v, p).as(alias); segAliases += alias
+        case withBareRe(v) if allNode(v) =>
           carried += v
           keyCols ++= Seq(s"${v}_id", s"${v}_ntype", s"${v}_name", s"${v}_props").map(col)
+        case withBareRe(v) if aliases(v) =>
+          // an alias projected by a PREVIOUS With, carried through
+          keyCols :+= col(v); segAliases += v
         case other => throw new IllegalArgumentException(s"unsupported WITH item: $other")
       }
       df = if (aggCols.nonEmpty) {
@@ -331,6 +340,7 @@ object CypherLite {
       } else df.select(keyCols: _*)
       allNode = carried
       allEdge = Set.empty
+      aliases = segAliases
       hw.lift(1).foreach { w =>
         splitOutsideQuotes(w, " AND ").foreach {
           case withPredRe(name, op, strLit, numLit) =>
@@ -349,8 +359,8 @@ object CypherLite {
         }
       }
       compileBody(restText)
-      restText
-    } else withParts.head
+      finalText = restText
+    }
 
     val retPart = section(finalText, "RETURN", Seq("ORDER BY", "LIMIT"))
     val orderPart = sectionOpt(finalText, "ORDER BY", Seq("LIMIT"))

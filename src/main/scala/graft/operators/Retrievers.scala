@@ -755,6 +755,36 @@ object Retrievers {
       |FROM big JOIN customer ON c_custkey = ck JOIN nation ON n_nationkey = c_nationkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** Two chained WITH segments — aggregate, filter, re-expand, aggregate,
+    * filter, re-expand, final aggregate (cypher_search_retriever.py:24
+    * forwards arbitrary chains; this is the second-level reduction a
+    * power user writes). The second WITH also carries no alias from the
+    * first forward, pinning WITH's hard-projection scoping. */
+  val withCypher2: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer) " +
+      "WITH c, count(o.id) AS n_orders WHERE n_orders >= 15 " +
+      "MATCH (c)-[:located_in]->(n:nation) " +
+      "WITH n, count(c.id) AS n_big WHERE n_big >= 2 " +
+      "MATCH (n)<-[:located_in]-(s:supplier) " +
+      "RETURN n.name AS nation, n_big, count(s.id) AS n_suppliers ORDER BY nation"
+
+  def cypherWith2(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), withCypher2)
+
+  val cypherWith2Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey AS ck, count(*) AS n_orders
+      |  FROM orders GROUP BY 1 HAVING count(*) >= 15
+      |), bignation AS (
+      |  SELECT c_nationkey AS nk, count(*) AS n_big
+      |  FROM big JOIN customer ON c_custkey = ck
+      |  GROUP BY 1 HAVING count(*) >= 2
+      |)
+      |SELECT n_name AS nation, n_big, count(*) AS n_suppliers
+      |FROM bignation JOIN nation ON n_nationkey = nk
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY nation""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -1215,6 +1245,7 @@ object Retrievers {
     "search_cypher_optional" -> ((s: SparkSession, d: String) => cypherOptional(s, d)),
     "search_cypher_agg" -> ((s: SparkSession, d: String) => cypherAgg(s, d)),
     "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
+    "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1244,5 +1275,6 @@ object Retrievers {
     "search_cypher_optional" -> cypherOptionalSql,
     "search_cypher_agg" -> cypherAggSql,
     "search_cypher_with" -> cypherWithSql,
+    "search_cypher_with2" -> cypherWith2Sql,
     "search_natural_language" -> cypherSql)
 }

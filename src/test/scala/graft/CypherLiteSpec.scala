@@ -208,11 +208,7 @@ class CypherLiteSpec extends SparkSpecBase {
   }
 
   test("WITH rejects the unsupported shapes loudly") {
-    // two WITH segments
-    intercept[IllegalArgumentException] { CypherLite.run(g,
-      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n1 MATCH (y)-[:in]->(z:c) " +
-        "WITH z, count(y.id) AS n2 MATCH (z)-[:in]->(w) RETURN w.id AS wid") }
-    // bare WITH item must be a bound node variable
+    // bare WITH item must be a bound node variable or a live alias
     intercept[IllegalArgumentException] { CypherLite.run(g,
       "MATCH (x:a)-[:knows]->(y:b) WITH q MATCH (q)-[:in]->(z:c) RETURN z.id AS zid") }
     // RETURN of a name that is neither var.prop nor a WITH alias
@@ -441,6 +437,69 @@ class CypherLiteSpec extends SparkSpecBase {
       "SELECT count(*) AS n FROM graph_edges WHERE rel = 'in_region'").head().getLong(0)
     assert(viaSql === 25L)
     assert(spark.sql("SELECT dot_native(array(1.0D), array(2.0D))").head().getDouble(0) === 2.0)
+  }
+
+  test("chained WITH segments: aggregate, filter, re-expand, repeat") {
+    // MATCH…WITH…MATCH…WITH…MATCH…RETURN — the multi-segment shape the
+    // reference forwards verbatim (cypher_search_retriever.py:24).
+    // Oracle: the same two-level reduction written directly on the
+    // source tables.
+    val viaCypher = operators.Retrievers.cypherWith2(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val nation = Tables.load(spark, sf, "nation")
+    val supplier = Tables.load(spark, sf, "supplier")
+    val big = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+    val bigNation = big.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_big"))
+      .filter(col("n_big") >= 2)
+    val direct = bigNation.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(supplier, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("n_big")).agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(viaCypher.nonEmpty)
+    assert(viaCypher === direct)
+  }
+
+  test("a WITH alias carries through a later WITH as a bare item") {
+    val out = CypherLite.run(TpchGraph(spark, sf),
+      "MATCH (o:order)-[:placed_by]->(c:customer) " +
+        "WITH c, count(o.id) AS n_orders WHERE n_orders >= 15 " +
+        "MATCH (c)-[:located_in]->(n:nation) " +
+        "WITH n, n_orders " +
+        "MATCH (n)-[:in_region]->(r:region) " +
+        "RETURN r.name AS region, max(n_orders) AS max_orders ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+      .join(Tables.load(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, sf, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(max(col("n_orders")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    assert(out === direct)
+    // a fully supported two-aggregation chain also runs on the tiny graph
+    val tiny = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n1 MATCH (y)-[:in]->(z:c) " +
+        "WITH z, count(y.id) AS n2 MATCH (z)<-[:in]-(w:b) RETURN z.name AS zn, n2, count(w.id) AS nw")
+    assert(tiny.collect().nonEmpty)
+  }
+
+  test("an alias not re-projected by a later WITH is out of scope") {
+    assertThrows[IllegalArgumentException] {
+      CypherLite.run(TpchGraph(spark, sf),
+        "MATCH (o:order)-[:placed_by]->(c:customer) " +
+          "WITH c, count(o.id) AS n_orders " +
+          "MATCH (c)-[:located_in]->(n:nation) " +
+          "WITH n " +
+          "MATCH (n)-[:in_region]->(r:region) " +
+          "RETURN r.name AS region, max(n_orders) AS m")
+    }
   }
 
   test("tpch projection: suppliers per region matches direct aggregation") {
