@@ -138,4 +138,16 @@ object Graft {
   /** CYPHER with a caller-supplied pattern. */
   def searchCypher(spark: SparkSession, dir: String, cypher: String): DataFrame =
     graph.CypherLite.run(graph.TpchGraph(spark, dir), cypher)
+
+  /** TEMPORAL resolved through the entity graph (temporal_retriever.py's
+    * graph leg: interval → events → entity resolution → aggregate). The
+    * caller's [[SearchParams.interval]] threads into the scan filter
+    * exactly like the event-table leg; no params runs the pinned
+    * verification window. */
+  def searchTemporalGraph(spark: SparkSession, dir: String,
+      p: SearchParams = SearchParams()): DataFrame =
+    p.interval match {
+      case Some((from, until)) => operators.Retrievers.temporalGraph(spark, dir, from, until)
+      case None => operators.Retrievers.temporalGraph(spark, dir)
+    }
 }

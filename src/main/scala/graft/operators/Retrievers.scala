@@ -599,10 +599,16 @@ object Retrievers {
 
   /** TEMPORAL over the graph (temporal_awareness/temporal_graph tasks):
     * events in a time window resolved through the entity graph
-    * (event.user → customer → nation), aggregated per nation. */
-  def temporalGraph(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.loadEvents(spark, dir)
-      .filter(col("ts") >= lit("2024-01-08 00:00:00") && col("ts") < lit("2024-01-22 00:00:00"))
+    * (event.user → customer → nation), aggregated per nation. The
+    * bounds are the caller's QueryInterval (temporal_retriever.py —
+    * either side optional); the defaults are the pinned verification
+    * window. Every present bound is one pushed-down scan predicate. */
+  def temporalGraph(spark: SparkSession, dir: String,
+      from: Option[String] = Some("2024-01-08 00:00:00"),
+      until: Option[String] = Some("2024-01-22 00:00:00")): DataFrame = {
+    val bounds = from.map(f => col("ts") >= lit(f)).toSeq ++
+      until.map(u => col("ts") < lit(u))
+    val ev = bounds.foldLeft(graft.Tables.loadEvents(spark, dir))((df, p) => df.filter(p))
     val cust = load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val nation = load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
     ev.join(cust, col("user_id") === col("c_custkey"))

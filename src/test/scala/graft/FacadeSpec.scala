@@ -85,6 +85,21 @@ class FacadeSpec extends SparkSpecBase {
     assert(rows(open) === rows(operators.EventOps.temporalOpen(spark, sf)))
   }
 
+  test("caller interval reaches the temporal-graph resolution") {
+    // Default window ≡ the registered operator; a caller QueryInterval
+    // changes the entity-graph result (temporal_retriever.py threads the
+    // extracted interval into the graph leg, not just the event table).
+    val dflt = Graft.searchTemporalGraph(spark, sf)
+    assert(rows(dflt) === rows(SparkEntry.queries("search_temporal_graph")(spark, sf)))
+    val narrow = Graft.searchTemporalGraph(spark, sf,
+      SearchParams(interval = Some((Some("2024-01-08 00:00:00"), Some("2024-01-09 00:00:00")))))
+    val (dTotal, nTotal) = (
+      dflt.agg(sum(col("n_events"))).head().getLong(0),
+      narrow.agg(sum(col("n_events"))).head().getLong(0))
+    assert(nTotal > 0 && nTotal < dTotal,
+      s"narrowed interval should shrink the event mass: $nTotal vs $dTotal")
+  }
+
   test("cypher override threads through the facade") {
     val viaParams = Graft.search(spark, sf, Graft.Cypher,
       SearchParams(cypher = Some(Retrievers.supplierCypher)))
