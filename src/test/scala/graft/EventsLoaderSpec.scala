@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   * surface (`ts` TimestampType + exact whole-seconds BIGINT `ts_sec`)
   * is identical across them.
   */
-class EventsLoaderSpec extends SparkSpecBase {
+/** Tiny events fixtures in both physical timestamp encodings the
+  * testdata generator has shipped — shared by the loader spec and the
+  * streaming spec so batch and streaming stay pinned to both. */
+object EventFixtures {
   import TestSpark.spark.implicits._
 
-  private val rows = Seq(
+  val rows = Seq(
     (1L, 1700000000L, 7L, "click", 1.5, """{"k":"a"}"""),
     (2L, 1700000123L, 7L, "view", 2.0, """{"k":"b"}"""),
     (3L, 1700086400L, 9L, "click", 0.5, """{"k":"c"}"""))
@@ -27,7 +30,7 @@ class EventsLoaderSpec extends SparkSpecBase {
     * what the nanosAsLong reader produces from a TIMESTAMP(NANOS) file, and
     * exactly the LongType branch of the loader.
     */
-  private def writeNanosFixture(): String = {
+  def writeNanosFixture(): String = {
     val dir = Files.createTempDirectory("events_nanos").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", col("ts") * lit(1000000000L))
@@ -38,13 +41,18 @@ class EventsLoaderSpec extends SparkSpecBase {
   /** Write an events dir with a native TimestampType (micros) ts column —
     * the current testdata generation.
     */
-  private def writeMicrosFixture(): String = {
+  def writeMicrosFixture(): String = {
     val dir = Files.createTempDirectory("events_micros").toString
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_seconds(col("ts")))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
+}
+
+class EventsLoaderSpec extends SparkSpecBase {
+  import EventFixtures.{writeMicrosFixture, writeNanosFixture}
+  import TestSpark.spark.implicits._
 
   private def surface(dir: String): (Seq[(Long, Long, Long)], DataType) = {
     val df = Tables.loadEvents(spark, dir)

@@ -249,4 +249,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === closed)
     assert(closed.nonEmpty)
   }
+
+  test("streaming event surface is identical across both parquet timestamp encodings") {
+    // Round 7's MemoryStream twins stayed green while every parquet-
+    // reading leg died on a timestamp-precision change — pin the
+    // parquet→stream path itself against BOTH encodings the generator
+    // has shipped (nanos-as-long and native micros).
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def drive(dir: String, name: String): (Set[Any], Set[String]) = {
+      val evs = Tables.loadEvents(spark, dir)
+        .select(col("event_id"), col("ts_sec"), col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .collect().map(e => Event(e._1, e._2, e._3, e._4, e._5)).toSeq
+      val stream = MemoryStream[Event]
+      stream.addData(evs)
+      val q = EventStream.windowedAgg(stream.toDF())
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Complete()).start()
+      q.processAllAvailable()
+      q.stop()
+      val agg = spark.table(name)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)): Any).toSet
+      // the partitioned sink leg: same day layout from either encoding
+      val out = java.nio.file.Files.createTempDirectory(s"graft_enc_$name").toString
+      EventOps.writePartitionedByDay(Tables.loadEvents(spark, dir), out)
+      val days = spark.read.parquet(out).select(col("event_date").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      (agg, days)
+    }
+    val (aggN, daysN) = drive(EventFixtures.writeNanosFixture(), "enc_nanos")
+    val (aggM, daysM) = drive(EventFixtures.writeMicrosFixture(), "enc_micros")
+    assert(aggN.nonEmpty && daysN.nonEmpty)
+    assert(aggN === aggM)
+    assert(daysN === daysM)
+  }
 }
