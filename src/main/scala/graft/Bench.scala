@@ -42,7 +42,35 @@ object Bench {
       (name, first, last)
     }
     spark.stop()
+    // Previous-round per-query records: the newest BENCH_r*.json in the
+    // cwd (the driver snapshots one per round, same measurement channel).
+    // A query whose warm time exceeds 2x its record lands in a
+    // `regressed` map on BOTH output lines — cross-round regressions
+    // stay visible even when the compact line's degradation tiers drop
+    // per-query detail. Queries under 0.5 s are exempt (sub-second
+    // jitter, not regression); errored queries are already reported.
+    val records: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) Map.empty
+      else try {
+        val latest = files.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+        val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(latest).path("parsed").path("queries")
+        val out = scala.collection.mutable.Map.empty[String, Double]
+        val it = qs.fields()
+        while (it.hasNext) { val e = it.next(); out(e.getKey) = e.getValue.asDouble() }
+        out.toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val regressed: Seq[(String, Double, Double)] = results.collect {
+      case (k, _, v) if !errors.contains(k) && v >= 0.5 &&
+        records.get(k).exists(r => r > 0 && v > 2 * r) => (k, v, records(k))
+    }
     def fmt(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val regressedJson = regressed
+      .map { case (k, v, r) => "\"" + k + "\":[" + fmt(v) + "," + fmt(r) + "]" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // First-pass (cold) times alongside the reported warm times, so a
     // reader can see per-query JIT/caching spread instead of guessing.
@@ -52,7 +80,7 @@ object Bench {
     val total = results.collect { case (k, _, v) if !errors.contains(k) => v }.sum
     // Full-detail line first (9-decimal warm + cold maps, for humans reading logs)…
     System.out.println(
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"errors":$errs,"regressed":$regressedJson,"repeat":$repeat,"sf":"$sfDir"}""")
     // …then the driver-contract line LAST and COMPACT (2-decimal warm times, no
     // cold map): the driver keeps only a bounded tail of the process output, and
     // rounds 1-3 proved a ~4 KB line gets front-truncated there and never parses
@@ -72,7 +100,7 @@ object Bench {
         else s""","n_fast_omitted":${results.size - kept.size}"""
       val e = if (errors.isEmpty) "" else if (withErrs) s""","errors":$errsCompact"""
         else s""","n_errors":${errors.size}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e,"regressed":$regressedJson,"sf":"$sfShort"}"""
     }
     // Adaptive degradation, mildest first: 2→0 decimals with every query
     // present; drop error messages to a count; finally keep only the

@@ -41,6 +41,28 @@ object MultimodalOps {
     StructField("f0", DoubleType), StructField("f1", DoubleType),
     StructField("f2", DoubleType), StructField("f3", DoubleType)))
 
+  /** The batched "decode" stage over any (doc_id, payload, meta{mime,
+    * n_bytes}) media relation — the shape [[graft.sources.DocumentSource
+    * .readBinary]] ingests files into. Balanced repartition before the
+    * expensive per-partition batch, then one iterator-in/iterator-out
+    * mapPartitions (the Scala analog of mapInPandas). Swap
+    * [[fakeDecode]] for a real codec and nothing else changes. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    // Balance the expensive stage: media blobs can be skewed, so spread
+    // by doc_id hash before the per-partition batch decode.
+    val balanced = media.select(col("doc_id"), col("payload"), col("meta"))
+      .repartition(col("doc_id"))
+    val rows = balanced.rdd.mapPartitions { it =>
+      it.map { r =>
+        val meta = r.getAs[Row]("meta")
+        val (sum, feats) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getAs[Long]("doc_id"), meta.getAs[String]("mime"), meta.getAs[Long]("n_bytes"),
+          sum, feats(0), feats(1), feats(2), feats(3))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Binary ingest → metadata → batched "decode" → feature rows.
     * Payloads are synthesized from the documents table (text bytes as
     * the opaque blob; mime derived from doc_id) so the pipeline is
@@ -54,18 +76,7 @@ object MultimodalOps {
           .when(col("doc_id") % 3 === 1, "audio/wav")
           .otherwise("video/mp4").as("mime"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
-    // Balance the expensive stage: media blobs can be skewed, so spread
-    // by doc_id hash before the per-partition batch decode.
-    val balanced = media.repartition(col("doc_id"))
-    val rows = balanced.rdd.mapPartitions { it =>
-      it.map { r =>
-        val meta = r.getAs[Row]("meta")
-        val (sum, feats) = fakeDecode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[Long]("doc_id"), meta.getAs[String]("mime"), meta.getAs[Long]("n_bytes"),
-          sum, feats(0), feats(1), feats(2), feats(3))
-      }
-    }
-    spark.createDataFrame(rows, outSchema)
+    decodeFeatures(spark, media)
   }
 
   /** Frame sampling + resize plumbing: treat each payload as a media

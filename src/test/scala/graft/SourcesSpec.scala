@@ -382,4 +382,47 @@ class SourcesSpec extends SparkSpecBase {
       .select(col("doc_id"), size(col("toks")).as("n"))
     assert(chunked.agg(sum(col("n"))).head().getLong(0) === 5L)
   }
+
+  test("binary ingest routes payloads through typed metadata into the decode plumbing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binary").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), bytes)
+    put("report.txt", "alpha beta gamma".getBytes("UTF-8"))
+    put("photo.png", Array[Byte](0x50, 0x4e, 0x47, 0x00, 0x10, 0x7f))
+    put("track.wav", Array[Byte](0x52, 0x49, 0x46, 0x46))
+
+    val bin = DocumentSource.readBinary(spark, dir, sourceTag = "media_drop")
+    val byName = bin.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName.keySet === Set("report", "photo", "track"))
+    // FileMetadata fields land typed (get_file_metadata.py shape)
+    val photo = byName("photo")
+    assert(photo.getAs[String]("document_class") === "ImageDocument")
+    assert(photo.getAs[String]("mime") === "image/png")
+    assert(photo.getAs[Long]("n_bytes") === 6L)
+    assert(photo.getAs[String]("content_hash").matches("[0-9a-f]{32}"))
+    assert(byName("track").getAs[String]("document_class") === "AudioDocument")
+    assert(byName("report").getAs[String]("mime") === "text/plain")
+    // content-hash id ≡ the text readers': same bytes → same doc_id
+    val viaText = DocumentSource.readText(spark, s"$dir/report.txt")
+      .select(col("doc_id")).head().getLong(0)
+    assert(byName("report").getAs[Long]("doc_id") === viaText)
+
+    // payload + meta feed the multimodal decode stage directly
+    val feats = operators.MultimodalOps.decodeFeatures(spark, bin)
+    assert(feats.columns.toSeq ===
+      Seq("doc_id", "mime", "n_bytes", "byte_sum", "f0", "f1", "f2", "f3"))
+    val photoFeat = feats.filter(col("doc_id") === photo.getAs[Long]("doc_id")).head()
+    assert(photoFeat.getAs[Long]("byte_sum") ===
+      (0x50 + 0x4e + 0x47 + 0x00 + 0x10 + 0x7f).toLong)
+
+    // routed onto the documents schema, the dataset inventory counts them
+    val docs = DocumentSource.toDocuments(bin)
+    assert(docs.filter(col("text") === "alpha beta gamma").count() === 1L)
+    assert(docs.filter(col("text").startsWith("[ImageDocument transcript of photo")).count() === 1L)
+    val store = java.nio.file.Files.createTempDirectory("graft_binary_ds").toString
+    docs.write.parquet(s"$store/documents.parquet")
+    val inv = operators.DatasetOps.datasets(spark, store)
+      .filter(col("dataset") === "media_drop").head()
+    assert(inv.getAs[Long]("n_docs") === 3L)
+  }
 }
