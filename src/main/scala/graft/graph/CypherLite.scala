@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   *   [WHERE var.prop = 'literal' [AND ...]]
   *   [WITH var | alias | var.prop AS alias | agg(var.prop) AS alias [, ...]
   *     [WHERE alias op literal [AND ...]]
-  *    MATCH ...]*   (arbitrary MATCH…WITH…MATCH…WITH… chains)
+  *    MATCH ...]*   (arbitrary MATCH…WITH…MATCH…WITH… chains; the LAST
+  *                   WITH may instead terminate into UNWIND/RETURN —
+  *                   the HAVING-then-return shape)
+  *   [UNWIND alias | [lit, ...] AS name]*
   *   RETURN [DISTINCT] var.prop [AS alias] | alias
   *          | count(*) | agg(var.prop) | agg(alias) [AS alias] [, ...]
-  *   [ORDER BY alias [DESC] [, ...]] [LIMIT n]
+  *   [ORDER BY alias [DESC] [, ...]] [SKIP n] [LIMIT n]
   * }}}
+  * UNWIND (final segment, after any WHERE) explodes one row per
+  * element of a WITH-projected list column (collect round-trip) or a
+  * literal list; empty/NULL lists drop the row, per Cypher. SKIP
+  * offsets past the first n rows before LIMIT, deterministic under an
+  * ORDER BY total order.
   * WITH projects between pattern segments: a bare node variable carries
   * its whole binding, aliased expressions become value columns, and an
   * aggregate item triggers Cypher's implicit grouping over the
@@ -263,9 +271,9 @@ object CypherLite {
     // (Cypher's semantics). A pattern sharing no variable with what
     // precedes it would be a cartesian product — rejected.
     def compileBody(text: String): Unit = {
-      val matchPart = section(text, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "RETURN"))
+      val matchPart = section(text, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "UNWIND", "RETURN"))
       val optParts = optionalSections(text)
-      val wherePart = sectionOpt(text, "WHERE", Seq("RETURN"))
+      val wherePart = sectionOpt(text, "WHERE", Seq("UNWIND", "RETURN"))
       val chains = matchPart.split(",").map(_.trim).filter(_.nonEmpty)
       require(chains.nonEmpty, s"empty MATCH in: $q")
       var rest: Seq[String] = chains.toIndexedSeq
@@ -303,9 +311,22 @@ object CypherLite {
       val tail = withParts(segIdx)
       val mUp = " " + maskedUpper(tail)
       val mIdx = mUp.indexOf(" MATCH ")
-      require(mIdx >= 0, s"WITH must be followed by MATCH: $q")
-      val head = tail.substring(0, mIdx).trim
-      val restText = tail.substring(mIdx)
+      // A TERMINAL WITH (no following MATCH) projects/aggregates and
+      // hands straight to UNWIND/RETURN — the HAVING-then-return shape
+      // (`MATCH … WITH x, count(*) AS n WHERE n > 5 RETURN …`) and the
+      // collect→UNWIND round-trip both need it.
+      val (cut, isTerminal) =
+        if (mIdx >= 0) (mIdx, false)
+        else {
+          require(segIdx == withParts.length - 1,
+            s"WITH must be followed by MATCH: $q")
+          val cands = Seq(" UNWIND ", " RETURN ").map(mUp.indexOf(_)).filter(_ >= 0)
+          require(cands.nonEmpty,
+            s"WITH must be followed by MATCH, UNWIND or RETURN: $q")
+          (cands.min, true)
+        }
+      val head = tail.substring(0, cut).trim
+      val restText = tail.substring(cut)
       val hw = splitOutsideQuotes(head, " WHERE ")
       require(hw.length <= 2, s"multiple WHERE in WITH: $q")
       var keyCols = Vector.empty[Column]
@@ -358,12 +379,45 @@ object CypherLite {
           case other => throw new IllegalArgumentException(s"unsupported WITH predicate: $other")
         }
       }
-      compileBody(restText)
+      if (!isTerminal) compileBody(restText)
       finalText = restText
     }
 
-    val retPart = section(finalText, "RETURN", Seq("ORDER BY", "LIMIT"))
-    val orderPart = sectionOpt(finalText, "ORDER BY", Seq("LIMIT"))
+    // ---- UNWIND (final segment, between WHERE and RETURN): each
+    // `UNWIND expr AS name` explodes one row per list element — expr is
+    // a live alias (typically a WITH collect(...) column) or a literal
+    // list. Empty/NULL lists drop the row, Cypher's semantics (and
+    // explode's). The unwound name becomes an alias referencable in
+    // RETURN/ORDER BY; aggregates over it see the multiplicity. ----
+    sectionOpt(finalText, "UNWIND", Seq("RETURN")).foreach { u =>
+      splitOutsideQuotes(u, " UNWIND ").map(_.trim).foreach { item =>
+        val m = """(?i)^(.+?)\s+AS\s+(\w+)$""".r
+        item match {
+          case m(exprText, name) =>
+            val src = exprText.trim
+            val c: Column =
+              if (aliases(src)) col(src)
+              else if (src.startsWith("[") && src.endsWith("]")) {
+                val elems = src.substring(1, src.length - 1).split(",").map(_.trim)
+                  .filter(_.nonEmpty).map { e =>
+                    if (e.startsWith("'") && e.endsWith("'") && e.length >= 2)
+                      lit(e.substring(1, e.length - 1))
+                    else if (e.matches("-?\\d+")) lit(e.toLong)
+                    else lit(e.toDouble)
+                  }
+                array(elems.toIndexedSeq: _*)
+              } else throw new IllegalArgumentException(
+                s"UNWIND source must be a WITH alias or a literal list: $src")
+            df = df.withColumn(name, explode(c))
+            aliases += name
+          case other => throw new IllegalArgumentException(s"unsupported UNWIND: $other")
+        }
+      }
+    }
+
+    val retPart = section(finalText, "RETURN", Seq("ORDER BY", "SKIP", "LIMIT"))
+    val orderPart = sectionOpt(finalText, "ORDER BY", Seq("SKIP", "LIMIT"))
+    val skipPart = sectionOpt(finalText, "SKIP", Seq("LIMIT"))
     val limitPart = sectionOpt(finalText, "LIMIT", Seq.empty)
 
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
@@ -422,6 +476,10 @@ object CypherLite {
       }
       out = out.orderBy(sorts.toIndexedSeq: _*)
     }
+    // SKIP before LIMIT, Cypher's clause order: rows [skip, skip+limit).
+    // Deterministic only under an ORDER BY total order — same contract
+    // as Cypher itself.
+    skipPart.foreach(n => out = out.offset(n.trim.toInt))
     limitPart.foreach(n => out = out.limit(n.trim.toInt))
     out
   }

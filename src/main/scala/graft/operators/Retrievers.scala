@@ -791,6 +791,26 @@ object Retrievers {
       |JOIN supplier ON s_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY nation""".stripMargin
 
+  /** collect→UNWIND round-trip + terminal WITH + SKIP/LIMIT pagination —
+    * the remaining Cypher clauses a CYPHER-search caller writes
+    * (cypher_search_retriever.py:24 forwards the string verbatim). The
+    * per-nation supplier list collects in a terminal WITH (no trailing
+    * MATCH), UNWIND explodes it back to one row per element, and the
+    * result pages deterministically under the ORDER BY total order. */
+  val unwindCypher: String =
+    "MATCH (s:supplier)-[:located_in]->(n:nation) " +
+      "WITH n, collect(s.name) AS sups " +
+      "UNWIND sups AS sup " +
+      "RETURN n.name AS nation, sup ORDER BY nation, sup SKIP 10 LIMIT 25"
+
+  def cypherUnwind(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), unwindCypher)
+
+  val cypherUnwindSql: String =
+    """SELECT n_name AS nation, s_name AS sup
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY nation, sup LIMIT 25 OFFSET 10""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -1252,6 +1272,7 @@ object Retrievers {
     "search_cypher_agg" -> ((s: SparkSession, d: String) => cypherAgg(s, d)),
     "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
+    "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1282,5 +1303,6 @@ object Retrievers {
     "search_cypher_agg" -> cypherAggSql,
     "search_cypher_with" -> cypherWithSql,
     "search_cypher_with2" -> cypherWith2Sql,
+    "search_cypher_unwind" -> cypherUnwindSql,
     "search_natural_language" -> cypherSql)
 }

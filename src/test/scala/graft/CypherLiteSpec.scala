@@ -490,6 +490,58 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(tiny.collect().nonEmpty)
   }
 
+  test("terminal WITH filters post-aggregation and returns without a trailing MATCH") {
+    // the HAVING-then-return shape: no second MATCH required
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n WHERE n >= 2 " +
+        "RETURN y.name AS yn, n ORDER BY yn")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List(("gamma", 2L)))
+    // filtered-out group disappears
+    val none = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n WHERE n >= 3 RETURN y.name AS yn")
+    assert(none.count() === 0L)
+  }
+
+  test("UNWIND explodes a collected list back to rows") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, collect(x.name) AS xs " +
+        "UNWIND xs AS xn RETURN y.name AS yn, xn ORDER BY yn, xn")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(out === List(("gamma", "alpha"), ("gamma", "beta")))
+    // aggregates over the unwound rows see the multiplicity
+    val n = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, collect(x.name) AS xs " +
+        "UNWIND xs AS xn RETURN count(xn) AS n").head().getLong(0)
+    assert(n === 2L)
+  }
+
+  test("UNWIND of a literal list; empty list drops the row") {
+    val tags = CypherLite.run(g,
+      "MATCH (z:c) UNWIND ['p', 'q', 'r'] AS tag RETURN z.name AS zn, tag ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(tags === List(("delta", "p"), ("delta", "q"), ("delta", "r")))
+    val nums = CypherLite.run(g,
+      "MATCH (z:c) UNWIND [3, 1, 2] AS k RETURN k ORDER BY k")
+      .collect().map(_.getLong(0)).toList
+    assert(nums === List(1L, 2L, 3L))
+    assert(CypherLite.run(g, "MATCH (z:c) UNWIND [] AS t RETURN t").count() === 0L)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g, "MATCH (z:c) UNWIND nosuch AS t RETURN t")
+    }
+  }
+
+  test("SKIP offsets past rows under an ORDER BY total order") {
+    val all = CypherLite.run(g,
+      "MATCH (n) RETURN n.id AS id ORDER BY id").collect().map(_.getString(0)).toList
+    val page = CypherLite.run(g,
+      "MATCH (n) RETURN n.id AS id ORDER BY id SKIP 1 LIMIT 2").collect().map(_.getString(0)).toList
+    assert(page === all.slice(1, 3))
+    val tailOnly = CypherLite.run(g,
+      "MATCH (n) RETURN n.id AS id ORDER BY id SKIP 3").collect().map(_.getString(0)).toList
+    assert(tailOnly === all.drop(3))
+  }
+
   test("an alias not re-projected by a later WITH is out of scope") {
     assertThrows[IllegalArgumentException] {
       CypherLite.run(TpchGraph(spark, sf),
