@@ -45,13 +45,20 @@ object Retrievers {
 
   /** Rank over an already-bounded row set (≤ a few rows, post
     * orderBy+limit or a per-label reduction): partitioned on an
-    * all-zero key derived from `anchor` (a non-null column of the
-    * frame) so the window stays partitioned through optimization — a
-    * bare literal key is constant-folded away, which resurrects the
-    * single-partition warning. Never apply to an unbounded input. */
+    * all-zero key derived from `anchor` (a column of the frame) so the
+    * window stays partitioned through optimization — a bare literal key
+    * is constant-folded away, which resurrects the single-partition
+    * warning. The key is `pmod(coalesce(length(anchor), 0), 1)` (≡ 0
+    * for every row): the earlier `length * 0` form gets simplified to
+    * a foldable literal when the anchor is NON-NULLABLE (derived
+    * columns — explode, concat — unlike parquet-sourced ones), and the
+    * then-constant partition is eliminated outright; pmod-by-one has no
+    * such rewrite, and the coalesce keeps NULL anchors in the same
+    * partition as everything else. Never apply to an unbounded input. */
   private def rankOver(anchor: Column, order: Column*): Column =
     row_number().over(
-      Window.partitionBy(length(anchor.cast("string")) * lit(0)).orderBy(order: _*))
+      Window.partitionBy(pmod(coalesce(length(anchor.cast("string")), lit(0)), lit(1)))
+        .orderBy(order: _*))
 
   /** CHUNKS: cosine top-k documents for the caller's query vector, with
     * snippet payload (chunks_retriever.py → vector search → chunk
@@ -791,6 +798,171 @@ object Retrievers {
       |JOIN supplier ON s_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // GRAPH_COMPLETION prompt-context rendering (modules/graph/utils/
+  // resolve_edges_to_text.py): the exact text block the reference
+  // assembles from retrieved graph edges before the completion call.
+
+  /** The reference's DEFAULT_STOP_WORDS (modules/retrieval/utils/
+    * stop_words.py) — the filter its context titles apply before
+    * ranking word frequency. */
+  private val resolveStopWords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "but", "is", "are", "was", "were", "in", "on",
+    "at", "to", "for", "with", "by", "about", "of", "from", "as", "that", "this",
+    "these", "those", "it", "its", "them", "they", "their", "he", "she", "his",
+    "her", "him", "we", "our", "you", "your", "not", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did", "can", "could", "will", "would",
+    "shall", "should", "may", "might", "must", "when", "where", "which", "who",
+    "whom", "whose", "why", "how")
+
+  /** resolve_edges_to_text.py, faithfully: renders a retrieved edge set
+    * into the reference's completion-prompt block — a `Node:` section
+    * per distinct endpoint in FIRST-APPEARANCE order (node1 then node2
+    * per edge, the Python dict-insertion order), then a `Connections:`
+    * section with one `A --[rel]--> B` line per edge. A text-bearing
+    * node titles as `_get_title` does: its first 7 words, then
+    * `... [` + its 7 most frequent non-stopword words (ties broken by
+    * first occurrence — Counter.most_common insertion order) + `]`;
+    * content is the full text between the reference's literal
+    * `__node_content_start__`/`__node_content_end__` markers. A
+    * text-less node renders by name with content = name (no
+    * description in this projection).
+    *
+    * Retrieved edges = the perEntity lowest-doc_id mention edges per
+    * query entity (doc --mentions--> entity, the cognify graph shape) —
+    * the deterministic stand-in for the reference's vector-retrieved
+    * edge set. Scale: the candidate scan is TopKPerGroup (a popular
+    * entity's rank-window partition would be corpus-sized); everything
+    * after runs on the ≤ |entities|×perEntity survivors; per-doc word
+    * stats partition by doc_id. One output row: the context string +
+    * node/edge counts. */
+  def contextRender(spark: SparkSession, dir: String,
+      entities: Seq[String] = Seq("spark", "merge"), perEntity: Int = 3): DataFrame = {
+    val nl = "\n"
+    val docs = load(spark, dir, "documents")
+    val mentions = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("entity"))
+      .filter(col("entity").isInCollection(entities))
+    val edges = org.apache.spark.sql.graft.TopKPerGroup(
+        mentions, Seq(col("entity")), Seq(col("doc_id").asc), perEntity)
+      .withColumn("ord",
+        rankOver(col("entity"), col("entity").asc, col("doc_id").asc).cast("long"))
+      .localCheckpoint(true) // ≤ |entities|×perEntity rows, feeds 3 legs
+    // _get_title over the text-bearing endpoints (bounded doc set).
+    val lined = docs.join(edges.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"))
+    val words = lined
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .filter(!col("w").isInCollection(resolveStopWords))
+    val rw = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("mp").asc)
+    val top7 = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("mp"))
+      .withColumn("rk", row_number().over(rw)).filter(col("rk") <= 7)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rk"), col("w")))),
+        s => s.getField("w")), ", ").as("topw"))
+    val titles = lined.join(top7, Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        concat(array_join(slice(col("ws"), 1, 7), " "),
+          lit("... ["), col("topw"), lit("]")).as("title"))
+    // Node blocks in first-appearance order: edge i contributes node1
+    // at position 2i, node2 at 2i+1; a repeated node keeps its minimum.
+    val docBlocks = edges.groupBy(col("doc_id")).agg(min(col("ord") * 2).as("app"))
+      .join(titles, Seq("doc_id"))
+      .select(col("app"), concat(lit("Node: "), col("title"),
+        lit(nl + "__node_content_start__" + nl), col("text"),
+        lit(nl + "__node_content_end__" + nl)).as("block"))
+    val entBlocks = edges.groupBy(col("entity")).agg(min(col("ord") * 2 + 1).as("app"))
+      .select(col("app"), concat(lit("Node: "), col("entity"),
+        lit(nl + "__node_content_start__" + nl), col("entity"),
+        lit(nl + "__node_content_end__" + nl)).as("block"))
+    val nodeSec = docBlocks.union(entBlocks)
+      .agg(array_join(transform(array_sort(collect_list(struct(col("app"), col("block")))),
+        s => s.getField("block")), nl).as("nodes_s"), count(lit(1)).as("n_nodes"))
+    val connSec = edges.join(titles, Seq("doc_id"))
+      .select(col("ord"),
+        concat(col("title"), lit(" --[mentions]--> "), col("entity")).as("line"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("ord"), col("line")))),
+        s => s.getField("line")), nl).as("conn_s"), count(lit(1)).as("n_edges"))
+    nodeSec.crossJoin(connSec).select( // two 1-row aggregates
+      concat(lit("Nodes:" + nl), col("nodes_s"),
+        lit(nl + nl + "Connections:" + nl), col("conn_s")).as("context"),
+      col("n_nodes"), col("n_edges"))
+  }
+
+  val contextRenderSql: String = {
+    val stops = resolveStopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH mentions AS (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    string_split_regex(text, '\\s+'), x -> len(x) > 0))) AS entity
+       |  FROM documents
+       |),
+       |cand AS (
+       |  SELECT doc_id, entity,
+       |    row_number() OVER (PARTITION BY entity ORDER BY doc_id) AS rk
+       |  FROM mentions WHERE entity IN ('spark', 'merge')
+       |),
+       |edges AS (
+       |  SELECT doc_id, entity, row_number() OVER (ORDER BY entity, doc_id) AS ord
+       |  FROM cand WHERE rk <= 3
+       |),
+       |docs2 AS (
+       |  SELECT d.doc_id, d.text,
+       |    list_filter(string_split_regex(d.text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM edges)
+       |),
+       |words AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT) + 1] AS w
+       |  FROM docs2, unnest(range(len(ws))) AS u(i)
+       |),
+       |freq AS (
+       |  SELECT doc_id, w, count(*) AS cnt, min(pos) AS mp FROM words
+       |  WHERE w NOT IN ($stops)
+       |  GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT doc_id, w,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, mp ASC) AS rk
+       |  FROM freq
+       |),
+       |top7 AS (
+       |  SELECT doc_id, string_agg(w, ', ' ORDER BY rk) AS topw
+       |  FROM ranked WHERE rk <= 7 GROUP BY doc_id
+       |),
+       |titles AS (
+       |  SELECT d.doc_id, d.text,
+       |    array_to_string(d.ws[1:7], ' ') || '... [' || t.topw || ']' AS title
+       |  FROM docs2 d JOIN top7 t USING (doc_id)
+       |),
+       |docblocks AS (
+       |  SELECT a.app, 'Node: ' || t.title || chr(10) || '__node_content_start__' ||
+       |    chr(10) || t.text || chr(10) || '__node_content_end__' || chr(10) AS block
+       |  FROM (SELECT doc_id, min(ord * 2) AS app FROM edges GROUP BY 1) a
+       |  JOIN titles t USING (doc_id)
+       |),
+       |entblocks AS (
+       |  SELECT min(ord * 2 + 1) AS app,
+       |    'Node: ' || entity || chr(10) || '__node_content_start__' || chr(10) ||
+       |    entity || chr(10) || '__node_content_end__' || chr(10) AS block
+       |  FROM edges GROUP BY entity
+       |),
+       |allblocks AS (SELECT * FROM docblocks UNION ALL SELECT * FROM entblocks),
+       |nodesec AS (
+       |  SELECT string_agg(block, chr(10) ORDER BY app) AS s, count(*) AS n_nodes
+       |  FROM allblocks
+       |),
+       |connsec AS (
+       |  SELECT string_agg(t.title || ' --[mentions]--> ' || e.entity, chr(10) ORDER BY e.ord) AS s,
+       |    count(*) AS n_edges
+       |  FROM edges e JOIN titles t USING (doc_id)
+       |)
+       |SELECT 'Nodes:' || chr(10) || nodesec.s || chr(10) || chr(10) ||
+       |  'Connections:' || chr(10) || connsec.s AS context,
+       |  nodesec.n_nodes, connsec.n_edges
+       |FROM nodesec, connsec""".stripMargin
+  }
+
   /** collect→UNWIND round-trip + terminal WITH + SKIP/LIMIT pagination —
     * the remaining Cypher clauses a CYPHER-search caller writes
     * (cypher_search_retriever.py:24 forwards the string verbatim). The
@@ -1273,6 +1445,7 @@ object Retrievers {
     "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
+    "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1304,5 +1477,6 @@ object Retrievers {
     "search_cypher_with" -> cypherWithSql,
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_unwind" -> cypherUnwindSql,
+    "search_context_render" -> contextRenderSql,
     "search_natural_language" -> cypherSql)
 }

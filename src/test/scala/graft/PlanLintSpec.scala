@@ -30,6 +30,7 @@ class PlanLintSpec extends SparkSpecBase {
     "graph_metrics_full", // crossJoin of five 1-row aggregates into the summary row
     "pipeline_metrics",   // crossJoin of three 1-row aggregates into the metrics row
     "search_context_triplets", // 2-row entity set broadcast across the triplet pass
+    "search_context_render",   // crossJoin of two 1-row section aggregates into the context row
     "curate_pack") // 1-row (min,max) id-bounds broadcast
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
