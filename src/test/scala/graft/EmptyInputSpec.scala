@@ -36,7 +36,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "data_datasets", "search_history", "temporal_extract",
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg",
-    "pipeline_cognify", "pipeline_prune")
+    "pipeline_cognify", "pipeline_prune", "search_context_render")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>
