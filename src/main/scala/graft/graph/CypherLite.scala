@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * {{{
   *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
   *   [OPTIONAL MATCH pattern]*
-  *   [WHERE var.prop = 'literal' [AND ...]]
+  *   [WHERE atom [AND ...] [OR atom [AND ...]]*]
+  *     where atom = var.prop op 'literal' | var.prop IS [NOT] NULL
+  *     (AND binds tighter than OR, Cypher's precedence; no parens)
   *   [WITH var | alias | var.prop AS alias | agg(var.prop) AS alias [, ...]
   *     [WHERE alias op literal [AND ...]]
   *    MATCH ...]*   (arbitrary MATCH…WITH…MATCH…WITH… chains; the LAST
@@ -86,6 +88,7 @@ object CypherLite {
   // correct for the ISO-date strings the projection stores. Equality
   // stays on the stored representation.
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
+  private val nullRe = """(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL""".r
   // RETURN items: agg(v.prop) | agg(alias) | v.prop | count(*) | alias,
   // each optionally AS-renamed. Bare names resolve WITH-projected value
   // columns only (a bare node variable would be Cypher's return-the-
@@ -238,30 +241,45 @@ object CypherLite {
       allEdge ++= evs
     }
 
-    def applyWhere(w: String): Unit =
-      splitOutsideQuotes(w, " AND ").foreach {
-        case whereRe(v, p, op, lit0) =>
-          val c = propCol(v, p)
-          // Numeric literal → numeric range compare (try_cast: a
-          // non-numeric bag value becomes NULL, so the predicate is
-          // false rather than an ANSI cast error).
-          val numericLit = scala.util.Try(lit0.toDouble).toOption
-          def rng(f: (Column, Column) => Column): Column = numericLit match {
-            case Some(d) => f(c.try_cast("double"), lit(d))
-            case None => f(c, lit(lit0))
-          }
-          df = df.filter(op match {
-            case "=" => c === lit0
-            case "<>" => c =!= lit0
-            case ">=" => rng(_ >= _)
-            case "<=" => rng(_ <= _)
-            case ">" => rng(_ > _)
-            case "<" => rng(_ < _)
-            case "STARTS WITH" => c.startsWith(lit0)
-            case "CONTAINS" => c.contains(lit0)
-          })
-        case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
-      }
+    // One WHERE atom → a Column predicate. `v.prop op 'literal'` plus
+    // `v.prop IS [NOT] NULL` (the OPTIONAL MATCH companion: predicate
+    // the presence/absence of an optional binding or a bag key).
+    def atomPredicate(atom: String): Column = atom.trim match {
+      case whereRe(v, p, op, lit0) =>
+        val c = propCol(v, p)
+        // Numeric literal → numeric range compare (try_cast: a
+        // non-numeric bag value becomes NULL, so the predicate is
+        // false rather than an ANSI cast error).
+        val numericLit = scala.util.Try(lit0.toDouble).toOption
+        def rng(f: (Column, Column) => Column): Column = numericLit match {
+          case Some(d) => f(c.try_cast("double"), lit(d))
+          case None => f(c, lit(lit0))
+        }
+        op match {
+          case "=" => c === lit0
+          case "<>" => c =!= lit0
+          case ">=" => rng(_ >= _)
+          case "<=" => rng(_ <= _)
+          case ">" => rng(_ > _)
+          case "<" => rng(_ < _)
+          case "STARTS WITH" => c.startsWith(lit0)
+          case "CONTAINS" => c.contains(lit0)
+        }
+      case nullRe(v, p, not) =>
+        if (not != null) propCol(v, p).isNotNull else propCol(v, p).isNull
+      case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
+    }
+
+    // Disjunctions with standard precedence: OR at the top, AND binding
+    // tighter — `a AND b OR c` reads `(a AND b) OR c`, Cypher's (and
+    // SQL's) grammar. Parentheses are not supported; both splits are
+    // literal-aware.
+    def applyWhere(w: String): Unit = {
+      val pred = splitOutsideQuotes(w, " OR ")
+        .map(part => splitOutsideQuotes(part, " AND ").map(atomPredicate).reduce(_ && _))
+        .reduce(_ || _)
+      df = df.filter(pred)
+    }
 
     // Compile one segment's MATCH body (chains + OPTIONAL MATCHes +
     // WHERE) into the accumulated frame. Comma-separated patterns

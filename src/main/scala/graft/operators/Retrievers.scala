@@ -983,6 +983,25 @@ object Retrievers {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation, sup LIMIT 25 OFFSET 10""".stripMargin
 
+  /** WHERE disjunction with AND-tighter precedence — `priority =
+    * '1-URGENT' OR priority = '2-HIGH'` over the order props bag,
+    * resolved per nation (CypherLite's OR support; reference Cypher
+    * grammar, forwarded verbatim by cypher_search_retriever.py:24). */
+  val orCypher: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer)-[:located_in]->(n:nation) " +
+      "WHERE o.priority = '1-URGENT' OR o.priority = '2-HIGH' " +
+      "RETURN n.name AS nation, count(o.id) AS n_priority_orders ORDER BY nation"
+
+  def cypherOr(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), orCypher)
+
+  val cypherOrSql: String =
+    """SELECT n_name AS nation, count(*) AS n_priority_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
@@ -1445,6 +1464,7 @@ object Retrievers {
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
+    "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1477,5 +1497,6 @@ object Retrievers {
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
+    "search_cypher_or" -> cypherOrSql,
     "search_natural_language" -> cypherSql)
 }

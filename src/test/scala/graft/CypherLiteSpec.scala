@@ -490,6 +490,36 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(tiny.collect().nonEmpty)
   }
 
+  test("WHERE supports OR disjunctions with AND binding tighter") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'alpha' OR x.name = 'beta' " +
+        "RETURN x.id AS xid ORDER BY xid").collect().map(_.getString(0)).toList
+    assert(out === List("a:1", "a:2"))
+    // (x=alpha AND y=delta) OR x=beta — the left conjunct is false for
+    // every row (y is gamma), so only beta survives: precedence pins
+    // AND-tighter grouping, not left-to-right.
+    val prec = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'alpha' AND y.name = 'delta' OR x.name = 'beta' " +
+        "RETURN x.id AS xid").collect().map(_.getString(0)).toList
+    assert(prec === List("a:2"))
+  }
+
+  test("IS NULL / IS NOT NULL predicate optional bindings and absent bag keys") {
+    // b:1 has an outgoing 'in' edge; a-nodes' optional match is unmatched
+    val unmatched = CypherLite.run(g,
+      "MATCH (x) OPTIONAL MATCH (x)-[:in]->(z:c) WHERE z.id IS NULL " +
+        "RETURN x.id AS xid ORDER BY xid").collect().map(_.getString(0)).toList
+    assert(unmatched === List("a:1", "a:2", "c:1"))
+    val matched = CypherLite.run(g,
+      "MATCH (x) OPTIONAL MATCH (x)-[:in]->(z:c) WHERE z.id IS NOT NULL " +
+        "RETURN x.id AS xid").collect().map(_.getString(0)).toList
+    assert(matched === List("b:1"))
+    // absent props-bag key is NULL (Cypher missing-property semantics)
+    val noBag = CypherLite.run(g,
+      "MATCH (x:a) WHERE x.nosuchkey IS NULL RETURN count(*) AS n").head().getLong(0)
+    assert(noBag === 2L)
+  }
+
   test("terminal WITH filters post-aggregation and returns without a trailing MATCH") {
     // the HAVING-then-return shape: no second MATCH required
     val out = CypherLite.run(g,
