@@ -614,7 +614,43 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
+  /** The vector_db_interface surface as a DRIVER-CHECKED round-trip
+    * (previously spec-only): create_data_points upserts the embeddings
+    * table into a parquet-backed [[graft.sources.VectorStore]],
+    * create_vector_index trains and persists the IVF layout once, and
+    * search probes EVERY cell (nprobe ≥ cells ≡ brute force — the
+    * spec-pinned reduction), so the DuckDB oracle checks the STORE's
+    * answer exactly against top-k cosine over the raw table. The store
+    * root is stamped by the corpus file listing: regenerated testdata
+    * gets a fresh store instead of silently serving stale rows; store
+    * writes are idempotent upserts, so Verify/Bench repeats reuse the
+    * store they built. Query = stored vector 0 (the shared verification
+    * seed), which ranks itself first at cosine 1. */
+  def storeVecSearch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val stamp = graft.graph.SessionDirCache.parquetStamp(Seq("embeddings"))(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vstore_$key"
+    val vs = graft.sources.VectorStore(spark, root)
+    val emb0 = load(spark, dir, "embeddings")
+    vs.createDataPoints("chunks", emb0)
+    if (!vs.hasIndex("chunks")) vs.createVectorIndex("chunks")
+    val query = emb0.filter(col("vec_id") === 0).select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    vs.search("chunks", query, k, nprobe = Int.MaxValue)
+  }
+
+  val storeVecSearchSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  round(list_dot_product(qv, v)
+      |        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+      |FROM e, q
+      |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_vec_search" -> ((s: SparkSession, d: String) => storeVecSearch(s, d)),
     "vec_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "vec_knn" -> ((s: SparkSession, d: String) => knn(s, d)),
     "vec_dedup_cosine" -> ((s: SparkSession, d: String) => dedupCosine(s, d)),
@@ -623,6 +659,7 @@ object VectorOps {
     "vec_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "store_vec_search" -> storeVecSearchSql,
     "vec_knn" -> knnSql,
     "vec_dedup_cosine" -> dedupCosineSql,
     "vec_centroids" -> centroidsSql)
