@@ -640,6 +640,26 @@ object Retrievers {
   def cypher(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(TpchGraph(spark, dir), supplierCypher)
 
+  /** The GraphStore round-trip as a DRIVER-CHECKED query (previously
+    * spec-only): the knowledge-graph projection commits to a persistent
+    * parquet store (the kuzu/neo4j adapters' persist surface), loads
+    * back in the same call, and the CYPHER query runs over the
+    * RELOADED graph — the oracle is the same direct SQL as
+    * `search_cypher`, so any column, props-bag, or edge lost in the
+    * store round-trip breaks the hash. Root stamped by the source
+    * parquet listing (regenerated testdata → fresh store); save is
+    * skipped when the stamped store already exists. */
+  def storeGraphCypher(spark: SparkSession, dir: String): DataFrame = {
+    val stamp = graft.graph.SessionDirCache.parquetStamp(
+      graft.graph.SessionDirCache.graphTables)(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_gstore_$key"
+    val gs = graft.sources.GraphStore(spark, root)
+    if (!gs.hasGraph("tpch")) gs.save("tpch", TpchGraph(spark, dir))
+    CypherLite.run(gs.load("tpch"), supplierCypher)
+  }
+
   val cypherSql: String =
     s"""${TpchGraph.withGraph}
        |SELECT r.name AS region, count(*) AS n_suppliers
@@ -1465,6 +1485,7 @@ object Retrievers {
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
+    "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1498,5 +1519,6 @@ object Retrievers {
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
+    "store_graph_cypher" -> cypherSql,
     "search_natural_language" -> cypherSql)
 }
