@@ -272,7 +272,45 @@ object RelationalOps {
       |ORDER BY lost_revenue DESC, custkey ASC
       |LIMIT 20""".stripMargin
 
+  /** The BucketedStore round-trip as a DRIVER-CHECKED query (previously
+    * spec-only; BucketedJoinSpec keeps pinning the zero-Exchange plan
+    * shape): lineitem and orders write once bucketed+sorted on the
+    * order key (skipped when this session already wrote the stamped
+    * tables), the join reads the co-located buckets back, and revenue
+    * per order priority must equal the direct-SQL oracle — data lost or
+    * mis-bucketed in the round-trip breaks the hash. Table names carry
+    * the corpus stamp, so regenerated testdata rebuilds. */
+  def storeBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stamp = graft.graph.SessionDirCache.parquetStamp(
+      Seq("lineitem", "orders"))(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bstore_$key"
+    val (liT, oT) = (s"b_lineitem_$key", s"b_orders_$key")
+    if (!spark.catalog.tableExists(liT))
+      graft.sources.BucketedStore.write(
+        load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, "l_orderkey", 8, s"$root/lineitem")
+    if (!spark.catalog.tableExists(oT))
+      graft.sources.BucketedStore.write(
+        load(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        oT, "o_orderkey", 8, s"$root/orders")
+    graft.sources.BucketedStore.read(spark, liT)
+      .join(graft.sources.BucketedStore.read(spark, oT),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val storeBucketedJoinSql: String =
+    """SELECT o_orderpriority AS priority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_bucketed_join" -> ((s: SparkSession, d: String) => storeBucketedJoin(s, d)),
     "q10_returns" -> ((s: SparkSession, d: String) => q10Returns(s, d)),
     "q_rollup" -> ((s: SparkSession, d: String) => qRollup(s, d)),
     "q_percentiles" -> ((s: SparkSession, d: String) => qPercentiles(s, d)),
@@ -285,6 +323,7 @@ object RelationalOps {
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "store_bucketed_join" -> storeBucketedJoinSql,
     "q10_returns" -> q10Sql,
     "q_rollup" -> qRollupSql,
     "q_percentiles" -> qPercentilesSql,
