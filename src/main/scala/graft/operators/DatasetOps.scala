@@ -42,9 +42,39 @@ object DatasetOps {
   def datasetData(spark: SparkSession, dir: String, dataset: String): DataFrame =
     load(spark, dir, "documents").filter(col("source") === dataset)
 
+  /** The DocumentSource ingest loop as a DRIVER-CHECKED query
+    * (previously spec-only): the corpus dumps to line-delimited text
+    * files (one doc per line — the corpus carries no newlines),
+    * re-ingests through readText, and the inventory aggregate (row
+    * count, char volume, distinct texts) must match the source table —
+    * a dropped, split, or merged line breaks the compare. The dump dir
+    * is stamped by the corpus file listing (regenerated testdata →
+    * fresh dump) and written once per stamp. */
+  def storeDocIngest(spark: SparkSession, dir: String): DataFrame = {
+    val stamp = graft.graph.SessionDirCache.parquetStamp(Seq("documents"))(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val flat = s"${System.getProperty("java.io.tmpdir")}/graft_dstore_$key/docs_txt"
+    val p = new org.apache.hadoop.fs.Path(flat)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      load(spark, dir, "documents").select(col("text")).write.mode("overwrite").text(flat)
+    graft.sources.DocumentSource.readText(spark, flat, sourceTag = "reingest")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("text")).as("n_unique"))
+  }
+
+  val storeDocIngestSql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  count(DISTINCT text) AS n_unique
+      |FROM documents WHERE length(text) > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "data_datasets" -> ((s: SparkSession, d: String) => datasets(s, d)))
+    "data_datasets" -> ((s: SparkSession, d: String) => datasets(s, d)),
+    "store_doc_ingest" -> ((s: SparkSession, d: String) => storeDocIngest(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "data_datasets" -> datasetsSql)
+    "data_datasets" -> datasetsSql,
+    "store_doc_ingest" -> storeDocIngestSql)
 }
