@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *                   WITH may instead terminate into UNWIND/RETURN —
   *                   the HAVING-then-return shape)
   *   [UNWIND alias | [lit, ...] AS name]*
-  *   RETURN [DISTINCT] var.prop [AS alias] | alias
+  *   RETURN [DISTINCT] var | var.prop [AS alias] | alias
   *          | count(*) | agg(var.prop) | agg(alias) [AS alias] [, ...]
+  *     (a bare NODE var expands to <v>_id/<v>_ntype/<v>_name columns —
+  *      the relational projection of Cypher's whole-node return; mixed
+  *      with aggregates all three join the implicit grouping key)
   *   [ORDER BY alias [DESC] [, ...]] [SKIP n] [LIMIT n]
   * }}}
   * UNWIND (final segment, after any WHERE) explodes one row per
@@ -440,8 +443,16 @@ object CypherLite {
 
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
     val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
-    val items = retBody.split(",").map(_.trim).map {
-      case m @ retItemRe(aggFn, av, ap, aggBare, v, p, bare, alias) =>
+    val items = retBody.split(",").map(_.trim).flatMap {
+      case retItemRe(null, _, _, null, null, null, bare, null) if bare != null && allNode(bare) =>
+        // RETURN n — a bare NODE variable expands to its relational
+        // projection (<v>_id, <v>_ntype, <v>_name; the props bag stays
+        // behind — maps have no cross-engine canonical rendering).
+        // Mixed with aggregates, all three land in the implicit
+        // grouping key, Cypher's group-by-the-node semantics.
+        Seq("id", "ntype", "name").map(f =>
+          (false, col(s"${bare}_$f").as(s"${bare}_$f"), s"${bare}_$f"))
+      case m @ retItemRe(aggFn, av, ap, aggBare, v, p, bare, alias) => Seq {
         if (aggFn != null) {
           val (c, defName) =
             if (av != null) (propCol(av, ap), s"${aggFn}_${av}_$ap")
@@ -471,6 +482,7 @@ object CypherLite {
           val name = Option(alias).getOrElse("count")
           (true, count(lit(1)).as(name), name)
         }
+      }
       case other => throw new IllegalArgumentException(s"unsupported RETURN item: $other")
     }
     val aggItems = items.filter(_._1)

@@ -1003,6 +1003,22 @@ object Retrievers {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation, sup LIMIT 25 OFFSET 10""".stripMargin
 
+  /** Whole-node RETURN (`RETURN n, count(...)`) — the most common
+    * user-Cypher projection; the node expands to its relational
+    * columns and joins the implicit grouping key. */
+  val nodeCypher: String =
+    "MATCH (c:customer)-[:located_in]->(n:nation) " +
+      "RETURN n, count(c.id) AS n_customers ORDER BY n_id"
+
+  def cypherNode(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), nodeCypher)
+
+  val cypherNodeSql: String =
+    """SELECT 'nation:' || n_nationkey AS n_id, 'nation' AS n_ntype,
+      |  n_name AS n_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY 1, 3 ORDER BY n_id""".stripMargin
+
   /** WHERE disjunction with AND-tighter precedence — `priority =
     * '1-URGENT' OR priority = '2-HIGH'` over the order props bag,
     * resolved per nation (CypherLite's OR support; reference Cypher
@@ -1486,6 +1502,7 @@ object Retrievers {
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
     "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
+    "search_cypher_node" -> ((s: SparkSession, d: String) => cypherNode(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
 
   def oracles: Map[String, String] = Map(
@@ -1520,5 +1537,6 @@ object Retrievers {
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
     "store_graph_cypher" -> cypherSql,
+    "search_cypher_node" -> cypherNodeSql,
     "search_natural_language" -> cypherSql)
 }

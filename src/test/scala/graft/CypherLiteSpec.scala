@@ -490,6 +490,22 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(tiny.collect().nonEmpty)
   }
 
+  test("RETURN of a bare node variable expands to its relational projection") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN x ORDER BY x_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toList
+    assert(out === List(("a:1", "a", "alpha"), ("a:2", "a", "beta")))
+    // mixed with an aggregate: the node's three columns group implicitly
+    val grouped = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN y, count(x.id) AS n ORDER BY y_id")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3))).toList
+    assert(grouped === List(("b:1", "gamma", 2L)))
+    // DISTINCT applies over the expanded columns
+    val distinct = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN DISTINCT y ORDER BY y_id")
+    assert(distinct.count() === 1L)
+  }
+
   test("WHERE supports OR disjunctions with AND binding tighter") {
     val out = CypherLite.run(g,
       "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'alpha' OR x.name = 'beta' " +
