@@ -1337,18 +1337,19 @@ object Retrievers {
     val ents = g.nodes
       .filter(col("ntype") === "nation" && col("name").isInCollection(query.split(" ").toSeq))
       .select(col("name").as("entity"))
+    val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
+    val ttoks = array_distinct(split(lower(rendered), "[ _-]"))
     // "{entity_text} {query}" stem: the entity's own name tokens + the
     // query's content words (stopwords dropped deterministically).
     val qtoks = array_distinct(concat(split(lower(col("entity")), "[ _-]"),
       array(contentWords.map(lit): _*)))
-    val score = round(size(array_intersect(col("ttoks"), qtoks)).cast("double") /
-      size(array_union(col("ttoks"), qtoks)), 4)
-    // Score the SHARED persisted rendered-triplet artifact (line +
-    // ttoks ride in it) instead of re-joining edges×nodes×nodes per
-    // call — the same one-scan shape as search_triplets and the
-    // context-extension loop.
-    val scored = renderedTriplets(spark, dir).crossJoin(broadcast(ents))
-      .select(col("entity"), col("line"), score.as("score"))
+    val score = round(size(array_intersect(ttoks, qtoks)).cast("double") /
+      size(array_union(ttoks, qtoks)), 4)
+    val named = g.edges
+      .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
+      .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
+    val scored = named.crossJoin(broadcast(ents))
+      .select(col("entity"), rendered.as("line"), score.as("score"))
     // Per-entity top-3 via TopKPerGroup, NOT a rank window: the entity
     // set has cardinality 2, so partitionBy(entity) would range-sort the
     // whole scored triplet relation inside two partitions. The two-phase
@@ -1428,7 +1429,7 @@ object Retrievers {
       g.edges
         .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
         .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
-        .select(col("src"), col("rel"), col("dst"), rendered.as("line"),
+        .select(col("src"), col("rel"), col("dst"),
           array_distinct(split(lower(rendered), "[ _-]")).as("ttoks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }, stamp = graft.graph.SessionDirCache.parquetStamp(
