@@ -860,7 +860,13 @@ object Retrievers {
       entities: Seq[String] = Seq("spark", "merge"), perEntity: Int = 3): DataFrame = {
     val nl = "\n"
     val docs = load(spark, dir, "documents")
-    val mentions = docs.select(col("doc_id"),
+    // Prune BEFORE the corpus-wide explode: arrays_overlap keeps only
+    // docs mentioning a query entity, so the token explosion (~100×
+    // row inflation at corpus scale) runs on the matching slice only.
+    val entArr = array(entities.map(lit): _*)
+    val mentions = docs
+      .filter(arrays_overlap(split(col("text"), "\\s+"), entArr))
+      .select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("entity"))
       .filter(col("entity").isInCollection(entities))
     val edges = org.apache.spark.sql.graft.TopKPerGroup(

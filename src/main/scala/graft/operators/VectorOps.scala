@@ -635,9 +635,13 @@ object VectorOps {
     val emb0 = load(spark, dir, "embeddings")
     vs.createDataPoints("chunks", emb0)
     if (!vs.hasIndex("chunks")) vs.createVectorIndex("chunks")
-    val query = emb0.filter(col("vec_id") === 0).select(col("embedding")).head()
-      .getSeq[Float](0).map(_.toDouble).toArray
-    vs.search("chunks", query, k, nprobe = Int.MaxValue)
+    emb0.filter(col("vec_id") === 0).select(col("embedding")).head(1) match {
+      case Array(row) =>
+        val query = row.getSeq[Float](0).map(_.toDouble).toArray
+        vs.search("chunks", query, k, nprobe = Int.MaxValue)
+      case _ => // empty corpus → no query seed; empty, correctly-shaped result
+        emb0.select(col("vec_id"), col("label"), lit(0.0).as("cosine")).limit(0)
+    }
   }
 
   val storeVecSearchSql: String =
