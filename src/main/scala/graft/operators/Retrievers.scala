@@ -856,19 +856,25 @@ object Retrievers {
     * after runs on the ≤ |entities|×perEntity survivors; per-doc word
     * stats partition by doc_id. One output row: the context string +
     * node/edge counts. */
-  def contextRender(spark: SparkSession, dir: String,
-      entities: Seq[String] = Seq("spark", "merge"), perEntity: Int = 3): DataFrame = {
-    val nl = "\n"
-    val docs = load(spark, dir, "documents")
-    // Prune BEFORE the corpus-wide explode: arrays_overlap keeps only
-    // docs mentioning a query entity, so the token explosion (~100×
-    // row inflation at corpus scale) runs on the matching slice only.
+  /** The candidate mention scan, exposed for the plan-pin spec: prune
+    * BEFORE the corpus-wide explode — arrays_overlap keeps only docs
+    * mentioning a query entity, so the token explosion (~100× row
+    * inflation at corpus scale) runs on the matching slice only. */
+  private[graft] def mentionCandidates(spark: SparkSession, dir: String,
+      entities: Seq[String]): DataFrame = {
     val entArr = array(entities.map(lit): _*)
-    val mentions = docs
+    load(spark, dir, "documents")
       .filter(arrays_overlap(split(col("text"), "\\s+"), entArr))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("entity"))
       .filter(col("entity").isInCollection(entities))
+  }
+
+  def contextRender(spark: SparkSession, dir: String,
+      entities: Seq[String] = Seq("spark", "merge"), perEntity: Int = 3): DataFrame = {
+    val nl = "\n"
+    val docs = load(spark, dir, "documents")
+    val mentions = mentionCandidates(spark, dir, entities)
     val edges = org.apache.spark.sql.graft.TopKPerGroup(
         mentions, Seq(col("entity")), Seq(col("doc_id").asc), perEntity)
       .withColumn("ord",

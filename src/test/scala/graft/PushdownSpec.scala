@@ -52,4 +52,29 @@ class PushdownSpec extends SparkSpecBase {
     assert(!hist.contains("props") && !hist.contains("value"),
       s"search_history reads pruned-away columns:\n$hist")
   }
+
+  test("context render prunes documents before the token explode") {
+    // The arrays_overlap prefilter must sit BELOW the Generate (explode)
+    // in the optimized plan: the ~100x token inflation runs only on the
+    // slice that mentions a query entity. If a rewrite ever hoists the
+    // explode above the filter, corpus-scale cost returns silently.
+    // The candidate scan is checkpointed inside the full query, so pin
+    // the exposed subplan: the explode's subtree must carry the filter.
+    val lp = operators.Retrievers
+      .mentionCandidates(spark, sf, Seq("spark", "merge"))
+      .queryExecution.optimizedPlan
+    val generates = lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(generates.nonEmpty, "expected the mention explode in the plan")
+    generates.foreach { g =>
+      val hasOverlapBelow = g.child.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ArraysOverlap])
+        case _ => false
+      }
+      assert(hasOverlapBelow,
+        s"mention explode is not prefiltered by arrays_overlap:\n$g")
+    }
+  }
 }
