@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *     (a bare NODE var expands to <v>_id/<v>_ntype/<v>_name columns —
   *      the relational projection of Cypher's whole-node return; mixed
   *      with aggregates all three join the implicit grouping key)
-  *   [ORDER BY alias [DESC] [, ...]] [SKIP n] [LIMIT n]
+  *   [ORDER BY alias | var.prop [DESC] [, ...]] [SKIP n] [LIMIT n]
+  *     (var.prop sort keys ride as hidden projected columns, dropped
+  *      after the sort — plain RETURN only, per Cypher's own rule that
+  *      DISTINCT/aggregated projections order by returned items)
   * }}}
   * UNWIND (final segment, after any WHERE) explodes one row per
   * element of a WITH-projected list column (collect round-trip) or a
@@ -487,9 +490,26 @@ object CypherLite {
     }
     val aggItems = items.filter(_._1)
     val keyItems = items.filterNot(_._1)
+    // ORDER BY keys: a returned alias/name, or `var.prop` — the latter
+    // rides as a HIDDEN projected column (dropped after the sort), so a
+    // query can order by a property it does not return. Cypher itself
+    // only allows that for a plain projection — after DISTINCT or an
+    // aggregation, ORDER BY must reference returned items — and the
+    // same restriction applies here.
+    val propSortRe = """(\w+)\.(\w+)""".r
+    val sortSpecs: Seq[(String, Boolean)] = orderPart.toSeq.flatMap(
+      _.split(",").map(_.trim).map { s =>
+        (s.split("\\s+").head, s.toUpperCase.endsWith(" DESC"))
+      })
+    val hiddenSorts: Seq[(String, Column)] = sortSpecs.zipWithIndex.collect {
+      case ((propSortRe(v, p), _), i) => (s"__sort_$i", propCol(v, p))
+    }
+    require(hiddenSorts.isEmpty || (aggItems.isEmpty && !isDistinct),
+      s"ORDER BY on var.prop needs a plain RETURN (no DISTINCT/aggregates) — return it as an alias instead: $q")
     var out =
       if (aggItems.isEmpty) {
-        val sel = df.select(items.map(_._2).toIndexedSeq: _*)
+        val sel = df.select((items.map(_._2) ++
+          hiddenSorts.map { case (n, c) => c.as(n) }).toIndexedSeq: _*)
         if (isDistinct) sel.distinct() else sel
       } else df.groupBy(keyItems.map(_._2).toIndexedSeq: _*)
         .agg(aggItems.head._2, aggItems.tail.map(_._2).toIndexedSeq: _*)
@@ -498,13 +518,16 @@ object CypherLite {
         // sensitive consumer expects).
         .select(items.map(i => col(i._3)).toIndexedSeq: _*)
 
-    orderPart.foreach { o =>
-      val sorts = o.split(",").map(_.trim).map { s =>
-        val desc = s.toUpperCase.endsWith(" DESC")
-        val name = s.split("\\s+").head
-        if (desc) col(name).desc else col(name).asc
+    if (sortSpecs.nonEmpty) {
+      val sorts = sortSpecs.zipWithIndex.map { case ((key, desc), i) =>
+        val c = key match {
+          case propSortRe(_, _) => col(s"__sort_$i")
+          case name => col(name)
+        }
+        if (desc) c.desc else c.asc
       }
       out = out.orderBy(sorts.toIndexedSeq: _*)
+      if (hiddenSorts.nonEmpty) out = out.drop(hiddenSorts.map(_._1): _*)
     }
     // SKIP before LIMIT, Cypher's clause order: rows [skip, skip+limit).
     // Deterministic only under an ORDER BY total order — same contract

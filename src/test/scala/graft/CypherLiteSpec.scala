@@ -577,6 +577,27 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("ORDER BY a non-returned property rides a hidden column") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN x.id AS xid ORDER BY x.name DESC")
+    assert(out.columns.toSeq === Seq("xid")) // hidden sort column dropped
+    assert(out.collect().map(_.getString(0)).toList === List("a:2", "a:1")) // beta, alpha
+    // mixed alias + property keys
+    val mixed = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN y.name AS yn ORDER BY yn, x.name")
+      .collect().map(_.getString(0)).toList
+    assert(mixed === List("gamma", "gamma"))
+    // Cypher's own restriction: DISTINCT/aggregates order by returned items
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g,
+        "MATCH (x:a)-[:knows]->(y:b) RETURN DISTINCT y.name AS yn ORDER BY x.name")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g,
+        "MATCH (x:a)-[:knows]->(y:b) RETURN count(*) AS n ORDER BY x.name")
+    }
+  }
+
   test("SKIP offsets past rows under an ORDER BY total order") {
     val all = CypherLite.run(g,
       "MATCH (n) RETURN n.id AS id ORDER BY id").collect().map(_.getString(0)).toList
