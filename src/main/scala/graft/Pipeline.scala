@@ -410,7 +410,107 @@ object Pipeline {
       |UNION ALL
       |SELECT 'vectors', count(*) FROM embeddings""".stripMargin
 
+  /** Chunk-classification taxonomy graph (reference:
+    * cognee/tasks/chunk_naive_llm_classifier/chunk_naive_llm_classifier.py:14 —
+    * classify every DocumentChunk, then store the taxonomy in both
+    * engines: a `classification` vector collection that receives only
+    * NEW label points (`existing_points_map` gate), and graph edges
+    * `is_media_type` chunk→type, `is_subtype_of` subtype→type emitted
+    * only at the subtype's FIRST sighting, `is_classified_as`
+    * chunk→subtype per chunk). The LLM classifier (extract_categories)
+    * is replaced by a deterministic rule with the same contract — one
+    * type plus a subclass list per chunk: type = text_<lang>,
+    * subclasses = {src_<source>, size_full|size_partial}.
+    *
+    * Scale shape: chunk→label edges are corpus-sized, so the taxonomy
+    * merges through the bulk mergeNodes/mergeEdges path (keyed
+    * anti-join upsert, never a broadcast increment), and the
+    * reference's driver-side first-sighting map becomes a min-by
+    * hash aggregate over (doc_id, chunk_idx) — map-side partial, no
+    * per-label sort. The census is read BACK from the merged graph, so
+    * a lost node or edge breaks the oracle hash. */
+  def classifyChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = operators.TextOps.chunk(spark, dir)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .select(
+        concat(lit("chunk:"), col("doc_id").cast("string"), lit("#"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"),
+        concat(lit("text_"), col("lang")).as("type_label"),
+        array(concat(lit("src_"), col("source")),
+          when(col("n_tokens") >= 64, "size_full").otherwise("size_partial")).as("subs"))
+    val subRows = chunks.select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+      col("type_label"), explode(col("subs")).as("sub_label"))
+    // First sighting (chunk order) decides each subtype's parent — the
+    // existing_points_map first-wins rule, as a distributed min-by.
+    val subParent = subRows.groupBy(col("sub_label"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("type_label"))).as("s"))
+      .select(col("sub_label"), col("s.type_label").as("parent"))
+    def clsNode(label: org.apache.spark.sql.Column) = struct(
+      concat(lit("cls:"), label).as("id"), label.as("ntype"), label.as("name"))
+    val taxonomyNodes = chunks.select(clsNode(col("type_label")).as("n")).distinct()
+      .union(subRows.select(clsNode(col("sub_label")).as("n")).distinct())
+      .select(col("n.id"), col("n.ntype"), col("n.name"))
+    val taxonomyEdges =
+      chunks.select(col("chunk_id").as("src"),
+          concat(lit("cls:"), col("type_label")).as("dst"), lit("is_media_type").as("rel"))
+        .union(subParent.select(concat(lit("cls:"), col("sub_label")).as("src"),
+          concat(lit("cls:"), col("parent")).as("dst"), lit("is_subtype_of").as("rel")))
+        .union(subRows.select(col("chunk_id").as("src"),
+          concat(lit("cls:"), col("sub_label")).as("dst"), lit("is_classified_as").as("rel")))
+    val chunkNodes = chunks.select(col("chunk_id").as("id"),
+      lit("chunk").as("ntype"), col("chunk_id").as("name"))
+    val merged = PropertyGraph(chunkNodes, taxonomyEdges.limit(0))
+      .mergeNodes(taxonomyNodes).mergeEdges(taxonomyEdges)
+    val e = merged.edgesP
+    val labelOf = expr("substring(dst, 5)")
+    val types = e.filter(col("rel") === "is_media_type")
+      .groupBy(labelOf.as("label")).agg(count(lit(1)).as("n_chunks"))
+      .select(lit("type").as("kind"), col("label"),
+        lit(null).cast("string").as("parent"), col("n_chunks"))
+    val parents = e.filter(col("rel") === "is_subtype_of")
+      .select(expr("substring(src, 5)").as("label"), labelOf.as("parent"))
+    val subtypes = e.filter(col("rel") === "is_classified_as")
+      .groupBy(labelOf.as("label")).agg(count(lit(1)).as("n_chunks"))
+      .join(parents, Seq("label"))
+      .select(lit("subtype").as("kind"), col("label"), col("parent"), col("n_chunks"))
+    // The vector-collection leg: create_data_points receives one point
+    // per NEW label — with a fresh collection that is every taxonomy node.
+    val points = merged.nodesP.filter(col("ntype") =!= "chunk")
+      .agg(count(lit(1)).as("n_chunks"))
+      .select(lit("collection").as("kind"), lit("classification").as("label"),
+        lit(null).cast("string").as("parent"), col("n_chunks"))
+    types.union(subtypes).union(points).orderBy(col("kind"), col("label"))
+  }
+
+  val classifyChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, lang, source FROM documents),
+      |c AS (SELECT doc_id, lang, source, toks,
+      |        unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_idx FROM t),
+      |ch AS (SELECT doc_id, chunk_idx, 'text_' || lang AS type_label,
+      |        ['src_' || source,
+      |         CASE WHEN len(toks[(chunk_idx*64+1):(chunk_idx*64+64)]) >= 64
+      |              THEN 'size_full' ELSE 'size_partial' END] AS subs
+      |       FROM c),
+      |subs AS (SELECT doc_id, chunk_idx, type_label, unnest(subs) AS sub_label FROM ch),
+      |parent AS (SELECT sub_label, type_label AS parent FROM (
+      |    SELECT sub_label, type_label,
+      |      row_number() OVER (PARTITION BY sub_label ORDER BY doc_id, chunk_idx) AS rn
+      |    FROM subs) WHERE rn = 1),
+      |types AS (SELECT type_label AS label, count(*) AS n_chunks FROM ch GROUP BY 1),
+      |subcnt AS (SELECT sub_label AS label, count(*) AS n_chunks FROM subs GROUP BY 1)
+      |SELECT 'type' AS kind, label, CAST(NULL AS VARCHAR) AS parent, n_chunks FROM types
+      |UNION ALL
+      |SELECT 'subtype', s.label, p.parent, s.n_chunks
+      |FROM subcnt s JOIN parent p ON s.label = p.sub_label
+      |UNION ALL
+      |SELECT 'collection', 'classification', NULL,
+      |  (SELECT count(*) FROM types) + (SELECT count(*) FROM subcnt)
+      |ORDER BY kind, label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_classify" -> ((s: SparkSession, d: String) => classifyChunks(s, d)),
     "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
     "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
     "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
@@ -419,6 +519,7 @@ object Pipeline {
     "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_classify" -> classifyChunksSql,
     "pipeline_delete" -> deleteDocsSql,
     "pipeline_update" -> updateDocsSql,
     "pipeline_memify" -> memifySql,

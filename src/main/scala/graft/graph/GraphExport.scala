@@ -28,6 +28,36 @@ object GraphExport {
     nodes.union(edges)
   }
 
+  /** The UI-facing formatted projection (reference:
+    * cognee/modules/graph/methods/get_formatted_graph_data.py:19):
+    * per node — `label` = `name` when non-empty, else the
+    * `<type>_<id>` fallback; `properties` = the props bag minus the
+    * reserved keys (id/type/name/created_at/updated_at) and minus NULL
+    * values; per edge — (source, target, label=rel). Emitted flat and
+    * distributed: one row per node carrying the filtered bag's size and
+    * a deterministic fingerprint (md5 over the key-sorted `k=v` entries
+    * — maps are unordered, so the bag is canonicalized before hashing),
+    * one row per edge label with its count. */
+  def toFormatted(g: PropertyGraph): DataFrame = {
+    val reserved = Seq("id", "type", "name", "created_at", "updated_at")
+    val kept = array_sort(filter(map_entries(col("props")),
+      e => !e.getField("key").isInCollection(reserved) && e.getField("value").isNotNull))
+    val nodes = g.nodesP.select(
+      lit("node").as("kind"),
+      col("id"),
+      when(col("name").isNotNull && col("name") =!= "", col("name"))
+        .otherwise(concat(col("ntype"), lit("_"), col("id"))).as("label"),
+      col("ntype"),
+      size(kept).cast("long").as("n"),
+      md5(array_join(transform(kept,
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), "&")).as("props_fp"))
+    val edges = g.edgesP.groupBy(col("rel")).agg(count(lit(1)).as("n"))
+      .select(lit("edge_label").as("kind"), lit(null).cast("string").as("id"),
+        col("rel").as("label"), lit(null).cast("string").as("ntype"),
+        col("n"), lit(null).cast("string").as("props_fp"))
+    nodes.union(edges)
+  }
+
   /** Self-contained HTML visualization of a bounded subgraph — the
     * analog of cognee_network_visualization.py (embedded node/link JSON
     * + per-type colors), with an inline deterministic circular SVG

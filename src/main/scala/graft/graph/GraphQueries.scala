@@ -282,6 +282,32 @@ object GraphQueries {
        |SELECT 'node' AS kind, count(*) AS n FROM nodes
        |UNION ALL SELECT 'edge', count(*) FROM edges""".stripMargin
 
+  /** get_formatted_graph_data over the TPC-H knowledge graph — see
+    * [[GraphExport.toFormatted]]. Every node row checks the label rule
+    * and the canonicalized filtered-props fingerprint against the
+    * oracle's per-type closed form; edge labels check as counts. */
+  def formatted(spark: SparkSession, dir: String): DataFrame =
+    GraphExport.toFormatted(TpchGraph(spark, dir))
+
+  val formattedSql: String =
+    s"""WITH ${TpchGraph.edgesSql}
+       |SELECT 'node' AS kind, id, label, ntype, n, props_fp FROM (
+       |  SELECT 'region:'||r_regionkey AS id, r_name AS label, 'region' AS ntype,
+       |    CAST(0 AS BIGINT) AS n, md5('') AS props_fp FROM region
+       |  UNION ALL SELECT 'nation:'||n_nationkey, n_name, 'nation',
+       |    1, md5('regionkey='||n_regionkey) FROM nation
+       |  UNION ALL SELECT 'supplier:'||s_suppkey, s_name, 'supplier',
+       |    1, md5('nationkey='||s_nationkey) FROM supplier
+       |  UNION ALL SELECT 'customer:'||c_custkey, c_name, 'customer',
+       |    1, md5('mktsegment='||c_mktsegment) FROM customer
+       |  UNION ALL SELECT 'part:'||p_partkey, p_name, 'part',
+       |    1, md5('brand='||p_brand) FROM part
+       |  UNION ALL SELECT 'order:'||o_orderkey, 'order-'||o_orderkey, 'order',
+       |    2, md5('priority='||o_orderpriority||'&status='||o_orderstatus) FROM orders
+       |)
+       |UNION ALL
+       |SELECT 'edge_label', NULL, rel, NULL, count(*), NULL FROM edges GROUP BY rel""".stripMargin
+
   /** Mutation round-trip (add_nodes/add_edges/delete_nodes as plans):
     * add two custom nodes (plus a duplicate of an existing id, which
     * keep-first ignores) and an edge between them, then delete one —
@@ -589,6 +615,7 @@ object GraphQueries {
     "graph_metrics_full" -> ((s: SparkSession, d: String) => metricsFull(s, d)),
     "graph_nodeset_subgraph" -> ((s: SparkSession, d: String) => nodesetSubgraph(s, d)),
     "graph_export" -> ((s: SparkSession, d: String) => export(s, d)),
+    "graph_formatted" -> ((s: SparkSession, d: String) => formatted(s, d)),
     "graph_mutations" -> ((s: SparkSession, d: String) => mutations(s, d)),
     "graph_build" -> ((s: SparkSession, d: String) => build(s, d)),
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
@@ -610,6 +637,7 @@ object GraphQueries {
     "graph_metrics_full" -> metricsFullSql,
     "graph_nodeset_subgraph" -> nodesetSubgraphSql,
     "graph_export" -> exportSql,
+    "graph_formatted" -> formattedSql,
     "graph_mutations" -> mutationsSql,
     "graph_build" -> buildSql,
     "graph_degree" -> degreeSql,

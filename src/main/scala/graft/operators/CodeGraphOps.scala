@@ -81,9 +81,38 @@ object CodeGraphOps {
        |LEFT JOIN ind i USING (file_id)
        |ORDER BY n_importers DESC, file_id ASC LIMIT 20""".stripMargin
 
+  /** Code summarization (reference: cognee/tasks/summarization/
+    * summarize_code.py:11 — every code-graph node carrying source_code
+    * gets a CodeSummary datapoint with id = uuid5(node.id,
+    * "CodeSummary") and a `summarizes` pointer back to the node;
+    * models.py CodeSummary indexes the summary text). The LLM summary
+    * (extract_code_summary) is replaced by the deterministic extractive
+    * rule already used for TextSummary (first 8 words), and the uuid5
+    * derivation by the engine-portable md5 of (path, "CodeSummary").
+    * One narrow map over the code table — no shuffle at all; the
+    * summary rows join the dependency graph on file_id when the
+    * SUMMARIES search type runs over code. */
+  def summaries(spark: SparkSession, dir: String): DataFrame = {
+    val c = Retrievers.codeTable(spark, dir)
+    c.select(
+      md5(concat(col("path"), lit("#CodeSummary"))).as("summary_id"),
+      col("file_id"), col("path"), col("kind"),
+      col("symbol").as("summarizes"),
+      array_join(slice(split(col("body"), " "), 1, 8), " ").as("summary"))
+  }
+
+  val summariesSql: String =
+    s"""WITH ${Retrievers.codeTableSql}
+       |SELECT md5(path || '#CodeSummary') AS summary_id,
+       |  file_id, path, kind, symbol AS summarizes,
+       |  array_to_string(string_split(body, ' ')[1:8], ' ') AS summary
+       |FROM code""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "code_dependencies" -> ((s: SparkSession, d: String) => dependencies(s, d)))
+    "code_dependencies" -> ((s: SparkSession, d: String) => dependencies(s, d)),
+    "code_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "code_dependencies" -> dependenciesSql)
+    "code_dependencies" -> dependenciesSql,
+    "code_summaries" -> summariesSql)
 }

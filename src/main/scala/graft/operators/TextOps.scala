@@ -392,6 +392,92 @@ object TextOps {
       |  unnest(regexp_extract_all(meta, '\$[0-9]+\.[0-9]{2}'))
       |FROM base""".stripMargin
 
+  /** Cascade graph extraction — the deterministic skeleton of the
+    * reference's multi-round extraction pipeline
+    * (tasks/graph/cascade_extract/utils/extract_nodes.py:15 — n_rounds
+    * of node proposals, each accepted only if its LOWERCASED name is
+    * new (first round wins);
+    * extract_content_nodes_and_relationship_names.py:16 — a second pass
+    * widens the node set and accumulates relationship names under the
+    * same case-insensitive first-wins rule;
+    * extract_edge_triplets.py:9 — edge proposals are DROPPED unless
+    * both endpoint ids were accepted as nodes, and dedup on the full
+    * (source, target, relationship) triplet).
+    *
+    * The LLM proposer is replaced by deterministic rules with the same
+    * contract (the fakeDecode/md5-fold precedent): pass 1 proposes
+    * tokens of length ≥ 3, pass 2 adds length-2 tokens, a token's round
+    * is fold16(md5(token)) % n_rounds (so acceptance ORDER follows
+    * (round, position), which the oracle replays), relationship names
+    * are tokens of length ≥ 7, and edges are proposed between ADJACENT
+    * raw tokens — so proposals whose endpoint was never accepted
+    * (length-1 noise) exercise the reference's endpoint filter — with
+    * rel = the source token when it is a relationship name, else
+    * related_to.
+    *
+    * Scale shape: everything is in-row HOF arithmetic over each doc's
+    * own token array (the per-document-fold contract of §5) — one
+    * narrow map stage, zero shuffles, zero UDFs. */
+  def entityCascade(spark: SparkSession, dir: String, nRounds: Int = 2): DataFrame = {
+    val low = transform(split(col("text"), " "), t => lower(t))
+    def roundOf(t: Column) =
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long") % nRounds
+    val proposals = filter(
+      transform(low, (t, i) => struct(
+        roundOf(t).as("r"), i.cast("long").as("pos"), t.as("tok"))),
+      p => length(p.getField("tok")) >= 2)
+    val pairs = zip_with(low,
+      slice(low, lit(2), greatest(size(low) - 1, lit(0))),
+      (a, b) => struct(a.as("src"), b.as("dst")))
+    val kept = array_distinct(transform(
+      filter(pairs, p => p.getField("dst").isNotNull &&
+        length(p.getField("src")) >= 2 && length(p.getField("dst")) >= 2),
+      p => struct(p.getField("src").as("src"), p.getField("dst").as("dst"),
+        when(length(p.getField("src")) >= 7, p.getField("src"))
+          .otherwise(lit("related_to")).as("rel"))))
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_min(proposals).getField("tok").as("first_node"),
+        size(array_distinct(transform(proposals, p => p.getField("tok"))))
+          .cast("long").as("n_nodes"),
+        size(array_distinct(transform(kept, e => e.getField("rel"))))
+          .cast("long").as("n_rels"),
+        size(kept).cast("long").as("n_edges"))
+  }
+
+  val entityCascadeSql: String =
+    """WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), x -> lower(x)) AS low FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, low[CAST(i AS INT) + 1] AS tok
+      |  FROM t, unnest(range(len(low))) AS u(i)
+      |),
+      |f AS (
+      |  SELECT doc_id, pos, tok,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) % 2 AS r
+      |  FROM tok WHERE len(tok) >= 2
+      |),
+      |firsts AS (SELECT doc_id, tok AS first_node FROM (
+      |  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY r, pos, tok) AS rn
+      |  FROM f) WHERE rn = 1),
+      |nodes AS (SELECT doc_id, count(DISTINCT tok) AS n_nodes FROM f GROUP BY 1),
+      |rawp AS (SELECT doc_id, pos, tok AS src,
+      |           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS dst FROM tok),
+      |kept AS (SELECT DISTINCT doc_id, src, dst,
+      |           CASE WHEN len(src) >= 7 THEN src ELSE 'related_to' END AS rel
+      |         FROM rawp WHERE dst IS NOT NULL AND len(src) >= 2 AND len(dst) >= 2),
+      |edges AS (SELECT doc_id, count(*) AS n_edges, count(DISTINCT rel) AS n_rels
+      |          FROM kept GROUP BY 1)
+      |SELECT d.doc_id, f.first_node,
+      |  coalesce(n.n_nodes, 0) AS n_nodes,
+      |  coalesce(e.n_rels, 0) AS n_rels,
+      |  coalesce(e.n_edges, 0) AS n_edges
+      |FROM documents d
+      |LEFT JOIN firsts f USING (doc_id)
+      |LEFT JOIN nodes n USING (doc_id)
+      |LEFT JOIN edges e USING (doc_id)""".stripMargin
+
   /** Time-anchored event extraction from document text — the
     * deterministic skeleton of the reference's temporal-graph pipeline
     * (tasks/temporal_graph/extract_events_and_entities.py: an LLM pulls
@@ -450,6 +536,7 @@ object TextOps {
       |FROM f WHERE h4 % 11 = 0""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "entity_extract_cascade" -> ((s: SparkSession, d: String) => entityCascade(s, d)),
     "temporal_extract" -> ((s: SparkSession, d: String) => temporalExtract(s, d)),
     "entity_extract_regex" -> ((s: SparkSession, d: String) => entityExtract(s, d)),
     "text_chunk_paragraph" -> ((s: SparkSession, d: String) => chunkParagraph(s, d)),
@@ -461,6 +548,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "entity_extract_cascade" -> entityCascadeSql,
     "temporal_extract" -> temporalExtractSql,
     "entity_extract_regex" -> entityExtractSql,
     "text_chunk_paragraph" -> chunkParagraphSql,
