@@ -431,6 +431,10 @@ object Pipeline {
     * a lost node or edge breaks the oracle hash. */
   def classifyChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // Classified chunks feed every downstream branch (nodes, three edge
+    // kinds, the merge's anti-join sides) — materialize the narrow
+    // ~per-chunk relation once instead of re-tokenizing the corpus per
+    // branch (eager localCheckpoint, the repo-wide scratch idiom).
     val chunks = operators.TextOps.chunk(spark, dir)
       .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .select(
@@ -440,6 +444,7 @@ object Pipeline {
         concat(lit("text_"), col("lang")).as("type_label"),
         array(concat(lit("src_"), col("source")),
           when(col("n_tokens") >= 64, "size_full").otherwise("size_partial")).as("subs"))
+      .localCheckpoint(true)
     val subRows = chunks.select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
       col("type_label"), explode(col("subs")).as("sub_label"))
     // First sighting (chunk order) decides each subtype's parent — the
@@ -463,7 +468,12 @@ object Pipeline {
       lit("chunk").as("ntype"), col("chunk_id").as("name"))
     val merged = PropertyGraph(chunkNodes, taxonomyEdges.limit(0))
       .mergeNodes(taxonomyNodes).mergeEdges(taxonomyEdges)
-    val e = merged.edgesP
+    // The census reads the merged edge relation three times (types,
+    // parents, subtype counts); materialize it once — eager
+    // localCheckpoint, the repo-wide scratch idiom (no CacheManager
+    // entry to leak) — instead of re-running the merge's
+    // union+anti-join per branch.
+    val e = merged.edgesP.localCheckpoint(true)
     val labelOf = expr("substring(dst, 5)")
     val types = e.filter(col("rel") === "is_media_type")
       .groupBy(labelOf.as("label")).agg(count(lit(1)).as("n_chunks"))
