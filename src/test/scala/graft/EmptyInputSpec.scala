@@ -36,7 +36,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "data_datasets", "search_history", "temporal_extract",
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg",
-    "pipeline_cognify", "pipeline_prune", "search_context_render",
+    "pipeline_cognify", "pipeline_prune", "pipeline_classify",
+    "entity_extract_cascade", "code_summaries", "search_context_render",
     "store_vec_search", "store_doc_ingest")
 
   test("corpus-processing operators return empty results on an empty corpus") {
