@@ -84,7 +84,13 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
+  private val nodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*(\{[^{}]*\})?\s*\)""".r
+  // A node pattern with NO variable — `()`, `(:type)`, `({k: 'v'})` —
+  // rewritten to a fresh variable before compilation (one compile path).
+  private val anonNodeRe = """\(\s*(?::\s*\w+)?\s*(?:\{[^{}]*\})?\s*\)""".r
+  // One inline-map entry: `key: 'string'` or `key: 123` (Cypher's
+  // `{name: 'x', qty: 3}` sugar for post-match equality predicates).
+  private val mapPairRe = """(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
   private val relRe = """(<)?-\s*\[\s*(\w+)?\s*:\s*(\w+(?:\s*\|\s*\w+)*)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]\s*-(>)?""".r
   // Ordered alternation: multi-char ops before their single-char
   // prefixes (>= before >). Range ops are TYPE-AWARE: when the literal
@@ -113,7 +119,8 @@ object CypherLite {
     * variable and `${r}_rel/_props` per bound edge variable. */
   private def compileChain(g: PropertyGraph, chain: String): (DataFrame, Seq[String], Set[String]) = {
     val matchPart = chain
-    val nodePats = nodeRe.findAllMatchIn(matchPart).map(m => (m.group(1), Option(m.group(2)))).toSeq
+    val nodePats = nodeRe.findAllMatchIn(matchPart)
+      .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
     // (edgeVar, relTypes, minHops, maxHops, direction); plain -[:rel]->
     // is 1..1 forward, <-[:rel]- reverse, -[:rel]- (no arrowhead)
     // undirected; -[r:rel]-> binds the edge variable r.
@@ -140,15 +147,36 @@ object CypherLite {
     require(!edgeVars.exists(nodePats.map(_._1).toSet),
       s"variable bound as both node and edge in: $matchPart")
 
-    def nodeDf(v: String, t: Option[String]): DataFrame =
-      t.fold(g.nodesP)(tp => g.nodesP.filter(col("ntype") === tp)).select(
+    // Inline property map → equality predicates applied at the node
+    // scan itself (so Catalyst pushes them into the source read, ahead
+    // of every join — strictly better than the equivalent WHERE).
+    // Fixed columns compare directly; anything else reaches into the
+    // props bag. Quoted values compare as strings, bare numbers
+    // numerically (try_cast, the WHERE range-op convention).
+    def mapPredicates(mapText: String): Seq[Column] =
+      splitOutsideQuotes(mapText.stripPrefix("{").stripSuffix("}"), ",")
+        .map(_.trim).filter(_.nonEmpty).map {
+          case mapPairRe(k, s, n) =>
+            val c = k match {
+              case "id" | "ntype" | "name" => col(k)
+              case bagKey => element_at(col("props"), bagKey)
+            }
+            if (s != null) c === lit(s) else c.try_cast("double") === lit(n.toDouble)
+          case other => throw new IllegalArgumentException(
+            s"unsupported inline property entry: $other")
+        }
+
+    def nodeDf(v: String, t: Option[String], m: Option[String]): DataFrame = {
+      val typed = t.fold(g.nodesP)(tp => g.nodesP.filter(col("ntype") === tp))
+      m.fold(typed)(mt => mapPredicates(mt).foldLeft(typed)(_ filter _)).select(
         col("id").as(s"${v}_id"), col("ntype").as(s"${v}_ntype"), col("name").as(s"${v}_name"),
         col("props").as(s"${v}_props"))
+    }
 
-    var df = nodeDf(nodePats.head._1, nodePats.head._2)
+    var df = nodeDf(nodePats.head._1, nodePats.head._2, nodePats.head._3)
     relPats.zipWithIndex.foreach { case ((evar, rels, lo, hi, dir), i) =>
-      val (pv, _) = nodePats(i)
-      val (nv, nt) = nodePats(i + 1)
+      val (pv, _, _) = nodePats(i)
+      val (nv, nt, nm) = nodePats(i + 1)
       val e = evar match {
         case Some(r) =>
           // Bound edge variable: one row PER EDGE (no endpoint dedup —
@@ -195,7 +223,7 @@ object CypherLite {
           reach.distinct()
             .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
       }
-      df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt), Seq(s"${nv}_id"))
+      df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt, nm), Seq(s"${nv}_id"))
     }
     (df, nodePats.map(_._1), edgeVars)
   }
@@ -294,11 +322,19 @@ object CypherLite {
     // keep the mandatory bindings with NULLs for the optional ones
     // (Cypher's semantics). A pattern sharing no variable with what
     // precedes it would be a cartesian product — rejected.
+    // Anonymous node patterns get fresh query-unique variables — one
+    // compile path, and distinct anonymous nodes can never alias each
+    // other into an accidental shared-variable join.
+    var anonN = -1
+    def freshAnon(): String = { anonN += 1; s"_anon$anonN" }
+
     def compileBody(text: String): Unit = {
-      val matchPart = section(text, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "UNWIND", "RETURN"))
-      val optParts = optionalSections(text)
+      val matchPart = nameAnonymousNodes(
+        section(text, "MATCH", Seq("OPTIONAL MATCH", "WHERE", "UNWIND", "RETURN")),
+        () => freshAnon())
+      val optParts = optionalSections(text).map(nameAnonymousNodes(_, () => freshAnon()))
       val wherePart = sectionOpt(text, "WHERE", Seq("UNWIND", "RETURN"))
-      val chains = matchPart.split(",").map(_.trim).filter(_.nonEmpty)
+      val chains = splitPatterns(matchPart)
       require(chains.nonEmpty, s"empty MATCH in: $q")
       var rest: Seq[String] = chains.toIndexedSeq
       if (df == null) {
@@ -553,6 +589,48 @@ object CypherLite {
       else sb.append(if (in) ' ' else Character.toUpperCase(ch))
     }
     sb.toString
+  }
+
+  /** Rewrite each variable-less node pattern to `(<fresh var> …)`,
+    * scanning the quote-MASKED text (an `()` inside a string literal is
+    * data) but splicing from the original, so literal content and the
+    * node's own type/map text survive untouched. */
+  private def nameAnonymousNodes(s: String, fresh: () => String): String = {
+    val masked = maskedUpper(s)
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var last = 0
+    anonNodeRe.findAllMatchIn(masked).foreach { m =>
+      sb.append(s, last, m.start)
+      val inner = s.substring(m.start + 1, m.end - 1).trim
+      sb.append('(').append(fresh())
+      if (inner.nonEmpty) sb.append(if (inner.startsWith(":")) "" else " ").append(inner)
+      sb.append(')')
+      last = m.end
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  /** Split a MATCH body into its comma-separated patterns: commas
+    * inside quoted literals, inline property maps `{…}` or relationship
+    * brackets `[…]` are part of the pattern, not separators. */
+  private def splitPatterns(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var inQ = false
+    var depth = 0
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; sb.append(ch) }
+      else if (inQ) sb.append(ch)
+      else ch match {
+        case '{' | '[' => depth += 1; sb.append(ch)
+        case '}' | ']' => depth -= 1; sb.append(ch)
+        case ',' if depth == 0 => parts += sb.toString; sb.setLength(0)
+        case c => sb.append(c)
+      }
+    }
+    parts += sb.toString
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Split on `sep` (uppercase) at occurrences OUTSIDE quoted literals. */

@@ -1043,6 +1043,28 @@ object Retrievers {
   def cypherOr(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(TpchGraph(spark, dir), orCypher)
 
+  /** CYPHER with inline property maps and an anonymous node — everyday
+    * Cypher that cypher_search_retriever.py:24 forwards verbatim:
+    * `{key: value}` sugar compiles to equality predicates applied AT
+    * the node scan (pushed ahead of every join, strictly better than
+    * the equivalent WHERE), and the variable-less `()` endpoint gets a
+    * fresh query-unique variable. */
+  val inlineCypher: String =
+    "MATCH (c:customer {mktsegment: 'BUILDING'})-[:located_in]->(n:nation), " +
+      "(o:order {status: 'F'})-[:placed_by]->(c), (o)-[:contains]->() " +
+      "RETURN n.name AS nation, count(*) AS n_parts ORDER BY nation"
+
+  def cypherInline(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), inlineCypher)
+
+  val cypherInlineSql: String =
+    """SELECT n_name AS nation, count(*) AS n_parts
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   val cypherOrSql: String =
     """SELECT n_name AS nation, count(*) AS n_priority_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1514,6 +1536,7 @@ object Retrievers {
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
+    "search_cypher_inline" -> ((s: SparkSession, d: String) => cypherInline(s, d)),
     "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
     "search_cypher_node" -> ((s: SparkSession, d: String) => cypherNode(s, d)),
     "search_natural_language" -> ((s: SparkSession, d: String) => naturalLanguage(s, d)))
@@ -1549,6 +1572,7 @@ object Retrievers {
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
+    "search_cypher_inline" -> cypherInlineSql,
     "store_graph_cypher" -> cypherSql,
     "search_cypher_node" -> cypherNodeSql,
     "search_natural_language" -> cypherSql)

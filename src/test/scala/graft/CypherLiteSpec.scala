@@ -621,6 +621,52 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  private lazy val inlineG: PropertyGraph = {
+    import TestSpark.spark.implicits._
+    PropertyGraph(
+      Seq(
+        ("a:1", "a", "alpha", Map("qty" -> "3")),
+        ("a:2", "a", "beta", Map("qty" -> "5")),
+        ("b:1", "b", "gamma", Map.empty[String, String]),
+        ("d:1", "d", "par()en", Map.empty[String, String]))
+        .toDF("id", "ntype", "name", "props"),
+      Seq(("a:1", "b:1", "knows"), ("a:2", "b:1", "knows"))
+        .toDF("src", "dst", "rel"))
+  }
+
+  test("inline property maps: fixed column, bag key, numeric value") {
+    // String equality on the fixed `name` column.
+    assert(CypherLite.run(inlineG, "MATCH (x:a {name: 'beta'}) RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList === List("a:2"))
+    // Numeric (unquoted) literal compares numerically against the bag.
+    assert(CypherLite.run(inlineG, "MATCH (x:a {qty: 3}) RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList === List("a:1"))
+    // Multi-entry map: its comma must not split the multi-pattern MATCH.
+    val out = CypherLite.run(inlineG,
+      "MATCH (x:a {name: 'alpha', qty: 3}), (x)-[:knows]->(y) RETURN y.id AS yid")
+      .collect().map(_.getString(0)).toList
+    assert(out === List("b:1"))
+    // A missing bag key compares NULL → no match, Cypher semantics.
+    assert(CypherLite.run(inlineG, "MATCH (x:b {qty: 3}) RETURN x.id AS xid").count() === 0L)
+  }
+
+  test("anonymous nodes get fresh variables; quoted parens stay data") {
+    val xs = CypherLite.run(inlineG, "MATCH (x:a)-[:knows]->() RETURN x.id AS xid ORDER BY xid")
+      .collect().map(_.getString(0)).toList
+    assert(xs === List("a:1", "a:2"))
+    // Typed anonymous endpoint.
+    assert(CypherLite.run(inlineG, "MATCH (x)-[:knows]->(:b) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+    // Two anonymous nodes in one body are distinct variables (no
+    // accidental shared-variable join between them).
+    assert(CypherLite.run(inlineG,
+      "MATCH (x:a)-[:knows]->(), (x)-[:knows]->() RETURN count(*) AS n")
+      .collect().head.getLong(0) === 2L)
+    // `()` inside a quoted literal is data, not an anonymous node.
+    assert(CypherLite.run(inlineG, "MATCH (x:d {name: 'par()en'}) RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList === List("d:1"))
+  }
+
   test("tpch projection: suppliers per region matches direct aggregation") {
     val viaCypher = CypherLite.run(TpchGraph(spark, sf),
       "MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region) " +
