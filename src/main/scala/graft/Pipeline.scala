@@ -429,21 +429,34 @@ object Pipeline {
     * hash aggregate over (doc_id, chunk_idx) — map-side partial, no
     * per-label sort. The census is read BACK from the merged graph, so
     * a lost node or edge breaks the oracle hash. */
+  /** The classification arithmetic over ANY (doc_id, text, lang,
+    * source) relation — chunking carried inline (no stream-unfriendly
+    * self-join), one row per chunk with its type label and subclass
+    * list. Stateless, so the streaming twin
+    * (EventStream.classifyStream) reuses it verbatim on a streaming
+    * frame. */
+  private[graft] def classifiedChunksFrom(docs: DataFrame): DataFrame = {
+    val nChunks = ceil(size(col("toks")) / lit(64.0)).cast("int")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"),
+        col("lang"), col("source"))
+      .select(col("doc_id"), col("toks"), col("lang"), col("source"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        concat(lit("chunk:"), col("doc_id").cast("string"), lit("#"),
+          col("chunk_idx").cast("string")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat(lit("text_"), col("lang")).as("type_label"),
+        array(concat(lit("src_"), col("source")),
+          when(size(slice(col("toks"), col("chunk_idx") * 64 + 1, lit(64))) >= 64,
+            "size_full").otherwise("size_partial")).as("subs"))
+  }
+
   def classifyChunks(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     // Classified chunks feed every downstream branch (nodes, three edge
     // kinds, the merge's anti-join sides) — materialize the narrow
     // ~per-chunk relation once instead of re-tokenizing the corpus per
     // branch (eager localCheckpoint, the repo-wide scratch idiom).
-    val chunks = operators.TextOps.chunk(spark, dir)
-      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
-      .select(
-        concat(lit("chunk:"), col("doc_id").cast("string"), lit("#"),
-          col("chunk_idx").cast("string")).as("chunk_id"),
-        col("doc_id"), col("chunk_idx"),
-        concat(lit("text_"), col("lang")).as("type_label"),
-        array(concat(lit("src_"), col("source")),
-          when(col("n_tokens") >= 64, "size_full").otherwise("size_partial")).as("subs"))
+    val chunks = classifiedChunksFrom(Tables.load(spark, dir, "documents"))
       .localCheckpoint(true)
     val subRows = chunks.select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
       col("type_label"), explode(col("subs")).as("sub_label"))

@@ -113,6 +113,30 @@ object EventStream {
         .dropDuplicatesWithinWatermark("docId", "content_hash")
         .select(col("docId").as("doc_id"), col("text")))
 
+  /** Streaming chunk classification — the continuous twin of
+    * Pipeline.classifyChunks' per-chunk stage, because the reference
+    * classifies AT INGEST (chunk_naive_llm_classifier runs inside the
+    * cognify task list, once per added batch): arrivals are
+    * (docId, content_hash) deduped within the watermark horizon (the
+    * idempotent re-add contract), then flow through the SAME
+    * classification arithmetic (Pipeline.classifiedChunksFrom, shared
+    * verbatim) — each micro-batch emits exactly the
+    * (chunk_id, type_label, sub_label) rows a batch run over its new
+    * documents would produce. The taxonomy merge itself stays a
+    * downstream foreachBatch mergeNodes/mergeEdges (the indexStream
+    * precedent); the stream stage is the narrow stateless prefix plus
+    * ONE stateful dedup. */
+  def classifyStream(docs: DataFrame): DataFrame =
+    graft.Pipeline.classifiedChunksFrom(
+      docs
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+        .withColumn("content_hash", md5(col("text")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("docId", "content_hash")
+        .select(col("docId").as("doc_id"), col("text"), col("lang"), col("source")))
+      .select(col("chunk_id"), col("doc_id"), col("chunk_idx"),
+        col("type_label"), explode(col("subs")).as("sub_label"))
+
   /** Streaming near-duplicate detection — the continuous twin of
     * DedupOps.minHashLsh's candidate stage, because at production scale
     * near-dup screening runs AT INGEST (flag the arriving document

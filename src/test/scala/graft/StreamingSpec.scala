@@ -118,6 +118,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect) // no 99999 rows, nothing missing
   }
 
+  test("streaming classification emits exactly the batch chunk rows, replay deduped") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source")).limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val stream = MemoryStream[(Long, Long, String, String, String)]
+    val t0 = 1700000000L
+    stream.addData(docs.take(15).map { case (id, tx, l, s) => (id, t0, tx, l, s) }.toSeq)
+    // batch 2 replays batch 1's first doc verbatim — the (docId,
+    // content_hash) dedup must drop it
+    stream.addData(docs.drop(15).map { case (id, tx, l, s) => (id, t0 + 60, tx, l, s) }.toSeq
+      :+ ((docs.head._1, t0 + 60, docs.head._2, docs.head._3, docs.head._4)))
+    val q = EventStream.classifyStream(
+        stream.toDF().toDF("docId", "tsSec", "text", "lang", "source"))
+      .writeStream.format("memory").queryName("clsstream").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clsstream")
+      .select(col("chunk_id"), col("type_label"), col("sub_label"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expect = Pipeline.classifiedChunksFrom(
+        docs.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .select(col("chunk_id"), col("type_label"), explode(col("subs")).as("sub_label"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === expect) // replay contributed nothing, nothing missing
+  }
+
   test("streaming temporal extraction emits exactly the batch event rows, replay deduped") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
