@@ -482,7 +482,7 @@ object Retrievers {
         .withColumn("rank", rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long"))
         .select(lit(hop).as("hop"), col("rank"), col("doc_id"), col("cosine"))
     }
-    val r1 = topK(q, selfIds, 1).localCheckpoint(true)
+    val r1 = topK(q, selfIds, 1).localCheckpoint(false) // lazy: the ≤k collect below materializes it
     val top1 = r1.filter(col("rank") === 1).select(col("doc_id").as("vec_id"))
       .join(e, Seq("vec_id")).select(col("v").as("qv"))
     val r1Ids = selfIds ++ r1.collect().map(_.getAs[Long]("doc_id")).toSeq // ≤k+1 ids — driver-side is fine
@@ -551,7 +551,7 @@ object Retrievers {
         .orderBy(col("score").desc, col("src").asc, col("rel").asc, col("dst").asc)
         .limit(5)
         .select(lit(r).as("round"), col("src"), col("rel"), col("dst"), col("score"), col("ttoks"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the collect below materializes it — one job per round, not two
       // ≤5 rows per round — the same bounded driver-side read as
       // completionCot's exclusion ids.
       val rows = cand.collect().sortBy(rw =>
