@@ -199,6 +199,66 @@ object Retrievers {
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 
+  /** CHUNKS_LEXICAL, rank-quality variant: Okapi BM25 over the caller's
+    * query tokens (k1 = 1.2, b = 0.75) — the retrieval-ranking standard
+    * the reference's Jaccard lexical retriever approximates
+    * (jaccard_retrival.py is the pluggable scorer slot; BM25 is the
+    * drop-in users of a lexical index expect at corpus scale).
+    *
+    * Scale shape: NO inverted index materialization for a bounded query
+    * — per-document term frequencies are in-row array folds (one narrow
+    * map over documents, zero shuffles), the corpus statistics
+    * (N, avgdl, per-term df) are ONE single-row aggregate broadcast
+    * back, and only the top-k survivors leave the scan. At 100 TB both
+    * passes are embarrassingly parallel scans of the same pruned
+    * column; nothing corpus-sized ever shuffles. */
+  def lexicalBm25(spark: SparkSession, dir: String,
+      tokens: Seq[String] = queryTokens, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tfCols = tokens.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).as(s"tf$i")
+    }
+    val tf = load(spark, dir, "documents")
+      .select(col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+    val aggs = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      tokens.indices.map(i => sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+    val stats = tf.agg(aggs.head, aggs.tail: _*)
+    val score = tokens.indices.map { i =>
+      val tfc = col(s"tf$i").cast("double")
+      val dfc = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      idf * (tfc * lit(k1 + 1)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .filter(tokens.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+  }
+
+  val lexicalBm25Sql: String = {
+    val ts = queryTokens.zipWithIndex
+    val tfDefs = ts.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf$i" }.mkString(",\n      |    ")
+    val dfDefs = ts.map { case (_, i) =>
+      s"count(*) FILTER (WHERE tf$i > 0) AS df$i" }.mkString(", ")
+    val terms = ts.map { case (_, i) =>
+      s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    }.mkString("\n      |  + ")
+    val nz = ts.map { case (_, i) => s"tf$i" }.mkString(" + ")
+    s"""WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    $tfDefs
+      |  FROM documents
+      |),
+      |s AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfDefs FROM t)
+      |SELECT doc_id, round(
+      |    $terms, 4) AS score
+      |FROM t, s WHERE $nz > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val lexicalMultisetSql: String =
     """WITH c AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS n,
@@ -1535,6 +1595,7 @@ object Retrievers {
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
+    "search_lexical_bm25" -> ((s: SparkSession, d: String) => lexicalBm25(s, d)),
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
     "search_completion_cot" -> ((s: SparkSession, d: String) => completionCot(s, d)),
@@ -1571,6 +1632,7 @@ object Retrievers {
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,
     "search_lexical_multiset" -> lexicalMultisetSql,
+    "search_lexical_bm25" -> lexicalBm25Sql,
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
     "search_completion_cot" -> completionCotSql,

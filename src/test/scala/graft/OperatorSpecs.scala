@@ -795,6 +795,25 @@ class GraphInterfaceSpec extends SparkSpecBase {
 
 class RetrieverSurfaceSpec extends SparkSpecBase {
 
+  test("bm25 ranking: idf favors rarer terms, length normalization favors shorter docs") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      // "rare" appears in 1 doc, "common" in all 4 — idf must dominate
+      (1L, "rare common filler filler", "en", "s", 24L),
+      (2L, "common filler filler filler", "en", "s", 27L),
+      (3L, "common filler filler filler filler filler filler filler", "en", "s", 55L),
+      (4L, "common filler", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranked = Retrievers.lexicalBm25(spark, dir, Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1 holds the rare term → top; among common-only docs the SHORT
+    // doc 4 outranks 2, which outranks the long doc 3 (b-normalization)
+    assert(ranked.map(_._1).toSeq === Seq(1L, 4L, 2L, 3L), ranked.mkString(", "))
+    assert(ranked.head._2 > ranked(1)._2)
+  }
+
   test("insightsAsGraph carries exactly the triplet endpoints, no dangling edges") {
     val g = Retrievers.insightsAsGraph(spark, sf)
     val t = Retrievers.insights(spark, sf)
