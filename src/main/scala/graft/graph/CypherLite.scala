@@ -46,7 +46,9 @@ import org.apache.spark.sql.functions._
   * values by alias.
   * Aggregates: `count` (non-null, Cypher semantics), `sum`/`avg`
   * (numeric — both try_cast the bag string to double, non-numeric
-  * values aggregate as NULL), `min`/`max` (on the stored
+  * values aggregate as NULL), each accepting Cypher's DISTINCT
+  * modifier (`count(DISTINCT v.p)` dedups before aggregating;
+  * `collect(DISTINCT …)` dedups the sorted list), `min`/`max` (on the stored
   * representation — correct for the ISO-date / zero-padded strings the
   * projection stores), and `collect` (canonicalized to a SORTED list:
   * Cypher's collect is unordered, a nondeterministic order would break
@@ -99,16 +101,16 @@ object CypherLite {
   // Cypher's cross-type semantics); otherwise lexicographic, which is
   // correct for the ISO-date strings the projection stores. Equality
   // stays on the stored representation.
-  private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|CONTAINS)\s*'([^']*)'""".r
+  private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|ENDS WITH|CONTAINS)\s*'([^']*)'""".r
   private val nullRe = """(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL""".r
   // RETURN items: agg(v.prop) | agg(alias) | v.prop | count(*) | alias,
   // each optionally AS-renamed. Bare names resolve WITH-projected value
   // columns only (a bare node variable would be Cypher's return-the-
   // node, which the tabular subset doesn't model).
   private val retItemRe =
-    """(?:(count|sum|avg|min|max|collect)\s*\(\s*(?:(\w+)\.(\w+)|(\w+))\s*\)|(\w+)\.(\w+)|count\(\*\)|(\w+))(?:\s+[aA][sS]\s+(\w+))?""".r
+    """(?:(count|sum|avg|min|max|collect)\s*\(\s*((?i:distinct)\s+)?(?:(\w+)\.(\w+)|(\w+))\s*\)|(\w+)\.(\w+)|count\(\*\)|(\w+))(?:\s+[aA][sS]\s+(\w+))?""".r
   // WITH items: aliased aggregate, aliased scalar, or bare node variable
-  private val withAggRe = """(count|sum|avg|min|max|collect)\s*\(\s*(\w+)\.(\w+)\s*\)\s+[aA][sS]\s+(\w+)""".r
+  private val withAggRe = """(count|sum|avg|min|max|collect)\s*\(\s*((?i:distinct)\s+)?(\w+)\.(\w+)\s*\)\s+[aA][sS]\s+(\w+)""".r
   private val withScalarRe = """(\w+)\.(\w+)\s+[aA][sS]\s+(\w+)""".r
   private val withBareRe = """(\w+)""".r
   // WITH-attached WHERE: alias vs quoted-string or numeric literal
@@ -228,6 +230,28 @@ object CypherLite {
     (df, nodePats.map(_._1), edgeVars)
   }
 
+  /** One aggregate column for WITH/RETURN items. `count`/`sum`/`avg`
+    * accept Cypher's DISTINCT modifier (dedup before aggregation);
+    * `collect(DISTINCT …)` dedups the canonical sorted list; DISTINCT
+    * under min/max is the identity, accepted for compatibility. */
+  private def aggExpr(fn: String, distinct: Boolean, c0: Column): Column = {
+    val c = fn match { case "sum" | "avg" => c0.try_cast("double"); case _ => c0 }
+    (fn, distinct) match {
+      case ("collect", false) => sort_array(collect_list(c))
+      case ("collect", true) => sort_array(array_distinct(collect_list(c)))
+      case ("min", _) => min(c)
+      case ("max", _) => max(c)
+      case ("count", false) => count(c)
+      case ("count", true) => count_distinct(c)
+      case ("sum", false) => sum(c)
+      case ("sum", true) => sum_distinct(c)
+      case ("avg", false) => avg(c)
+      // Average over the distinct values — the same final sum/count
+      // double division Spark's Average performs.
+      case ("avg", true) => sum_distinct(c) / count_distinct(c)
+    }
+  }
+
   def run(g: PropertyGraph, cypher: String): DataFrame = {
     val q = cypher.trim.replaceAll("\\s+", " ")
     // Arbitrary WITH chains: MATCH… (WITH items [WHERE pred] MATCH…)*
@@ -297,6 +321,7 @@ object CypherLite {
           case ">" => rng(_ > _)
           case "<" => rng(_ < _)
           case "STARTS WITH" => c.startsWith(lit0)
+          case "ENDS WITH" => c.endsWith(lit0)
           case "CONTAINS" => c.contains(lit0)
         }
       case nullRe(v, p, not) =>
@@ -394,17 +419,9 @@ object CypherLite {
       var carried = Set.empty[String]
       var segAliases = Set.empty[String] // aliases live AFTER this WITH
       hw.head.split(",").map(_.trim).foreach {
-        case withAggRe(fn, v, p, alias) =>
-          val c = propCol(v, p)
-          val agg = fn match {
-            case "count" => count(c)
-            case "sum" => sum(c.try_cast("double"))
-            case "avg" => avg(c.try_cast("double"))
-            case "min" => min(c)
-            case "max" => max(c)
-            case "collect" => sort_array(collect_list(c))
-          }
-          aggCols :+= agg.as(alias); segAliases += alias
+        case withAggRe(fn, dist, v, p, alias) =>
+          aggCols :+= aggExpr(fn, dist != null, propCol(v, p)).as(alias)
+          segAliases += alias
         case withScalarRe(v, p, alias) =>
           keyCols :+= propCol(v, p).as(alias); segAliases += alias
         case withBareRe(v) if allNode(v) =>
@@ -483,7 +500,7 @@ object CypherLite {
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
     val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
     val items = retBody.split(",").map(_.trim).flatMap {
-      case retItemRe(null, _, _, null, null, null, bare, null) if bare != null && allNode(bare) =>
+      case retItemRe(null, _, _, _, null, null, null, bare, null) if bare != null && allNode(bare) =>
         // RETURN n — a bare NODE variable expands to its relational
         // projection (<v>_id, <v>_ntype, <v>_name; the props bag stays
         // behind — maps have no cross-engine canonical rendering).
@@ -491,7 +508,7 @@ object CypherLite {
         // grouping key, Cypher's group-by-the-node semantics.
         Seq("id", "ntype", "name").map(f =>
           (false, col(s"${bare}_$f").as(s"${bare}_$f"), s"${bare}_$f"))
-      case m @ retItemRe(aggFn, av, ap, aggBare, v, p, bare, alias) => Seq {
+      case m @ retItemRe(aggFn, dist, av, ap, aggBare, v, p, bare, alias) => Seq {
         if (aggFn != null) {
           val (c, defName) =
             if (av != null) (propCol(av, ap), s"${aggFn}_${av}_$ap")
@@ -500,15 +517,7 @@ object CypherLite {
               (col(aggBare), s"${aggFn}_$aggBare")
             }
           val name = Option(alias).getOrElse(defName)
-          val agg = aggFn match {
-            case "count" => count(c)
-            case "sum" => sum(c.try_cast("double"))
-            case "avg" => avg(c.try_cast("double"))
-            case "min" => min(c)
-            case "max" => max(c)
-            case "collect" => sort_array(collect_list(c))
-          }
-          (true, agg.as(name), name)
+          (true, aggExpr(aggFn, dist != null, c).as(name), name)
         } else if (v != null) {
           val name = Option(alias).getOrElse(s"${v}_$p")
           (false, propCol(v, p).as(name), name)
@@ -659,8 +668,10 @@ object CypherLite {
     var i = m.indexOf(sep)
     while (i >= 0) {
       val pre = m.substring(0, i)
-      val isOperator = pre.endsWith("STARTS") &&
-        (pre.length == 6 || !Character.isLetterOrDigit(pre.charAt(pre.length - 7)))
+      // `STARTS WITH` / `ENDS WITH` are operators, not the WITH clause.
+      val isOperator = Seq("STARTS", "ENDS").exists(kw => pre.endsWith(kw) &&
+        (pre.length == kw.length ||
+          !Character.isLetterOrDigit(pre.charAt(pre.length - kw.length - 1))))
       if (isOperator) i = m.indexOf(sep, i + 1)
       else {
         parts += s.substring(start, i)

@@ -1106,6 +1106,28 @@ object Retrievers {
   def cypherOr(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(TpchGraph(spark, dir), orCypher)
 
+  /** CYPHER with an ENDS WITH suffix predicate and DISTINCT aggregates
+    * (`count(DISTINCT c.id)` vs plain `count(*)`) — repeat customers
+    * make the dedup observable, and the suffix match hits two nations
+    * (…_5 and …_15), so the operator's WITH never confuses the clause
+    * splitter. */
+  val distinctCypher: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer)-[:located_in]->(n:nation) " +
+      "WHERE n.name ENDS WITH '_5' " +
+      "RETURN n.name AS nation, count(DISTINCT c.id) AS n_customers, " +
+      "count(*) AS n_orders ORDER BY nation"
+
+  def cypherDistinct(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), distinctCypher)
+
+  val cypherDistinctSql: String =
+    """SELECT n_name AS nation, count(DISTINCT c_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE ends_with(n_name, '_5')
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** CYPHER with inline property maps and an anonymous node — everyday
     * Cypher that cypher_search_retriever.py:24 forwards verbatim:
     * `{key: value}` sugar compiles to equality predicates applied AT
@@ -1614,6 +1636,7 @@ object Retrievers {
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
+    "search_cypher_distinct" -> ((s: SparkSession, d: String) => cypherDistinct(s, d)),
     "search_cypher_inline" -> ((s: SparkSession, d: String) => cypherInline(s, d)),
     "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
     "search_cypher_node" -> ((s: SparkSession, d: String) => cypherNode(s, d)),
@@ -1651,6 +1674,7 @@ object Retrievers {
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
+    "search_cypher_distinct" -> cypherDistinctSql,
     "search_cypher_inline" -> cypherInlineSql,
     "store_graph_cypher" -> cypherSql,
     "search_cypher_node" -> cypherNodeSql,

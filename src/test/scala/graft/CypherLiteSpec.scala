@@ -37,6 +37,38 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toList === List(("delta", 2L)))
   }
 
+  test("ENDS WITH predicate and its WITH-clause disambiguation") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name ENDS WITH 'pha' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(out === List("a:1"))
+    // ENDS WITH inside a WITH-chained query: the operator's WITH must
+    // not be taken for a clause boundary
+    val chained = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(x.id) AS n " +
+        "MATCH (y)-[:in]->(z:c) WHERE z.name ENDS WITH 'lta' RETURN z.name AS zn, n ORDER BY zn")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(chained === List(("delta", 2L)))
+  }
+
+  test("DISTINCT aggregates: count, collect, sum") {
+    // two a-nodes know b:1 — y.name dedups to one value
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN count(DISTINCT y.name) AS n, count(y.name) AS total")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
+    val coll = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN collect(DISTINCT y.name) AS ys")
+      .collect().head.getSeq[String](0).toList
+    assert(coll === List("gamma"))
+    // DISTINCT through a WITH segment aggregate
+    val viaWith = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WITH y, count(DISTINCT x.ntype) AS kinds " +
+        "RETURN y.id AS yid, kinds ORDER BY yid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(viaWith === List(("b:1", 1L)))
+  }
+
   test("undirected pattern traverses both orientations") {
     // b:1 is reachable undirected from a:1 (outgoing) and c:1 (incoming)
     val out = CypherLite.run(g,
