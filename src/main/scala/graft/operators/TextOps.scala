@@ -71,6 +71,70 @@ object TextOps {
       |                / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3) * 10000) / 10000 AS quality_score
       |FROM documents""".stripMargin
 
+  /** Gopher-style repetition filters (Rae et al. 2021, Table A1 — the
+    * repetition-removal rules every large-scale pretraining corpus
+    * applies): per document, the fraction of word 2-gram occurrences
+    * claimed by the single most frequent 2-gram (`top_bigram_frac`,
+    * threshold 0.18) and the fraction of word 3-gram occurrences whose
+    * gram repeats (`dup_trigram_frac`, threshold 0.30), plus the
+    * composite keep/drop flag.
+    *
+    * Scale shape: the one honest distributed formulation — explode the
+    * grams (≈ 2× token count rows), partial-aggregated (doc, gram)
+    * counts, then a per-doc rollup; nothing driver-side, no all-pairs.
+    * Fractions are floor-truncated at 4 decimals (the quality-score
+    * precedent: floor of an identical double is engine-independent,
+    * HALF_UP rounding is not). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select(col("doc_id"), toks.as("toks"))
+    def gramStats(n: Int): DataFrame = d
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as(s"total$n"),
+        max(col("c")).as(s"max$n"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$n"))
+    def frac4(c: Column): Column = floor(c * 10000) / 10000
+    gramStats(2).join(gramStats(3), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("total2").as("n_bigrams"),
+        frac4(col("max2").cast("double") / col("total2")).as("top_bigram_frac"),
+        frac4(coalesce(col("dup3").cast("double") / col("total3"), lit(0.0))).as("dup_trigram_frac"))
+      .withColumn("rep_filtered",
+        (col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30).cast("int").cast("long"))
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM t WHERE len(toks) >= 2
+      |),
+      |bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, sum(c) AS total2, max(c) AS max2 FROM bc GROUP BY 1),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+      |  FROM t WHERE len(toks) >= 3
+      |),
+      |tc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, sum(c) AS total3,
+      |  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3 FROM tc GROUP BY 1),
+      |f AS (
+      |  SELECT bs.doc_id, CAST(total2 AS BIGINT) AS n_bigrams,
+      |    floor(max2 * 1.0 / total2 * 10000) / 10000 AS top_bigram_frac,
+      |    floor(coalesce(dup3 * 1.0 / total3, 0) * 10000) / 10000 AS dup_trigram_frac
+      |  FROM bs LEFT JOIN ts ON bs.doc_id = ts.doc_id
+      |)
+      |SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+      |  CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 AS BIGINT) AS rep_filtered
+      |FROM f""".stripMargin
+
   /** Stopword-profile language ID (n-gram heuristic): score each
     * language's marker-word count, argmax with a fixed alphabetical
     * tie-break, reported as a confusion matrix against the labeled
@@ -543,6 +607,7 @@ object TextOps {
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
     "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
+    "text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
@@ -555,6 +620,7 @@ object TextOps {
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_tokens" -> tokensSql,
     "text_quality" -> qualitySql,
+    "text_repetition" -> repetitionSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_chunk" -> chunkSql)

@@ -419,6 +419,26 @@ class CurateOpsSpec extends SparkSpecBase {
 
 class TextOpsSpec extends SparkSpecBase {
 
+  test("repetition filters: hand-computed fractions and the keep/drop flag") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      // "x y" appears 3 times among 5 bigrams → top 0.6; trigram "x y x"
+      // twice + "y x y" twice → 4 of 4 occurrences duplicated → 1.0
+      (1L, "x y x y x y", "en", "s", 11L),
+      // no repeated bigram or trigram
+      (2L, "a b c d e f", "en", "s", 11L),
+      // two words: bigrams exist, no trigrams → dup_trigram_frac 0
+      (3L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((5L, 0.6, 1.0, 1L)))
+    assert(out(2L) === ((5L, 0.2, 0.0, 1L))) // 1/5 = 0.2 > 0.18 → filtered
+    assert(out(3L) === ((1L, 1.0, 0.0, 1L)))
+  }
+
   test("chunk token counts reassemble to whitespace token counts") {
     val chunks = TextOps.chunk(spark, sf)
       .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_chunks"))
