@@ -574,6 +574,81 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
+  /** Per-dimension (min, range) scalar-quantization parameters, trained
+    * once per (session, corpus dir) and corpus-stamped like the coarse
+    * quantizer. Constant dimensions get a floor range so encode never
+    * divides by zero. */
+  private val sqParamsCache = new graft.graph.SessionDirCache[(Array[Double], Array[Double])](
+    (spark, dir) => {
+      val dims = emb(spark, dir).select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy(col("pos")).collect() // ≤ dim rows — bounded driver read
+      val lo = dims.map(_.getDouble(1))
+      val rg = dims.map(r => math.max(r.getDouble(2) - r.getDouble(1), 1e-12))
+      (lo, rg)
+    },
+    stamp = corpusStamp)
+
+  /** SQ8-encoded corpus: one 0..255 code per dimension + the exact
+    * stored norm. 8× smaller than the double vectors (a production
+    * sink would pack the code array to BINARY; the plan shape — scan
+    * codes, never vectors — is what matters here). */
+  private val encodedSqCache = new graft.graph.SessionDirCache[DataFrame](
+    (spark, dir) => {
+      val (lo, rg) = sqParamsCache(spark, dir)
+      val loLit = typedLit(lo.toSeq)
+      val rgLit = typedLit(rg.toSeq)
+      emb(spark, dir)
+        .select(col("vec_id"),
+          transform(col("v"), (x, i) => least(lit(255), greatest(lit(0),
+            round((x - element_at(loLit, i + 1)) / element_at(rgLit, i + 1) * 255)
+              .cast("int")))).as("codes"),
+          norm(col("v")).as("vnorm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    },
+    stamp = corpusStamp)
+
+  /** Scalar-quantized ANN (the Faiss SQ8 pattern): each dimension
+    * uniformly quantized to a byte against trained per-dim (min, max),
+    * the shortlist pass scores the RECONSTRUCTED inner product against
+    * the 8×-smaller code table, and the top `refine` per query re-rank
+    * exactly. The estimate folds the reconstruction into per-query
+    * constants — q·v̂ = q·min + Σ (q_d·range_d/255)·code_d — so the
+    * corpus-side scan is ONE dot of a precomputed query weight array
+    * with the code array (no per-row reconstruction array).
+    *
+    * Complements IVFPQ on the compression/recall curve: SQ8 keeps
+    * per-dimension resolution (higher recall at the same refine) at 8×
+    * compression vs PQ's ~50×. With refine ≥ corpus size it reduces to
+    * exact brute-force knn (spec-pinned). Approximate → rows-only
+    * driver check. */
+  def knnSq8(spark: SparkSession, dir: String, refine: Int = 20): DataFrame = {
+    val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+    val (lo, rg) = sqParamsCache(spark, dir)
+    if (lo.isEmpty)
+      return e0.select(col("vec_id").as("query_id"), col("vec_id"), lit(0.0).as("cosine"))
+    val enc = encodedSqCache(spark, dir)
+    val loLit = typedLit(lo.toSeq)
+    val rgLit = typedLit(rg.toSeq)
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        dot(col("v"), loLit).as("qmin"),
+        zip_with(col("v"), rgLit, (a, b) => a * b / 255.0).as("qw"))
+    val est = (col("qmin") + dot(col("qw"), transform(col("codes"), _.cast("double")))) /
+      (norm(col("qv")) * col("vnorm"))
+    val sqW = Window.partitionBy(col("query_id")).orderBy(col("est").desc, col("vec_id").asc)
+    val shortlist = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("est", est)
+      .withColumn("rn", row_number().over(sqW)).filter(col("rn") <= refine)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    e0.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH ANN with multi-probe: nbits sign bits
     * (deterministic ±1 planes) define the bucket; the query probes its
     * own bucket plus every bucket within hamming distance `probeHamming`
@@ -660,7 +735,8 @@ object VectorOps {
     "vec_dedup_cosine" -> ((s: SparkSession, d: String) => dedupCosine(s, d)),
     "vec_centroids" -> ((s: SparkSession, d: String) => centroids(s, d)),
     "vec_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
-    "vec_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)))
+    "vec_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
+    "vec_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
 
   def oracles: Map[String, String] = Map(
     "store_vec_search" -> storeVecSearchSql,

@@ -90,6 +90,26 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"ADC recall vs IVF-flat $recall")
   }
 
+  test("SQ8 with refine >= corpus reduces to exact brute-force knn") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sq = VectorOps.knnSq8(spark, sf, refine = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sq === exact)
+  }
+
+  test("SQ8 recall at the default refine against exact brute force") {
+    // Per-dimension resolution survives 8-bit quantization far better
+    // than PQ's 50x compression — the default refine budget must
+    // recover nearly all of the exact answer.
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = VectorOps.knnSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"SQ8 recall vs exact $recall")
+  }
+
   test("one-pass PQ training equals m sequential per-subspace Lloyd's runs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
