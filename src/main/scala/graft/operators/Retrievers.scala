@@ -357,6 +357,57 @@ object Retrievers {
     * context the completion prompt would consume
     * (graph_completion_retriever.py builds exactly this before the LLM
     * call). */
+  /** RAG_COMPLETION (completion_retriever.py get_context/get_completion
+    * — distinct from GRAPH_COMPLETION: chunks ONLY, no graph context):
+    * top-k chunks by cosine, their FULL texts joined with "\n" in rank
+    * order into one combined context string (get_context's
+    * "\n".join(chunks_payload)), and the completion row with the LLM
+    * stubbed extractively (first 8 context words — the summarize_text
+    * precedent). Empty corpus → one row with empty strings, the
+    * reference's empty-string contract.
+    *
+    * Scale shape: TakeOrdered top-k over the scored scan; only the k
+    * winners join documents for their text; the string assembly runs on
+    * ≤ k rows. */
+  def ragCompletion(spark: SparkSession, dir: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 2,
+      datasets: Seq[String] = Nil): DataFrame = {
+    val e = embD(spark, dir)
+    val (q, candidate) = resolveQuery(e, qv)
+    val docs = docsScoped(spark, dir, datasets)
+    val cand =
+      if (datasets.isEmpty) e.filter(candidate)
+      else e.filter(candidate)
+        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val top = cand.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("cosine"), col("text"))
+    top
+      .agg(coalesce(array_join(transform(array_sort(collect_list(
+          struct((col("cosine") * -1).as("nc"), col("doc_id").as("d"), col("text").as("t")))),
+          s => s.getField("t")), "\n"), lit("")).as("context"))
+      .select(col("context"),
+        concat(lit("Answer: "),
+          array_join(slice(split(col("context"), " "), 1, 8), " ")).as("completion"))
+  }
+
+  val ragCompletionSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |top AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |  ORDER BY cosine DESC, doc_id ASC LIMIT 2
+       |),
+       |j AS (SELECT t.doc_id, t.cosine, d.text FROM top t JOIN documents d USING (doc_id)),
+       |c AS (SELECT coalesce(string_agg(text, chr(10) ORDER BY cosine DESC, doc_id ASC), '') AS context FROM j)
+       |SELECT context,
+       |  'Answer: ' || array_to_string((string_split(context, ' '))[1:8], ' ') AS completion
+       |FROM c""".stripMargin
+
   def completionContext(spark: SparkSession, dir: String,
       qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
       datasets: Seq[String] = Nil): DataFrame = {
@@ -1620,6 +1671,7 @@ object Retrievers {
     "search_lexical_bm25" -> ((s: SparkSession, d: String) => lexicalBm25(s, d)),
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
+    "search_rag_completion" -> ((s: SparkSession, d: String) => ragCompletion(s, d)),
     "search_completion_cot" -> ((s: SparkSession, d: String) => completionCot(s, d)),
     "search_completion_extension" -> ((s: SparkSession, d: String) => completionContextExtension(s, d)),
     "search_summary_completion" -> ((s: SparkSession, d: String) => summaryCompletion(s, d)),
@@ -1658,6 +1710,7 @@ object Retrievers {
     "search_lexical_bm25" -> lexicalBm25Sql,
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
+    "search_rag_completion" -> ragCompletionSql,
     "search_completion_cot" -> completionCotSql,
     "search_completion_extension" -> completionContextExtensionSql,
     "search_summary_completion" -> summaryCompletionSql,

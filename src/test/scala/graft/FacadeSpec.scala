@@ -23,7 +23,8 @@ class FacadeSpec extends SparkSpecBase {
       (Graft.Insights, "search_insights"),
       (Graft.Feedback, "search_feedback"),
       (Graft.Temporal, "search_temporal"),
-      (Graft.GraphCompletion, "search_completion_context"))
+      (Graft.GraphCompletion, "search_completion_context"),
+      (Graft.RagCompletion, "search_rag_completion"))
     for ((tpe, name) <- pairs)
       assert(rows(Graft.search(spark, sf, tpe)) === rows(SparkEntry.queries(name)(spark, sf)),
         s"facade default for ${tpe.name} diverges from $name")
