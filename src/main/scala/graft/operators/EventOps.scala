@@ -174,11 +174,67 @@ object EventOps {
       |)
       |WHERE pos <= 10""".stripMargin
 
+  /** Sequential conversion funnel view → click → purchase: per user,
+    * the earliest view, the earliest click strictly after it, the
+    * earliest purchase strictly after that (whole-second ordering —
+    * SURVEY.md §4); per stage, surviving users and the conversion
+    * fraction from the previous stage (floor-truncated at 4 decimals).
+    *
+    * Scale shape: three keyed aggregation passes over the event scan
+    * (filter-pushed per stage), each a user_id shuffle; the final
+    * window runs over exactly three stage-count rows. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = loadEvents(spark, dir).select(col("user_id"), col("event_type"), col("ts_sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_sec") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_sec") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t3"))
+    def stageCount(df: DataFrame, stage: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(stage).as("stage"), lit(name).as("event_type"), col("n"))
+    val counts = stageCount(v, 1L, "view")
+      .union(stageCount(c, 2L, "click"))
+      .union(stageCount(p, 3L, "purchase"))
+    val w = Window.orderBy(col("stage")) // exactly 3 rows at any scale
+    counts
+      .withColumn("prev", lag(col("n"), 1).over(w))
+      .select(col("stage"), col("event_type"), col("n").as("n_users"),
+        (floor(coalesce(col("n").cast("double") / col("prev"), lit(1.0)) * 10000) / 10000)
+          .as("conversion"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |),
+      |v AS (SELECT user_id, min(sec) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.sec) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.sec > v.t1 GROUP BY 1
+      |),
+      |p AS (
+      |  SELECT e.user_id, min(e.sec) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.sec > c.t2 GROUP BY 1
+      |),
+      |counts AS (
+      |  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n FROM v
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+      |)
+      |SELECT stage, event_type, CAST(n AS BIGINT) AS n_users,
+      |  floor(coalesce(n * 1.0 / lag(n) OVER (ORDER BY stage), 1.0) * 10000) / 10000 AS conversion
+      |FROM counts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
+    "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
     "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)),
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
@@ -187,6 +243,7 @@ object EventOps {
     "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
+    "events_funnel" -> funnelSql,
     "search_temporal" -> temporalSearchSql,
     "search_temporal_open" -> temporalOpenSql)
 }
