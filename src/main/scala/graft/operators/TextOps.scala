@@ -436,6 +436,50 @@ object TextOps {
     }.reduce(_ union _)
   }
 
+  /** PII redaction — the training-corpus scrubbing pass every
+    * pretraining pipeline runs before the tokenizer (emails, dates,
+    * money amounts masked to typed placeholders). Runs over the same
+    * deterministic metadata-line stand-in corpus as
+    * [[entityExtract]] (the testdata has no natural PII), so every
+    * pattern fires and the redaction count is verifiable. One narrow
+    * map — three chained regexp_replace + match counts, zero shuffles,
+    * fully codegen'd. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val date = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
+    val money = "\\$[0-9]+\\.[0-9]{2}"
+    val line = concat(
+      lit("contact u"), col("doc_id"), lit("@example.com on 2024-01-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+      lit(" cost $"), col("n_chars"), lit(".00"))
+    val nMatches = Seq(email, date, money)
+      .map(re => size(regexp_extract_all(line, lit(re), lit(0))).cast("long"))
+      .reduce(_ + _)
+    load(spark, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(line,
+        email, "[EMAIL]"), date, "[DATE]"), money, "[MONEY]").as("redacted"),
+      nMatches.as("n_redacted"))
+  }
+
+  val redactSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    'contact u' || doc_id || '@example.com on 2024-01-' ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |    ' cost $' || n_chars || '.00' AS meta
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(meta,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{4}-[0-9]{2}-[0-9]{2}', '[DATE]', 'g'),
+      |    '\$[0-9]+\.[0-9]{2}', '[MONEY]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(meta, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      |     + len(regexp_extract_all(meta, '[0-9]{4}-[0-9]{2}-[0-9]{2}'))
+      |     + len(regexp_extract_all(meta, '\$[0-9]+\.[0-9]{2}')) AS BIGINT) AS n_redacted
+      |FROM base""".stripMargin
+
   val entityExtractSql: String =
     """WITH base AS (
       |  SELECT doc_id,
@@ -608,6 +652,7 @@ object TextOps {
     "text_tokens" -> ((s: SparkSession, d: String) => tokens(s, d)),
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
     "text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
+    "text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
@@ -621,6 +666,7 @@ object TextOps {
     "text_tokens" -> tokensSql,
     "text_quality" -> qualitySql,
     "text_repetition" -> repetitionSql,
+    "text_redact" -> redactSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_chunk" -> chunkSql)

@@ -439,6 +439,20 @@ class CurateOpsSpec extends SparkSpecBase {
 
 class TextOpsSpec extends SparkSpecBase {
 
+  test("redaction masks every PII pattern and counts them") {
+    val out = TextOps.redact(spark, sf)
+    // no email/date/money survives in any redacted line
+    val leftover = out.filter(
+      col("redacted").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}") ||
+      col("redacted").rlike("[0-9]{4}-[0-9]{2}-[0-9]{2}") ||
+      col("redacted").rlike("\\$[0-9]+\\.[0-9]{2}")).count()
+    assert(leftover === 0L)
+    // the stand-in line carries exactly one of each pattern
+    assert(out.filter(col("n_redacted") =!= 3L).count() === 0L)
+    assert(out.filter(!col("redacted").contains("[EMAIL]") ||
+      !col("redacted").contains("[DATE]") || !col("redacted").contains("[MONEY]")).count() === 0L)
+  }
+
   test("repetition filters: hand-computed fractions and the keep/drop flag") {
     import TestSpark.spark.implicits._
     val docs = Seq(
