@@ -499,7 +499,29 @@ object CypherLite {
 
     val isDistinct = retPart.toUpperCase.startsWith("DISTINCT ")
     val retBody = if (isDistinct) retPart.substring("DISTINCT ".length) else retPart
-    val items = retBody.split(",").map(_.trim).flatMap {
+    // Scalar functions over a property reference (Cypher's everyday
+    // projection sugar): toLower/toUpper/trim map to their SQL twins,
+    // size(string) is character length (the props bag stores strings),
+    // coalesce(v.p, 'lit') defaults a missing property/bag key.
+    val fnItemRe =
+      """(?i)(toLower|toUpper|size|trim)\s*\(\s*(\w+)\.(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?""".r
+    val coalesceItemRe =
+      """(?i)coalesce\s*\(\s*(\w+)\.(\w+)\s*,\s*'([^']*)'\s*\)(?:\s+[aA][sS]\s+(\w+))?""".r
+    val items = splitItems(retBody).toArray.flatMap {
+      case fnItemRe(fn, v, p, alias) => Seq {
+        val c = fn.toLowerCase match {
+          case "tolower" => lower(propCol(v, p))
+          case "toupper" => upper(propCol(v, p))
+          case "trim" => trim(propCol(v, p))
+          case "size" => length(propCol(v, p)).cast("long")
+        }
+        val name = Option(alias).getOrElse(s"${fn.toLowerCase}_${v}_$p")
+        (false, c.as(name), name)
+      }
+      case coalesceItemRe(v, p, dflt, alias) => Seq {
+        val name = Option(alias).getOrElse(s"coalesce_${v}_$p")
+        (false, coalesce(propCol(v, p), lit(dflt)).as(name), name)
+      }
       case retItemRe(null, _, _, _, null, null, null, bare, null) if bare != null && allNode(bare) =>
         // RETURN n — a bare NODE variable expands to its relational
         // projection (<v>_id, <v>_ntype, <v>_name; the props bag stays
@@ -634,6 +656,28 @@ object CypherLite {
       else ch match {
         case '{' | '[' => depth += 1; sb.append(ch)
         case '}' | ']' => depth -= 1; sb.append(ch)
+        case ',' if depth == 0 => parts += sb.toString; sb.setLength(0)
+        case c => sb.append(c)
+      }
+    }
+    parts += sb.toString
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Split a projection list on top-level commas: commas inside quoted
+    * literals or any bracket pair `(…)`/`[…]`/`{…}` belong to the item
+    * (`coalesce(v.p, 'x')` is one item). */
+  private def splitItems(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var inQ = false
+    var depth = 0
+    s.foreach { ch =>
+      if (ch == '\'') { inQ = !inQ; sb.append(ch) }
+      else if (inQ) sb.append(ch)
+      else ch match {
+        case '(' | '[' | '{' => depth += 1; sb.append(ch)
+        case ')' | ']' | '}' => depth -= 1; sb.append(ch)
         case ',' if depth == 0 => parts += sb.toString; sb.setLength(0)
         case c => sb.append(c)
       }

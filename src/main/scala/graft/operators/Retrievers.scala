@@ -1171,6 +1171,24 @@ object Retrievers {
   def cypherDistinct(spark: SparkSession, dir: String): DataFrame =
     CypherLite.run(TpchGraph(spark, dir), distinctCypher)
 
+  /** CYPHER with scalar projection functions — toLower / size over
+    * property references with implicit grouping (everyday projection
+    * sugar cypher_search_retriever.py forwards verbatim). */
+  val fnCypher: String =
+    "MATCH (c:customer)-[:located_in]->(n:nation) WHERE n.name ENDS WITH '_7' " +
+      "RETURN toLower(n.name) AS nation_lc, size(c.name) AS name_len, count(*) AS n " +
+      "ORDER BY nation_lc, name_len"
+
+  def cypherFn(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), fnCypher)
+
+  val cypherFnSql: String =
+    """SELECT lower(n_name) AS nation_lc, CAST(length(c_name) AS BIGINT) AS name_len,
+      |  count(*) AS n
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |WHERE ends_with(n_name, '_7')
+      |GROUP BY 1, 2 ORDER BY nation_lc, name_len""".stripMargin
+
   val cypherDistinctSql: String =
     """SELECT n_name AS nation, count(DISTINCT c_custkey) AS n_customers,
       |  count(*) AS n_orders
@@ -1689,6 +1707,7 @@ object Retrievers {
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
     "search_cypher_distinct" -> ((s: SparkSession, d: String) => cypherDistinct(s, d)),
+    "search_cypher_fn" -> ((s: SparkSession, d: String) => cypherFn(s, d)),
     "search_cypher_inline" -> ((s: SparkSession, d: String) => cypherInline(s, d)),
     "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
     "search_cypher_node" -> ((s: SparkSession, d: String) => cypherNode(s, d)),
@@ -1728,6 +1747,7 @@ object Retrievers {
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
     "search_cypher_distinct" -> cypherDistinctSql,
+    "search_cypher_fn" -> cypherFnSql,
     "search_cypher_inline" -> cypherInlineSql,
     "store_graph_cypher" -> cypherSql,
     "search_cypher_node" -> cypherNodeSql,

@@ -51,6 +51,19 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(chained === List(("delta", 2L)))
   }
 
+  test("scalar projection functions: toLower/toUpper/size/trim/coalesce") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = 'alpha' " +
+        "RETURN toUpper(x.name) AS up, size(y.name) AS n, coalesce(x.missing, 'dflt') AS d")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(out === List(("ALPHA", 5L, "dflt")))
+    // scalar fn joins the implicit grouping key when mixed with aggregates
+    val grouped = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN toLower(y.name) AS yn, count(*) AS n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(grouped === List(("gamma", 2L)))
+  }
+
   test("DISTINCT aggregates: count, collect, sum") {
     // two a-nodes know b:1 — y.name dedups to one value
     val out = CypherLite.run(g,
