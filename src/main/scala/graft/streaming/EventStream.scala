@@ -18,6 +18,13 @@ final case class Session(userId: Long, sessId: Long, nEvents: Long, totalValue: 
 final case class HistoryEntry(userId: Long, pos: Int, eventId: Long,
                               eventType: String, tsSec: Long)
 
+/** A user's current funnel stage (0 = nothing, 1 = viewed, 2 = clicked
+  * after viewing, 3 = purchased after clicking) — the streaming twin of
+  * the batch events_funnel rollup. */
+final case class FunnelProgress(userId: Long, stage: Int)
+
+private final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
 /** A streaming near-duplicate candidate: d1 < d2 collided in `band`.
   * Candidates, not verdicts — the batch DedupOps.minHashLsh verify
   * stage owns exact-Jaccard confirmation. */
@@ -247,6 +254,39 @@ object EventStream {
           merged.zipWithIndex.iterator.map { case ((ts, id, tpe), i) =>
             HistoryEntry(userId, i + 1, id, tpe, ts)
           }
+      }
+  }
+
+  /** At-ingest funnel progression (streaming twin of
+    * EventOps.funnel): per-user state carries the earliest view, the
+    * earliest click strictly after it, the earliest purchase strictly
+    * after that; each micro-batch folds its events in (tsSec, eventId)
+    * order and emits the user's current stage (Update mode). The
+    * transitions are monotone — a replayed event is a no-op, so
+    * at-least-once delivery cannot advance a stage twice. Within-order
+    * arrival matches batch exactly (first view in time order IS the
+    * min); cross-batch late data shares the sessionize caveat. */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          it.toIndexedSeq.sortBy(e => (e.tsSec, e.eventId)).foreach { e =>
+            e.eventType match {
+              case "view" if s.t1 < 0 => s = s.copy(t1 = e.tsSec)
+              case "click" if s.t1 >= 0 && s.t2 < 0 && e.tsSec > s.t1 =>
+                s = s.copy(t2 = e.tsSec)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.tsSec > s.t2 =>
+                s = s.copy(t3 = e.tsSec)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val stage = if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
+          Iterator.single(FunnelProgress(userId, stage))
       }
   }
 

@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("streaming funnel stages equal the batch funnel counts, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val events = loadEvents()
+    stream.addData(events)
+    val q = EventStream.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    stream.addData(events) // at-least-once replay: stages must not advance
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in Update mode appends each batch's emissions; the
+    // LAST emission per user is its final stage
+    val finalStage = spark.table("funnel")
+      .groupBy(col("userId")).agg(org.apache.spark.sql.functions.max(col("stage")).as("stage"))
+    val got = (1 to 3).map(st =>
+      finalStage.filter(col("stage") >= st).count())
+    val expect = graft.operators.EventOps.funnel(spark, sf)
+      .orderBy(col("stage")).collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(got === expect, s"streaming stages $got vs batch $expect")
+    // replay emitted identical stages — max == min per user
+    val moved = spark.table("funnel").groupBy(col("userId"))
+      .agg((org.apache.spark.sql.functions.max(col("stage")) -
+        org.apache.spark.sql.functions.min(col("stage"))).as("d"))
+      .filter(col("d") > 0).count()
+    assert(moved === 0L, "a replay advanced some user's stage")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
