@@ -507,7 +507,27 @@ object CypherLite {
       """(?i)(toLower|toUpper|size|trim)\s*\(\s*(\w+)\.(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?""".r
     val coalesceItemRe =
       """(?i)coalesce\s*\(\s*(\w+)\.(\w+)\s*,\s*'([^']*)'\s*\)(?:\s+[aA][sS]\s+(\w+))?""".r
+    // Searched CASE: WHEN predicates reuse the WHERE atom grammar,
+    // THEN/ELSE take quoted-string or numeric literals.
+    val caseItemRe = """(?i)^CASE\s+(.*?)\s+END(?:\s+[aA][sS]\s+(\w+))?$""".r
     val items = splitItems(retBody).toArray.flatMap {
+      case caseItemRe(body, alias) => Seq {
+        val whenRe = """(?i)WHEN\s+(.+?)\s+THEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
+        val elseRe = """(?i)ELSE\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r
+        def litOf(quoted: String, num: String): Column =
+          if (quoted != null) lit(quoted)
+          else if (num.contains('.')) lit(num.toDouble) else lit(num.toLong)
+        val whens = whenRe.findAllMatchIn(body)
+          .map(m => (atomPredicate(m.group(1)), litOf(m.group(2), m.group(3)))).toSeq
+        require(whens.nonEmpty, s"CASE needs at least one WHEN … THEN …: $q")
+        val base = whens.tail.foldLeft(when(whens.head._1, whens.head._2)) {
+          case (acc, (p, v)) => acc.when(p, v)
+        }
+        val c = elseRe.findFirstMatchIn(body)
+          .map(m => base.otherwise(litOf(m.group(1), m.group(2)))).getOrElse(base)
+        val name = Option(alias).getOrElse("case")
+        (false, c.as(name), name)
+      }
       case fnItemRe(fn, v, p, alias) => Seq {
         val c = fn.toLowerCase match {
           case "tolower" => lower(propCol(v, p))

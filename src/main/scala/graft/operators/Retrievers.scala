@@ -1189,6 +1189,23 @@ object Retrievers {
       |WHERE ends_with(n_name, '_7')
       |GROUP BY 1, 2 ORDER BY nation_lc, name_len""".stripMargin
 
+  /** CYPHER searched CASE: priority buckets with implicit grouping. */
+  val caseCypher: String =
+    "MATCH (o:order)-[:placed_by]->(c:customer) " +
+      "RETURN CASE WHEN o.priority STARTS WITH '1' THEN 'urgent' " +
+      "WHEN o.priority STARTS WITH '2' THEN 'high' ELSE 'normal' END AS tier, " +
+      "count(*) AS n ORDER BY tier"
+
+  def cypherCase(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), caseCypher)
+
+  val cypherCaseSql: String =
+    """SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+      |            WHEN o_orderpriority LIKE '2%' THEN 'high'
+      |            ELSE 'normal' END AS tier, count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY tier""".stripMargin
+
   val cypherDistinctSql: String =
     """SELECT n_name AS nation, count(DISTINCT c_custkey) AS n_customers,
       |  count(*) AS n_orders
@@ -1708,6 +1725,7 @@ object Retrievers {
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
     "search_cypher_distinct" -> ((s: SparkSession, d: String) => cypherDistinct(s, d)),
     "search_cypher_fn" -> ((s: SparkSession, d: String) => cypherFn(s, d)),
+    "search_cypher_case" -> ((s: SparkSession, d: String) => cypherCase(s, d)),
     "search_cypher_inline" -> ((s: SparkSession, d: String) => cypherInline(s, d)),
     "store_graph_cypher" -> ((s: SparkSession, d: String) => storeGraphCypher(s, d)),
     "search_cypher_node" -> ((s: SparkSession, d: String) => cypherNode(s, d)),
@@ -1748,6 +1766,7 @@ object Retrievers {
     "search_cypher_or" -> cypherOrSql,
     "search_cypher_distinct" -> cypherDistinctSql,
     "search_cypher_fn" -> cypherFnSql,
+    "search_cypher_case" -> cypherCaseSql,
     "search_cypher_inline" -> cypherInlineSql,
     "store_graph_cypher" -> cypherSql,
     "search_cypher_node" -> cypherNodeSql,

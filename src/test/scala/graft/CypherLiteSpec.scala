@@ -64,6 +64,19 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(grouped === List(("gamma", 2L)))
   }
 
+  test("searched CASE in RETURN: WHEN chain, ELSE default, implicit grouping") {
+    val out = CypherLite.run(g,
+      "MATCH (x)-[:knows|in]->(y) RETURN CASE WHEN x.name STARTS WITH 'al' THEN 'A' " +
+        "WHEN x.name = 'beta' THEN 'B' ELSE 'other' END AS bucket, count(*) AS n ORDER BY bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List(("A", 1L), ("B", 1L), ("other", 1L)))
+    // no ELSE → NULL bucket for unmatched rows
+    val noElse = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) RETURN CASE WHEN x.name = 'alpha' THEN 1 END AS one, x.id AS xid ORDER BY xid")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toList
+    assert(noElse === List((1L, "a:1"), (-1L, "a:2")))
+  }
+
   test("DISTINCT aggregates: count, collect, sum") {
     // two a-nodes know b:1 — y.name dedups to one value
     val out = CypherLite.run(g,
