@@ -120,6 +120,64 @@ object CurateOps {
       |WHERE s.source <> 'src0'
       |GROUP BY s.doc_id""".stripMargin
 
+  /** FUZZY decontamination — near-duplicate contamination between the
+    * training split and the eval source (the screen exact 8-gram
+    * overlap misses: paraphrased or lightly-edited eval leakage).
+    * Reuses the minhash LSH machinery bit-for-bit
+    * (DedupOps.bandSignaturesOf): band-signature collisions between
+    * train and eval docs propose candidates, exact trigram-set Jaccard
+    * ≥ τ confirms; per train doc, the count of matching eval docs and
+    * the worst (max) similarity.
+    *
+    * Scale shape: bipartite bucket equi-join on (band, band_sig) —
+    * candidates only, never train × eval; verification joins shingle
+    * sets for the candidate ids alone. The oracle is the EXACT
+    * bipartite threshold in SQL (the dedup_minhash_lsh precedent: on
+    * this corpus the planted cross-source dups sit at j ≥ 0.97, where
+    * the 16×4 band scheme's miss probability is ≤ 2e-4). */
+  def decontaminateFuzzy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val banded = DedupOps.bandSignaturesOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val eb = banded.filter(col("source") === "src0").drop("source")
+    val tb = banded.filter(col("source") =!= "src0").drop("source")
+    val cand = tb.as("a").join(eb.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id")).distinct()
+      .persist()
+    val candIds = cand.select(col("train_id").as("doc_id"))
+      .union(cand.select(col("eval_id"))).distinct()
+    val sets = DedupOps.shinglesOf(docs).join(broadcast(candIds), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+    val inter = size(array_intersect(col("ss1"), col("ss2"))).cast("double")
+    val j = inter / (size(col("ss1")) + size(col("ss2")) - inter)
+    cand
+      .join(sets.select(col("doc_id").as("train_id"), col("ss").as("ss1")), Seq("train_id"))
+      .join(sets.select(col("doc_id").as("eval_id"), col("ss").as("ss2")), Seq("eval_id"))
+      .filter(j >= tau)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_dups"), round(max(j), 4).as("max_jaccard"))
+  }
+
+  val decontaminateFuzzySql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(len(toks) - 2),
+      |    i -> array_to_string(toks[(i + 1):(i + 3)], ' '))) AS ss
+      |  FROM t
+      |),
+      |e AS (SELECT * FROM sh WHERE source = 'src0'),
+      |tr AS (SELECT * FROM sh WHERE source <> 'src0'),
+      |p AS (
+      |  SELECT tr.doc_id AS train_id, e.doc_id AS eval_id,
+      |    len(list_intersect(tr.ss, e.ss)) * 1.0
+      |      / (len(tr.ss) + len(e.ss) - len(list_intersect(tr.ss, e.ss))) AS j
+      |  FROM tr, e
+      |)
+      |SELECT train_id, count(*) AS n_eval_dups, round(max(j), 4) AS max_jaccard
+      |FROM p WHERE j >= 0.5 GROUP BY train_id""".stripMargin
+
   /** Contiguous sequence packing: documents (in deterministic doc_id
     * order) are packed into fixed 512-token training sequences by
     * cumulative token count — bin = floor((running - own)/512).
@@ -254,7 +312,8 @@ object CurateOps {
     "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
     "curate_mix" -> ((s: SparkSession, d: String) => mix(s, d)),
-    "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
+    "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "curate_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => decontaminateFuzzy(s, d)))
 
   def oracles: Map[String, String] = Map(
     "curate_mix" -> mixSql,
@@ -262,5 +321,6 @@ object CurateOps {
     "curate_sample" -> sampleSql,
     "curate_sample_stratified" -> sampleStratifiedSql,
     "curate_split" -> split3Sql,
-    "curate_decontaminate" -> decontaminateSql)
+    "curate_decontaminate" -> decontaminateSql,
+    "curate_decontaminate_fuzzy" -> decontaminateFuzzySql)
 }
