@@ -129,7 +129,67 @@ object MultimodalOps {
       |    p -> ascii(substr(text, CAST(frame_idx * 32 + p + 1 AS INT), 1)))) AS BIGINT) AS resized_sum
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // REAL image-header sniffing — unlike the decode stand-in above, this
+  // needs no codec: PNG/GIF/BMP dimensions live at fixed header offsets,
+  // so magic-byte detection and width/height extraction are pure
+  // codegen'd byte arithmetic over the BINARY payload (substring + hex +
+  // conv), valid on genuine files (spec-proven on a real 1×1 PNG).
+  // ---------------------------------------------------------------------
+
+  private def byteAt(p: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    conv(hex(substring(p, i, 1)), 16, 10).cast("long")
+
+  /** Detect format and parse dimensions from any (doc_id, payload)
+    * media relation: PNG (big-endian IHDR at 17/21), GIF (little-endian
+    * 16-bit at 7/9), BMP (little-endian 32-bit at 19/23); anything else
+    * is `unknown` with NULL dimensions. */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = hex(substring(p, 1, 4)) === "47494638"
+    val isBmp = hex(substring(p, 1, 2)) === "424D"
+    def be32(i: Int) = conv(hex(substring(p, i, 4)), 16, 10).cast("long")
+    def le16(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256
+    def le32(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256 +
+      byteAt(p, i + 2) * 65536 + byteAt(p, i + 3) * 16777216
+    media.select(col("doc_id"),
+      when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp").otherwise("unknown").as("format"),
+      when(isPng, be32(17)).when(isGif, le16(7)).when(isBmp, le32(19)).as("width"),
+      when(isPng, be32(21)).when(isGif, le16(9)).when(isBmp, le32(23)).as("height"))
+  }
+
+  /** Deterministic header corpus: each doc synthesizes a GENUINE
+    * PNG/GIF/BMP header (by doc_id mod 3) carrying dimensions derived
+    * from its columns — so the registered query is a build→parse round
+    * trip through real header layouts, and the oracle pins the closed
+    * form (an endianness or offset bug breaks the hash). */
+  def imageHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("n_chars") % 1024 + 1).cast("long")
+    val h = (col("doc_id") % 768 + 1).cast("long")
+    def beHex32(x: org.apache.spark.sql.Column) = lpad(hex(x), 8, "0")
+    def leHex(x: org.apache.spark.sql.Column, nBytes: Int) = concat(
+      (0 until nBytes).map(b => lpad(hex(shiftright(x, b * 8) % 256), 2, "0")): _*)
+    val payloadHex =
+      when(col("doc_id") % 3 === 0,
+        concat(lit("89504E470D0A1A0A0000000D49484452"), beHex32(w), beHex32(h)))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("474946383961"), leHex(w, 2), leHex(h, 2)))
+      .otherwise(
+        concat(lit("424D" + "00" * 16), leHex(w, 4), leHex(h, 4)))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+  }
+
+  val imageMetaSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CAST(n_chars % 1024 + 1 AS BIGINT) AS width,
+      |  CAST(doc_id % 768 + 1 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_meta" -> ((s: SparkSession, d: String) => imageMeta(imageHeaders(s, d))),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "mm_binary_meta" -> ((s: SparkSession, d: String) => binaryFeatures(s, d)))
 
@@ -156,5 +216,6 @@ object MultimodalOps {
 
   def oracles: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleSql,
-    "mm_binary_meta" -> binaryFeaturesSql)
+    "mm_binary_meta" -> binaryFeaturesSql,
+    "mm_image_meta" -> imageMetaSql)
 }

@@ -992,6 +992,33 @@ class OntologyOpsSpec extends SparkSpecBase {
 
 class MultimodalSpec extends SparkSpecBase {
 
+  test("imageMeta parses genuine PNG/GIF/BMP headers and rejects noise") {
+    import TestSpark.spark.implicits._
+    // A real, complete 1x1 transparent PNG (the canonical minimal file).
+    val png1x1: Array[Byte] = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52, // IHDR len + tag
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // w=1, h=1
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1F, 0x15, 0xC4, 0x89).map(_.toByte)
+    // GIF89a header for a 320x200 screen (little-endian dims at 7/9).
+    val gif: Array[Byte] = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xC8, 0x00).map(_.toByte))
+    // BMP: "BM" + 16 filler bytes + LE32 width 640, height 480.
+    val bmp: Array[Byte] = ("BM".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte) ++
+      Array(0x80, 0x02, 0x00, 0x00, 0xE0, 0x01, 0x00, 0x00).map(_.toByte))
+    val media = Seq(
+      (1L, png1x1), (2L, gif), (3L, bmp),
+      (4L, "not an image at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = MultimodalOps.imageMeta(media).collect()
+      .map(r => (r.getLong(0), (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) === (("png", 1L, 1L)))
+    assert(out(2L) === (("gif", 320L, 200L)))
+    assert(out(3L) === (("bmp", 640L, 480L)))
+    assert(out(4L) === (("unknown", -1L, -1L)))
+  }
+
   test("frame samples tile the payload at the stride with in-bounds windows") {
     val fs = MultimodalOps.frameSample(spark, sf).cache()
     assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0L)
