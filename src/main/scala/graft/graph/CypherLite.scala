@@ -103,6 +103,7 @@ object CypherLite {
   // stays on the stored representation.
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|ENDS WITH|CONTAINS)\s*'([^']*)'""".r
   private val nullRe = """(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL""".r
+  private val propCmpRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)""".r
   // RETURN items: agg(v.prop) | agg(alias) | v.prop | count(*) | alias,
   // each optionally AS-renamed. Bare names resolve WITH-projected value
   // columns only (a bare node variable would be Cypher's return-the-
@@ -326,6 +327,19 @@ object CypherLite {
         }
       case nullRe(v, p, not) =>
         if (not != null) propCol(v, p).isNotNull else propCol(v, p).isNull
+      // property-to-property comparison (`a.p = b.q`, `a.p < b.q`):
+      // on the stored representation — correct for equality and for
+      // the ISO-date / zero-padded strings the projection stores.
+      case propCmpRe(v1, p1, op, v2, p2) =>
+        val (a, b) = (propCol(v1, p1), propCol(v2, p2))
+        op match {
+          case "=" => a === b
+          case "<>" => a =!= b
+          case ">=" => a >= b
+          case "<=" => a <= b
+          case ">" => a > b
+          case "<" => a < b
+        }
       case other => throw new IllegalArgumentException(s"unsupported WHERE clause: $other")
     }
 

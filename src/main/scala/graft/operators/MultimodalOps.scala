@@ -159,6 +159,65 @@ object MultimodalOps {
       when(isPng, be32(21)).when(isGif, le16(9)).when(isBmp, le32(23)).as("height"))
   }
 
+  /** WAV (RIFF) header parse — the audio twin of [[imageMeta]]: a
+    * canonical 44-byte PCM WAV header carries the format fields at
+    * fixed little-endian offsets (channels@23, sample rate@25,
+    * bits-per-sample@35, data size@41), so sample-count/duration
+    * arithmetic is the same codegen'd byte math, no audio lib. Non-RIFF
+    * payloads yield NULL fields. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isWav = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 4)) === "57415645"
+    def le16(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256
+    def le32(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256 +
+      byteAt(p, i + 2) * 65536 + byteAt(p, i + 3) * 16777216
+    val channels = le16(23)
+    val rate = le32(25)
+    val bits = le16(35)
+    val dataBytes = le32(41)
+    val nSamples = (dataBytes / (channels * (bits / 8))).cast("long")
+    media.select(col("doc_id"),
+      when(isWav, "wav").otherwise("unknown").as("format"),
+      when(isWav, channels).as("channels"),
+      when(isWav, rate).as("sample_rate"),
+      when(isWav, bits).as("bits"),
+      when(isWav, nSamples).as("n_samples"),
+      // floor-truncated (engine-independent) like the quality scores
+      when(isWav, floor(nSamples.cast("double") / rate * 10000) / 10000).as("duration_s"))
+  }
+
+  /** Deterministic WAV corpus: each doc synthesizes a canonical 44-byte
+    * PCM header with column-derived fields; registered as a build→parse
+    * round trip against the closed-form oracle. */
+  def audioHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val ch = (col("doc_id") % 2 + 1).cast("long")
+    val rate = (lit(8000L) + (col("n_chars") % 8) * 4000L).cast("long")
+    val bits = lit(16L)
+    val dataBytes = (col("n_chars") * 4).cast("long")
+    def leHex(x: org.apache.spark.sql.Column, nBytes: Int) = concat(
+      (0 until nBytes).map(b => lpad(hex(shiftright(x, b * 8) % 256), 2, "0")): _*)
+    val payloadHex = concat(
+      lit("52494646"), leHex(dataBytes + 36, 4), lit("57415645"), // RIFF <size> WAVE
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),     // fmt  16 PCM
+      leHex(ch, 2), leHex(rate, 4),
+      leHex(rate * ch * 2L, 4), leHex(ch * 2L, 2), // byte rate, block align (16-bit samples)
+      leHex(bits, 2), lit("64617461"), leHex(dataBytes, 4))        // bits "data" <size>
+    load(spark, dir, "documents")
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+  }
+
+  val audioMetaSql: String =
+    """SELECT doc_id,
+      |  'wav' AS format,
+      |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+      |  CAST(8000 + (n_chars % 8) * 4000 AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  CAST((n_chars * 4) / ((doc_id % 2 + 1) * 2) AS BIGINT) AS n_samples,
+      |  floor(((n_chars * 4) // ((doc_id % 2 + 1) * 2)) * 1.0
+      |        / (8000 + (n_chars % 8) * 4000) * 10000) / 10000 AS duration_s
+      |FROM documents""".stripMargin
+
   /** Deterministic header corpus: each doc synthesizes a GENUINE
     * PNG/GIF/BMP header (by doc_id mod 3) carrying dimensions derived
     * from its columns — so the registered query is a build→parse round
@@ -190,6 +249,7 @@ object MultimodalOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_meta" -> ((s: SparkSession, d: String) => imageMeta(imageHeaders(s, d))),
+    "mm_audio_meta" -> ((s: SparkSession, d: String) => audioMeta(audioHeaders(s, d))),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "mm_binary_meta" -> ((s: SparkSession, d: String) => binaryFeatures(s, d)))
 
@@ -217,5 +277,6 @@ object MultimodalOps {
   def oracles: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleSql,
     "mm_binary_meta" -> binaryFeaturesSql,
-    "mm_image_meta" -> imageMetaSql)
+    "mm_image_meta" -> imageMetaSql,
+    "mm_audio_meta" -> audioMetaSql)
 }

@@ -64,6 +64,22 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(grouped === List(("gamma", 2L)))
   }
 
+  test("property-to-property comparison in WHERE") {
+    // same-name endpoints only: no pair has x.name = y.name here → 0;
+    // inequality keeps all
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name = y.name RETURN x.id AS xid").count() === 0L)
+    val ne = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name <> y.name RETURN x.id AS xid ORDER BY xid")
+      .collect().map(_.getString(0)).toList
+    assert(ne === List("a:1", "a:2"))
+    // lexicographic range on the stored representation
+    val lt = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE x.name < y.name RETURN x.name AS xn ORDER BY xn")
+      .collect().map(_.getString(0)).toList
+    assert(lt === List("alpha", "beta")) // both < "gamma"
+  }
+
   test("searched CASE in RETURN: WHEN chain, ELSE default, implicit grouping") {
     val out = CypherLite.run(g,
       "MATCH (x)-[:knows|in]->(y) RETURN CASE WHEN x.name STARTS WITH 'al' THEN 'A' " +

@@ -1019,6 +1019,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(4L) === (("unknown", -1L, -1L)))
   }
 
+  test("audioMeta parses a genuine PCM WAV header") {
+    import TestSpark.spark.implicits._
+    // canonical 44-byte header: mono, 8 kHz, 16-bit, 16000 data bytes
+    def le(x: Long, n: Int): Array[Byte] = (0 until n).map(i => ((x >> (8 * i)) & 0xff).toByte).toArray
+    val wav: Array[Byte] = "RIFF".getBytes("US-ASCII") ++ le(36 + 16000, 4) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+      le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      "data".getBytes("US-ASCII") ++ le(16000, 4)
+    val media = Seq((1L, wav), (2L, "noise".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = MultimodalOps.audioMeta(media).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6))).sortBy(_._1).toList
+    assert(out === List(
+      (1L, "wav", 1L, 8000L, 8000L, 1.0),
+      (2L, "unknown", -1L, -1L, -1L, -1.0)))
+  }
+
   test("frame samples tile the payload at the stride with in-bounds windows") {
     val fs = MultimodalOps.frameSample(spark, sf).cache()
     assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0L)

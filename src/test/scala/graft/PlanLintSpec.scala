@@ -31,6 +31,9 @@ class PlanLintSpec extends SparkSpecBase {
     "pipeline_metrics",   // crossJoin of three 1-row aggregates into the metrics row
     "search_context_triplets", // 2-row entity set broadcast across the triplet pass
     "search_context_render",   // crossJoin of two 1-row section aggregates into the context row
+    "search_rag_completion",   // 1-row query-vector cross into the chunk scoring
+    "search_lexical_bm25",     // 1-row corpus-stats (N/avgdl/df) broadcast into the scan
+    "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "curate_pack") // 1-row (min,max) id-bounds broadcast
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
@@ -39,7 +42,8 @@ class PlanLintSpec extends SparkSpecBase {
   // Documented rows-only sketches: no cross-engine oracle exists (ANN
   // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
   private val rowsOnlyByDesign: Set[String] =
-    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "q_approx_distinct", "q_approx_percentiles")
+    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8",
+      "q_approx_distinct", "q_approx_percentiles")
 
   test("every registered query has an oracle or is a documented rows-only sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
