@@ -89,6 +89,30 @@ object RelationalOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
       |FROM orders""".stripMargin
 
+  /** Time-RANGE rolling window: per customer, the trailing-30-day
+    * revenue at each order (RANGE frame on epoch days — value-based, so
+    * same-day ties aggregate identically in any engine; the ROWS-frame
+    * running sum above can't express "last 30 days"). One shuffle on
+    * the partition key, the frame is state the window operator streams. */
+  def qWindowRolling(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val w = Window.partitionBy(col("custkey")).orderBy(col("day")).rangeBetween(-30, 0)
+    load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        day.as("day"), col("o_totalprice"))
+      .select(col("custkey"), col("orderkey"), col("day"),
+        round(sum(col("o_totalprice")).over(w), 2).as("rolling_30d_revenue"))
+  }
+
+  val qWindowRollingSql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d_revenue
+      |FROM orders""".stripMargin
+
   /** TPC-H Q5-style: revenue by nation within one region and year —
     * the full dimension-chain join (region→nation→customer/supplier),
     * with both dims broadcast and the fact scans filter-pushed. */
@@ -320,7 +344,8 @@ object RelationalOps {
     "q3_join_topn" -> ((s: SparkSession, d: String) => q3JoinTopN(s, d)),
     "q_approx_distinct" -> ((s: SparkSession, d: String) => approxDistinctUsers(s, d)),
     "q_approx_percentiles" -> ((s: SparkSession, d: String) => approxPercentiles(s, d)),
-    "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)))
+    "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)),
+    "q_window_rolling" -> ((s: SparkSession, d: String) => qWindowRolling(s, d)))
 
   def oracles: Map[String, String] = Map(
     "store_bucketed_join" -> storeBucketedJoinSql,
@@ -331,5 +356,6 @@ object RelationalOps {
     "q18_large_orders" -> q18Sql,
     "q1_agg" -> q1AggSql,
     "q3_join_topn" -> q3JoinTopNSql,
-    "q_window" -> qWindowSql)
+    "q_window" -> qWindowSql,
+    "q_window_rolling" -> qWindowRollingSql)
 }

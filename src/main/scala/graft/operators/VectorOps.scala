@@ -649,6 +649,36 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"), col("cosine"))
   }
 
+  /** Truncated-dimension ANN (the Matryoshka-representation shortcut:
+    * score on a PREFIX of the embedding, refine exactly). The shortlist
+    * pass computes cosine over the first `dims` dimensions only — a
+    * 64/dims-× cheaper scan that at 100 TB reads a `dims`-wide slice of
+    * the vector column (columnar stores can even prune the tail) — and
+    * the top `refine` per query re-rank with full-width cosine.
+    * dims = 64 (full width) reduces the shortlist to the exact ranking,
+    * so refine ≥ corpus there ≡ brute force (spec-pinned). Approximate
+    * → rows-only driver check. */
+  def knnTruncated(spark: SparkSession, dir: String, dims: Int = 32,
+      refine: Int = 40): DataFrame = {
+    val e0 = emb(spark, dir).select(col("vec_id"), col("v"))
+    val pre = e0.select(col("vec_id"), slice(col("v"), 1, dims).as("pv"))
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        slice(col("v"), 1, dims).as("qpv"))
+    val est = cosine(col("qpv"), col("pv"))
+    val tW = Window.partitionBy(col("query_id")).orderBy(col("est").desc, col("vec_id").asc)
+    val shortlist = pre.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("est", est)
+      .withColumn("rn", row_number().over(tW)).filter(col("rn") <= refine)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    e0.join(broadcast(shortlist), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH ANN with multi-probe: nbits sign bits
     * (deterministic ±1 planes) define the bucket; the query probes its
     * own bucket plus every bucket within hamming distance `probeHamming`
@@ -736,7 +766,8 @@ object VectorOps {
     "vec_centroids" -> ((s: SparkSession, d: String) => centroids(s, d)),
     "vec_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "vec_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
-    "vec_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)))
+    "vec_knn_sq8" -> ((s: SparkSession, d: String) => knnSq8(s, d)),
+    "vec_knn_trunc" -> ((s: SparkSession, d: String) => knnTruncated(s, d)))
 
   def oracles: Map[String, String] = Map(
     "store_vec_search" -> storeVecSearchSql,

@@ -110,6 +110,23 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.85, s"SQ8 recall vs exact $recall")
   }
 
+  test("truncated-dim ANN: full width + full refine reduces to exact knn; prefix recall holds") {
+    val exact = VectorOps.knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = VectorOps.knnTruncated(spark, sf, dims = 64, refine = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === exact)
+    // The synthetic embeddings are NOT Matryoshka-trained (energy is
+    // uniform across dims — a d-prefix keeps ~d/64 of the signal), so
+    // the default 32-dim prefix is the honest halfway point: recall
+    // must clear a meaningful bar, and a trained-prefix corpus only
+    // improves it.
+    val pre = VectorOps.knnTruncated(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pre.intersect(exact.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.6, s"32-dim prefix recall vs exact $recall")
+  }
+
   test("one-pass PQ training equals m sequential per-subspace Lloyd's runs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -34,6 +34,7 @@ class PlanLintSpec extends SparkSpecBase {
     "search_rag_completion",   // 1-row query-vector cross into the chunk scoring
     "search_lexical_bm25",     // 1-row corpus-stats (N/avgdl/df) broadcast into the scan
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
+    "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "curate_pack") // 1-row (min,max) id-bounds broadcast
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
@@ -42,7 +43,7 @@ class PlanLintSpec extends SparkSpecBase {
   // Documented rows-only sketches: no cross-engine oracle exists (ANN
   // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
   private val rowsOnlyByDesign: Set[String] =
-    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8",
+    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
       "q_approx_distinct", "q_approx_percentiles")
 
   test("every registered query has an oracle or is a documented rows-only sketch") {
