@@ -104,6 +104,8 @@ object CypherLite {
   private val whereRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|STARTS WITH|ENDS WITH|CONTAINS)\s*'([^']*)'""".r
   private val nullRe = """(\w+)\.(\w+)\s+IS\s+(NOT\s+)?NULL""".r
   private val propCmpRe = """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<)\s*(\w+)\.(\w+)""".r
+  private val notRe = """(?i)NOT\s+(.+)""".r
+  private val existsRe = """(?i)exists\s*\(\s*(\w+)\.(\w+)\s*\)""".r
   // RETURN items: agg(v.prop) | agg(alias) | v.prop | count(*) | alias,
   // each optionally AS-renamed. Bare names resolve WITH-projected value
   // columns only (a bare node variable would be Cypher's return-the-
@@ -304,6 +306,10 @@ object CypherLite {
     // `v.prop IS [NOT] NULL` (the OPTIONAL MATCH companion: predicate
     // the presence/absence of an optional binding or a bag key).
     def atomPredicate(atom: String): Column = atom.trim match {
+      // NOT <atom> and exists(v.prop) — Cypher's negation prefix and
+      // property-presence test (exists ≡ IS NOT NULL on the bag read).
+      case notRe(inner) => !atomPredicate(inner)
+      case existsRe(v, p) => propCol(v, p).isNotNull
       case whereRe(v, p, op, lit0) =>
         val c = propCol(v, p)
         // Numeric literal → numeric range compare (try_cast: a

@@ -142,6 +142,29 @@ object GraphExport {
        |</body></html>""".stripMargin
   }
 
+  /** GraphML body lines (wrap with the graphml/graph envelope when
+    * saving): one `<node>` element per node with label/type data
+    * fields, one `<edge>` per edge with its relationship label —
+    * the interchange format Gephi/yEd/NetworkX consume. Same
+    * distributed shape as the DOT export: a narrow projection per
+    * relation, XML-escaped, no driver assembly. */
+  def toGraphMlLines(g: PropertyGraph): DataFrame = {
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), "\"", "&quot;")
+    val nodes = g.nodes.select(
+      concat(lit("  <node id=\""), esc(col("id")),
+        lit("\"><data key=\"label\">"), esc(col("name")),
+        lit("</data><data key=\"ntype\">"), esc(col("ntype")),
+        lit("</data></node>")).as("line"))
+    val edges = g.edges.select(
+      concat(lit("  <edge source=\""), esc(col("src")),
+        lit("\" target=\""), esc(col("dst")),
+        lit("\"><data key=\"rel\">"), esc(col("rel")),
+        lit("</data></edge>")).as("line"))
+    nodes.union(edges)
+  }
+
   /** Graphviz DOT body lines (wrap with digraph { ... } when saving). */
   def toDotLines(g: PropertyGraph): DataFrame = {
     val q = "\""

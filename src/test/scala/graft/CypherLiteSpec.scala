@@ -64,6 +64,22 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(grouped === List(("gamma", 2L)))
   }
 
+  test("NOT prefix and exists() in WHERE") {
+    val out = CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE NOT x.name = 'alpha' RETURN x.id AS xid")
+      .collect().map(_.getString(0)).toList
+    assert(out === List("a:2"))
+    // exists on a fixed column is always true; on a missing bag key never
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE exists(x.name) RETURN x.id AS xid").count() === 2L)
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE exists(x.nope) RETURN x.id AS xid").count() === 0L)
+    // NOT over a missing property is NULL → row filtered (Cypher's
+    // three-valued WHERE), not negated to true
+    assert(CypherLite.run(g,
+      "MATCH (x:a)-[:knows]->(y:b) WHERE NOT x.nope = 'v' RETURN x.id AS xid").count() === 0L)
+  }
+
   test("property-to-property comparison in WHERE") {
     // same-name endpoints only: no pair has x.name = y.name here → 0;
     // inequality keeps all

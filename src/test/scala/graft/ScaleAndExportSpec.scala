@@ -71,6 +71,22 @@ class ScaleAndExportSpec extends SparkSpecBase {
     assert(lines.contains("  \"a:1\" -> \"a:1\" [label=\"self\"];"))
   }
 
+  test("graphml export lines are well-formed and XML-escaped") {
+    import TestSpark.spark.implicits._
+    val g = PropertyGraph(
+      Seq(("a:1", "a", "al<pha & \"co\"")).toDF("id", "ntype", "name"),
+      Seq(("a:1", "a:1", "self")).toDF("src", "dst", "rel"))
+    val lines = GraphExport.toGraphMlLines(g).as[String].collect()
+    assert(lines.contains(
+      "  <node id=\"a:1\"><data key=\"label\">al&lt;pha &amp; &quot;co&quot;</data>" +
+        "<data key=\"ntype\">a</data></node>"))
+    assert(lines.contains(
+      "  <edge source=\"a:1\" target=\"a:1\"><data key=\"rel\">self</data></edge>"))
+    // full projection: one line per node and edge
+    val tg = TpchGraph(spark, sf)
+    assert(GraphExport.toGraphMlLines(tg).count() === tg.nodes.count() + tg.edges.count())
+  }
+
   test("html export embeds a capped subgraph with induced edges and type colors") {
     val g = TpchGraph(spark, sf)
     val html = GraphExport.toHtml(g, maxNodes = 40)
