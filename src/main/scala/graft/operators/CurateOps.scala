@@ -233,6 +233,32 @@ object CurateOps {
         (col("local_running") + col("offset")).as("running"))
   }
 
+  /** Token-budget selection: fill a fixed training-token budget with
+    * documents in deterministic doc_id order (the mixture-building
+    * primitive next to [[pack]] — "give me the first N tokens of this
+    * corpus, reproducibly"); reports the per-source composition of the
+    * selected set. Reuses the two-pass distributed prefix sum — no
+    * global window at any scale. */
+  def budget(spark: SparkSession, dir: String, budgetTokens: Long = 20000L): DataFrame =
+    packRunning(spark, dir)
+      .filter(col("running") <= budgetTokens)
+      .join(load(spark, dir, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  val budgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, source
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id, n_tokens, source,
+      |    sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM t
+      |)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM r WHERE running <= 20000 GROUP BY 1""".stripMargin
+
   val packSql: String =
     """WITH t AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -313,7 +339,8 @@ object CurateOps {
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
     "curate_mix" -> ((s: SparkSession, d: String) => mix(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
-    "curate_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => decontaminateFuzzy(s, d)))
+    "curate_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => decontaminateFuzzy(s, d)),
+    "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
     "curate_mix" -> mixSql,
@@ -322,5 +349,6 @@ object CurateOps {
     "curate_sample_stratified" -> sampleStratifiedSql,
     "curate_split" -> split3Sql,
     "curate_decontaminate" -> decontaminateSql,
-    "curate_decontaminate_fuzzy" -> decontaminateFuzzySql)
+    "curate_decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "curate_budget" -> budgetSql)
 }

@@ -234,12 +234,36 @@ object EventOps {
       |  floor(coalesce(n * 1.0 / lag(n) OVER (ORDER BY stage), 1.0) * 10000) / 10000 AS conversion
       |FROM counts""".stripMargin
 
+  /** Weekly cohort retention: users cohorted by their first active
+    * epoch-week, counted in each later week they return — the classic
+    * engagement triangle. Two keyed aggregations over the distinct
+    * (user, week) activity set; integer week math (ts_sec DIV 604800)
+    * is engine-exact. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = loadEvents(spark, dir)
+      .select(col("user_id"), expr("ts_sec DIV 604800").as("wk")).distinct()
+    val first = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    weeks.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val retentionSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events
+      |),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1)
+      |SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, count(*) AS n_users
+      |FROM w JOIN f ON w.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
     "events_funnel" -> ((s: SparkSession, d: String) => funnel(s, d)),
+    "events_retention" -> ((s: SparkSession, d: String) => retention(s, d)),
     "search_temporal" -> ((s: SparkSession, d: String) => temporalSearch(s, d)),
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
@@ -249,6 +273,7 @@ object EventOps {
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
     "events_funnel" -> funnelSql,
+    "events_retention" -> retentionSql,
     "search_temporal" -> temporalSearchSql,
     "search_temporal_open" -> temporalOpenSql)
 }
