@@ -203,6 +203,55 @@ object RelationalOps {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY ROLLUP (p_brand, substr(p_type, 1, 6))""".stripMargin
 
+  /** CUBE grouping sets — all four (status, priority) margins in one
+    * pass (ROLLUP's sibling; one shuffle, Catalyst expands to
+    * grouping-set aggregation). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Hourly event-count anomalies per event type: a z-score against the
+    * type's own hourly distribution flags bursts/droughts (|z| ≥ 2).
+    * Two keyed aggregations (hour counts, per-type moments) + a
+    * broadcast join back; the z fraction floor-truncates so a last-ulp
+    * stddev difference between engines cannot flip a digit. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.Tables.loadEvents(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sigma"))
+    val z = (col("n") - col("mu")) / col("sigma")
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(z) >= 2.0)
+      .select(col("event_type"), col("hour"), col("n"),
+        (floor(z * 100) / 100).as("z"))
+  }
+
+  val eventsAnomalySql: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma FROM h GROUP BY 1
+      |)
+      |SELECT h.event_type, h.hour, h.n, floor((h.n - s.mu) / s.sigma * 100) / 100 AS z
+      |FROM h JOIN s ON h.event_type = s.event_type
+      |WHERE abs((h.n - s.mu) / s.sigma) >= 2.0""".stripMargin
+
   /** Exact rank-based percentiles per market segment (median / p95 of
     * order totals): the element at rank ceil(p·n) in sorted order —
     * pure integer selection, no interpolation, so Spark and the oracle
@@ -345,7 +394,9 @@ object RelationalOps {
     "q_approx_distinct" -> ((s: SparkSession, d: String) => approxDistinctUsers(s, d)),
     "q_approx_percentiles" -> ((s: SparkSession, d: String) => approxPercentiles(s, d)),
     "q_window" -> ((s: SparkSession, d: String) => qWindow(s, d)),
-    "q_window_rolling" -> ((s: SparkSession, d: String) => qWindowRolling(s, d)))
+    "q_window_rolling" -> ((s: SparkSession, d: String) => qWindowRolling(s, d)),
+    "q_cube" -> ((s: SparkSession, d: String) => qCube(s, d)),
+    "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)))
 
   def oracles: Map[String, String] = Map(
     "store_bucketed_join" -> storeBucketedJoinSql,
@@ -357,5 +408,7 @@ object RelationalOps {
     "q1_agg" -> q1AggSql,
     "q3_join_topn" -> q3JoinTopNSql,
     "q_window" -> qWindowSql,
-    "q_window_rolling" -> qWindowRollingSql)
+    "q_window_rolling" -> qWindowRollingSql,
+    "q_cube" -> qCubeSql,
+    "events_anomaly" -> eventsAnomalySql)
 }
