@@ -607,7 +607,57 @@ object GraphQueries {
        |SELECT rel AS relationship_name, count(*) AS number_of_edges
        |FROM edges GROUP BY 1""".stripMargin
 
+  /** Adamic-Adar link prediction over the bounded supplier–nation–
+    * region subgraph (the metricsFull contract): for every NON-adjacent
+    * pair sharing ≥ 1 neighbor, Σ 1/ln(deg(common neighbor)) — the
+    * standard common-neighbor score a graph-DB user asks of a
+    * recommendation surface. Wedge join on the shared neighbor + an
+    * anti-join against existing edges; no all-pairs anywhere. Every
+    * common neighbor has deg ≥ 2 by construction, so ln(deg) > 0. The
+    * score floor-truncates BEFORE the top-k ordering (deterministic
+    * under last-ulp summation-order differences); ties break on the
+    * pair. */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val g = snrSubgraph(spark, dir)
+    val e = g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y")).distinct()
+    val nbr = e.select(col("x").as("v"), col("y").as("w"))
+      .union(e.select(col("y").as("v"), col("x").as("w")))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    nbr.select(col("v"), col("w").as("u"))
+      .join(nbr.select(col("v"), col("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .join(e, col("u") === col("x") && col("w") === col("y"), "left_anti")
+      .join(deg, Seq("v"))
+      .groupBy(col("u"), col("w"))
+      .agg((floor(sum(lit(1.0) / log(col("deg"))) * 10000) / 10000).as("aa_score"),
+        count(lit(1)).as("n_common"))
+      .orderBy(col("aa_score").desc, col("u").asc, col("w").asc).limit(k)
+  }
+
+  val adamicAdarSql: String =
+    s"""WITH ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |ce AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM sd WHERE src <> dst),
+       |nbr AS (SELECT x AS v, y AS w FROM ce UNION ALL SELECT y, x FROM ce),
+       |deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1),
+       |wedge AS (
+       |  SELECT a.w AS u, b.w AS w, a.v
+       |  FROM nbr a JOIN nbr b ON a.v = b.v AND a.w < b.w
+       |  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.x = a.w AND ce.y = b.w)
+       |)
+       |SELECT wedge.u, wedge.w,
+       |  floor(sum(1.0 / ln(deg.deg)) * 10000) / 10000 AS aa_score,
+       |  count(*) AS n_common
+       |FROM wedge JOIN deg ON wedge.v = deg.v
+       |GROUP BY 1, 2
+       |ORDER BY aa_score DESC, u ASC, w ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
     "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
     "graph_edge_types" -> ((s: SparkSession, d: String) => edgeTypes(s, d)),
     "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
@@ -630,6 +680,7 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "graph_adamic_adar" -> adamicAdarSql,
     "graph_prune_chunks" -> pruneChunksSql,
     "graph_edge_types" -> edgeTypesSql,
     "temporal_graph_build" -> temporalGraphBuildSql,

@@ -436,6 +436,34 @@ object TextOps {
     }.reduce(_ union _)
   }
 
+  /** Unigram negative-log-likelihood quality proxy — the corpus-LM
+    * perplexity filter (CCNet-style) with the LM reduced to the
+    * corpus's own unigram distribution: per doc, avg −ln p(w) where
+    * p(w) = count(w)/total. Low = stereotypical text, high = rare-token
+    * noise; the standard cheap perplexity stand-in when no trained LM
+    * ships with the engine.
+    *
+    * Scale shape: one explode + one keyed (word) aggregation for the
+    * vocabulary, a keyed join back (never broadcast — vocabularies are
+    * corpus-sized), a 1-row total broadcast, and a per-doc rollup.
+    * Floor-truncated (summation-order-proof). */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val words = load(spark, dir, "documents").select(col("doc_id"), explode(toks).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    words.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg((floor(avg(log(col("total") * 1.0 / col("c"))) * 10000) / 10000).as("nll"))
+  }
+
+  val unigramNllSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+      |t AS (SELECT sum(c) AS total FROM v)
+      |SELECT doc_id, floor(avg(ln(total * 1.0 / c)) * 10000) / 10000 AS nll
+      |FROM w JOIN v USING (w), t GROUP BY doc_id""".stripMargin
+
   /** PII redaction — the training-corpus scrubbing pass every
     * pretraining pipeline runs before the tokenizer (emails, dates,
     * money amounts masked to typed placeholders). Runs over the same
@@ -653,6 +681,7 @@ object TextOps {
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
     "text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
+    "text_unigram_nll" -> ((s: SparkSession, d: String) => unigramNll(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
@@ -667,6 +696,7 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
+    "text_unigram_nll" -> unigramNllSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_chunk" -> chunkSql)

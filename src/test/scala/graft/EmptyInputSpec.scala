@@ -25,7 +25,8 @@ class EmptyInputSpec extends SparkSpecBase {
   }
 
   private val corpusOps: Seq[String] = Seq(
-    "text_tokens", "text_quality", "text_repetition", "text_redact", "text_langid", "text_fingerprint",
+    "text_tokens", "text_quality", "text_repetition", "text_redact", "text_unigram_nll",
+    "text_langid", "text_fingerprint",
     "text_chunk", "text_chunk_overlap", "text_chunk_paragraph",
     "dedup_exact", "dedup_tokenset", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash",
