@@ -259,6 +259,65 @@ object Retrievers {
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** CHUNKS_HYBRID: reciprocal-rank fusion of the vector leg (cosine
+    * top-20 for stored query vector 0, the [[chunks]] scorer) and the
+    * lexical leg (BM25 top-20, [[lexicalBm25]]) —
+    * score(d) = Σ_legs 1/(60 + rank_leg(d)), the standard
+    * rank-not-score fusion (Cormack et al.) a production retrieval
+    * stack runs when both a vector index and a lexical index exist
+    * (the reference exposes both retriever families behind one search
+    * API; hybrid fusion is how they compose).
+    *
+    * Scale shape: each leg is an independent full-parallel corpus scan
+    * reduced to a 20-row top-k (TakeOrdered); the fusion join, rank
+    * windows, and final sort all run on ≤ 40 rows. Nothing
+    * corpus-sized shuffles, and the two legs share no stage — Spark
+    * schedules their scans independently. RRF arithmetic is exact
+    * (1/(60+r) over small integers), so no rounding is needed for
+    * oracle parity, but we round(6) anyway to be summation-proof. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10, legK: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val e = embD(spark, dir)
+    val (q, candidate) = resolveQuery(e, graft.QueryVec.Id(0))
+    val vecTop = e.filter(candidate).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(legK)
+      .select(col("doc_id"),
+        rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).as("vec_rank"))
+    val lexTop = lexicalBm25(spark, dir, k = legK)
+      .select(col("doc_id"),
+        rankOver(col("doc_id"), col("score").desc, col("doc_id").asc).as("bm25_rank"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (r.cast("double") + rrfK), lit(0.0))
+    vecTop.join(lexTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(contrib(col("vec_rank")) + contrib(col("bm25_rank")), 6).as("rrf_score"),
+        col("vec_rank"), col("bm25_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(k)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |vleg AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS vec_rank
+       |  FROM (
+       |    SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |    FROM e, q WHERE e.vec_id <> 0
+       |    ORDER BY cosine DESC, doc_id ASC LIMIT 20)
+       |),
+       |lleg AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+       |  FROM ($lexicalBm25Sql)
+       |)
+       |SELECT COALESCE(vleg.doc_id, lleg.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE / (vec_rank + 60), 0.0)
+       |      + COALESCE(1.0::DOUBLE / (bm25_rank + 60), 0.0), 6) AS rrf_score,
+       |  vec_rank, bm25_rank
+       |FROM vleg FULL OUTER JOIN lleg ON vleg.doc_id = lleg.doc_id
+       |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val lexicalMultisetSql: String =
     """WITH c AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS n,
@@ -1704,6 +1763,7 @@ object Retrievers {
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
     "search_lexical_bm25" -> ((s: SparkSession, d: String) => lexicalBm25(s, d)),
+    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
     "search_insights" -> ((s: SparkSession, d: String) => insights(s, d)),
     "search_completion_context" -> ((s: SparkSession, d: String) => completionContext(s, d)),
     "search_rag_completion" -> ((s: SparkSession, d: String) => ragCompletion(s, d)),
@@ -1745,6 +1805,7 @@ object Retrievers {
     "search_lexical" -> lexicalSql,
     "search_lexical_multiset" -> lexicalMultisetSql,
     "search_lexical_bm25" -> lexicalBm25Sql,
+    "search_hybrid_rrf" -> hybridRrfSql,
     "search_insights" -> insightsSql,
     "search_completion_context" -> completionContextSql,
     "search_rag_completion" -> ragCompletionSql,

@@ -34,7 +34,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "curate_decontaminate", "curate_decontaminate_fuzzy", "curate_pack", "curate_mix",
     "vec_knn", "vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
     "vec_dedup_cosine", "vec_centroids",
-    "search_lexical_multiset", "search_lexical_bm25",
+    "search_lexical_multiset", "search_lexical_bm25", "search_hybrid_rrf",
     "data_datasets", "search_history", "temporal_extract",
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg", "events_funnel",

@@ -885,6 +885,31 @@ class RetrieverSurfaceSpec extends SparkSpecBase {
     assert(ranked.head._2 > ranked(1)._2)
   }
 
+  test("rrf fusion: scores are exactly the reciprocal-rank sum of the two legs") {
+    val legK = 20
+    val vecRanks = Retrievers.chunks(spark, sf, k = legK).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val bm25Ranks = Retrievers.lexicalBm25(spark, sf, k = legK).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val fused = Retrievers.hybridRrf(spark, sf).collect()
+    assert(fused.length > 0 && fused.length <= 10)
+    fused.foreach { r =>
+      val (d, score) = (r.getLong(0), r.getDouble(1))
+      assert(vecRanks.contains(d) || bm25Ranks.contains(d), s"doc $d in neither leg's top-$legK")
+      val expect = vecRanks.get(d).map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+        bm25Ranks.get(d).map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      assert(math.abs(score - expect) < 1e-6, s"doc $d: $score vs $expect")
+    }
+    // descending, ties broken by doc_id ascending
+    val pairs = fused.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2) })
+    // a doc ranked in BOTH legs must outscore one ranked in a single leg at equal-or-worse rank
+    val both = fused.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    val single = fused.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getDouble(1)).max > single.map(_.getDouble(1)).min)
+  }
+
   test("insightsAsGraph carries exactly the triplet endpoints, no dangling edges") {
     val g = Retrievers.insightsAsGraph(spark, sf)
     val t = Retrievers.insights(spark, sf)

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpecBase {
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
-    "text_unigram_nll") // 1-row corpus-total broadcast into the per-doc rollup
+    "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
+    "search_hybrid_rrf") // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     cond.exists(_.isInstanceOf[EqualTo])
