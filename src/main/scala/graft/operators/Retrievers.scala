@@ -991,6 +991,27 @@ object Retrievers {
       |JOIN supplier ON s_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY nation""".stripMargin
 
+  /** Variable-length relationship pattern (`*1..2` over a rel-type
+    * alternation) — Cypher's bounded reachability sugar
+    * (cypher_search_retriever.py forwards these verbatim to the graph
+    * DB). Customers reach their region through located_in → in_region;
+    * the varlen expansion unions the 1- and 2-hop frontiers with
+    * per-level (src,dst) dedup (BFS semantics, no path blow-up), and
+    * the terminal `:region` type filter prunes the 1-hop nation
+    * endpoints. */
+  val varlenCypher: String =
+    "MATCH (c:customer)-[:located_in|in_region*1..2]->(r:region) " +
+      "RETURN r.name AS region, count(c.id) AS n_customers ORDER BY region"
+
+  def cypherVarlen(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), varlenCypher)
+
+  val cypherVarlenSql: String =
+    """SELECT r_name AS region, count(*) AS n_customers
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY region""".stripMargin
+
   // ---------------------------------------------------------------------
   // GRAPH_COMPLETION prompt-context rendering (modules/graph/utils/
   // resolve_edges_to_text.py): the exact text block the reference
@@ -1780,6 +1801,7 @@ object Retrievers {
     "search_cypher_agg" -> ((s: SparkSession, d: String) => cypherAgg(s, d)),
     "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
+    "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
@@ -1822,6 +1844,7 @@ object Retrievers {
     "search_cypher_agg" -> cypherAggSql,
     "search_cypher_with" -> cypherWithSql,
     "search_cypher_with2" -> cypherWith2Sql,
+    "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,
