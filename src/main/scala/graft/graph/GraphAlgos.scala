@@ -144,6 +144,44 @@ object GraphAlgos {
     frontiers.reduce(_ union _)
   }
 
+  /** Multi-source BFS: min hop-distance per (seed, node) pair on the
+    * undirected view, all seeds advanced in ONE frontier keyed by
+    * seed — the all-sources building block for centrality over a
+    * bounded seed set (one Spark job sequence regardless of seed
+    * count, vs |seeds| separate BFS runs). Same per-level idioms as
+    * [[kHop]]: lazy localCheckpoint + count() merges the emptiness
+    * probe into the materialization, and on the undirected view a
+    * candidate's min-depth (per seed) is within ±1 of the current
+    * depth, so dedup only anti-joins the current+previous frontiers,
+    * never the growing visited set. Returns (seed, id, depth). */
+  def multiSourceDistances(g: PropertyGraph, seeds: DataFrame, k: Int): DataFrame = {
+    val ue = g.undirectedEdges
+    val seed = seeds.select(col("id")).distinct()
+      .select(col("id").as("seed"), col("id"), lit(0).as("depth"))
+      .localCheckpoint(true)
+    val frontiers = scala.collection.mutable.ArrayBuffer(seed)
+    var prev = seed.limit(0)
+    var frontier = seed
+    var d = 1
+    var exhausted = false
+    while (d <= k && !exhausted) {
+      val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
+        .select(col("f.seed").as("seed"), col("e.dst").as("id")).distinct()
+        .join(frontier.select(col("seed"), col("id"))
+          .union(prev.select(col("seed"), col("id"))), Seq("seed", "id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(false)
+      if (next.count() == 0L) exhausted = true
+      else {
+        frontiers += next
+        prev = frontier
+        frontier = next
+      }
+      d += 1
+    }
+    frontiers.reduce(_ union _)
+  }
+
   /** Directed k-hop over a (src, dst) adjacency RELATION — the
     * traversal shape for a bucketed adjacency reloaded from GraphStore
     * (saveAdjacency persists edges bucketed+sorted by src, so each

@@ -656,8 +656,51 @@ object GraphQueries {
        |GROUP BY 1, 2
        |ORDER BY aa_score DESC, u ASC, w ASC LIMIT 20""".stripMargin
 
+  /** Harmonic centrality (Boldi–Vigna; the closeness variant that is
+    * well-defined on disconnected graphs) of the hub nodes (nations +
+    * regions) in the supplier–nation–region subgraph:
+    * H(v) = Σ_{u≠v reachable} 1/d(v,u). One multi-source BFS advances
+    * ALL seeds in a single frontier keyed by seed
+    * ([[GraphAlgos.multiSourceDistances]]) — the seed set is bounded
+    * (≤30 hubs) while suppliers scale with SF, so the frontier stays
+    * seeds × nodes-reachable, never all-pairs. The per-seed sum runs
+    * over the ≤8-row distance histogram (count_d / d), floor-truncated
+    * at 4dp before the top-k ordering. */
+  def harmonicCentrality(spark: SparkSession, dir: String, k: Int = 20,
+      maxDepth: Int = 8): DataFrame = {
+    val g = snrSubgraph(spark, dir)
+    val seeds = g.nodes.filter(col("ntype").isin("nation", "region")).select(col("id"))
+    val dist = GraphAlgos.multiSourceDistances(g, seeds, maxDepth)
+    val hist = dist.filter(col("depth") > 0)
+      .groupBy(col("seed"), col("depth")).agg(count(lit(1)).as("n"))
+    hist.groupBy(col("seed").as("id"))
+      .agg((floor(sum(col("n").cast("double") / col("depth")) * 10000) / 10000).as("harmonic"),
+        sum(col("n")).as("n_reachable"))
+      .orderBy(col("harmonic").desc, col("id").asc).limit(k)
+  }
+
+  val harmonicCentralitySql: String =
+    s"""WITH RECURSIVE ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sn AS (SELECT id FROM nodes WHERE ntype IN ('nation', 'region')),
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |se AS (SELECT src, dst FROM sd UNION SELECT dst, src FROM sd),
+       |bfs(seed, id, d) AS (
+       |  SELECT id, id, 0 FROM sn
+       |  UNION
+       |  SELECT b.seed, e.dst, b.d + 1 FROM bfs b JOIN se e ON b.id = e.src WHERE b.d < 8
+       |),
+       |md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2),
+       |hist AS (SELECT seed, d, count(*) AS n FROM md WHERE d > 0 GROUP BY 1, 2)
+       |SELECT seed AS id, floor(sum(n::DOUBLE / d) * 10000) / 10000 AS harmonic,
+       |  CAST(sum(n) AS BIGINT) AS n_reachable
+       |FROM hist GROUP BY 1
+       |ORDER BY harmonic DESC, id ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
+    "graph_harmonic" -> ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
     "graph_edge_types" -> ((s: SparkSession, d: String) => edgeTypes(s, d)),
     "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
@@ -681,6 +724,7 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "graph_adamic_adar" -> adamicAdarSql,
+    "graph_harmonic" -> harmonicCentralitySql,
     "graph_prune_chunks" -> pruneChunksSql,
     "graph_edge_types" -> edgeTypesSql,
     "temporal_graph_build" -> temporalGraphBuildSql,

@@ -738,6 +738,20 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(bfs === pregel)
   }
 
+  test("multi-source BFS distances equal per-seed single-source kHop") {
+    import TestSpark.spark.implicits._
+    val g = TpchGraph(spark, sf)
+    val seedIds = Seq("nation:0", "nation:3", "region:1")
+    val multi = GraphAlgos.multiSourceDistances(g, seedIds.toDF("id"), 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val single = seedIds.flatMap { s =>
+      GraphAlgos.kHop(g, Seq(s).toDF("id"), 4)
+        .collect().map(r => (s, r.getString(0), r.getInt(1)))
+    }.toSet
+    assert(multi === single)
+    assert(multi.count(_._3 == 0) === seedIds.size)
+  }
+
   test("wedge-join, adjacency, and GraphX triangle counts all agree") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
