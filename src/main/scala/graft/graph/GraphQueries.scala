@@ -617,7 +617,11 @@ object GraphQueries {
     * score floor-truncates BEFORE the top-k ordering (deterministic
     * under last-ulp summation-order differences); ties break on the
     * pair. */
-  def adamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** Shared link-prediction scaffolding over the bounded SNR subgraph:
+    * canonical self-loop-free edge set (x<y), both-orientation neighbor
+    * view, and degrees. Backs [[adamicAdar]] and [[neighborJaccard]]. */
+  private def snrNeighborView(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val g = snrSubgraph(spark, dir)
     val e = g.edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("x"),
@@ -625,6 +629,11 @@ object GraphQueries {
     val nbr = e.select(col("x").as("v"), col("y").as("w"))
       .union(e.select(col("y").as("v"), col("x").as("w")))
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    (e, nbr, deg)
+  }
+
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val (e, nbr, deg) = snrNeighborView(spark, dir)
     nbr.select(col("v"), col("w").as("u"))
       .join(nbr.select(col("v"), col("w")), Seq("v"))
       .filter(col("u") < col("w"))
@@ -655,6 +664,52 @@ object GraphQueries {
        |FROM wedge JOIN deg ON wedge.v = deg.v
        |GROUP BY 1, 2
        |ORDER BY aa_score DESC, u ASC, w ASC LIMIT 20""".stripMargin
+
+  /** Neighbor-set Jaccard link prediction — the degree-normalized
+    * companion to [[adamicAdar]] (a graph-DB node-similarity
+    * primitive): for non-adjacent pairs sharing ≥1 neighbor,
+    * J(u,w) = |N(u)∩N(w)| / |N(u)∪N(w)|, with the union by
+    * inclusion–exclusion (deg_u + deg_w − common) so no per-pair set
+    * materializes. Same wedge join + anti-join scaffolding; the two
+    * degree joins key on each endpoint. Single-division doubles —
+    * bitwise identical across engines — floor-truncated at 4dp before
+    * the top-k. */
+  def neighborJaccard(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val (e, nbr, deg) = snrNeighborView(spark, dir)
+    val common = nbr.select(col("v"), col("w").as("u"))
+      .join(nbr.select(col("v"), col("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .join(e, col("u") === col("x") && col("w") === col("y"), "left_anti")
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("v").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("v").as("w"), col("deg").as("dw")), Seq("w"))
+      .select(col("u"), col("w"),
+        (floor(col("n_common").cast("double") * 10000
+          / (col("du") + col("dw") - col("n_common"))) / 10000).as("jaccard"),
+        col("n_common"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("w").asc).limit(k)
+  }
+
+  val neighborJaccardSql: String =
+    s"""WITH ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |ce AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y FROM sd WHERE src <> dst),
+       |nbr AS (SELECT x AS v, y AS w FROM ce UNION ALL SELECT y, x FROM ce),
+       |deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1),
+       |common AS (
+       |  SELECT a.w AS u, b.w AS w, count(*) AS n_common
+       |  FROM nbr a JOIN nbr b ON a.v = b.v AND a.w < b.w
+       |  WHERE NOT EXISTS (SELECT 1 FROM ce WHERE ce.x = a.w AND ce.y = b.w)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.u, c.w,
+       |  floor(c.n_common::DOUBLE * 10000 / (du.deg + dw.deg - c.n_common)) / 10000 AS jaccard,
+       |  c.n_common
+       |FROM common c JOIN deg du ON du.v = c.u JOIN deg dw ON dw.v = c.w
+       |ORDER BY jaccard DESC, u ASC, w ASC LIMIT 20""".stripMargin
 
   /** Harmonic centrality (Boldi–Vigna; the closeness variant that is
     * well-defined on disconnected graphs) of the hub nodes (nations +
@@ -701,6 +756,7 @@ object GraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
     "graph_harmonic" -> ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
+    "graph_jaccard" -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
     "graph_edge_types" -> ((s: SparkSession, d: String) => edgeTypes(s, d)),
     "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
@@ -725,6 +781,7 @@ object GraphQueries {
   def oracles: Map[String, String] = Map(
     "graph_adamic_adar" -> adamicAdarSql,
     "graph_harmonic" -> harmonicCentralitySql,
+    "graph_jaccard" -> neighborJaccardSql,
     "graph_prune_chunks" -> pruneChunksSql,
     "graph_edge_types" -> edgeTypesSql,
     "temporal_graph_build" -> temporalGraphBuildSql,
