@@ -257,7 +257,41 @@ object EventOps {
       |FROM w JOIN f ON w.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the behavioral sequence model (what follows what, and
+    * how often) an event-analytics surface exposes next to funnels and
+    * sessions. One lag window per user (the sessionize shuffle shape),
+    * then a keyed bigram aggregation; output is bounded by |types|²
+    * regardless of corpus size. The row-conditional probability is a
+    * single integer-over-integer division (engine-exact doubles),
+    * floor-truncated at 4dp. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val bigrams = loadEvents(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    bigrams.withColumn("prob",
+      floor(col("n").cast("double") * 10000
+        / sum(col("n")).over(Window.partitionBy(col("from_type")))) / 10000)
+  }
+
+  val transitionsSql: String =
+    """WITH bi AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+      |    event_type AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM bi
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |  floor(n::DOUBLE * 10000 / sum(n) OVER (PARTITION BY from_type)) / 10000 AS prob
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
@@ -268,6 +302,7 @@ object EventOps {
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "events_transitions" -> transitionsSql,
     "search_history" -> historySql,
     "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,

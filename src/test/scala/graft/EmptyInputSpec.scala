@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "data_datasets", "search_history", "temporal_extract",
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg", "events_funnel",
+    "events_transitions",
     "events_retention", "events_anomaly", "curate_budget",
     "search_rag_completion",
     "pipeline_cognify", "pipeline_prune", "pipeline_classify",
