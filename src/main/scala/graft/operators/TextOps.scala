@@ -464,6 +464,34 @@ object TextOps {
       |SELECT doc_id, floor(avg(ln(total * 1.0 / c)) * 10000) / 10000 AS nll
       |FROM w JOIN v USING (w), t GROUP BY doc_id""".stripMargin
 
+  /** Corpus bigram statistics — the n-gram frequency table a
+    * tokenizer/vocabulary pipeline derives before merges are chosen
+    * (BPE seeding, collocation mining): occurrence and document
+    * frequency of every adjacent word pair, top-50. Bigrams are built
+    * IN-ROW with an index-aware `transform` over the token array (no
+    * self-join, no window) and only then exploded into the keyed
+    * count — one explode + one aggregation, the [[unigramNll]] scale
+    * shape with the vocabulary keyed by pair. */
+  def ngramStats(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val bigram = load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+    bigram.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(k)
+  }
+
+  val ngramStatsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id, t[g] || ' ' || t[g + 1] AS bigram
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) i
+      |)
+      |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM b GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin
+
   /** PII redaction — the training-corpus scrubbing pass every
     * pretraining pipeline runs before the tokenizer (emails, dates,
     * money amounts masked to typed placeholders). Runs over the same
@@ -682,6 +710,7 @@ object TextOps {
     "text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "text_unigram_nll" -> ((s: SparkSession, d: String) => unigramNll(s, d)),
+    "text_ngram_stats" -> ((s: SparkSession, d: String) => ngramStats(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
@@ -697,6 +726,7 @@ object TextOps {
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
     "text_unigram_nll" -> unigramNllSql,
+    "text_ngram_stats" -> ngramStatsSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_chunk" -> chunkSql)
