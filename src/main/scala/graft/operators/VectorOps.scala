@@ -65,6 +65,36 @@ object VectorOps {
       |)
       |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Cosine RANGE search: every corpus vector within a similarity
+    * radius of each query (all matches, not top-k) — the
+    * vector_db_interface search shape when the caller bounds by score
+    * instead of count (near-duplicate candidate pulls, radius recalls).
+    * Same broadcast-queries / parallel-corpus-scan plan as [[knn]];
+    * the threshold compares the ROUNDED cosine so the predicate and the
+    * reported score can't disagree at the boundary. Unbounded result
+    * cardinality is the caller's contract (a radius query returns what
+    * it returns); no window, no sort — just scan + filter, the
+    * cheapest possible shape at 100 TB. The IVF cell shortlist
+    * ([[knnIvf]]) composes in front when τ is high enough to prune. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  val rangeSearchSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+      |SELECT query_id, vec_id, cosine FROM (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_dot_product(qv, v)
+      |          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cosine
+      |  FROM q, e WHERE e.vec_id <> q.query_id
+      |) WHERE cosine >= 0.3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Coarse quantizer: deterministic spherical k-means (Lloyd's). The
   // trained centroids back both the IVF probe shortlist ([[knnIvf]]) and
@@ -762,6 +792,7 @@ object VectorOps {
     "store_vec_search" -> ((s: SparkSession, d: String) => storeVecSearch(s, d)),
     "vec_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "vec_knn" -> ((s: SparkSession, d: String) => knn(s, d)),
+    "vec_range_search" -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "vec_dedup_cosine" -> ((s: SparkSession, d: String) => dedupCosine(s, d)),
     "vec_centroids" -> ((s: SparkSession, d: String) => centroids(s, d)),
     "vec_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
@@ -772,6 +803,7 @@ object VectorOps {
   def oracles: Map[String, String] = Map(
     "store_vec_search" -> storeVecSearchSql,
     "vec_knn" -> knnSql,
+    "vec_range_search" -> rangeSearchSql,
     "vec_dedup_cosine" -> dedupCosineSql,
     "vec_centroids" -> centroidsSql)
 }
