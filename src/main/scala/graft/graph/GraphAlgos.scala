@@ -342,6 +342,46 @@ object GraphAlgos {
     out
   }
 
+  /** Personalized PageRank: power iteration with the teleport mass
+    * concentrated on a seed set (topic-sensitive PageRank — the
+    * graph-RAG relevance ranking: walk from the query's entities,
+    * score what the walk keeps visiting). Runs on the UNDIRECTED view
+    * (the retrieval convention: relevance flows both ways along a
+    * relation). Same loop discipline as [[pageRank]]: static
+    * edges⋈degree hoisted and src-partitioned once, one shuffle per
+    * iteration on the contribution aggregate, per-iteration persist +
+    * flatten. Ranks stay SPARSE — only nodes the walk has reached
+    * carry rows, so early iterations touch a frontier, not the node
+    * universe. Returns (id, r) unnormalized (Σr ≤ 1 as walk mass). */
+  def personalizedPageRank(g: PropertyGraph, seeds: DataFrame, iters: Int): DataFrame = {
+    val edges = g.undirectedEdges
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edgesW = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDf = seeds.select(col("id")).distinct()
+      .withColumn("s", lit(1.0)).localCheckpoint(true)
+    val nSeeds = seedDf.count().toDouble
+    var ranks = seedDf.select(col("id"), (col("s") / nSeeds).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesW
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("od")).as("contrib"))
+      val next = contrib.join(seedDf, Seq("id"), "full_outer")
+        .select(col("id"),
+          (lit(0.15) * coalesce(col("s"), lit(0.0)) / nSeeds
+            + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
+    }
+    val out = ranks.localCheckpoint(true)
+    ranks.unpersist(false)
+    edgesW.unpersist(false)
+    out
+  }
+
   /** Bipartite co-occurrence projection: items sharing a basket become
     * an undirected canonical edge (x < y). One self-join shuffled on the
     * basket key, then distinct. */

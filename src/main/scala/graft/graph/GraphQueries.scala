@@ -235,6 +235,41 @@ object GraphQueries {
        |FROM r10
        |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
 
+  /** Personalized PageRank from nation:0 — topic-sensitive relevance
+    * over the full property graph ([[GraphAlgos.personalizedPageRank]],
+    * 10 iterations, damping 0.85, undirected walk). The graph-RAG
+    * ranking primitive: seed the walk at the query's entities, rank by
+    * visit mass. Top-50 on the 4dp-rounded score (ties by id) so the
+    * cutoff is engine-stable. */
+  def personalizedPageRank(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val seeds = g.nodes.filter(col("id") === "nation:0").select(col("id"))
+    GraphAlgos.personalizedPageRank(g, seeds, 10)
+      .filter(col("r") > 0)
+      .select(col("id"), round(col("r"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id").asc).limit(k)
+  }
+
+  private def pprIter(i: Int): String =
+    s"""p$i AS (
+       |  SELECT coalesce(c.id, sv.id) AS id,
+       |    0.15 * coalesce(sv.s, 0.0) + 0.85 * coalesce(c.contrib, 0.0) AS r
+       |  FROM (SELECT e.dst AS id, sum(p.r / d.od) AS contrib
+       |        FROM ue e JOIN deg d ON d.src = e.src JOIN p${i - 1} p ON p.id = e.src
+       |        GROUP BY e.dst) c
+       |  FULL OUTER JOIN sv ON sv.id = c.id
+       |)""".stripMargin
+
+  val personalizedPageRankSql: String =
+    s"""$withGraph,
+       |ue AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |deg AS (SELECT src, count(*) AS od FROM ue GROUP BY 1),
+       |sv AS (SELECT 'nation:0' AS id, 1.0 AS s),
+       |p0 AS (SELECT id, s AS r FROM sv),
+       |${(1 to 10).map(pprIter).mkString(",\n")}
+       |SELECT id, round(r, 4) AS rank FROM p10 WHERE r > 0
+       |ORDER BY rank DESC, id ASC LIMIT 50""".stripMargin
+
   val trianglesSql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
@@ -757,6 +792,7 @@ object GraphQueries {
     "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
     "graph_harmonic" -> ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "graph_jaccard" -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
+    "graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
     "graph_edge_types" -> ((s: SparkSession, d: String) => edgeTypes(s, d)),
     "temporal_graph_build" -> ((s: SparkSession, d: String) => temporalGraphBuild(s, d)),
@@ -782,6 +818,7 @@ object GraphQueries {
     "graph_adamic_adar" -> adamicAdarSql,
     "graph_harmonic" -> harmonicCentralitySql,
     "graph_jaccard" -> neighborJaccardSql,
+    "graph_ppr" -> personalizedPageRankSql,
     "graph_prune_chunks" -> pruneChunksSql,
     "graph_edge_types" -> edgeTypesSql,
     "temporal_graph_build" -> temporalGraphBuildSql,
