@@ -247,7 +247,80 @@ object MultimodalOps {
       |  CAST(doc_id % 768 + 1 AS BIGINT) AS height
       |FROM documents""".stripMargin
 
+  /** Video container sniff — the video leg of the image/audio/video
+    * metadata family: MP4 (ISO BMFF `ftyp` fourcc at 5, brand at 9;
+    * `mvhd` big-endian timescale@45 / duration@49 in the canonical
+    * ftyp+moov prefix) and AVI (RIFF/`AVI ` with the `avih` main
+    * header's little-endian µs-per-frame@33 and total-frames@49).
+    * Same codegen'd byte arithmetic as [[imageMeta]]/[[audioMeta]];
+    * non-video payloads yield NULL fields. */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    def be32(i: Int) = conv(hex(substring(p, i, 4)), 16, 10).cast("long")
+    def le32(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256 +
+      byteAt(p, i + 2) * 65536 + byteAt(p, i + 3) * 16777216
+    val isMp4 = hex(substring(p, 5, 4)) === "66747970"
+    val isAvi = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 4)) === "41564920"
+    val timescale = be32(45)
+    val durUnits = be32(49)
+    val usPerFrame = le32(33)
+    val nFrames = le32(49)
+    media.select(col("doc_id"),
+      when(isMp4, "mp4").when(isAvi, "avi").otherwise("unknown").as("format"),
+      when(isMp4, substring(p, 9, 4).cast("string")).as("brand"),
+      when(isAvi, nFrames).as("n_frames"),
+      when(isMp4, floor(durUnits.cast("double") / timescale * 10000) / 10000)
+        .when(isAvi, floor(nFrames.cast("double") * usPerFrame / 1000000 * 10000) / 10000)
+        .as("duration_s"))
+  }
+
+  /** Deterministic video corpus: even doc_ids synthesize a genuine
+    * MP4 ftyp+moov/mvhd prefix (brands isom/mp42 by doc_id mod 4), odd
+    * ones a RIFF AVI with an avih main header — column-derived
+    * timescale/duration/frame fields, oracle pinned in closed form
+    * (an endianness or box-offset bug breaks the hash). */
+  def videoHeaders(spark: SparkSession, dir: String): DataFrame = {
+    def beHex32(x: org.apache.spark.sql.Column) = lpad(hex(x), 8, "0")
+    def leHex(x: org.apache.spark.sql.Column, nBytes: Int) = concat(
+      (0 until nBytes).map(b => lpad(hex(shiftright(x, b * 8) % 256), 2, "0")): _*)
+    val timescale = (lit(600L) * (lit(1L) + col("n_chars") % 4)).cast("long")
+    val durUnits = (col("n_chars") * 25).cast("long")
+    val usPerFrame = lit(40000L)
+    val nFrames = (col("n_chars") % 1000 + 1).cast("long")
+    val mp4Hex = concat(
+      lit("00000010" + "66747970"),                       // ftyp box, size 16
+      when(col("doc_id") % 4 === 0, "69736F6D").otherwise("6D703432"), // isom | mp42
+      lit("00000000"),                                    // minor version
+      lit("00000074" + "6D6F6F76"),                       // moov box
+      lit("0000006C" + "6D766864" + "00000000"),          // mvhd v0 box
+      lit("00000000" + "00000000"),                       // ctime, mtime
+      beHex32(timescale), beHex32(durUnits))
+    val aviHex = concat(
+      lit("52494646"), leHex(lit(248L), 4), lit("41564920"), // RIFF <sz> 'AVI '
+      lit("4C495354"), leHex(lit(200L), 4), lit("6864726C"), // LIST <sz> hdrl
+      lit("61766968"), leHex(lit(56L), 4),                   // avih <cb>
+      leHex(usPerFrame, 4),
+      lit("00" * 12),                                        // maxBytesPerSec, padding, flags
+      leHex(nFrames, 4))
+    load(spark, dir, "documents").select(col("doc_id"),
+      unhex(when(col("doc_id") % 2 === 0, mp4Hex).otherwise(aviHex)).as("payload"))
+  }
+
+  val videoMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN (CASE WHEN doc_id % 4 = 0 THEN 'isom' ELSE 'mp42' END) END AS brand,
+      |  CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars % 1000 + 1 AS BIGINT) END AS n_frames,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN floor((n_chars * 25)::DOUBLE / (600 * (1 + n_chars % 4)) * 10000) / 10000
+      |       ELSE floor((n_chars % 1000 + 1)::DOUBLE * 40000 / 1000000 * 10000) / 10000
+      |  END AS duration_s
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_video_meta" -> ((s: SparkSession, d: String) => videoMeta(videoHeaders(s, d))),
     "mm_image_meta" -> ((s: SparkSession, d: String) => imageMeta(imageHeaders(s, d))),
     "mm_audio_meta" -> ((s: SparkSession, d: String) => audioMeta(audioHeaders(s, d))),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
@@ -275,6 +348,7 @@ object MultimodalOps {
       |FROM pos GROUP BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_video_meta" -> videoMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_binary_meta" -> binaryFeaturesSql,
     "mm_image_meta" -> imageMetaSql,

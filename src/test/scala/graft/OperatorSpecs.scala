@@ -1075,6 +1075,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(4L) === (("unknown", -1L, -1L)))
   }
 
+  test("videoMeta parses genuine MP4/AVI container prefixes and rejects noise") {
+    import TestSpark.spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // ISO BMFF prefix: ftyp(isom) + moov/mvhd with timescale 600,
+    // duration 1500 units -> 2.5 s.
+    val mp4: Array[Byte] =
+      b(0x00, 0x00, 0x00, 0x10) ++ "ftypisom".getBytes("US-ASCII") ++
+        b(0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x74) ++
+        "moov".getBytes("US-ASCII") ++ b(0x00, 0x00, 0x00, 0x6C) ++
+        "mvhd".getBytes("US-ASCII") ++ Array.fill(12)(0x00.toByte) ++
+        b(0x00, 0x00, 0x02, 0x58) ++ // timescale 600
+        b(0x00, 0x00, 0x05, 0xDC)    // duration 1500
+    // RIFF AVI: avih with 40000 us/frame and 250 frames -> 10 s.
+    val avi: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ b(0xF8, 0x00, 0x00, 0x00) ++
+        "AVI LIST".getBytes("US-ASCII") ++ b(0xC8, 0x00, 0x00, 0x00) ++
+        "hdrlavih".getBytes("US-ASCII") ++ b(0x38, 0x00, 0x00, 0x00) ++
+        b(0x40, 0x9C, 0x00, 0x00) ++ // 40000 us/frame LE
+        Array.fill(12)(0x00.toByte) ++
+        b(0xFA, 0x00, 0x00, 0x00)    // 250 frames LE
+    val media = Seq(
+      (1L, mp4), (2L, avi), (3L, "just text".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = MultimodalOps.videoMeta(media).collect()
+      .map(r => (r.getLong(0), (r.getString(1),
+        if (r.isNullAt(2)) "-" else r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(out(1L) === (("mp4", "isom", -1L, 2.5)))
+    assert(out(2L) === (("avi", "-", 250L, 10.0)))
+    assert(out(3L) === (("unknown", "-", -1L, -1.0)))
+  }
+
   test("audioMeta parses a genuine PCM WAV header") {
     import TestSpark.spark.implicits._
     // canonical 44-byte header: mono, 8 kHz, 16-bit, 16000 data bytes
