@@ -400,6 +400,49 @@ object GraphAlgos {
       .select(col("p.x"), col("p.y")).distinct()
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * deterministic synchronous variant) over canonical undirected
+    * edges (x, y): every node starts as its own label; each of the
+    * fixed `iters` rounds relabels EVERY node simultaneously to the
+    * most frequent label among its neighbors, ties to the smallest
+    * label. No random visit order, so the rounds unroll exactly in the
+    * DuckDB oracle. (Synchronous LPA oscillates 2-cycles on bipartite
+    * fragments — an isolated edge alternates label swaps — which a
+    * fixed even iteration count makes deterministic; the spec pins
+    * that behavior.)
+    *
+    * One shuffle per round: neighbor⋈labels keyed on the neighbor id
+    * (the hoisted both-orientation view is pre-partitioned on that
+    * key and persisted, so only the one-row-per-node label side moves),
+    * then a (node, label) count and a per-node window rank. Each
+    * round's labels are materialized and the parent released; the
+    * result is localCheckpointed and every loop cache dropped — the
+    * Pregel-shaped loop contract shared with [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbr = edges.select(col("x").as("v"), col("y").as("w"))
+      .union(edges.select(col("y").as("v"), col("x").as("w")))
+      .repartition(col("w")).persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nbr.select(col("v")).distinct().withColumn("l", col("v"))
+    val byNode = Window.partitionBy(col("v")).orderBy(col("c").desc, col("l").asc)
+    for (_ <- 1 to iters) {
+      val next = nbr
+        .join(lab.select(col("v").as("w"), col("l")), Seq("w"))
+        .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("l"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize to flatten lineage before unpersisting parent
+      lab.unpersist(false)
+      lab = next
+    }
+    val out = lab.localCheckpoint(true)
+    lab.unpersist(false)
+    nbr.unpersist(false)
+    out
+  }
+
   /** Triangle count over canonical undirected edges (x < y) as pure
     * DataFrame wedge joins: wedges (x,y),(x,z) with y<z closed by the
     * (y,z) edge. Two hash joins, AQE-planned. Returns one row:

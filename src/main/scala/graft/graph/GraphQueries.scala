@@ -788,7 +788,42 @@ object GraphQueries {
        |FROM hist GROUP BY 1
        |ORDER BY harmonic DESC, id ASC LIMIT 20""".stripMargin
 
+  /** Community detection via synchronous label propagation
+    * ([[GraphAlgos.labelPropagation]], 4 fixed rounds) on the part
+    * co-purchase projection — the community layer a graph engine
+    * exposes next to components/PageRank/triangles (cognee's
+    * per-backend graph metrics surface). Output is the community
+    * census (label, size, smallest member), bounded by the node
+    * count. Reuses the shared persisted co-purchase artifact. */
+  def lpaCommunities(spark: SparkSession, dir: String, iters: Int = 4): DataFrame =
+    GraphAlgos.labelPropagation(coPurchase(spark, dir), iters)
+      .groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_member"))
+
+  val lpaCommunitiesSql: String = {
+    // Unrolled synchronous rounds, exactly the DF loop's semantics:
+    // count neighbor labels, rank per node by (count desc, label asc).
+    val rounds = (1 to 4).map { k =>
+      s"""agg$k AS (SELECT n.v, lb.l, count(*) AS c
+         |  FROM nbr n JOIN lab${k - 1} lb ON n.w = lb.v GROUP BY 1, 2),
+         |lab$k AS (SELECT v, l FROM (
+         |  SELECT v, l, row_number() OVER (PARTITION BY v ORDER BY c DESC, l ASC) AS rn
+         |  FROM agg$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ce AS (
+       |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |),
+       |nbr AS (SELECT x AS v, y AS w FROM ce UNION ALL SELECT y, x FROM ce),
+       |lab0 AS (SELECT v, v AS l FROM (SELECT DISTINCT v FROM nbr)),
+       |$rounds
+       |SELECT l AS community, count(*) AS n_members, min(v) AS min_member
+       |FROM lab4 GROUP BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_lpa" -> ((s: SparkSession, d: String) => lpaCommunities(s, d)),
     "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
     "graph_harmonic" -> ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
     "graph_jaccard" -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
@@ -815,6 +850,7 @@ object GraphQueries {
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "graph_lpa" -> lpaCommunitiesSql,
     "graph_adamic_adar" -> adamicAdarSql,
     "graph_harmonic" -> harmonicCentralitySql,
     "graph_jaccard" -> neighborJaccardSql,

@@ -290,7 +290,50 @@ object EventOps {
       |  floor(n::DOUBLE * 10000 / sum(n) OVER (PARTITION BY from_type)) / 10000 AS prob
       |FROM c""".stripMargin
 
+  /** RFM segmentation (recency / frequency / monetary quartiles) — the
+    * classic user-triage rollup an event-analytics surface exposes next
+    * to funnels and cohorts. One keyed shuffle builds the per-user
+    * rollup; the three ntile(4) ranks then run over that rollup (one
+    * row per distinct user — orders of magnitude below the event
+    * count) behind the repo-wide bounded-rank constant partition key.
+    * At truly unbounded user counts the quartile boundaries would swap
+    * to broadcast percentile_disc cutoffs; ntile over the rollup is
+    * the deterministic oracle-parity shape (ties broken by user_id).
+    * Scores are 1..4 with 4 = most recent / frequent / valuable. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = loadEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_sec")).as("last_seen_s"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+    val part = pmod(coalesce(length(col("user_id").cast("string")), lit(0)), lit(1))
+    def score(metric: String) = ntile(4)
+      .over(Window.partitionBy(part).orderBy(col(metric).asc, col("user_id").asc))
+      .cast("long")
+    perUser
+      .withColumn("r_score", score("last_seen_s"))
+      .withColumn("f_score", score("frequency"))
+      .withColumn("m_score", score("monetary"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
+
+  val rfmSql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_s,
+      |    count(*) AS frequency, round(sum(value), 2) AS monetary
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT user_id, last_seen_s, frequency, monetary,
+      |    CAST(ntile(4) OVER (ORDER BY last_seen_s ASC, user_id ASC) AS BIGINT) AS r_score,
+      |    CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f_score,
+      |    CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS m_score
+      |  FROM u
+      |)
+      |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
@@ -302,6 +345,7 @@ object EventOps {
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,
     "search_history" -> historySql,
     "events_props_agg" -> propsAggSql,

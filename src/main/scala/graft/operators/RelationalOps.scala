@@ -382,7 +382,39 @@ object RelationalOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Nation × order-priority revenue matrix via RELATIONAL PIVOT —
+    * the wide-format rollup (Dataset.groupBy(...).pivot(values, ...))
+    * the reference's dashboard-style aggregations produce. The pivot
+    * value list is explicit, so the plan is a single hash aggregate
+    * with five conditional sums (no extra distinct-values job and no
+    * second shuffle); a nation with no orders at a priority yields
+    * NULL, matching SQL's FILTERed sum over an empty set. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    val piv = load(spark, dir, "orders")
+      .join(load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("o_orderpriority", prios)
+      .agg(round(sum(col("o_totalprice")), 2))
+    prios.zip(names).foldLeft(piv) { case (df, (p, n)) => df.withColumnRenamed(p, n) }
+  }
+
+  val qPivotSql: String =
+    """SELECT n_name AS nation,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS p1_urgent,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2) AS p2_high,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2) AS p3_medium,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2) AS p4_not_specified,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS p5_low
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> ((s: SparkSession, d: String) => qPivot(s, d)),
     "store_bucketed_join" -> ((s: SparkSession, d: String) => storeBucketedJoin(s, d)),
     "q10_returns" -> ((s: SparkSession, d: String) => q10Returns(s, d)),
     "q_rollup" -> ((s: SparkSession, d: String) => qRollup(s, d)),
@@ -399,6 +431,7 @@ object RelationalOps {
     "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "store_bucketed_join" -> storeBucketedJoinSql,
     "q10_returns" -> q10Sql,
     "q_rollup" -> qRollupSql,

@@ -464,6 +464,52 @@ object TextOps {
       |SELECT doc_id, floor(avg(ln(total * 1.0 / c)) * 10000) / 10000 AS nll
       |FROM w JOIN v USING (w), t GROUP BY doc_id""".stripMargin
 
+  /** Per-document top-k TF-IDF keywords — the keyword-extraction
+    * primitive a document-processing pipeline exposes next to
+    * [[quality]] and [[fingerprint]] (and the deterministic stand-in
+    * for the reference's LLM keyword extraction). tf is the in-doc
+    * term count, idf = ln(N/df) with df the containing-doc count; the
+    * score floor-truncates at 4dp BEFORE the per-doc rank (stable
+    * under last-ulp ln differences), ties break on the token. Two
+    * keyed aggregations reusing one explode, the corpus size as a
+    * 1-row broadcast, and a per-doc window rank — the
+    * [[unigramNll]] scale shape. */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val tf = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w").asc)
+    tf.join(dfreq, Seq("w")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 10000) / 10000)
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("keyword"), col("score"))
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) GROUP BY 1, 2
+      |),
+      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, w,
+      |    floor(tf * ln(n_docs::DOUBLE / df) * 10000) / 10000 AS score
+      |  FROM tf JOIN dfreq USING (w), n
+      |),
+      |ranked AS (
+      |  SELECT doc_id, w, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, w AS keyword, score FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Corpus bigram statistics — the n-gram frequency table a
     * tokenizer/vocabulary pipeline derives before merges are chosen
     * (BPE seeding, collocation mining): occurrence and document
@@ -709,6 +755,7 @@ object TextOps {
     "text_quality" -> ((s: SparkSession, d: String) => quality(s, d)),
     "text_repetition" -> ((s: SparkSession, d: String) => repetition(s, d)),
     "text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
+    "text_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "text_unigram_nll" -> ((s: SparkSession, d: String) => unigramNll(s, d)),
     "text_ngram_stats" -> ((s: SparkSession, d: String) => ngramStats(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
@@ -725,6 +772,7 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
+    "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_unigram_nll" -> unigramNllSql,
     "text_ngram_stats" -> ngramStatsSql,
     "text_langid" -> langIdSql,

@@ -26,7 +26,7 @@ class EmptyInputSpec extends SparkSpecBase {
 
   private val corpusOps: Seq[String] = Seq(
     "text_tokens", "text_quality", "text_repetition", "text_redact", "text_unigram_nll",
-    "text_ngram_stats",
+    "text_ngram_stats", "text_tfidf_keywords",
     "text_langid", "text_fingerprint",
     "text_chunk", "text_chunk_overlap", "text_chunk_paragraph",
     "dedup_exact", "dedup_tokenset", "dedup_ngram_jaccard",
@@ -40,7 +40,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg", "events_funnel",
     "events_transitions",
-    "events_retention", "events_anomaly", "curate_budget",
+    "events_retention", "events_rfm", "events_anomaly", "curate_budget",
     "search_rag_completion",
     "pipeline_cognify", "pipeline_prune", "pipeline_classify",
     "entity_extract_cascade", "code_summaries", "search_context_render",

@@ -456,6 +456,27 @@ class CurateOpsSpec extends SparkSpecBase {
 
 class TextOpsSpec extends SparkSpecBase {
 
+  test("tfidf keywords rank distinctive tokens above corpus-wide ones") {
+    val out = TextOps.tfidfKeywords(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..3 per doc, scores non-increasing within a doc
+    out.groupBy(_.getAs[Long]("doc_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Double]("score")).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+    // a token present in EVERY document has idf 0 and can never out-rank
+    // a token with positive score
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val everywhere = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") === nDocs).collect().map(_.getString(0)).toSet
+    out.filter(r => everywhere(r.getAs[String]("keyword")))
+      .foreach(r => assert(r.getAs[Double]("score") <= 0.0))
+  }
+
   test("redaction masks every PII pattern and counts them") {
     val out = TextOps.redact(spark, sf)
     // no email/date/money survives in any redacted line
@@ -697,6 +718,44 @@ class RelationalOpsSpec extends SparkSpecBase {
       assert(math.abs(approx(k) - ex) <= math.max(1L, (ex * 0.05).toLong), s"$k: ${approx(k)} vs $ex")
     }
   }
+
+  test("events_rfm emits balanced 1..4 quartiles composed into the rfm code") {
+    val rows = EventOps.rfm(spark, sf).collect()
+    val nUsers = Tables.loadEvents(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === nUsers)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val scores = rows.map(_.getAs[Long](c))
+      assert(scores.forall(s => s >= 1 && s <= 4), s"$c out of range")
+      val sizes = scores.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$c quartiles unbalanced: $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rfm") ===
+        r.getAs[Long]("r_score") * 100 + r.getAs[Long]("f_score") * 10 + r.getAs[Long]("m_score"))
+    }
+    // the most frequent user must sit in the top frequency quartile
+    val top = rows.maxBy(_.getAs[Long]("frequency"))
+    assert(top.getAs[Long]("f_score") === 4L)
+  }
+
+  test("q_pivot cells equal the direct filtered aggregate") {
+    val piv = RelationalOps.qPivot(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    val direct = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("n_name")).agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(direct.nonEmpty)
+    direct.foreach { case (nation, rev) =>
+      assert(piv(nation).getAs[Double]("p1_urgent") === rev, nation)
+    }
+    // nations absent from the direct map must carry NULL in that cell
+    piv.keySet.diff(direct.keySet).foreach { nation =>
+      assert(piv(nation).isNullAt(piv(nation).fieldIndex("p1_urgent")), nation)
+    }
+  }
 }
 
 class ApproxPercentileSpec extends SparkSpecBase {
@@ -716,6 +775,19 @@ class ApproxPercentileSpec extends SparkSpecBase {
 }
 
 class GraphAlgosSpec extends SparkSpecBase {
+
+  test("synchronous LPA converges a triangle and 2-cycles an isolated edge") {
+    import TestSpark.spark.implicits._
+    // triangle {1,2,3} plus the disjoint edge {10,11}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).toDF("x", "y")
+    val out = graph.GraphAlgos.labelPropagation(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle: (1,2,3) -> (2,1,1) -> (1,1,1), then stable
+    assert(Seq(1L, 2L, 3L).map(out) === Seq(1L, 1L, 1L))
+    // isolated edge: synchronous label swap has period 2, so an even
+    // iteration count returns the initial labels — pinned, not hidden
+    assert(out(10L) === 10L && out(11L) === 11L)
+  }
 
   test("DataFrame PageRank matches GraphX staticPageRank to 1e-6") {
     val g = TpchGraph(spark, sf)

@@ -37,6 +37,7 @@ class PlanLintSpec extends SparkSpecBase {
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
+    "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
     "search_hybrid_rrf") // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
