@@ -303,8 +303,8 @@ object GraphAlgos {
     * damping 0.85, init 1.0, no dangling redistribution — the exact
     * recurrence the unrolled-CTE oracle evaluates. Directed edges.
     * Each iteration is one shuffle (groupBy dst) + broadcast-eligible
-    * join back to nodes; ranks are persisted per iteration to keep the
-    * lineage flat. */
+    * join back to nodes; ranks are eagerly localCheckpointed per
+    * iteration so the logical plan stays constant-size. */
   def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -320,12 +320,11 @@ object GraphAlgos {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("od")).as("contrib"))
-      val next = nodeIds.join(contrib, Seq("id"), "left")
+      // Eager localCheckpoint per round — constant-size plan (see the
+      // [[personalizedPageRank]] loop note).
+      ranks = nodeIds.join(contrib, Seq("id"), "left")
         .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize to flatten lineage before unpersisting parent
-      ranks.unpersist(false)
-      ranks = next
+        .localCheckpoint(true)
     }
     // Match GraphX staticPageRank's final normalization (ranks sum to N).
     val row = ranks.agg(count(lit(1)).cast("double"), sum(col("r"))).head()
@@ -336,7 +335,6 @@ object GraphAlgos {
     val out = ranks
       .select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
       .localCheckpoint(true)
-    ranks.unpersist(false)
     edgesW.unpersist(false)
     nodeIds.unpersist(false)
     out
@@ -367,19 +365,22 @@ object GraphAlgos {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("od")).as("contrib"))
-      val next = contrib.join(seedDf, Seq("id"), "full_outer")
+      // Eager localCheckpoint each round: materializes AND truncates
+      // lineage, so the logical plan stays constant-size. persist+count
+      // materialized the DATA but kept the PLAN growing by one
+      // join+agg per round, and driver-side re-optimization of the
+      // accumulated tree dominated late rounds (probe at sf0.1:
+      // 0.8 s → 18.6 s per round with constant row counts; checkpointed
+      // loop runs every round at frontier cost). Old checkpoint blocks
+      // are dropped by the ContextCleaner once unreferenced.
+      ranks = contrib.join(seedDf, Seq("id"), "full_outer")
         .select(col("id"),
           (lit(0.15) * coalesce(col("s"), lit(0.0)) / nSeeds
             + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist(false)
-      ranks = next
+        .localCheckpoint(true)
     }
-    val out = ranks.localCheckpoint(true)
-    ranks.unpersist(false)
     edgesW.unpersist(false)
-    out
+    ranks
   }
 
   /** Bipartite co-occurrence projection: items sharing a basket become
@@ -426,21 +427,20 @@ object GraphAlgos {
     var lab = nbr.select(col("v")).distinct().withColumn("l", col("v"))
     val byNode = Window.partitionBy(col("v")).orderBy(col("c").desc, col("l").asc)
     for (_ <- 1 to iters) {
-      val next = nbr
+      // Eager localCheckpoint per round — constant-size plan (see the
+      // [[personalizedPageRank]] loop note: persist-only materialization
+      // leaves the plan growing a join+agg layer per round and the
+      // driver re-optimizes the whole accumulated tree every round).
+      lab = nbr
         .join(lab.select(col("v").as("w"), col("l")), Seq("w"))
         .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(byNode))
         .filter(col("rn") === 1)
         .select(col("v"), col("l"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize to flatten lineage before unpersisting parent
-      lab.unpersist(false)
-      lab = next
+        .localCheckpoint(true)
     }
-    val out = lab.localCheckpoint(true)
-    lab.unpersist(false)
     nbr.unpersist(false)
-    out
+    lab
   }
 
   /** Triangle count over canonical undirected edges (x < y) as pure

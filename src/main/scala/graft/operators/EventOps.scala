@@ -332,7 +332,42 @@ object EventOps {
       |)
       |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm FROM s""".stripMargin
 
+  /** Daily active users with month-over-month stickiness (DAU/MAU) —
+    * the engagement headline next to [[retention]]. Calendar buckets
+    * via date_trunc (the [[windowAgg]] parity shape); two keyed
+    * distinct-aggregations (per-day and per-month user sets), joined
+    * on the month. The ratio is one integer division floor-truncated
+    * at 4dp — engine-exact. */
+  def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    val active = loadEvents(spark, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"))
+      .distinct()
+    val dau = active.groupBy(col("day"), col("month"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = active.select(col("user_id"), col("month")).distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("month"))
+      .select(col("day"), col("dau"), col("mau"),
+        (floor(col("dau") * 10000.0 / col("mau")) / 10000).as("stickiness"))
+  }
+
+  val dauMauSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+      |    date_trunc('month', ts) AS month
+      |  FROM events
+      |),
+      |dau AS (SELECT day, month, count(*) AS dau FROM active GROUP BY 1, 2),
+      |mau AS (SELECT month, count(*) AS mau FROM (
+      |  SELECT DISTINCT user_id, month FROM active) GROUP BY 1)
+      |SELECT day, dau.dau, mau.mau,
+      |  floor(dau.dau * 10000.0 / mau.mau) / 10000 AS stickiness
+      |FROM dau JOIN mau USING (month)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_mau" -> ((s: SparkSession, d: String) => dauMau(s, d)),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
@@ -345,6 +380,7 @@ object EventOps {
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "events_dau_mau" -> dauMauSql,
     "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,
     "search_history" -> historySql,

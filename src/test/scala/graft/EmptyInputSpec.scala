@@ -40,7 +40,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "search_temporal", "search_temporal_open",
     "events_window_agg", "events_sessionize", "events_props_agg", "events_funnel",
     "events_transitions",
-    "events_retention", "events_rfm", "events_anomaly", "curate_budget",
+    "events_retention", "events_rfm", "events_dau_mau", "events_anomaly", "curate_budget",
     "search_rag_completion",
     "pipeline_cognify", "pipeline_prune", "pipeline_classify",
     "entity_extract_cascade", "code_summaries", "search_context_render",

@@ -738,6 +738,18 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(top.getAs[Long]("f_score") === 4L)
   }
 
+  test("events_dau_mau stickiness is dau/mau and bounded by 1") {
+    val rows = EventOps.dauMau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau"))
+      assert(dau >= 1 && dau <= mau)
+      assert(r.getAs[Double]("stickiness") === math.floor(dau * 10000.0 / mau) / 10000)
+    }
+    // every active day appears exactly once
+    assert(rows.map(_.getAs[java.sql.Timestamp]("day")).distinct.length === rows.length)
+  }
+
   test("q_pivot cells equal the direct filtered aggregate") {
     val piv = RelationalOps.qPivot(spark, sf).collect()
       .map(r => r.getAs[String]("nation") -> r).toMap
