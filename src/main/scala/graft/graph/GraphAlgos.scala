@@ -425,18 +425,22 @@ object GraphAlgos {
       .union(edges.select(col("y").as("v"), col("x").as("w")))
       .repartition(col("w")).persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nbr.select(col("v")).distinct().withColumn("l", col("v"))
-    val byNode = Window.partitionBy(col("v")).orderBy(col("c").desc, col("l").asc)
     for (_ <- 1 to iters) {
-      // Eager localCheckpoint per round — constant-size plan (see the
-      // [[personalizedPageRank]] loop note: persist-only materialization
-      // leaves the plan growing a join+agg layer per round and the
-      // driver re-optimizes the whole accumulated tree every round).
+      // argmax-by-(count desc, label asc) as a hash aggregate:
+      // max(struct(c, -l)) orders lexicographically, so the winner is
+      // the highest count and, on ties, the smallest label — identical
+      // to a per-node sort window but with map-side partial
+      // aggregation and no sort. Eager localCheckpoint per round keeps
+      // the plan constant-size (see the [[personalizedPageRank]] loop
+      // note: persist-only materialization leaves the plan growing a
+      // join+agg layer per round and the driver re-optimizes the whole
+      // accumulated tree every round).
       lab = nbr
         .join(lab.select(col("v").as("w"), col("l")), Seq("w"))
         .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("l"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("l"))
         .localCheckpoint(true)
     }
     nbr.unpersist(false)
