@@ -413,7 +413,33 @@ object RelationalOps {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Top-3 orders by total price per order priority through the
+    * TopKPerGroup physical operator — per-group leaders WITHOUT the
+    * window idiom, whose 5-priority partition spec would funnel the
+    * whole table through 5 sorting tasks at scale. The bounded-heap
+    * two-phase operator keeps full scan parallelism regardless of the
+    * group-domain size (partial heaps per scan partition, one
+    * groups×k-row shuffle, final merge). Ties break on orderkey. */
+  def qTopPerPriority(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      col("o_orderkey").as("orderkey"),
+      col("o_totalprice").as("totalprice"))
+    org.apache.spark.sql.graft.TopKPerGroup(orders,
+      Seq(col("priority")), Seq(col("totalprice").desc, col("orderkey").asc), k)
+  }
+
+  val qTopPerPrioritySql: String =
+    """SELECT priority, orderkey, totalprice FROM (
+      |  SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+      |    o_totalprice AS totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topn_per_group" -> ((s: SparkSession, d: String) => qTopPerPriority(s, d)),
     "q_pivot" -> ((s: SparkSession, d: String) => qPivot(s, d)),
     "store_bucketed_join" -> ((s: SparkSession, d: String) => storeBucketedJoin(s, d)),
     "q10_returns" -> ((s: SparkSession, d: String) => q10Returns(s, d)),
@@ -431,6 +457,7 @@ object RelationalOps {
     "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_topn_per_group" -> qTopPerPrioritySql,
     "q_pivot" -> qPivotSql,
     "store_bucketed_join" -> storeBucketedJoinSql,
     "q10_returns" -> q10Sql,

@@ -750,6 +750,20 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[java.sql.Timestamp]("day")).distinct.length === rows.length)
   }
 
+  test("q_topn_per_group matches the window idiom row-for-row") {
+    val heap = RelationalOps.qTopPerPriority(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val window = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(heap === window)
+    assert(heap.length === 15) // 5 priorities × 3
+  }
+
   test("q_pivot cells equal the direct filtered aggregate") {
     val piv = RelationalOps.qPivot(spark, sf).collect()
       .map(r => r.getAs[String]("nation") -> r).toMap
