@@ -293,12 +293,19 @@ object EventOps {
   /** RFM segmentation (recency / frequency / monetary quartiles) — the
     * classic user-triage rollup an event-analytics surface exposes next
     * to funnels and cohorts. One keyed shuffle builds the per-user
-    * rollup; the three ntile(4) ranks then run over that rollup (one
-    * row per distinct user — orders of magnitude below the event
-    * count) behind the repo-wide bounded-rank constant partition key.
-    * At truly unbounded user counts the quartile boundaries would swap
-    * to broadcast percentile_disc cutoffs; ntile over the rollup is
-    * the deterministic oracle-parity shape (ties broken by user_id).
+    * rollup; quartile BOUNDARIES are one 1-row global
+    * `percentile_disc(0.25/0.5/0.75)` aggregate (nine cutoffs, a
+    * distinct-value-counts buffer — never the raw rows), broadcast
+    * across the rollup; scores are then a narrow map with NO window, so
+    * the user-cardinality rollup never funnels through a single task
+    * (the constant-key ntile this replaced was the one single-partition
+    * sort left in the repo — PlanLint now rejects that shape outright).
+    * Quartiles are VALUE quartiles: percentile_disc is ANSI (the
+    * smallest value whose cume_dist ≥ p = the element at ascending
+    * position ceil(p·n)), the oracle reproduces that rank arithmetic
+    * explicitly, and tied metric values always share a score (ntile
+    * instead splits ties across buckets by user_id — a per-row, not
+    * per-value, rule that cannot be computed without a global sort).
     * Scores are 1..4 with 4 = most recent / frequent / valuable. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val perUser = loadEvents(spark, dir)
@@ -306,16 +313,22 @@ object EventOps {
       .agg(max(col("ts_sec")).as("last_seen_s"),
         count(lit(1)).as("frequency"),
         round(sum(col("value")), 2).as("monetary"))
-    val part = pmod(coalesce(length(col("user_id").cast("string")), lit(0)), lit(1))
-    def score(metric: String) = ntile(4)
-      .over(Window.partitionBy(part).orderBy(col(metric).asc, col("user_id").asc))
-      .cast("long")
-    perUser
-      .withColumn("r_score", score("last_seen_s"))
-      .withColumn("f_score", score("frequency"))
-      .withColumn("m_score", score("monetary"))
-      .withColumn("rfm",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    val cutCols = for {
+      (metric, pfx) <- Seq("last_seen_s" -> "r", "frequency" -> "f", "monetary" -> "m")
+      pct <- Seq("25", "50", "75")
+    } yield expr(s"percentile_disc(0.$pct) WITHIN GROUP (ORDER BY $metric)").as(s"$pfx$pct")
+    val cuts = perUser.agg(cutCols.head, cutCols.tail: _*)
+    def score(metric: String, pfx: String) =
+      (lit(1) + (col(metric) > col(s"${pfx}25")).cast("int")
+        + (col(metric) > col(s"${pfx}50")).cast("int")
+        + (col(metric) > col(s"${pfx}75")).cast("int")).cast("long")
+    perUser.crossJoin(broadcast(cuts))
+      .withColumn("r_score", score("last_seen_s", "r"))
+      .withColumn("f_score", score("frequency", "f"))
+      .withColumn("m_score", score("monetary", "m"))
+      .select(col("user_id"), col("last_seen_s"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 
   val rfmSql: String =
@@ -323,12 +336,34 @@ object EventOps {
       |  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_s,
       |    count(*) AS frequency, round(sum(value), 2) AS monetary
       |  FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT u.*,
+      |    row_number() OVER (ORDER BY last_seen_s) AS rr,
+      |    row_number() OVER (ORDER BY frequency) AS rf,
+      |    row_number() OVER (ORDER BY monetary) AS rm,
+      |    count(*) OVER () AS n
+      |  FROM u
+      |), c AS (
+      |  SELECT
+      |    max(CASE WHEN rr = ceil(0.25 * n) THEN last_seen_s END) AS r25,
+      |    max(CASE WHEN rr = ceil(0.50 * n) THEN last_seen_s END) AS r50,
+      |    max(CASE WHEN rr = ceil(0.75 * n) THEN last_seen_s END) AS r75,
+      |    max(CASE WHEN rf = ceil(0.25 * n) THEN frequency END) AS f25,
+      |    max(CASE WHEN rf = ceil(0.50 * n) THEN frequency END) AS f50,
+      |    max(CASE WHEN rf = ceil(0.75 * n) THEN frequency END) AS f75,
+      |    max(CASE WHEN rm = ceil(0.25 * n) THEN monetary END) AS m25,
+      |    max(CASE WHEN rm = ceil(0.50 * n) THEN monetary END) AS m50,
+      |    max(CASE WHEN rm = ceil(0.75 * n) THEN monetary END) AS m75
+      |  FROM r
       |), s AS (
       |  SELECT user_id, last_seen_s, frequency, monetary,
-      |    CAST(ntile(4) OVER (ORDER BY last_seen_s ASC, user_id ASC) AS BIGINT) AS r_score,
-      |    CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f_score,
-      |    CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS m_score
-      |  FROM u
+      |    1 + CAST(last_seen_s > r25 AS BIGINT) + CAST(last_seen_s > r50 AS BIGINT)
+      |      + CAST(last_seen_s > r75 AS BIGINT) AS r_score,
+      |    1 + CAST(frequency > f25 AS BIGINT) + CAST(frequency > f50 AS BIGINT)
+      |      + CAST(frequency > f75 AS BIGINT) AS f_score,
+      |    1 + CAST(monetary > m25 AS BIGINT) + CAST(monetary > m50 AS BIGINT)
+      |      + CAST(monetary > m75 AS BIGINT) AS m_score
+      |  FROM u, c
       |)
       |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm FROM s""".stripMargin
 

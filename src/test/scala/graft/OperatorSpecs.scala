@@ -719,23 +719,44 @@ class RelationalOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("events_rfm emits balanced 1..4 quartiles composed into the rfm code") {
+  test("events_rfm emits monotone 1..4 value quartiles composed into the rfm code") {
     val rows = EventOps.rfm(spark, sf).collect()
     val nUsers = Tables.loadEvents(spark, sf).select("user_id").distinct().count()
     assert(rows.length.toLong === nUsers)
+    // Value-quartile semantics (percentile_disc cutoffs): scores are a
+    // monotone function of the metric, tied metric values share a
+    // score, and each cumulative bucket holds at least its ANSI rank
+    // share (cume_dist(cutoff_p) >= p → count(score <= q) >= ceil(q/4·n)).
+    def metricOf(r: org.apache.spark.sql.Row, c: String): Double = c match {
+      case "r_score" => r.getAs[Long]("last_seen_s").toDouble
+      case "f_score" => r.getAs[Long]("frequency").toDouble
+      case "m_score" => r.getAs[Double]("monetary")
+    }
     Seq("r_score", "f_score", "m_score").foreach { c =>
-      val scores = rows.map(_.getAs[Long](c))
-      assert(scores.forall(s => s >= 1 && s <= 4), s"$c out of range")
-      val sizes = scores.groupBy(identity).values.map(_.length)
-      assert(sizes.max - sizes.min <= 1, s"$c quartiles unbalanced: $sizes")
+      val pairs = rows.map(r => (metricOf(r, c), r.getAs[Long](c))).sortBy(_._1)
+      assert(pairs.forall { case (_, s) => s >= 1 && s <= 4 }, s"$c out of range")
+      assert(pairs.sliding(2).forall {
+        case Array((m1, s1), (m2, s2)) => s1 <= s2 && (m1 != m2 || s1 == s2)
+        case _ => true
+      }, s"$c not monotone in its metric / splits ties")
+      (1 to 3).foreach { q =>
+        val below = pairs.count(_._2 <= q)
+        assert(below >= math.ceil(q / 4.0 * nUsers).toLong, s"$c bucket <=$q too small: $below")
+      }
     }
     rows.foreach { r =>
       assert(r.getAs[Long]("rfm") ===
         r.getAs[Long]("r_score") * 100 + r.getAs[Long]("f_score") * 10 + r.getAs[Long]("m_score"))
     }
-    // the most frequent user must sit in the top frequency quartile
+    // the most frequent user carries the maximal frequency score
     val top = rows.maxBy(_.getAs[Long]("frequency"))
-    assert(top.getAs[Long]("f_score") === 4L)
+    assert(top.getAs[Long]("f_score") === rows.map(_.getAs[Long]("f_score")).max)
+    // and the optimized plan contains no window at all — the quartile
+    // cutoffs are a broadcast 1-row aggregate, not a global sort
+    val wins = EventOps.rfm(spark, sf).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, "rfm must not plan any window")
   }
 
   test("events_dau_mau stickiness is dau/mau and bounded by 1") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical
-import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Literal, Pmod}
 
 /** Plan lint over the ENTIRE query inventory: institutionalizes the
   * scale audit as CI. Two classes of scale-killer are rejected at the
@@ -36,6 +36,7 @@ class PlanLintSpec extends SparkSpecBase {
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
+    "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
     "search_hybrid_rrf") // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
@@ -72,6 +73,78 @@ class PlanLintSpec extends SparkSpecBase {
       val bad = lp.collect { case w: logical.Window if w.partitionSpec.isEmpty => w }
       assert(bad.isEmpty, s"$name plans a no-partition window (single-task sort)")
     }
+  }
+
+  // The companion rule that closes the constant-key loophole: a window
+  // whose every partition expression is EFFECTIVELY constant — foldable,
+  // or the repo's own pmod(x, 1) bounded-rank key (constant-valued but
+  // deliberately opaque to constant folding) — is the same single-task
+  // funnel as a partition-less window. It is legitimate ONLY when the
+  // window's subtree has already bounded the rows: a Limit, a global
+  // (group-less) aggregate, or a union/join of such. events_rfm's ntile
+  // evasion (user-cardinality rows through one constant-keyed sort)
+  // becomes impossible, not just fixed once. The optimizer projects
+  // window keys into a child Project (`pmod(…) AS _w0`), so attributes
+  // are first resolved through the subtree's aliases.
+  private def constantPartitionWindows(lp: logical.LogicalPlan): Seq[logical.Window] = {
+    def effectivelyConstant(aliases: Map[Long, Expression])(e0: Expression): Boolean = {
+      val e = e0 match {
+        case ar: AttributeReference => aliases.getOrElse(ar.exprId.id, ar)
+        case other => other
+      }
+      e.foldable || (e match {
+        case Pmod(_, Literal(d, _), _) => d == 1
+        case _ => false
+      })
+    }
+    lp.collect {
+      case w: logical.Window if w.partitionSpec.nonEmpty => w
+    }.filter { w =>
+      val aliases: Map[Long, Expression] = w.child.collect {
+        case p: logical.Project => p.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+      }.flatten.toMap
+      w.partitionSpec.forall(effectivelyConstant(aliases))
+    }
+  }
+
+  // Reviewed domain-bounded ranks: the window's input is an aggregate
+  // GROUPED on a key whose domain is a fixed small vocabulary (the 25
+  // TPC-H nation labels), which the structural check below cannot see.
+  // Every addition here needs the same review as tinyBroadcastOk.
+  private val domainBoundedRankOk: Set[String] = Set(
+    "search_feedback_weighted") // rank over the per-nation-label centroid aggregate (≤25 rows)
+
+  test("no registered query plans a constant-partition window over unbounded rows") {
+    def bounded(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case a: logical.Aggregate if a.groupingExpressions.isEmpty => true
+      case u: logical.Union => u.children.forall(bounded)
+      case j: logical.Join => bounded(j.left) && bounded(j.right)
+      case other if other.children.length == 1 => bounded(other.children.head)
+      case _ => false
+    }
+    val violations = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !domainBoundedRankOk(name) =>
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        constantPartitionWindows(lp).filterNot(w => bounded(w.child))
+          .map(w => s"$name: ${w.simpleString(80)}")
+    }.flatten
+    assert(violations.isEmpty,
+      "constant-partition windows over unbounded rows (single-task sort):\n" +
+        violations.mkString("\n"))
+  }
+
+  // The lint itself must reject the evaded shape: a deliberately
+  // constant-keyed window over raw (unbounded) parquet rows.
+  test("the constant-partition lint catches a pmod(x,1)-keyed window over raw rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val raw = graft.Tables.load(spark, sf, "documents")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(coalesce(length(col("doc_id").cast("string")), lit(0)), lit(1)))
+          .orderBy(col("doc_id"))))
+    assert(constantPartitionWindows(raw.queryExecution.optimizedPlan).nonEmpty,
+      "the pmod(x,1) key must still be visible to the lint after optimization")
   }
 
   // A global Sort over raw (unbounded) rows is a full range-shuffle of
