@@ -316,8 +316,11 @@ object GraphAlgos {
     val nodeIds = g.nodes.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodeIds.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {
+      // shuffle_hash: checkpointed ranks have unknown stats → the
+      // planner's sort-merge default would re-sort the hoisted edge
+      // view every round (see the [[labelPropagation]] loop note).
       val contrib = edgesW
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("od")).as("contrib"))
       // Eager localCheckpoint per round — constant-size plan (see the
@@ -360,27 +363,81 @@ object GraphAlgos {
       .withColumn("s", lit(1.0)).localCheckpoint(true)
     val nSeeds = seedDf.count().toDouble
     var ranks = seedDf.select(col("id"), (col("s") / nSeeds).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesW
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("od")).as("contrib"))
-      // Eager localCheckpoint each round: materializes AND truncates
-      // lineage, so the logical plan stays constant-size. persist+count
-      // materialized the DATA but kept the PLAN growing by one
-      // join+agg per round, and driver-side re-optimization of the
-      // accumulated tree dominated late rounds (probe at sf0.1:
-      // 0.8 s → 18.6 s per round with constant row counts; checkpointed
-      // loop runs every round at frontier cost). Old checkpoint blocks
+      // Eager localCheckpoint EVERY SECOND round (and on the last):
+      // checkpointing materializes AND truncates lineage, keeping the
+      // logical plan constant-size — persist+count materialized the
+      // DATA but kept the PLAN growing by one join+agg per round, and
+      // driver-side re-optimization of the accumulated tree dominated
+      // late rounds (probe at sf0.1: 0.8 s → 18.6 s per round with
+      // constant row counts). Skipping the odd rounds bounds plan depth
+      // at two join+agg layers while halving checkpoint
+      // materializations — the fixed per-round cost that dominates the
+      // loop in local mode (on a cluster each round is one keyed
+      // shuffle over the frontier either way). Old checkpoint blocks
       // are dropped by the ContextCleaner once unreferenced.
-      ranks = contrib.join(seedDf, Seq("id"), "full_outer")
+      val next = contrib.join(seedDf, Seq("id"), "full_outer")
         .select(col("id"),
           (lit(0.15) * coalesce(col("s"), lit(0.0)) / nSeeds
             + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
     }
     edgesW.unpersist(false)
     ranks
+  }
+
+  /** [[personalizedPageRank]] on GraphX aggregateMessages — the same
+    * recurrence (teleport 0.15 concentrated on the seeds, damping 0.85,
+    * undirected contributions r/deg) iterated over in-memory RDDs, so
+    * each round is one message aggregation with no per-round query
+    * planning or checkpoint materialization (the DF loop's fixed cost:
+    * ~2 s per checkpointed round at sf0.1 local — the GraphX PageRank
+    * precedent runs the same 10-round workload ~6× faster). Vertices
+    * the walk has not reached compute exactly 0.0 (0.15·0 + 0.85·0), so
+    * filtering r > 0 downstream yields the sparse DF result —
+    * OperatorSpecs pins DF≡GraphX to 1e-9. The seed set is collected to
+    * the driver (bounded by contract: a query's entity seeds, like the
+    * [[multiSourceDistances]] hub set). Returns (id, r) unnormalized. */
+  def personalizedPageRankGraphX(g: PropertyGraph, seeds: DataFrame, iters: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val (graph, idx) = toGraphX(g, directed = false)
+    val seedVids = seeds.select(col("id")).distinct()
+      .join(idx, Seq("id")).select(col("vid")).as[Long].collect().toSet
+    val nSeeds = seedVids.size.toDouble
+    def teleport(vid: VertexId): Double = if (seedVids(vid)) 1.0 / nSeeds else 0.0
+    // Edge weight = 1/deg(src) on the both-orientation view, hoisted
+    // once (the degree never changes); rank is the vertex attribute.
+    var rankGraph: Graph[Double, Double] = graph
+      .outerJoinVertices(graph.outDegrees) { (_, _, d) => d.getOrElse(0) }
+      .mapTriplets(e => 1.0 / e.srcAttr, org.apache.spark.graphx.TripletFields.Src)
+      .mapVertices((vid, _) => teleport(vid))
+    for (_ <- 1 to iters) {
+      rankGraph.cache()
+      val contrib = rankGraph.aggregateMessages[Double](
+        ctx => if (ctx.srcAttr != 0.0) ctx.sendToDst(ctx.srcAttr * ctx.attr),
+        _ + _, org.apache.spark.graphx.TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(contrib) { (vid, _, c) =>
+        0.15 * teleport(vid) + 0.85 * c.getOrElse(0.0)
+      }.cache()
+      // Materialize the new round BEFORE releasing the previous one
+      // (the GraphX PageRank loop discipline: the new edge view derives
+      // from the previous graph's replicated vertices).
+      rankGraph.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(false)
+      prev.edges.unpersist(false)
+    }
+    val out = spark.createDataFrame(rankGraph.vertices.filter(_._2 > 0.0))
+      .toDF("vid", "r").join(idx, Seq("vid")).select(col("id"), col("r"))
+      .localCheckpoint(true)
+    rankGraph.unpersistVertices(false)
+    rankGraph.edges.unpersist(false)
+    out
   }
 
   /** Bipartite co-occurrence projection: items sharing a basket become
@@ -425,26 +482,76 @@ object GraphAlgos {
       .union(edges.select(col("y").as("v"), col("x").as("w")))
       .repartition(col("w")).persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nbr.select(col("v")).distinct().withColumn("l", col("v"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // argmax-by-(count desc, label asc) as a hash aggregate:
       // max(struct(c, -l)) orders lexicographically, so the winner is
       // the highest count and, on ties, the smallest label — identical
       // to a per-node sort window but with map-side partial
-      // aggregation and no sort. Eager localCheckpoint per round keeps
-      // the plan constant-size (see the [[personalizedPageRank]] loop
-      // note: persist-only materialization leaves the plan growing a
-      // join+agg layer per round and the driver re-optimizes the whole
-      // accumulated tree every round).
-      lab = nbr
-        .join(lab.select(col("v").as("w"), col("l")), Seq("w"))
+      // aggregation and no sort. Eager localCheckpoint every SECOND
+      // round (and the last) keeps the plan depth bounded at two
+      // join+agg layers while halving the fixed materialization cost —
+      // the [[personalizedPageRank]] loop contract (persist-only
+      // materialization leaves the plan growing per round and the
+      // driver re-optimizes the whole accumulated tree every round).
+      // shuffle_hash on the label side: `lab` is a checkpointed RDD
+      // with unknown stats, so the planner defaults to sort-merge —
+      // which re-sorts the (pre-partitioned, persisted) neighbor view
+      // EVERY round. Hash join streams nbr in place and only the
+      // one-row-per-node label side moves (measured at sf0.1 warm:
+      // 11.3 s → 4.3 s for the 4-round loop).
+      val next = nbr
+        .join(lab.select(col("v").as("w"), col("l")).hint("shuffle_hash"), Seq("w"))
         .groupBy(col("v"), col("l")).agg(count(lit(1)).as("c"))
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("l"))
-        .localCheckpoint(true)
+      lab = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
     }
     nbr.unpersist(false)
     lab
+  }
+
+  /** [[labelPropagation]] on GraphX aggregateMessages — identical
+    * synchronous semantics (every node relabels simultaneously to the
+    * most frequent neighbor label, ties to the SMALLEST label — unlike
+    * GraphX's built-in LabelPropagation, whose tie-break is hash-map
+    * order and therefore nondeterministic), iterated over in-memory
+    * RDDs with no per-round query planning or checkpoint
+    * materialization. Messages are per-neighbor label→count maps merged
+    * associatively (map size bounded by the receiver's distinct
+    * neighbor labels); node ids ARE the labels (long item keys), so no
+    * vertex index is needed. OperatorSpecs pins DF≡GraphX exact
+    * equality. Input: canonical undirected (x, y) edges; both
+    * directions are messaged. Returns (v, l). */
+  def labelPropagationGraphX(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeRdd = edges.toDF("x", "y").as[(Long, Long)].rdd
+      .map { case (x, y) => Edge(x, y, ()) }
+    var labels: Graph[Long, Unit] = Graph.fromEdges(edgeRdd, 0L,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((vid, _) => vid)
+    def mergeCounts(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      (a.keySet ++ b.keySet).iterator
+        .map(l => l -> (a.getOrElse(l, 0L) + b.getOrElse(l, 0L))).toMap
+    for (_ <- 1 to iters) {
+      labels.cache()
+      val counts = labels.aggregateMessages[Map[Long, Long]](
+        ctx => { ctx.sendToDst(Map(ctx.srcAttr -> 1L)); ctx.sendToSrc(Map(ctx.dstAttr -> 1L)) },
+        mergeCounts)
+      val prev = labels
+      labels = labels.outerJoinVertices(counts) { (_, old, m) =>
+        m.fold(old)(_.minBy { case (l, c) => (-c, l) }._1)
+      }.cache()
+      labels.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(false)
+      prev.edges.unpersist(false)
+    }
+    val out = spark.createDataFrame(labels.vertices).toDF("v", "l").localCheckpoint(true)
+    labels.unpersistVertices(false)
+    labels.edges.unpersist(false)
+    out
   }
 
   /** Triangle count over canonical undirected edges (x < y) as pure

@@ -164,7 +164,7 @@ object GraphQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }, stamp = SessionDirCache.parquetStamp(Seq("lineitem")))
 
-  private def coPurchase(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchase(spark: SparkSession, dir: String): DataFrame =
     coPurchaseCache(spark, dir)
 
   def triangles(spark: SparkSession, dir: String): DataFrame =
@@ -236,15 +236,17 @@ object GraphQueries {
        |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
 
   /** Personalized PageRank from nation:0 — topic-sensitive relevance
-    * over the full property graph ([[GraphAlgos.personalizedPageRank]],
-    * 10 iterations, damping 0.85, undirected walk). The graph-RAG
-    * ranking primitive: seed the walk at the query's entities, rank by
-    * visit mass. Top-50 on the 4dp-rounded score (ties by id) so the
-    * cutoff is engine-stable. */
+    * over the full property graph
+    * ([[GraphAlgos.personalizedPageRankGraphX]], 10 iterations, damping
+    * 0.85, undirected walk — the in-memory Pregel path; the DataFrame
+    * power iteration with identical recurrence is spec-pinned equal to
+    * 1e-9). The graph-RAG ranking primitive: seed the walk at the
+    * query's entities, rank by visit mass. Top-50 on the 4dp-rounded
+    * score (ties by id) so the cutoff is engine-stable. */
   def personalizedPageRank(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val g = TpchGraph(spark, dir)
     val seeds = g.nodes.filter(col("id") === "nation:0").select(col("id"))
-    GraphAlgos.personalizedPageRank(g, seeds, 10)
+    GraphAlgos.personalizedPageRankGraphX(g, seeds, 10)
       .filter(col("r") > 0)
       .select(col("id"), round(col("r"), 4).as("rank"))
       .orderBy(col("rank").desc, col("id").asc).limit(k)
@@ -789,7 +791,11 @@ object GraphQueries {
        |ORDER BY harmonic DESC, id ASC LIMIT 20""".stripMargin
 
   /** Community detection via synchronous label propagation
-    * ([[GraphAlgos.labelPropagation]], 4 fixed rounds) on the part
+    * ([[GraphAlgos.labelPropagation]], 4 fixed rounds — the DataFrame
+    * loop with the shuffle-hash label join stays the registered path:
+    * measured at sf0.1 it beats the [[GraphAlgos.labelPropagationGraphX]]
+    * twin (~4 s vs ~14 s warm — Map-merge messages allocate per edge),
+    * and the twin is spec-pinned exactly equal) on the part
     * co-purchase projection — the community layer a graph engine
     * exposes next to components/PageRank/triangles (cognee's
     * per-backend graph metrics surface). Output is the community

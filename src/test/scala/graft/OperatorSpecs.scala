@@ -845,6 +845,33 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(worst < 1e-6)
   }
 
+  test("DataFrame personalized PageRank matches the GraphX loop to 1e-9") {
+    import TestSpark.spark.implicits._
+    val g = TpchGraph(spark, sf)
+    val seeds = Seq("nation:0").toDF("id")
+    val df = GraphAlgos.personalizedPageRank(g, seeds, 5).withColumnRenamed("r", "r_df")
+    val gx = GraphAlgos.personalizedPageRankGraphX(g, seeds, 5)
+      .filter(col("r") > 0).withColumnRenamed("r", "r_gx")
+    // same sparse support (the dense GraphX loop computes exactly 0.0
+    // for unreached nodes) and same values
+    assert(df.count() === gx.count())
+    val joined = df.join(gx, Seq("id"))
+    assert(joined.count() === df.count())
+    val worst = joined.select(max(abs(col("r_df") - col("r_gx"))).as("d")).head().getDouble(0)
+    assert(worst < 1e-9)
+  }
+
+  test("DataFrame label propagation matches the GraphX loop exactly") {
+    val g = TpchGraph(spark, sf)
+    val edges = graph.GraphQueries.coPurchase(spark, sf)
+    val df = GraphAlgos.labelPropagation(edges, 4).withColumnRenamed("l", "l_df")
+    val gx = GraphAlgos.labelPropagationGraphX(edges, 4).withColumnRenamed("l", "l_gx")
+    val mism = df.join(gx, Seq("v"))
+      .filter(col("l_df") =!= col("l_gx")).count()
+    assert(mism === 0L)
+    assert(df.count() === gx.count())
+  }
+
   test("k-hop BFS depths agree with Pregel hop histogram from same seed") {
     import TestSpark.spark.implicits._
     val g = TpchGraph(spark, sf)
