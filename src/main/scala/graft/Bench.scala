@@ -41,7 +41,6 @@ object Bench {
       }
       (name, first, last)
     }
-    spark.stop()
     // Previous-round per-query records: the newest BENCH_r*.json in the
     // cwd (the driver snapshots one per round, same measurement channel).
     // A query whose warm time exceeds 2x its record lands in a
@@ -63,13 +62,23 @@ object Bench {
         out.toMap
       } catch { case _: Throwable => Map.empty }
     }
-    val regressed: Seq[(String, Double, Double)] = results.collect {
+    // A flagged query is re-run ONCE more, isolated at the end of the
+    // suite, and the third number distinguishes driver/suite contention
+    // (re-check ≈ record) from a genuine code regression (re-check ≈
+    // the flagged warm time) — round 8's one flag turned out to be
+    // contention and cost a manual re-measurement to adjudicate.
+    val regressed: Seq[(String, Double, Double, Double)] = results.collect {
       case (k, _, v) if !errors.contains(k) && v >= 0.5 &&
-        records.get(k).exists(r => r > 0 && v > 2 * r) => (k, v, records(k))
+        records.get(k).exists(r => r > 0 && v > 2 * r) =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(k)(spark, sfDir).count()
+        catch { case _: Throwable => () } // already-reported class of failure
+        (k, v, records(k), (System.nanoTime() - t0) / 1e9)
     }
+    spark.stop()
     def fmt(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val regressedJson = regressed
-      .map { case (k, v, r) => "\"" + k + "\":[" + fmt(v) + "," + fmt(r) + "]" }
+      .map { case (k, v, r, re) => "\"" + k + "\":[" + fmt(v) + "," + fmt(r) + "," + fmt(re) + "]" }
       .mkString("{", ",", "}")
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // First-pass (cold) times alongside the reported warm times, so a

@@ -110,8 +110,10 @@ object Graft {
         R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), p.datasets)
       case Summaries => R.summaries(spark, dir, vec(1), p.topK.getOrElse(5))
       case Insights => R.insights(spark, dir, vec(0), p.topK.getOrElse(3))
-      case RagCompletion => // chunks-only context (completion_retriever.py)
-        R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(2), p.datasets)
+      case RagCompletion => // chunks-only context (completion_retriever.py
+        // defaults top_k=1 — the facade default matches; the registered
+        // search_rag_completion operator pins k=2 explicitly)
+        R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), p.datasets)
       case GraphCompletion =>
         R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), p.datasets)
       case GraphCompletionCot => R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3))

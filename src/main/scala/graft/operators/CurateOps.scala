@@ -123,40 +123,32 @@ object CurateOps {
   /** FUZZY decontamination — near-duplicate contamination between the
     * training split and the eval source (the screen exact 8-gram
     * overlap misses: paraphrased or lightly-edited eval leakage).
-    * Reuses the minhash LSH machinery bit-for-bit
-    * (DedupOps.bandSignaturesOf): band-signature collisions between
-    * train and eval docs propose candidates, exact trigram-set Jaccard
-    * ≥ τ confirms; per train doc, the count of matching eval docs and
-    * the worst (max) similarity.
-    *
-    * Scale shape: bipartite bucket equi-join on (band, band_sig) —
-    * candidates only, never train × eval; verification joins shingle
-    * sets for the candidate ids alone. The oracle is the EXACT
-    * bipartite threshold in SQL (the dedup_minhash_lsh precedent: on
-    * this corpus the planted cross-source dups sit at j ≥ 0.97, where
-    * the 16×4 band scheme's miss probability is ≤ 2e-4). */
+    * Built on the LOSSLESS prefix-filtered pair machinery
+    * ([[graft.operators.DedupOps.ngramJaccardPairs]]: Bayardo prefix
+    * filter + PPJoin positional bound + exact trigram-Jaccard verify),
+    * so every pair with J ≥ τ is found on ANY corpus — unlike the
+    * earlier minhash-band candidate pass, whose detection probability
+    * at j = τ = 0.5 was only ~0.65 (it matched the exact-threshold
+    * oracle solely because this corpus's planted cross-source dups sit
+    * at j ≥ 0.97). The qualifying pairs are then oriented bipartite —
+    * exactly one endpoint in the eval source — and rolled up per train
+    * doc: the count of matching eval docs and the worst (max)
+    * similarity. Scale shape inherited from the pair generator:
+    * hashed-long prefix index, no hot-shingle reducer, candidate
+    * verification O(true pairs); no driver-side candidate broadcast. */
   def decontaminateFuzzy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val banded = DedupOps.bandSignaturesOf(docs)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val eb = banded.filter(col("source") === "src0").drop("source")
-    val tb = banded.filter(col("source") =!= "src0").drop("source")
-    val cand = tb.as("a").join(eb.as("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig"))
-      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("eval_id")).distinct()
-      .persist()
-    val candIds = cand.select(col("train_id").as("doc_id"))
-      .union(cand.select(col("eval_id"))).distinct()
-    val sets = DedupOps.shinglesOf(docs).join(broadcast(candIds), Seq("doc_id"))
-      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
-    val inter = size(array_intersect(col("ss1"), col("ss2"))).cast("double")
-    val j = inter / (size(col("ss1")) + size(col("ss2")) - inter)
-    cand
-      .join(sets.select(col("doc_id").as("train_id"), col("ss").as("ss1")), Seq("train_id"))
-      .join(sets.select(col("doc_id").as("eval_id"), col("ss").as("ss2")), Seq("eval_id"))
-      .filter(j >= tau)
+    val src = docs.select(col("doc_id"), col("source"))
+    // max of 4dp-rounded pair scores ≡ 4dp-rounded max (rounding is
+    // monotone), so the rollup matches the oracle's round(max(j), 4).
+    DedupOps.ngramJaccardPairs(docs, tau)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+      .filter((col("s1") === "src0") =!= (col("s2") === "src0"))
+      .select(when(col("s1") === "src0", col("d2")).otherwise(col("d1")).as("train_id"),
+        col("jaccard"))
       .groupBy(col("train_id"))
-      .agg(count(lit(1)).as("n_eval_dups"), round(max(j), 4).as("max_jaccard"))
+      .agg(count(lit(1)).as("n_eval_dups"), max(col("jaccard")).as("max_jaccard"))
   }
 
   val decontaminateFuzzySql: String =

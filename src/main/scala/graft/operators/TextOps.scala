@@ -105,7 +105,13 @@ object TextOps {
         frac4(col("max2").cast("double") / col("total2")).as("top_bigram_frac"),
         frac4(coalesce(col("dup3").cast("double") / col("total3"), lit(0.0))).as("dup_trigram_frac"))
       .withColumn("rep_filtered",
-        (col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.30).cast("int").cast("long"))
+        // The top-bigram test presupposes a long document (Gopher's
+        // Table A1 thresholds): with ≤5 bigrams even a zero-repetition
+        // doc has top_bigram_frac ≥ 0.2 > 0.18 — so the composite flag
+        // only consults it once the doc carries ≥ 20 bigrams, keeping
+        // short docs judged by actual duplication, not length.
+        ((col("n_bigrams") >= 20 && col("top_bigram_frac") > 0.18)
+          || col("dup_trigram_frac") > 0.30).cast("int").cast("long"))
   }
 
   val repetitionSql: String =
@@ -132,7 +138,7 @@ object TextOps {
       |  FROM bs LEFT JOIN ts ON bs.doc_id = ts.doc_id
       |)
       |SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
-      |  CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 AS BIGINT) AS rep_filtered
+      |  CAST((n_bigrams >= 20 AND top_bigram_frac > 0.18) OR dup_trigram_frac > 0.30 AS BIGINT) AS rep_filtered
       |FROM f""".stripMargin
 
   /** Stopword-profile language ID (n-gram heuristic): score each

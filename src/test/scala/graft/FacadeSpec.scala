@@ -23,11 +23,25 @@ class FacadeSpec extends SparkSpecBase {
       (Graft.Insights, "search_insights"),
       (Graft.Feedback, "search_feedback"),
       (Graft.Temporal, "search_temporal"),
-      (Graft.GraphCompletion, "search_completion_context"),
-      (Graft.RagCompletion, "search_rag_completion"))
+      (Graft.GraphCompletion, "search_completion_context"))
     for ((tpe, name) <- pairs)
       assert(rows(Graft.search(spark, sf, tpe)) === rows(SparkEntry.queries(name)(spark, sf)),
         s"facade default for ${tpe.name} diverges from $name")
+  }
+
+  test("RAG_COMPLETION facade defaults top_k=1 (the reference CompletionRetriever default)") {
+    // The registered search_rag_completion operator pins k=2 for a
+    // richer oracle; the facade's no-param default must match the
+    // reference's completion_retriever.py top_k=1 — i.e. the 1-prefix
+    // of the same ranking, and explicit topK=2 ≡ the registered query.
+    val dflt = Graft.search(spark, sf, Graft.RagCompletion)
+      .collect()(0).getAs[String]("context")
+    val reg = SparkEntry.queries("search_rag_completion")(spark, sf)
+      .collect()(0).getAs[String]("context")
+    assert(dflt.nonEmpty && dflt === reg.split("\n", 2)(0),
+      "default context must be the 1-prefix of the registered k=2 context")
+    assert(rows(Graft.search(spark, sf, Graft.RagCompletion, SearchParams(topK = Some(2)))) ===
+      rows(SparkEntry.queries("search_rag_completion")(spark, sf)))
   }
 
   test("a literal query vector behaves like its stored twin") {

@@ -506,9 +506,21 @@ class TextOpsSpec extends SparkSpecBase {
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextOps.repetition(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
-    assert(out(1L) === ((5L, 0.6, 1.0, 1L)))
-    assert(out(2L) === ((5L, 0.2, 0.0, 1L))) // 1/5 = 0.2 > 0.18 → filtered
-    assert(out(3L) === ((1L, 1.0, 0.0, 1L)))
+    // short docs (< 20 bigrams): the top-bigram test is suppressed —
+    // doc 2 has zero repetition yet top frac 0.2 purely from length,
+    // doc 3 trivially 1.0; only the trigram-duplication test applies
+    assert(out(1L) === ((5L, 0.6, 1.0, 1L))) // dup trigrams 1.0 > 0.30 → filtered
+    assert(out(2L) === ((5L, 0.2, 0.0, 0L)))
+    assert(out(3L) === ((1L, 1.0, 0.0, 0L)))
+    // a genuinely repetitive LONG doc still trips the bigram test
+    val longRep = (Seq.fill(30)("x y") ++ Seq("u", "v")).mkString(" ")
+    val docs2 = Seq((4L, longRep, "en", "s", longRep.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rep2").toString
+    docs2.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r4 = TextOps.repetition(spark, dir2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(4)))).toMap
+    assert(r4(4L)._1 >= 20L && r4(4L)._2 === 1L)
   }
 
   test("chunk token counts reassemble to whitespace token counts") {
