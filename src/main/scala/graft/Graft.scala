@@ -104,18 +104,35 @@ object Graft {
     def toks(default: Seq[String]): Seq[String] =
       p.queryTokens.orElse(p.queryText.map(_.toLowerCase.split("\\s+").toSeq)).getOrElse(default)
     def vec(defaultId: Long): QueryVec = p.queryVec.getOrElse(QueryVec.Id(defaultId))
+    // The searching user's ACL narrows the dataset scope for every
+    // scoped type (get_document_ids_for_user.py): permitted ∩ explicit
+    // datasets. Deny by default — an unknown/grantless user scopes to a
+    // sentinel no dataset carries, never to the unscoped corpus (the
+    // CHUNKS type instead routes to the semi-join plan, the
+    // multi-tenant scale shape; resolving here is the same rule over
+    // the same in-code dim).
+    val scope: Seq[String] = p.user match {
+      case None => p.datasets
+      case Some(u) =>
+        val granted = Acl.readableSourcesOf(u)
+        val eff = if (p.datasets.isEmpty) granted else p.datasets.intersect(granted)
+        if (eff.isEmpty) Seq("__denied__") else eff
+    }
     tpe match {
-      case Chunks => R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), p.datasets)
+      case Chunks => p.user match {
+        case Some(u) => R.chunksAcl(spark, dir, u, vec(0), p.topK.getOrElse(5), p.datasets)
+        case None => R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), p.datasets)
+      }
       case ChunksLexical =>
-        R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), p.datasets)
+        R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), scope)
       case Summaries => R.summaries(spark, dir, vec(1), p.topK.getOrElse(5))
       case Insights => R.insights(spark, dir, vec(0), p.topK.getOrElse(3))
       case RagCompletion => // chunks-only context (completion_retriever.py
         // defaults top_k=1 — the facade default matches; the registered
         // search_rag_completion operator pins k=2 explicitly)
-        R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), p.datasets)
+        R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), scope)
       case GraphCompletion =>
-        R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), p.datasets)
+        R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope)
       case GraphCompletionCot => R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3))
       case GraphCompletionContextExtension =>
         R.completionContextExtension(spark, dir,

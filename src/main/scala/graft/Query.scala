@@ -30,6 +30,11 @@ object QueryVec {
   * @param topK       result bound where the type has one
   * @param datasets   dataset scope — only documents whose `source` is
   *                   in this set are searched (empty = all)
+  * @param user       searching principal — the scope narrows to the
+  *                   datasets the user may READ per [[Acl]] (the
+  *                   reference's get_document_ids_for_user gate);
+  *                   combined with `datasets`, the intersection
+  *                   applies; an unknown user sees nothing
   * @param interval   TEMPORAL half-open bounds (either side optional)
   * @param cypher     CYPHER pattern override
   */
@@ -39,5 +44,6 @@ final case class SearchParams(
     queryVec: Option[QueryVec] = None,
     topK: Option[Int] = None,
     datasets: Seq[String] = Nil,
+    user: Option[String] = None,
     interval: Option[(Option[String], Option[String])] = None,
     cypher: Option[String] = None)

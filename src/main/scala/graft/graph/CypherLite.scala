@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
   * Supported grammar (linear path patterns, the shape cognee's
   * retrievers emit):
   * {{{
-  *   MATCH (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
+  *   MATCH [p =] (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
+  *     (`p =` binds a PATH VARIABLE: one row per (endpoints, hop-depth)
+  *      combination of the — single, optionally var-length — pattern;
+  *      `length(p)` reads the depth in WHERE and RETURN. Cypher's
+  *      one-row-per-distinct-path multiplicity is deliberately NOT
+  *      modeled — it is exponential on dense graphs; the depth
+  *      projection is the tabular-subset contract, like the
+  *      endpoint-only var-length semantics. nodes(p)/relationships(p)
+  *      are unsupported.)
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE atom [AND ...] [OR atom [AND ...]]*]
   *     where atom = var.prop op 'literal' | var.prop IS [NOT] NULL
@@ -119,11 +127,26 @@ object CypherLite {
   // WITH-attached WHERE: alias vs quoted-string or numeric literal
   private val withPredRe = """(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|(\d+(?:\.\d+)?))""".r
 
+  // `p = (a)-[:rel*1..3]->(b)` — a PATH VARIABLE bound to the chain.
+  private val pathBindRe = """^(\w+)\s*=\s*(\(.*)$""".r
+
   /** Compile ONE linear path pattern to (relation, node vars, edge
-    * vars). The relation carries `${v}_id/_ntype/_name/_props` per node
-    * variable and `${r}_rel/_props` per bound edge variable. */
-  private def compileChain(g: PropertyGraph, chain: String): (DataFrame, Seq[String], Set[String]) = {
-    val matchPart = chain
+    * vars, path vars). The relation carries `${v}_id/_ntype/_name/
+    * _props` per node variable, `${r}_rel/_props` per bound edge
+    * variable, and `${p}_len` (the hop depth) per path variable. */
+  private def compileChain(g: PropertyGraph, chain: String)
+      : (DataFrame, Seq[String], Set[String], Set[String]) = {
+    // Path binding: the variable captures the matched path's DEPTH —
+    // one row per (endpoints, depth) reachable combination, read back
+    // through length(p) (Cypher's one-row-per-distinct-PATH multiplicity
+    // would be exponential on dense graphs; the depth projection is the
+    // tabular subset's contract, same spirit as endpoint-only var-length
+    // matching). Restricted to a single (optionally var-length)
+    // relationship pattern, no bound edge variable.
+    val (pathVar, matchPart) = chain.trim match {
+      case pathBindRe(v, rest) => (Some(v), rest)
+      case other => (None, other)
+    }
     val nodePats = nodeRe.findAllMatchIn(matchPart)
       .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
     // (edgeVar, relTypes, minHops, maxHops, direction); plain -[:rel]->
@@ -151,6 +174,14 @@ object CypherLite {
     val edgeVars: Set[String] = relPats.flatMap(_._1).toSet
     require(!edgeVars.exists(nodePats.map(_._1).toSet),
       s"variable bound as both node and edge in: $matchPart")
+    pathVar.foreach { pv =>
+      require(relPats.length == 1,
+        s"path variable requires a single relationship pattern in: $chain")
+      require(relPats.head._1.isEmpty,
+        s"path variable with a bound edge variable is unsupported in: $chain")
+      require(!nodePats.map(_._1).contains(pv) && !edgeVars(pv),
+        s"path variable shadows a pattern variable in: $chain")
+    }
 
     // Inline property map → equality predicates applied at the node
     // scan itself (so Catalyst pushes them into the source read, ahead
@@ -208,29 +239,39 @@ object CypherLite {
           }
           // Variable-length: distinct (src,dst) pairs reachable in lo..hi
           // hops of `rel` — chained equi-joins unioned per length (Cypher
-          // path-existence semantics; endpoints only, no path binding).
-          // Per-level distinct() keeps `cur` one row per reachable
-          // (src,dst) PAIR, not per path: without it a degree-d hub
-          // multiplies intermediate rows like d^len before the terminal
-          // distinct (the classic transitive-closure blow-up at scale).
-          // With it every level is bounded by |V|² — same result, BFS
-          // frontier semantics.
-          val hopD = if (hi > 1 && dir != Undir) hop.distinct() else hop
+          // path-existence semantics; endpoints only). Per-level
+          // distinct() keeps `cur` one row per reachable (src,dst) PAIR,
+          // not per path: without it a degree-d hub multiplies
+          // intermediate rows like d^len before the terminal distinct
+          // (the classic transitive-closure blow-up at scale). With it
+          // every level is bounded by |V|² — same result, BFS frontier
+          // semantics. A bound path variable keeps the per-LEVEL rows
+          // instead of collapsing across levels, tagging each with its
+          // depth as `${p}_len`.
+          val hopD =
+            if ((hi > 1 || pathVar.isDefined) && dir != Undir) hop.distinct() else hop
           var reach: DataFrame = null
           var cur = hopD
           for (len <- 1 to hi) {
-            if (len >= lo) reach = if (reach == null) cur else reach.union(cur)
+            if (len >= lo) {
+              val level = pathVar.fold(cur)(_ => cur.withColumn("len", lit(len.toLong)))
+              reach = if (reach == null) level else reach.union(level)
+            }
             if (len < hi) cur = cur.as("a")
               .join(hopD.as("b"), col("a.dst") === col("b.src"))
               .select(col("a.src").as("src"), col("b.dst").as("dst"))
               .distinct()
           }
-          reach.distinct()
-            .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
+          pathVar match {
+            case Some(p) => reach.select(col("src").as(s"${pv}_id"),
+              col("dst").as(s"${nv}_id"), col("len").as(s"${p}_len"))
+            case None => reach.distinct()
+              .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
+          }
       }
       df = df.join(e, Seq(s"${pv}_id")).join(nodeDf(nv, nt, nm), Seq(s"${nv}_id"))
     }
-    (df, nodePats.map(_._1), edgeVars)
+    (df, nodePats.map(_._1), edgeVars, pathVar.toSet)
   }
 
   /** One aggregate column for WITH/RETURN items. `count`/`sum`/`avg`
@@ -269,6 +310,7 @@ object CypherLite {
     var df: DataFrame = null
     var allNode: Set[String] = Set.empty
     var allEdge: Set[String] = Set.empty
+    var allPath: Set[String] = Set.empty // path variables (read via length(p))
     var aliases: Set[String] = Set.empty // WITH-projected value columns
 
     // `v.prop`: fixed columns resolve directly; anything else reaches
@@ -285,13 +327,15 @@ object CypherLite {
       }
 
     def merge(chainText: String, joinType: String): Unit = {
-      val (cdf, nv, evs) = compileChain(g, chainText)
+      val (cdf, nv, evs, pvs) = compileChain(g, chainText)
       require((evs intersect allEdge).isEmpty,
         s"edge variable reused across patterns in: $q")
       require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
         s"variable bound as both node and edge in: $q")
       require((nv.toSet intersect aliases).isEmpty && (evs intersect aliases).isEmpty,
         s"pattern variable shadows a WITH alias in: $q")
+      require((pvs intersect (allNode ++ allEdge ++ allPath ++ aliases)).isEmpty,
+        s"path variable reuses a live variable name in: $q")
       val shared = nv.toSet intersect allNode
       require(shared.nonEmpty,
         s"pattern shares no variable with the preceding patterns (cartesian product unsupported): $chainText")
@@ -300,15 +344,30 @@ object CypherLite {
       df = df.join(right, shared.map(v => s"${v}_id").toSeq, joinType)
       allNode ++= nv
       allEdge ++= evs
+      allPath ++= pvs
     }
 
     // One WHERE atom → a Column predicate. `v.prop op 'literal'` plus
     // `v.prop IS [NOT] NULL` (the OPTIONAL MATCH companion: predicate
     // the presence/absence of an optional binding or a bag key).
+    // length(p) over a bound path variable — numeric compare on the
+    // hop-depth column the var-length expansion carries.
+    val lengthCmpRe = """(?i)length\s*\(\s*(\w+)\s*\)\s*(=|<>|>=|<=|>|<)\s*(\d+)""".r
     def atomPredicate(atom: String): Column = atom.trim match {
       // NOT <atom> and exists(v.prop) — Cypher's negation prefix and
       // property-presence test (exists ≡ IS NOT NULL on the bag read).
       case notRe(inner) => !atomPredicate(inner)
+      case lengthCmpRe(v, op, n) =>
+        require(allPath(v), s"length() over unknown path variable '$v' in: $q")
+        val (c, l) = (col(s"${v}_len"), lit(n.toLong))
+        op match {
+          case "=" => c === l
+          case "<>" => c =!= l
+          case ">=" => c >= l
+          case "<=" => c <= l
+          case ">" => c > l
+          case "<" => c < l
+        }
       case existsRe(v, p) => propCol(v, p).isNotNull
       case whereRe(v, p, op, lit0) =>
         val c = propCol(v, p)
@@ -383,8 +442,8 @@ object CypherLite {
       require(chains.nonEmpty, s"empty MATCH in: $q")
       var rest: Seq[String] = chains.toIndexedSeq
       if (df == null) {
-        val (d, nv, ev) = compileChain(g, chains.head)
-        df = d; allNode = nv.toSet; allEdge = ev
+        val (d, nv, ev, pv) = compileChain(g, chains.head)
+        df = d; allNode = nv.toSet; allEdge = ev; allPath = pv
         rest = rest.tail
       }
       rest.foreach(merge(_, "inner"))
@@ -530,7 +589,15 @@ object CypherLite {
     // Searched CASE: WHEN predicates reuse the WHERE atom grammar,
     // THEN/ELSE take quoted-string or numeric literals.
     val caseItemRe = """(?i)^CASE\s+(.*?)\s+END(?:\s+[aA][sS]\s+(\w+))?$""".r
+    // length(p) as a RETURN item: the path's hop depth (a plain value
+    // column — participates in Cypher's implicit grouping like any
+    // non-aggregate item).
+    val lengthItemRe = """(?i)^length\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
     val items = splitItems(retBody).toArray.flatMap {
+      case lengthItemRe(v, alias) if allPath(v) => Seq {
+        val name = Option(alias).getOrElse(s"length_$v")
+        (false, col(s"${v}_len").as(name), name)
+      }
       case caseItemRe(body, alias) => Seq {
         val whenRe = """(?i)WHEN\s+(.+?)\s+THEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
         val elseRe = """(?i)ELSE\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r

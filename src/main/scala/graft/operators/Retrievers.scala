@@ -66,14 +66,31 @@ object Retrievers {
     * the verification seeds; callers pass their own query/top_k/
     * datasets (base_retriever.py's `query` arg + search.py's scope). */
   def chunks(spark: SparkSession, dir: String, qv: graft.QueryVec = graft.QueryVec.Id(0),
-      k: Int = 5, datasets: Seq[String] = Nil): DataFrame = {
+      k: Int = 5, datasets: Seq[String] = Nil): DataFrame =
+    chunksOver(spark, dir, qv, k, docsScoped(spark, dir, datasets), scoped = datasets.nonEmpty)
+
+  /** CHUNKS under a user's ACL (get_document_ids_for_user.py: every
+    * search runs inside the datasets the user may read). The broadcast
+    * ACL dim is LEFT SEMI-joined into the document scan — the
+    * multi-tenant scale shape: no collected id list, no driver filter;
+    * an unknown user semi-joins an empty dim and sees nothing. An
+    * explicit `datasets` argument intersects (scope within scope). */
+  def chunksAcl(spark: SparkSession, dir: String, user: String,
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 5,
+      datasets: Seq[String] = Nil): DataFrame = {
+    val docs = docsScoped(spark, dir, datasets)
+      .join(broadcast(graft.Acl.readableSources(spark, user)), Seq("source"), "left_semi")
+    chunksOver(spark, dir, qv, k, docs, scoped = true)
+  }
+
+  private def chunksOver(spark: SparkSession, dir: String, qv: graft.QueryVec,
+      k: Int, docs: DataFrame, scoped: Boolean): DataFrame = {
     val e = embD(spark, dir)
     val (q, candidate) = resolveQuery(e, qv)
-    val docs = docsScoped(spark, dir, datasets)
-    // A dataset scope prunes candidates BEFORE scoring: equi-semi-join
-    // on the scoped doc ids (AQE broadcasts when the scope is small).
+    // A dataset/ACL scope prunes candidates BEFORE scoring: equi-semi-
+    // join on the scoped doc ids (AQE broadcasts when the scope is small).
     val cand =
-      if (datasets.isEmpty) e.filter(candidate)
+      if (!scoped) e.filter(candidate)
       else e.filter(candidate)
         .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     // Top-k BEFORE the snippet join: the corpus-wide work is the scored
@@ -111,6 +128,24 @@ object Retrievers {
 
   val chunksSql: String = chunksSqlFor(0, 5, Nil)
   val chunksScopedSql: String = chunksSqlFor(0, 5, scopedDatasets)
+
+  /** ACL oracle: the grant dim inlined as VALUES (generated from
+    * Acl.grants — oracle and code share one table) and semi-joined into
+    * the document scan, mirroring [[chunksAcl]] exactly. */
+  val chunksAclSql: String =
+    s"""WITH acl(usr, dataset, permission) AS (VALUES ${graft.Acl.grantsValuesSql}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |d AS (SELECT * FROM documents WHERE source IN
+       |  (SELECT dataset FROM acl WHERE usr = 'alice' AND permission = 'read')),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |)
+       |SELECT s.doc_id, s.cosine,
+       |  array_to_string((string_split(d.text, ' '))[1:10], ' ') AS snippet
+       |FROM scored s JOIN d ON d.doc_id = s.doc_id
+       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
 
   /** SUMMARIES: deterministic extractive summary (first 16 words) of
     * the cosine top-5 for query vector 1 (summaries_retriever.py over a
@@ -1012,6 +1047,28 @@ object Retrievers {
       |JOIN region ON r_regionkey = n_regionkey
       |GROUP BY 1 ORDER BY region""".stripMargin
 
+  /** Path variable over a var-length pattern (`p = (r)<-[...*1..3]-(x)`
+    * with `length(p)` in WHERE and RETURN — the next Cypher feature a
+    * power user of cypher_search_retriever.py reaches for after plain
+    * var-length). Reverse expansion from each region: depth 1 reaches
+    * its nations, depth 2 their customers and suppliers, depth 3 is
+    * empty (nothing points INTO customers/suppliers via these rels) —
+    * the per-depth census proves the depth binding, the WHERE prunes
+    * the declared-but-empty level. */
+  val pathCypher: String =
+    "MATCH p = (r:region)<-[:in_region|located_in*1..3]-(x) " +
+      "WHERE length(p) <= 2 " +
+      "RETURN length(p) AS depth, count(*) AS n_pairs ORDER BY depth"
+
+  def cypherPath(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), pathCypher)
+
+  val cypherPathSql: String =
+    """SELECT CAST(1 AS BIGINT) AS depth, count(*) AS n_pairs FROM nation
+      |UNION ALL
+      |SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+      |ORDER BY depth""".stripMargin
+
   // ---------------------------------------------------------------------
   // GRAPH_COMPLETION prompt-context rendering (modules/graph/utils/
   // resolve_edges_to_text.py): the exact text block the reference
@@ -1780,6 +1837,7 @@ object Retrievers {
     "search_chunks" -> ((s: SparkSession, d: String) => chunks(s, d)),
     "search_chunks_scoped" -> ((s: SparkSession, d: String) =>
       chunks(s, d, graft.QueryVec.Id(0), 5, scopedDatasets)),
+    "search_chunks_acl" -> ((s: SparkSession, d: String) => chunksAcl(s, d, "alice")),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
@@ -1802,6 +1860,7 @@ object Retrievers {
     "search_cypher_with" -> ((s: SparkSession, d: String) => cypherWith(s, d)),
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
+    "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
@@ -1823,6 +1882,7 @@ object Retrievers {
     "search_entity" -> entitySql,
     "search_chunks" -> chunksSql,
     "search_chunks_scoped" -> chunksScopedSql,
+    "search_chunks_acl" -> chunksAclSql,
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,
     "search_lexical_multiset" -> lexicalMultisetSql,
@@ -1845,6 +1905,7 @@ object Retrievers {
     "search_cypher_with" -> cypherWithSql,
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_varlen" -> cypherVarlenSql,
+    "search_cypher_path" -> cypherPathSql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,

@@ -30,6 +30,15 @@ private final case class FunnelState(t1: Long, t2: Long, t3: Long)
   * stage owns exact-Jaccard confirmation. */
 final case class NearDupCandidate(d1: Long, d2: Long, band: Int)
 
+/** A user's continuously-maintained R/F/M rollup (same columns as the
+  * batch events_rfm per-user stage; quartile SCORING stays a global
+  * pass over the rollup — cutoffs are corpus statistics no per-key
+  * state can know). */
+final case class RfmRollup(userId: Long, lastSeenS: Long, frequency: Long, monetary: Double)
+
+private final case class RfmState(lastSeen: Long, freq: Long, monetary: Double,
+                                  recent: List[(Long, Long)])
+
 private final case class SessionState(sessId: Long, nEvents: Long, totalValue: Double,
                                       startS: Long, endS: Long)
 
@@ -287,6 +296,38 @@ object EventStream {
           state.update(s)
           val stage = if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
           Iterator.single(FunnelProgress(userId, stage))
+      }
+  }
+
+  /** At-ingest R/F/M engagement rollup (streaming twin of the batch
+    * events_rfm per-user stage): per-user state carries (last_seen,
+    * frequency, monetary-sum) plus a BOUNDED 128-entry recent-event-id
+    * window for replay idempotence (the dedupStream/nearDupStream
+    * bucket-state precedent: an at-least-once source replays recent
+    * events, and a replayed event must not double-count frequency or
+    * monetary). Each micro-batch folds its arrivals in (tsSec, eventId)
+    * order and re-emits the user's current rollup (Update mode —
+    * downstream sinks upsert on userId). Quartile scoring stays the
+    * batch-side broadcast-cutoff pass: cutoffs are corpus-wide
+    * percentiles no per-key state can maintain. Monetary is rounded at
+    * READ (2dp), matching the batch round(sum(value), 2). */
+  def rfmStream(events: Dataset[Event]): Dataset[RfmRollup] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[RfmState, RfmRollup](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[RfmState]) =>
+          var s = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0.0, Nil))
+          it.toIndexedSeq.sortBy(e => (e.tsSec, e.eventId)).foreach { e =>
+            if (!s.recent.exists(_._2 == e.eventId)) {
+              s = RfmState(math.max(s.lastSeen, e.tsSec), s.freq + 1, s.monetary + e.value,
+                ((e.tsSec, e.eventId) :: s.recent).sortBy(t => (-t._1, -t._2)).take(128))
+            }
+          }
+          state.update(s)
+          Iterator.single(RfmRollup(userId, s.lastSeen, s.freq,
+            BigDecimal(s.monetary).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
   }
 

@@ -757,6 +757,46 @@ class CypherLiteSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toList === List("d:1"))
   }
 
+  test("path variable binds the var-length hop depth, read via length(p)") {
+    // chain a:1 -> a:2 -> a:3: from a:1, depth 1 reaches a:2, depth 2
+    // reaches a:3 — one row per (endpoints, depth)
+    val cg = TestSparkData.chainGraph(spark)
+    val out = CypherLite.run(cg,
+      "MATCH p = (x:a)-[:n*1..3]->(y) WHERE x.name = 'one' " +
+        "RETURN y.id AS yid, length(p) AS depth ORDER BY depth")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List(("a:2", 1L), ("a:3", 2L)))
+    // length(p) in WHERE prunes levels; implicit grouping over the depth
+    val counts = CypherLite.run(cg,
+      "MATCH p = (x:a)-[:n*1..2]->(y) WHERE length(p) = 1 " +
+        "RETURN length(p) AS depth, count(*) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(counts === List((1L, 2L)))
+    // a single-hop binding carries depth 1
+    assert(CypherLite.run(cg, "MATCH p = (x:a)-[:n]->(y) RETURN length(p) AS d")
+      .collect().map(_.getLong(0)).toList === List(1L, 1L))
+    // a pair reachable at TWO depths keeps one row per depth: add the
+    // shortcut edge a:1 -> a:3
+    import TestSpark.spark.implicits._
+    val shortcut = graph.PropertyGraph(cg.nodes,
+      cg.edges.union(Seq(("a:1", "a:3", "n")).toDF("src", "dst", "rel")))
+    val multi = CypherLite.run(shortcut,
+      "MATCH p = (x:a)-[:n*1..2]->(y) WHERE x.name = 'one' " +
+        "RETURN y.id AS yid, length(p) AS depth ORDER BY depth, yid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(multi === List(("a:2", 1L), ("a:3", 1L), ("a:3", 2L)))
+    // guardrails: multi-relationship chains and edge variables reject
+    intercept[IllegalArgumentException] {
+      CypherLite.run(cg, "MATCH p = (x:a)-[:n]->(y)-[:n]->(z) RETURN length(p) AS d")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(cg, "MATCH p = (x:a)-[r:n]->(y) RETURN length(p) AS d")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(cg, "MATCH (x:a)-[:n]->(y) RETURN length(x) AS d")
+    }
+  }
+
   test("tpch projection: suppliers per region matches direct aggregation") {
     val viaCypher = CypherLite.run(TpchGraph(spark, sf),
       "MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region) " +

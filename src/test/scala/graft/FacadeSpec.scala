@@ -29,6 +29,32 @@ class FacadeSpec extends SparkSpecBase {
         s"facade default for ${tpe.name} diverges from $name")
   }
 
+  test("ACL scope: two users see different result sets, unknown users see nothing") {
+    def ids(user: String): Set[Long] =
+      Graft.search(spark, sf, Graft.Chunks, SearchParams(user = Some(user)))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val (alice, bob, carol) = (ids("alice"), ids("bob"), ids("carol"))
+    assert(alice.nonEmpty && bob.nonEmpty && (alice intersect bob).isEmpty,
+      "alice (src0-9) and bob (src10-19) hold disjoint grants, results must differ")
+    assert(carol.nonEmpty, "carol reads everything")
+    assert(ids("mallory").isEmpty, "an unknown user is denied by default")
+    // every hit really sits inside the user's granted sources
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(alice.forall(d => Acl.readableSourcesOf("alice").contains(sources(d))))
+    assert(bob.forall(d => Acl.readableSourcesOf("bob").contains(sources(d))))
+    // the facade's user routing ≡ the registered semi-join operator
+    assert(rows(Graft.search(spark, sf, Graft.Chunks, SearchParams(user = Some("alice")))) ===
+      rows(SparkEntry.queries("search_chunks_acl")(spark, sf)))
+    // explicit datasets intersect the grant: alice scoped to a source
+    // she cannot read sees nothing; the lexical leg enforces it too
+    assert(Graft.search(spark, sf, Graft.Chunks,
+      SearchParams(user = Some("alice"), datasets = Seq("src15"))).count() === 0L)
+    assert(Graft.search(spark, sf, Graft.ChunksLexical,
+      SearchParams(user = Some("mallory"))).count() === 0L)
+  }
+
   test("RAG_COMPLETION facade defaults top_k=1 (the reference CompletionRetriever default)") {
     // The registered search_rag_completion operator pins k=2 for a
     // richer oracle; the facade's no-param default must match the

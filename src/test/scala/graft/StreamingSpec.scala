@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(moved === 0L, "a replay advanced some user's stage")
   }
 
+  test("streaming rfm rollups equal the batch per-user stage, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val events = loadEvents()
+    // two batches plus a full replay: state must fold increments AND
+    // dedup replayed event ids (no double-counted frequency/monetary)
+    val (h1, h2) = events.splitAt(events.length / 2)
+    stream.addData(h1)
+    val q = EventStream.rfmStream(stream.toDS())
+      .writeStream.format("memory").queryName("rfm").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    stream.addData(h2)
+    q.processAllAvailable()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink appends per-batch emissions; the rollup
+    // with the highest frequency per user is the final one
+    val got = spark.table("rfm")
+      .groupBy(col("userId"))
+      .agg(org.apache.spark.sql.functions.max(
+        struct(col("frequency"), col("lastSeenS"), col("monetary"))).as("m"))
+      .select(col("userId"), col("m.lastSeenS"), col("m.frequency"), col("m.monetary"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expect = graft.operators.EventOps.rfm(spark, sf)
+      .select(col("user_id"), col("last_seen_s"), col("frequency"), col("monetary"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
