@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *   MATCH [p =] (a[:type])-[:rel[|rel2][*lo..hi]]->(b[:type])(...)* [, pattern ...]
   *     (`p =` binds a PATH VARIABLE: one row per (endpoints, hop-depth)
   *      combination of the — single, optionally var-length — pattern;
-  *      `length(p)` reads the depth in WHERE and RETURN. Cypher's
-  *      one-row-per-distinct-path multiplicity is deliberately NOT
-  *      modeled — it is exponential on dense graphs; the depth
+  *      `length(p)` reads the depth in WHERE and RETURN, and
+  *      `p = shortestPath((a)-[...]->(b))` keeps only the MINIMUM depth
+  *      per endpoint pair. Path-bound expansions are seeded from the
+  *      filtered left node set (frontier BFS, not full-graph closure).
+  *      Cypher's one-row-per-distinct-path multiplicity is deliberately
+  *      NOT modeled — it is exponential on dense graphs; the depth
   *      projection is the tabular-subset contract, like the
   *      endpoint-only var-length semantics. nodes(p)/relationships(p)
   *      are unsupported.)
@@ -127,8 +130,11 @@ object CypherLite {
   // WITH-attached WHERE: alias vs quoted-string or numeric literal
   private val withPredRe = """(\w+)\s*(=|<>|>=|<=|>|<)\s*(?:'([^']*)'|(\d+(?:\.\d+)?))""".r
 
-  // `p = (a)-[:rel*1..3]->(b)` — a PATH VARIABLE bound to the chain.
-  private val pathBindRe = """^(\w+)\s*=\s*(\(.*)$""".r
+  // `p = (a)-[:rel*1..3]->(b)` — a PATH VARIABLE bound to the chain;
+  // `p = shortestPath((a)-[:rel*1..3]->(b))` wraps it in min-depth
+  // semantics.
+  private val pathBindRe = """^(\w+)\s*=\s*(.+)$""".r
+  private val shortestRe = """(?i)^shortestpath\s*\((.*)\)\s*$""".r
 
   /** Compile ONE linear path pattern to (relation, node vars, edge
     * vars, path vars). The relation carries `${v}_id/_ntype/_name/
@@ -143,10 +149,22 @@ object CypherLite {
     // tabular subset's contract, same spirit as endpoint-only var-length
     // matching). Restricted to a single (optionally var-length)
     // relationship pattern, no bound edge variable.
-    val (pathVar, matchPart) = chain.trim match {
-      case pathBindRe(v, rest) => (Some(v), rest)
+    val (pathVar, rawPart) = chain.trim match {
+      case pathBindRe(v, rest) => (Some(v), rest.trim)
       case other => (None, other)
     }
+    // shortestPath(...): the bound depth becomes the MINIMUM hop count
+    // per endpoint pair (Cypher's shortestPath(); the expansion already
+    // runs BFS-frontier levels, so this is one min-aggregate over the
+    // per-level rows — never a path enumeration).
+    val (matchPart, shortest) = rawPart match {
+      case shortestRe(inner) =>
+        require(pathVar.isDefined, s"shortestPath requires a bound path variable in: $chain")
+        (inner.trim, true)
+      case other => (other, false)
+    }
+    require(pathVar.isEmpty || matchPart.startsWith("("),
+      s"path variable must bind a node pattern in: $chain")
     val nodePats = nodeRe.findAllMatchIn(matchPart)
       .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
     // (edgeVar, relTypes, minHops, maxHops, direction); plain -[:rel]->
@@ -250,8 +268,17 @@ object CypherLite {
           // depth as `${p}_len`.
           val hopD =
             if ((hi > 1 || pathVar.isDefined) && dir != Undir) hop.distinct() else hop
+          // Path-bound expansions are SEEDED from the (already
+          // type/map-filtered) left node set: the walk starts at the
+          // pattern's own sources instead of computing the full-graph
+          // transitive closure and pruning at the terminal join —
+          // the difference between a frontier BFS and |V|² work when
+          // the left pattern anchors on one node.
+          val seeded = pathVar.fold(hopD) { _ =>
+            hopD.join(df.select(col(s"${pv}_id").as("src")).distinct(), Seq("src"), "left_semi")
+          }
           var reach: DataFrame = null
-          var cur = hopD
+          var cur = seeded
           for (len <- 1 to hi) {
             if (len >= lo) {
               val level = pathVar.fold(cur)(_ => cur.withColumn("len", lit(len.toLong)))
@@ -263,8 +290,12 @@ object CypherLite {
               .distinct()
           }
           pathVar match {
-            case Some(p) => reach.select(col("src").as(s"${pv}_id"),
-              col("dst").as(s"${nv}_id"), col("len").as(s"${p}_len"))
+            case Some(p) =>
+              val tagged =
+                if (shortest) reach.groupBy(col("src"), col("dst")).agg(min(col("len")).as("len"))
+                else reach
+              tagged.select(col("src").as(s"${pv}_id"),
+                col("dst").as(s"${nv}_id"), col("len").as(s"${p}_len"))
             case None => reach.distinct()
               .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
           }

@@ -1069,6 +1069,35 @@ object Retrievers {
       |SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
       |ORDER BY depth""".stripMargin
 
+  /** shortestPath() — Cypher's min-depth path wrapper
+    * (cypher_search_retriever.py forwards these verbatim): undirected
+    * shortest hops from one customer to the suppliers within 3 hops
+    * over the whole relation vocabulary. A reachable supplier sits at
+    * depth exactly 2 — via the shared nation, or via one of the
+    * customer's orders' supplied_by edges — and the min-aggregate must
+    * collapse a supplier reachable BOTH ways to one depth-2 row (the
+    * oracle's UNION does the same dedup); suppliers in other nations
+    * that never supplied this customer are absent, so the census is one
+    * row. The seeded frontier keeps the expansion anchored at the one
+    * source node instead of a full-graph closure. */
+  val shortestCypher: String =
+    "MATCH p = shortestPath((c:customer {id: 'customer:1'})" +
+      "-[:located_in|in_region|placed_by|contains|supplied_by*1..3]-(s:supplier)) " +
+      "RETURN length(p) AS depth, count(*) AS n_suppliers ORDER BY depth"
+
+  def cypherShortest(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), shortestCypher)
+
+  val cypherShortestSql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey = 1),
+      |s2 AS (
+      |  SELECT s_suppkey FROM supplier, c WHERE s_nationkey = c.c_nationkey
+      |  UNION
+      |  SELECT l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey, c
+      |  WHERE o_custkey = c.c_custkey
+      |)
+      |SELECT CAST(2 AS BIGINT) AS depth, count(*) AS n_suppliers FROM s2""".stripMargin
+
   // ---------------------------------------------------------------------
   // GRAPH_COMPLETION prompt-context rendering (modules/graph/utils/
   // resolve_edges_to_text.py): the exact text block the reference
@@ -1861,6 +1890,7 @@ object Retrievers {
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
+    "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
@@ -1906,6 +1936,7 @@ object Retrievers {
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_path" -> cypherPathSql,
+    "search_cypher_shortest" -> cypherShortestSql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,

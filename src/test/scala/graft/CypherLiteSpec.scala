@@ -797,6 +797,28 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("shortestPath keeps only the minimum depth per endpoint pair") {
+    import TestSpark.spark.implicits._
+    val cg = TestSparkData.chainGraph(spark)
+    // shortcut a:1 -> a:3 next to the 2-hop chain: plain path binding
+    // yields a:3 at depths 1 AND 2; shortestPath collapses to depth 1
+    val shortcut = graph.PropertyGraph(cg.nodes,
+      cg.edges.union(Seq(("a:1", "a:3", "n")).toDF("src", "dst", "rel")))
+    val out = CypherLite.run(shortcut,
+      "MATCH p = shortestPath((x:a {name: 'one'})-[:n*1..2]->(y)) " +
+        "RETURN y.id AS yid, length(p) AS depth ORDER BY yid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out === List(("a:2", 1L), ("a:3", 1L)))
+    // without the wrapper the same pattern keeps both depths of a:3
+    assert(CypherLite.run(shortcut,
+      "MATCH p = (x:a {name: 'one'})-[:n*1..2]->(y) RETURN count(*) AS n")
+      .collect().head.getLong(0) === 3L)
+    // shortestPath requires a bound path variable
+    intercept[IllegalArgumentException] {
+      CypherLite.run(cg, "MATCH shortestPath((x:a)-[:n*1..2]->(y)) RETURN count(*) AS n")
+    }
+  }
+
   test("tpch projection: suppliers per region matches direct aggregation") {
     val viaCypher = CypherLite.run(TpchGraph(spark, sf),
       "MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region) " +
