@@ -248,12 +248,16 @@ object CypherLite {
         case None =>
           val fwd = g.edges.filter(col("rel").isin(rels: _*)).select(col("src"), col("dst"))
           val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
-          // Undirected hop = both orientations of the typed edge set (the
-          // get_connections traversal view), deduplicated.
-          val hop = dir match {
+          // RAW hop view — for Undir both orientations unioned WITHOUT
+          // dedup (a pair with edges both ways appears twice); consumers
+          // dedup at their own granularity below. Each reference is a
+          // narrow projection over the persisted edge cache, so a
+          // per-level re-scan of it is cheap — unlike a per-level
+          // re-distinct, which is a full shuffle.
+          val hopRaw = dir match {
             case Fwd => fwd
             case Rev => rev
-            case Undir => fwd.union(rev).distinct()
+            case Undir => fwd.union(rev)
           }
           // Variable-length: distinct (src,dst) pairs reachable in lo..hi
           // hops of `rel` — chained equi-joins unioned per length (Cypher
@@ -266,28 +270,75 @@ object CypherLite {
           // semantics. A bound path variable keeps the per-LEVEL rows
           // instead of collapsing across levels, tagging each with its
           // depth as `${p}_len`.
+          //
+          // UNSEEDED walks (no path variable: every node is a source)
+          // dedup the whole view once and materialize it
+          // ([[Materialize.stored]] — executor-local blocks, no
+          // CacheManager entry, reclaimed when unreferenced) so the
+          // expansion loop joins a stored relation per level instead of
+          // re-deriving the union+distinct lineage per join.
           val hopD =
-            if ((hi > 1 || pathVar.isDefined) && dir != Undir) hop.distinct() else hop
+            if (pathVar.isDefined) hopRaw // seeded: never build the global view
+            else {
+              val d0 = if (dir == Undir || hi > 1) hopRaw.distinct() else hopRaw
+              if (hi > 1) org.apache.spark.sql.graft.Materialize.stored(d0) else d0
+            }
           // Path-bound expansions are SEEDED from the (already
           // type/map-filtered) left node set: the walk starts at the
           // pattern's own sources instead of computing the full-graph
-          // transitive closure and pruning at the terminal join —
-          // the difference between a frontier BFS and |V|² work when
-          // the left pattern anchors on one node.
+          // transitive closure and pruning at the terminal join — the
+          // difference between a frontier BFS and |V|² work when the
+          // left pattern anchors on one node. The global traversal view
+          // is never deduped or stored for a seeded walk: each level is
+          // one frontier⋈(raw edge scan) join + a frontier-sized
+          // distinct — the per-level work scales with the frontier, not
+          // the graph.
           val seeded = pathVar.fold(hopD) { _ =>
-            hopD.join(df.select(col(s"${pv}_id").as("src")).distinct(), Seq("src"), "left_semi")
+            hopRaw.join(df.select(col(s"${pv}_id").as("src")).distinct(), Seq("src"), "left_semi")
+              .distinct()
           }
+          // shortestPath follows Neo4j's own restriction (its planner
+          // rejects a minimal length other than 0/1): with lo = 1 the
+          // first level a pair appears at IS its min depth, so the BFS
+          // below may prune reached pairs from the frontier.
+          require(!shortest || lo == 1,
+            s"shortestPath supports a minimal length of 1 only in: $chain")
           var reach: DataFrame = null
+          var visited: DataFrame = null // shortest only: all reached pairs
           var cur = seeded
           for (len <- 1 to hi) {
+            // Each frontier is materialized per level (the iterative-
+            // loop discipline): it is read up to three times — as a
+            // reach level, as the next expansion's left side, and (for
+            // shortestPath) as an anti-join prune source — and a lazy
+            // join-chain lineage would re-execute the whole walk per use.
+            // (level 1 of an unseeded walk IS hopD — already stored)
+            if (hi > 1 && (len > 1 || pathVar.isDefined))
+              cur = org.apache.spark.sql.graft.Materialize.stored(cur)
             if (len >= lo) {
               val level = pathVar.fold(cur)(_ => cur.withColumn("len", lit(len.toLong)))
               reach = if (reach == null) level else reach.union(level)
             }
-            if (len < hi) cur = cur.as("a")
-              .join(hopD.as("b"), col("a.dst") === col("b.src"))
-              .select(col("a.src").as("src"), col("b.dst").as("dst"))
-              .distinct()
+            if (len < hi) {
+              // shortestPath: a pair reached at a shallower depth can
+              // never win the min — drop it from the frontier, so the
+              // BFS converges (frontiers shrink to the genuinely-new
+              // pairs) instead of re-walking the reached closure at
+              // every deeper level. The accumulated visited set is
+              // re-materialized per level: the anti-join's build side
+              // must be a stored relation, not a lazy union lineage
+              // (which Catalyst's Union constraint rewrite also chokes
+              // on when its children are checkpointed scans).
+              if (shortest)
+                visited = (if (visited == null) cur
+                           else org.apache.spark.sql.graft.Materialize.stored(visited.union(cur)))
+              var next = cur.as("a")
+                .join(hopD.as("b"), col("a.dst") === col("b.src"))
+                .select(col("a.src").as("src"), col("b.dst").as("dst"))
+                .distinct()
+              if (shortest) next = next.join(visited, Seq("src", "dst"), "left_anti")
+              cur = next
+            }
           }
           pathVar match {
             case Some(p) =>
