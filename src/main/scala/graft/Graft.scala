@@ -104,19 +104,34 @@ object Graft {
     def toks(default: Seq[String]): Seq[String] =
       p.queryTokens.orElse(p.queryText.map(_.toLowerCase.split("\\s+").toSeq)).getOrElse(default)
     def vec(defaultId: Long): QueryVec = p.queryVec.getOrElse(QueryVec.Id(defaultId))
-    // The searching user's ACL narrows the dataset scope for every
-    // scoped type (get_document_ids_for_user.py): permitted ∩ explicit
-    // datasets. Deny by default — an unknown/grantless user scopes to a
-    // sentinel no dataset carries, never to the unscoped corpus (the
-    // CHUNKS type instead routes to the semi-join plan, the
-    // multi-tenant scale shape; resolving here is the same rule over
-    // the same in-code dim).
-    val scope: Seq[String] = p.user match {
-      case None => p.datasets
+    // The searching user's ACL narrows the dataset scope for EVERY
+    // scoped type (get_document_ids_for_user.py resolves the permitted
+    // datasets before any retriever runs): permitted ∩ explicit
+    // datasets. Deny by default — a grantless/unknown user resolves to
+    // an empty scope, and `denied` turns the dispatched plan into a
+    // STRUCTURALLY empty relation (limit 0 — Catalyst's OptimizeLimitZero
+    // collapses it to an empty LocalRelation, no scan, no sentinel value
+    // a dataset name could collide with). The CHUNKS type instead routes
+    // to the semi-join plan, the multi-tenant scale shape — same rule,
+    // same in-code dim.
+    val (scope: Seq[String], denied: Boolean) = p.user match {
+      case None => (p.datasets, false)
       case Some(u) =>
         val granted = Acl.readableSourcesOf(u)
         val eff = if (p.datasets.isEmpty) granted else p.datasets.intersect(granted)
-        if (eff.isEmpty) Seq("__denied__") else eff
+        (eff, eff.isEmpty)
+    }
+    // A denied principal sees an empty relation — an authorization
+    // outcome, applied before any per-type empty-corpus contract.
+    def scoped(df: => DataFrame): DataFrame = if (denied) df.limit(0) else df
+    // Types whose retrieval reads no dataset-partitioned data (the
+    // TPC-H entity graph, the event ledger): a user scope CANNOT be
+    // honored — fail fast instead of silently returning unscoped
+    // corpus data to a caller who asked for tenant isolation.
+    def unscopable(df: => DataFrame): DataFrame = {
+      require(p.user.isEmpty,
+        s"search type ${tpe.name} reads no dataset-scoped data and cannot honor user=${p.user.get}")
+      df
     }
     tpe match {
       case Chunks => p.user match {
@@ -124,35 +139,36 @@ object Graft {
         case None => R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), p.datasets)
       }
       case ChunksLexical =>
-        R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), scope)
-      case Summaries => R.summaries(spark, dir, vec(1), p.topK.getOrElse(5))
-      case Insights => R.insights(spark, dir, vec(0), p.topK.getOrElse(3))
+        scoped(R.lexical(spark, dir, toks(R.queryTokens), p.topK.getOrElse(20), scope))
+      case Summaries => scoped(R.summaries(spark, dir, vec(1), p.topK.getOrElse(5), scope))
+      case Insights => scoped(R.insights(spark, dir, vec(0), p.topK.getOrElse(3), scope))
       case RagCompletion => // chunks-only context (completion_retriever.py
         // defaults top_k=1 — the facade default matches; the registered
         // search_rag_completion operator pins k=2 explicitly)
-        R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), scope)
+        scoped(R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), scope))
       case GraphCompletion =>
-        R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope)
-      case GraphCompletionCot => R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3))
+        scoped(R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope))
+      case GraphCompletionCot =>
+        scoped(R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3), scope))
       case GraphCompletionContextExtension =>
-        R.completionContextExtension(spark, dir,
-          seedTokens = toks(Seq("nation", "3", "located", "in")))
-      case GraphSummaryCompletion => R.summaryCompletion(spark, dir, vec(2))
-      case Code => R.code(spark, dir, toks(R.queryTokens))
-      case CodingRules => R.codingRules(spark, dir)
-      case Feedback => R.feedback(spark, dir, vec(0), p.topK.getOrElse(5))
-      case Temporal => p.interval match {
+        unscopable(R.completionContextExtension(spark, dir,
+          seedTokens = toks(Seq("nation", "3", "located", "in"))))
+      case GraphSummaryCompletion => scoped(R.summaryCompletion(spark, dir, vec(2), scope))
+      case Code => scoped(R.code(spark, dir, toks(R.queryTokens), scope))
+      case CodingRules => scoped(R.codingRules(spark, dir, scope))
+      case Feedback => scoped(R.feedback(spark, dir, vec(0), p.topK.getOrElse(5), scope))
+      case Temporal => unscopable(p.interval match {
         case Some((from, until)) => EventOps.temporalInterval(spark, dir, from, until)
         case None => EventOps.temporalSearch(spark, dir)
-      }
-      case Cypher => p.cypher match {
+      })
+      case Cypher => unscopable(p.cypher match {
         case Some(q) => searchCypher(spark, dir, q)
         case None => R.cypher(spark, dir)
-      }
+      })
       case NaturalLanguage =>
-        R.naturalLanguage(spark, dir,
-          p.queryText.getOrElse("how many suppliers are located in each region"))
-      case FeelingLucky => R.feelingLucky(spark, dir)
+        unscopable(R.naturalLanguage(spark, dir,
+          p.queryText.getOrElse("how many suppliers are located in each region")))
+      case FeelingLucky => scoped(R.feelingLucky(spark, dir, scope))
     }
   }
 

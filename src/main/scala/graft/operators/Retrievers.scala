@@ -40,6 +40,14 @@ object Retrievers {
     if (datasets.isEmpty) d else d.filter(col("source").isInCollection(datasets))
   }
 
+  /** Narrow an embedding relation to the scoped documents' vectors
+    * (vec_id ≡ doc_id in the testdata projection): an equi-semi-join on
+    * the scoped doc ids — AQE broadcasts the pruned dim when the scope
+    * is small. Empty `datasets` = unscoped (identity). */
+  private def embScoped(e: DataFrame, docs: DataFrame, scoped: Boolean): DataFrame =
+    if (!scoped) e
+    else e.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+
   private val cosSql =
     "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
 
@@ -152,13 +160,13 @@ object Retrievers {
     * summaries collection; the LLM summarizer is replaced by a
     * deterministic extract). */
   def summaries(spark: SparkSession, dir: String, qv: graft.QueryVec = graft.QueryVec.Id(1),
-      k: Int = 5): DataFrame = {
+      k: Int = 5, datasets: Seq[String] = Nil): DataFrame = {
     val e = embD(spark, dir)
     val (q, candidate) = resolveQuery(e, qv)
-    val docs = load(spark, dir, "documents")
+    val docs = docsScoped(spark, dir, datasets)
     // Same top-k-first shape as [[chunks]]: only the k winners join
     // documents to extract their summary text.
-    e.filter(candidate).crossJoin(broadcast(q))
+    embScoped(e, docs, datasets.nonEmpty).filter(candidate).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id").asc).limit(k)
@@ -377,9 +385,13 @@ object Retrievers {
     * every completion-context retrieval starts from; shared by
     * [[insights]] and the feedback-weighted re-rank. */
   private[graft] def nationCentroidScores(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(0)): DataFrame = {
-    val e = load(spark, dir, "embeddings")
+      qv: graft.QueryVec = graft.QueryVec.Id(0), datasets: Seq[String] = Nil): DataFrame = {
+    val e0 = load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+    // Dataset/ACL scope: centroids aggregate the PERMITTED vectors only
+    // (the reference searches the permitted datasets' collection — a
+    // tenant's entity scores must not leak other tenants' embeddings).
+    val e = embScoped(e0, docsScoped(spark, dir, datasets), datasets.nonEmpty)
     val dims = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = dims.groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
       .groupBy(col("label"))
@@ -391,8 +403,9 @@ object Retrievers {
   }
 
   def insights(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(0), kEntities: Int = 3): DataFrame = {
-    val topNations = nationCentroidScores(spark, dir, qv)
+      qv: graft.QueryVec = graft.QueryVec.Id(0), kEntities: Int = 3,
+      datasets: Seq[String] = Nil): DataFrame = {
+    val topNations = nationCentroidScores(spark, dir, qv, datasets)
       .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc))
       .filter(col("rn") <= kEntities)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
@@ -509,7 +522,7 @@ object Retrievers {
       .select(lit("chunk").as("part"),
         rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
-    val tripletPart = insights(spark, dir, qv)
+    val tripletPart = insights(spark, dir, qv, datasets = datasets)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(k)
       .select(lit("triplet").as("part"),
@@ -562,10 +575,11 @@ object Retrievers {
     * (graph_summary_completion_retriever.py = summaries_retriever ∘
     * graph context). Query vector 2; same rank-tagged context shape. */
   def summaryCompletion(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(2)): DataFrame = {
-    val e = embD(spark, dir)
-    val (q, candidate) = resolveQuery(e, qv)
-    val docs = load(spark, dir, "documents")
+      qv: graft.QueryVec = graft.QueryVec.Id(2), datasets: Seq[String] = Nil): DataFrame = {
+    val e0 = embD(spark, dir)
+    val (q, candidate) = resolveQuery(e0, qv)
+    val docs = docsScoped(spark, dir, datasets)
+    val e = embScoped(e0, docs, datasets.nonEmpty)
     // Top-3 via orderBy+limit → TakeOrderedAndProject (per-partition
     // heaps + tiny merge); the rank window then runs over 3 rows only.
     // A no-partition row_number over the scored corpus would funnel the
@@ -579,7 +593,7 @@ object Retrievers {
       .select(lit("summary").as("part"), col("rank"),
         concat(col("doc_id").cast("string"), lit(": "),
           array_join(slice(split(col("text"), " "), 1, 16), " ")).as("ref"))
-    val tripletPart = insights(spark, dir)
+    val tripletPart = insights(spark, dir, datasets = datasets)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),
@@ -633,8 +647,9 @@ object Retrievers {
   /** FEELING_LUCKY: deterministic retriever dispatch — pick the source
     * with the most documents (ties: lexicographic), return its top-5
     * docs by quality score. */
-  def feelingLucky(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+  def feelingLucky(spark: SparkSession, dir: String,
+      datasets: Seq[String] = Nil): DataFrame = {
+    val docs = docsScoped(spark, dir, datasets)
     val topSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("source").asc).limit(1).select(col("source"))
     val toks = split(col("text"), " ")
@@ -666,14 +681,19 @@ object Retrievers {
     * (graph_completion_cot_retriever.py iterates exactly this loop
     * between LLM turns). */
   def completionCot(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3): DataFrame = {
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
+      datasets: Seq[String] = Nil): DataFrame = {
     // Scratch artifacts use eager localCheckpoint (the repo-wide
     // artifact-lifetime discipline): blocks are executor-local and the
     // context cleaner reclaims them once the result is unreferenced —
     // nothing registers in the CacheManager (spec-pinned: the returned
     // plan carries no InMemoryRelation).
-    val e = embD(spark, dir).localCheckpoint(true)
-    val (q, _) = resolveQuery(e, qv)
+    val e0 = embD(spark, dir)
+    val e = embScoped(e0, docsScoped(spark, dir, datasets),
+      datasets.nonEmpty).localCheckpoint(true)
+    // the query vector resolves against the UNSCOPED relation — the
+    // caller's stored query id need not itself be inside their scope
+    val (q, _) = resolveQuery(if (datasets.isEmpty) e else e0, qv)
     val selfIds = qv match { // hop-1 self-match suppression for a stored query id
       case graft.QueryVec.Id(id) => Seq(id)
       case _ => Seq.empty[Long]
@@ -1456,8 +1476,12 @@ object Retrievers {
     * (ClassDefinition/FunctionDefinition_source_code) — each scored by
     * query-token overlap, top-3 per channel, rank-tagged. */
   def code(spark: SparkSession, dir: String,
-      tokens: Seq[String] = queryTokens): DataFrame = {
-    val c = codeTable(spark, dir)
+      tokens: Seq[String] = queryTokens, datasets: Seq[String] = Nil): DataFrame = {
+    val c0 = codeTable(spark, dir)
+    // the code table's path prefix IS the document source — the dataset
+    // scope prunes on it before scoring (pushes into the scan)
+    val c = if (datasets.isEmpty) c0
+      else c0.filter(split(col("path"), "/").getItem(0).isInCollection(datasets))
     val qarr = array(tokens.distinct.map(lit): _*)
     val btoks = array_distinct(split(col("body"), " "))
     val inter = size(array_intersect(btoks, qarr))
@@ -1495,8 +1519,9 @@ object Retrievers {
     * the stored rules of the `coding_agent_rules` nodeset, returned as
     * an ordered list — rules are the deterministic rule-projection of
     * every 7th document (first 12 words). */
-  def codingRules(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents").filter(col("doc_id") % 7 === 0)
+  def codingRules(spark: SparkSession, dir: String,
+      datasets: Seq[String] = Nil): DataFrame =
+    docsScoped(spark, dir, datasets).filter(col("doc_id") % 7 === 0)
       .select(col("doc_id").as("rule_id"), lit("coding_agent_rules").as("nodeset"),
         array_join(slice(split(col("text"), " "), 1, 12), " ").as("rule"))
       .orderBy(col("rule_id").asc).limit(20)
@@ -1526,10 +1551,12 @@ object Retrievers {
   }
 
   def feedback(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 5): DataFrame = {
+      qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 5,
+      datasets: Seq[String] = Nil): DataFrame = {
     val fb = feedbackScores(spark, dir)
-    val e = embD(spark, dir)
-    val (q, candidate) = resolveQuery(e, qv)
+    val e0 = embD(spark, dir)
+    val e = embScoped(e0, docsScoped(spark, dir, datasets), datasets.nonEmpty)
+    val (q, candidate) = resolveQuery(e0, qv)
     val cand = e.filter(candidate).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))

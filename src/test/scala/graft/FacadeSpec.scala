@@ -55,6 +55,66 @@ class FacadeSpec extends SparkSpecBase {
       SearchParams(user = Some("mallory"))).count() === 0L)
   }
 
+  /** Every search type that reads dataset-partitioned data (documents /
+    * embeddings) — the set the user scope must narrow. */
+  private val scopedTypes: Seq[Graft.SearchType] = Seq(
+    Graft.Chunks, Graft.ChunksLexical, Graft.Summaries, Graft.Insights,
+    Graft.RagCompletion, Graft.GraphCompletion, Graft.GraphCompletionCot,
+    Graft.GraphSummaryCompletion, Graft.Code, Graft.CodingRules,
+    Graft.Feedback, Graft.FeelingLucky)
+
+  /** Types whose retrieval reads no dataset-partitioned data (entity
+    * graph, event ledger): a user scope cannot be honored. */
+  private val unscopableTypes: Seq[Graft.SearchType] = Seq(
+    Graft.Temporal, Graft.Cypher, Graft.NaturalLanguage,
+    Graft.GraphCompletionContextExtension)
+
+  test("user scope threads into EVERY scoped search type (unknown user sees nothing; full grant ≡ unscoped)") {
+    for (t <- scopedTypes) {
+      // deny-by-default, structurally: a grantless principal gets an
+      // empty relation on every scoped type — never unscoped corpus data
+      assert(Graft.search(spark, sf, t, SearchParams(user = Some("mallory"))).count() === 0L,
+        s"${t.name}: unknown user must see nothing")
+      // carol holds read on every source: her scoped plan must return
+      // exactly the unscoped default (scope-as-filter, not a rewrite)
+      assert(rows(Graft.search(spark, sf, t, SearchParams(user = Some("carol")))) ===
+        rows(Graft.search(spark, sf, t)),
+        s"${t.name}: full-grant user diverges from the unscoped default")
+    }
+  }
+
+  test("two tenants with disjoint grants see disjoint documents on the doc-bearing types") {
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def docIds(t: Graft.SearchType, user: String): Set[Long] =
+      Graft.search(spark, sf, t, SearchParams(user = Some(user)))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    for (t <- Seq(Graft.Summaries, Graft.Feedback)) {
+      val (a, b) = (docIds(t, "alice"), docIds(t, "bob"))
+      assert(a.nonEmpty && b.nonEmpty && (a intersect b).isEmpty,
+        s"${t.name}: disjoint grants must yield disjoint results")
+      assert(a.forall(d => Acl.readableSourcesOf("alice").contains(sources(d))),
+        s"${t.name}: alice result leaked outside her grant")
+    }
+    // CODE: the path prefix is the source — every path stays in-grant
+    val alicePaths = Graft.search(spark, sf, Graft.Code, SearchParams(user = Some("alice")))
+      .select(col("path")).collect().map(_.getString(0).split("/").head).toSet
+    assert(alicePaths.nonEmpty &&
+      alicePaths.subsetOf(Acl.readableSourcesOf("alice").toSet))
+  }
+
+  test("types that cannot honor a user scope fail fast instead of silently unscoping") {
+    for (t <- unscopableTypes) {
+      val e = intercept[IllegalArgumentException] {
+        Graft.search(spark, sf, t, SearchParams(user = Some("alice")))
+      }
+      assert(e.getMessage.contains(t.name), s"${t.name}: error must name the type")
+      // and without a user the type still dispatches
+      assert(Graft.search(spark, sf, t).count() >= 0L)
+    }
+  }
+
   test("RAG_COMPLETION facade defaults top_k=1 (the reference CompletionRetriever default)") {
     // The registered search_rag_completion operator pins k=2 for a
     // richer oracle; the facade's no-param default must match the
