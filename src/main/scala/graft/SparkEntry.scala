@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.CurateOps.queries, operators.CurateOps.oracles),
       (operators.DatasetOps.queries, operators.DatasetOps.oracles),
+      (operators.EvalOps.queries, operators.EvalOps.oracles),
       (operators.OntologyOps.queries, operators.OntologyOps.oracles),
       (operators.CodeGraphOps.queries, operators.CodeGraphOps.oracles),
       (operators.Retrievers.queries, operators.Retrievers.oracles),

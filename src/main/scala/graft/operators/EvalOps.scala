@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables.load
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The eval-framework scoring metrics (reference: cognee/eval_framework/
+  * evaluation/metrics/exact_match.py:10 and f1.py:12-44, aggregated as
+  * run_evaluation_module.py:19 → analysis/metrics_calculator.py):
+  * batch Exact-Match and token-multiset F1 over (question, answer,
+  * golden_answer) test cases, plus the per-metric mean report.
+  *
+  * The reference scores answers its QA pipeline produced; here the test
+  * cases are a deterministic projection of the documents corpus (every
+  * 5th document is a QA record: the question is its first 6 words, the
+  * golden answer words 7-14, and the system answer either the golden
+  * text verbatim — every 10th doc, the exact-match stratum — or words
+  * 5-10, a partial overlap), so both metrics exercise their full range
+  * and the DuckDB oracle can re-derive the same cases.
+  *
+  * Scale shape: both metrics are IN-ROW arithmetic over short token
+  * arrays — one narrow map over the pruned documents scan, zero
+  * shuffles before the report's single-row aggregate. The multiset
+  * true-positive count is the Σ min(count_a, count_e) fold the
+  * reference's Counter arithmetic computes (f1.py:36), evaluated per
+  * distinct actual token with two array filters — no explode, no join.
+  * At 100 TB this is an embarrassingly parallel scan; the report is one
+  * partial-aggregated global mean.
+  */
+object EvalOps {
+
+  /** Normalize a free-text answer to the reference's F1 token list
+    * (f1.py:16-26): lowercase, whitespace-split, strip every non-word
+    * character from each token, drop empties. */
+  private def f1Tokens(c: Column): Column =
+    filter(
+      transform(split(lower(c), "\\s+"), t => regexp_replace(t, "\\W+", "")),
+      t => t =!= "")
+
+  /** The deterministic QA projection: (qa_id, question, answer,
+    * golden_answer). */
+  private def qaCases(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(
+        col("doc_id").as("qa_id"),
+        array_join(slice(words, 1, 6), " ").as("question"),
+        when(col("doc_id") % 10 === 0, array_join(slice(words, 7, 8), " "))
+          .otherwise(array_join(slice(words, 5, 6), " ")).as("answer"),
+        array_join(slice(words, 7, 8), " ").as("golden_answer"))
+  }
+
+  private val qaCasesSql: String =
+    """qa AS (
+      |  SELECT doc_id AS qa_id,
+      |    array_to_string((string_split(text, ' '))[1:6], ' ') AS question,
+      |    CASE WHEN doc_id % 10 = 0
+      |      THEN array_to_string((string_split(text, ' '))[7:14], ' ')
+      |      ELSE array_to_string((string_split(text, ' '))[5:10], ' ') END AS answer,
+      |    array_to_string((string_split(text, ' '))[7:14], ' ') AS golden_answer
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  /** Batch EM + F1, one row per test case.
+    *
+    * EM (exact_match.py:10-15): 1.0 iff trim+lowercase equality.
+    * F1 (f1.py:28-44): tp = Σ_w min(count_actual(w), count_expected(w));
+    * precision = tp/|actual|, recall = tp/|expected|, f1 = harmonic
+    * mean (0 when p+r = 0); both token lists empty → 1.0. */
+  def emF1(spark: SparkSession, dir: String): DataFrame = {
+    val a = f1Tokens(col("answer"))
+    val e = f1Tokens(col("golden_answer"))
+    // Σ min over the token multisets: fold the DISTINCT actual tokens,
+    // counting each in both lists — in-row, no explode (the
+    // search_lexical_multiset counter arithmetic).
+    val tp = aggregate(array_distinct(a), lit(0),
+      (acc, t) => acc + least(size(filter(a, x => x === t)), size(filter(e, x => x === t))))
+    val em = when(trim(lower(col("answer"))) === trim(lower(col("golden_answer"))), 1.0)
+      .otherwise(0.0)
+    val p = tp.cast("double") / size(a)
+    val r = tp.cast("double") / size(e)
+    val f1 = when(size(a) === 0 && size(e) === 0, 1.0)
+      .otherwise(when(size(a) === 0 || size(e) === 0, 0.0)
+        .otherwise(when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r))))
+    qaCases(spark, dir)
+      .select(col("qa_id"), em.as("em"), round(f1, 4).as("f1"))
+  }
+
+  private val tokSql = (c: String) =>
+    s"list_filter(list_transform(string_split(lower($c), ' '), t -> regexp_replace(t, '\\W+', '', 'g')), t -> t <> '')"
+
+  val emF1Sql: String =
+    s"""WITH $qaCasesSql,
+       |toks AS (
+       |  SELECT qa_id, answer, golden_answer,
+       |    ${tokSql("answer")} AS a, ${tokSql("golden_answer")} AS e
+       |  FROM qa
+       |),
+       |scored AS (
+       |  SELECT qa_id,
+       |    CASE WHEN trim(lower(answer)) = trim(lower(golden_answer)) THEN 1.0 ELSE 0.0 END AS em,
+       |    list_sum(list_transform(list_distinct(a),
+       |      t -> least(len(list_filter(a, x -> x = t)), len(list_filter(e, x -> x = t))))) AS tp,
+       |    len(a) AS na, len(e) AS ne
+       |  FROM toks
+       |)
+       |SELECT qa_id, em,
+       |  round(CASE
+       |    WHEN na = 0 AND ne = 0 THEN 1.0
+       |    WHEN na = 0 OR ne = 0 THEN 0.0
+       |    WHEN tp * 1.0 / na + tp * 1.0 / ne = 0 THEN 0.0
+       |    ELSE 2.0 * (tp * 1.0 / na) * (tp * 1.0 / ne) / (tp * 1.0 / na + tp * 1.0 / ne)
+       |  END, 4) AS f1
+       |FROM scored""".stripMargin
+
+  /** The aggregate report (metrics_calculator.py extract + mean;
+    * run_evaluation_module.py:19 persists this shape): one row per
+    * metric — score count and mean. The reference also bootstraps a
+    * confidence interval (bootstrap_ci, 10k resamples) — inherently
+    * randomized, so the deterministic report carries the exact
+    * mean/min/max instead. */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val s = emF1(spark, dir).localCheckpoint(true)
+    def one(metric: String, c: Column): DataFrame =
+      s.agg(count(lit(1)).as("n"), round(avg(c), 4).as("mean"),
+          round(min(c), 4).as("min"), round(max(c), 4).as("max"))
+        .select(lit(metric).as("metric"), col("n"), col("mean"), col("min"), col("max"))
+    one("em", col("em")).union(one("f1", col("f1")))
+  }
+
+  val reportSql: String =
+    s"""WITH scored AS ($emF1Sql)
+       |SELECT 'em' AS metric, count(*) AS n, round(avg(em), 4) AS mean,
+       |  round(min(em), 4) AS min, round(max(em), 4) AS max FROM scored
+       |UNION ALL
+       |SELECT 'f1', count(*), round(avg(f1), 4), round(min(f1), 4), round(max(f1), 4)
+       |FROM scored""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_em_f1" -> ((s: SparkSession, d: String) => emF1(s, d)),
+    "eval_report" -> ((s: SparkSession, d: String) => report(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "eval_em_f1" -> emF1Sql,
+    "eval_report" -> reportSql)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.EvalOps
+import org.apache.spark.sql.functions._
+
+/** Eval-framework scoring metrics (reference: eval_framework/evaluation/
+  * metrics/exact_match.py, f1.py; run_evaluation_module.py report). */
+class EvalSpec extends SparkSpecBase {
+
+  test("EM stratum scores 1.0 on both metrics; partial stratum is bounded and non-exact") {
+    val s = EvalOps.queries("eval_em_f1")(spark, sf).cache()
+    // every 10th doc answers with the golden text verbatim → EM = F1 = 1
+    val exact = s.filter(col("qa_id") % 10 === 0)
+    assert(exact.count() > 0)
+    assert(exact.filter(col("em") =!= 1.0 || col("f1") =!= 1.0).count() === 0L)
+    // the partial stratum never exact-matches but overlaps the golden
+    val partial = s.filter(col("qa_id") % 10 =!= 0)
+    assert(partial.count() > 0)
+    assert(partial.filter(col("em") =!= 0.0).count() === 0L)
+    assert(partial.filter(col("f1") <= 0.0 || col("f1") >= 1.0).count() === 0L,
+      "words 5-10 share a proper token overlap with words 7-14")
+    // scores live in [0, 1]
+    assert(s.filter(col("f1") < 0.0 || col("f1") > 1.0).count() === 0L)
+    s.unpersist()
+  }
+
+  test("F1 is the multiset harmonic mean the reference's Counter arithmetic computes") {
+    // hand-check one partial row: recompute tp/p/r/f1 driver-side from
+    // the same document text and compare to the operator's score
+    val doc = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).collect().head
+    val words = doc.getString(1).split(" ")
+    def norm(ts: Seq[String]): Seq[String] =
+      ts.map(_.toLowerCase.replaceAll("\\W+", "")).filter(_.nonEmpty)
+    val a = norm(words.slice(4, 10).toSeq) // words 5-10, 1-based
+    val e = norm(words.slice(6, 14).toSeq) // words 7-14
+    val tp = a.distinct.map(t => math.min(a.count(_ == t), e.count(_ == t))).sum
+    val (p, r) = (tp.toDouble / a.size, tp.toDouble / e.size)
+    val expected = math.rint((if (p + r == 0) 0.0 else 2 * p * r / (p + r)) * 1e4) / 1e4
+    val got = EvalOps.queries("eval_em_f1")(spark, sf)
+      .filter(col("qa_id") === doc.getLong(0)).collect().head.getDouble(2)
+    assert(got === expected)
+  }
+
+  test("report means re-derive from the per-case scores") {
+    val s = EvalOps.queries("eval_em_f1")(spark, sf).cache()
+    val n = s.count()
+    val emMean = math.rint(s.agg(avg(col("em"))).collect().head.getDouble(0) * 1e4) / 1e4
+    val rep = EvalOps.queries("eval_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rep("em") === ((n, emMean)))
+    assert(rep("f1")._1 === n)
+    s.unpersist()
+  }
+}
