@@ -378,8 +378,123 @@ object CypherLite {
     }
   }
 
+  /** True when the statement carries a write clause (CREATE / MERGE /
+    * DELETE / SET at clause level — occurrences inside quoted string
+    * literals are data, not clauses). */
+  def isWrite(cypher: String): Boolean = {
+    val up = " " + maskedUpper(cypher.trim.replaceAll("\\s+", " ")) + " "
+    Seq("CREATE", "MERGE", "DELETE", "SET").exists(kw =>
+      up.contains(" " + kw + " ") || up.trim.startsWith(kw + " "))
+  }
+
+  // ---- Write subset (graph_db_interface.py:163 query() is read-write;
+  // the adapters' MERGE templates are the semantics matched) ----
+  //
+  //   CREATE (n:type {id: '…', name: '…', k: 'v', …})   → addNodes
+  //   MERGE  (n:type {id: '…', …})                      → mergeNodes
+  //   MERGE  (a {id: '…'})-[:rel [{…}]]->(b {id: '…'})  → mergeEdges
+  //   MATCH <pattern> [WHERE …] SET v.key = '…' [, …]   → setNodeProp
+  //   MATCH <pattern> [WHERE …] DETACH DELETE v          → deleteNodes
+  //
+  // CREATE and MERGE share the adapters' upsert-keep-existing id
+  // semantics (neo4j_driver/adapter.py add_node: `MERGE (n {id}) ON
+  // CREATE SET …` — an existing id keeps its stored row); they differ
+  // in plan shape only: CREATE is the interactive increment (broadcast
+  // collision probe, [[PropertyGraph.addNodes]]), MERGE the corpus-
+  // scale keyed anti-join ([[PropertyGraph.mergeNodes]]). An edge MERGE
+  // writes the edge only — endpoints must already exist (the adapters'
+  // MATCH-MATCH-MERGE add_edge contract). Plain DELETE is REJECTED:
+  // Cypher's DELETE fails on a connected node, which an engine that
+  // never enumerates incident edges driver-side cannot honor — DETACH
+  // DELETE (cascade incident edges) is the supported, and honest, form.
+  private val writeNodeRe =
+    """(?i)^(CREATE|MERGE)\s+\(\s*\w*\s*:\s*(\w+)\s*(\{[^{}]*\})\s*\)$""".r
+  private val writeEdgeRe =
+    ("""(?i)^(CREATE|MERGE)\s+\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)\s*""" +
+      """-\s*\[\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*""" +
+      """\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)$""").r
+  private val setItemRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+
+  /** Execute ONE write statement against the graph, returning the
+    * mutated graph (PropertyGraph is immutable — the caller re-binds,
+    * exactly like the mutation-plan API underneath). */
+  def runWrite(g: PropertyGraph, cypher: String): PropertyGraph = {
+    val q = cypher.trim.replaceAll("\\s+", " ")
+    val up = maskedUpper(q)
+    val spark = g.nodes.sparkSession
+
+    def mapEntries(mapText: String): Seq[(String, String)] =
+      splitOutsideQuotes(mapText.stripPrefix("{").stripSuffix("}"), ",")
+        .map(_.trim).filter(_.nonEmpty).map {
+          case mapPairRe(k, s, n) => k -> (if (s != null) s else n)
+          case other => throw new IllegalArgumentException(
+            s"unsupported property entry in write: $other")
+        }
+
+    q match {
+      case writeNodeRe(verb, ntype, mapText) =>
+        val entries = mapEntries(mapText)
+        val id = entries.collectFirst { case ("id", v) => v }.getOrElse(
+          throw new IllegalArgumentException(s"node write requires an id property: $q"))
+        val name = entries.collectFirst { case ("name", v) => v }.getOrElse(id)
+        val bag = entries.filterNot(e => e._1 == "id" || e._1 == "name")
+        val propsCol =
+          if (bag.isEmpty) map().cast("map<string,string>")
+          else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val row = spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
+          lit(name).as("name"), propsCol.as("props"))
+        if (verb.equalsIgnoreCase("CREATE")) g.addNodes(row) else g.mergeNodes(row)
+      case writeEdgeRe(verb, srcId, rel, mapText, dstId) =>
+        val bag = Option(mapText).map(mapEntries).getOrElse(Seq.empty)
+        val propsCol =
+          if (bag.isEmpty) map().cast("map<string,string>")
+          else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val row = spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
+          lit(rel).as("rel"), propsCol.as("props"))
+        if (verb.equalsIgnoreCase("CREATE")) g.addEdges(row) else g.mergeEdges(row)
+      case _ if up.startsWith("MATCH ") =>
+        // MATCH-driven writes compile the read part through the READ
+        // pipeline (one compiler, one semantics): the matched variable's
+        // ids come back as a one-column frame feeding the mutation plan.
+        val detachIdx = up.indexOf(" DETACH DELETE ")
+        val setIdx = up.indexOf(" SET ")
+        if (up.contains(" DELETE ") && detachIdx < 0)
+          throw new IllegalArgumentException(
+            "plain DELETE fails on connected nodes in Cypher, which this engine " +
+              s"does not check — use DETACH DELETE (cascades incident edges): $q")
+        if (detachIdx >= 0) {
+          require(setIdx < 0, s"mixed SET and DELETE in one statement is unsupported: $q")
+          val v = q.substring(detachIdx + " DETACH DELETE ".length).trim
+          require(v.matches("\\w+"), s"DETACH DELETE takes a single node variable: $q")
+          // materialize the matched id set (stripped store): left lazy,
+          // the anti-joins would re-embed the full prior-mutation plan
+          // stack as their build side — the duplication that pushed the
+          // optimizer to its iteration cap on chained writes
+          val ids = org.apache.spark.sql.graft.Materialize.stored(
+            run(g, q.substring(0, detachIdx) + s" RETURN $v.id AS id"))
+          g.deleteNodes(ids)
+        } else if (setIdx >= 0) {
+          val items = splitItems(q.substring(setIdx + " SET ".length)).map {
+            case setItemRe(v, key, value) => (v, key, value)
+            case other => throw new IllegalArgumentException(s"unsupported SET item: $other")
+          }
+          val vars = items.map(_._1).distinct
+          require(vars.size == 1, s"SET items must target one matched variable: $q")
+          val ids = org.apache.spark.sql.graft.Materialize.stored(
+            run(g, q.substring(0, setIdx) + s" RETURN ${vars.head}.id AS id"))
+          items.foldLeft(g) { case (acc, (_, key, value)) => acc.setNodeProp(ids, key, value) }
+        } else throw new IllegalArgumentException(s"unsupported write statement: $q")
+      case _ => throw new IllegalArgumentException(s"unsupported write statement: $q")
+    }
+  }
+
   def run(g: PropertyGraph, cypher: String): DataFrame = {
     val q = cypher.trim.replaceAll("\\s+", " ")
+    // Read-only contract: a write clause must go through [[runWrite]] —
+    // rejecting here keeps every read-path caller (search facade,
+    // stores, oracles) statically incapable of mutating a graph.
+    require(!isWrite(q),
+      s"read-only context: CREATE/MERGE/DELETE/SET require CypherLite.runWrite: $q")
     // Arbitrary WITH chains: MATCH… (WITH items [WHERE pred] MATCH…)*
     // RETURN… — the reference forwards whatever Cypher the caller
     // writes (cypher_search_retriever.py:24), and chained reductions

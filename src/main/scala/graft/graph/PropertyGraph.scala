@@ -234,6 +234,34 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           .otherwise(col("props")).as("props")))
   }
 
+  /** SET one node property for an id set (the adapters' `SET n.prop =
+    * $value` template, neo4j_driver/adapter.py add_node ON MATCH SET):
+    * the fixed `name` column updates in place; any other key
+    * replaces-or-inserts into the props bag. Declarative like
+    * [[applyFeedbackWeight]]: a keyed left join tags each node row with
+    * a hit marker (no forced broadcast — AQE broadcasts a small id set
+    * on its own), and the bag rebuild is one in-row map rewrite — the
+    * whole update is a single distributed pass over the node relation,
+    * never a fetch-update-writeback loop. */
+  def setNodeProp(ids: DataFrame, key: String, value: String): PropertyGraph = {
+    val hits = ids.select(col("id")).distinct().withColumn("__hit", lit(1))
+    val tagged = nodesP.join(hits, Seq("id"), "left")
+    val updated = key match {
+      case "name" => tagged.select(col("id"), col("ntype"),
+        when(col("__hit").isNotNull, lit(value)).otherwise(col("name")).as("name"),
+        col("props"))
+      case "id" | "ntype" => throw new IllegalArgumentException(
+        s"SET on the identity column '$key' is unsupported")
+      case bagKey =>
+        val rebuilt = map_from_entries(concat(
+          filter(map_entries(col("props")), ent => ent.getField("key") =!= bagKey),
+          array(struct(lit(bagKey).as("key"), lit(value).as("value")))))
+        tagged.select(col("id"), col("ntype"), col("name"),
+          when(col("__hit").isNotNull, rebuilt).otherwise(col("props")).as("props"))
+    }
+    PropertyGraph(updated, edges)
+  }
+
   /** Delete nodes by id along with every incident edge (delete_nodes).
     * Column-preserving: the anti-joins keep whatever schema (props or
     * not) the relations carry. */

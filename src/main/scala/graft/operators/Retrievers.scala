@@ -1118,6 +1118,41 @@ object Retrievers {
       |)
       |SELECT CAST(2 AS BIGINT) AS depth, count(*) AS n_suppliers FROM s2""".stripMargin
 
+  /** CYPHER write subset round trip (graph_db_interface.py:163 query()
+    * is read-write; the adapters' MERGE templates are the semantics):
+    * MERGE a new nation node + its in_region edge, SET a property on
+    * it, DETACH DELETE an existing nation — then read the mutated graph
+    * back through the read compiler. The oracle re-derives the same
+    * mutations in SQL over the raw tables, so a write lost, duplicated,
+    * or mis-cascaded anywhere in the mutation plans breaks the hash.
+    * Writes run on IMMUTABLE graph values (each runWrite returns a new
+    * PropertyGraph) — the shared TpchGraph cache is never mutated. */
+  def cypherWrite(spark: SparkSession, dir: String): DataFrame = {
+    var g = TpchGraph(spark, dir)
+    g = CypherLite.runWrite(g,
+      "MERGE (x:nation {id: 'nation:900', name: 'ATLANTIS', regionkey: '0'})")
+    g = CypherLite.runWrite(g,
+      "MERGE (a {id: 'nation:900'})-[:in_region {note: 'synthetic'}]->(b {id: 'region:0'})")
+    g = CypherLite.runWrite(g,
+      "MATCH (n:nation {id: 'nation:900'}) SET n.status = 'new'")
+    g = CypherLite.runWrite(g,
+      "MATCH (n:nation {id: 'nation:3'}) DETACH DELETE n")
+    CypherLite.run(g,
+      "MATCH (n:nation)-[:in_region]->(r:region) " +
+        "RETURN r.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged " +
+        "ORDER BY region")
+  }
+
+  val cypherWriteSql: String =
+    """WITH n2 AS (
+      |  SELECT 'nation:'||n_nationkey AS nid, n_regionkey AS rk, NULL AS status
+      |  FROM nation WHERE n_nationkey <> 3
+      |  UNION ALL SELECT 'nation:900', 0, 'new'
+      |)
+      |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged
+      |FROM n2 JOIN region ON rk = r_regionkey
+      |GROUP BY r_name ORDER BY region""".stripMargin
+
   // ---------------------------------------------------------------------
   // GRAPH_COMPLETION prompt-context rendering (modules/graph/utils/
   // resolve_edges_to_text.py): the exact text block the reference
@@ -1918,6 +1953,7 @@ object Retrievers {
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
     "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
+    "search_cypher_write" -> ((s: SparkSession, d: String) => cypherWrite(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
@@ -1964,6 +2000,7 @@ object Retrievers {
     "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_path" -> cypherPathSql,
     "search_cypher_shortest" -> cypherShortestSql,
+    "search_cypher_write" -> cypherWriteSql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,

@@ -831,4 +831,71 @@ class CypherLiteSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(viaCypher === direct)
   }
+
+  // ---- write subset (runWrite) ----
+
+  test("runWrite MERGE node upserts keep-existing; CREATE shares the id semantics") {
+    val g1 = CypherLite.runWrite(g, "MERGE (x:a {id: 'a:9', name: 'new', tag: 'v1'})")
+    val row = g1.nodes.filter(col("id") === "a:9").collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("name") === "new")
+    assert(row.head.getAs[Map[String, String]]("props") === Map("tag" -> "v1"))
+    // merging an EXISTING id keeps the stored row (ON CREATE SET semantics)
+    val g2 = CypherLite.runWrite(g1, "MERGE (x:a {id: 'a:9', name: 'overwrite'})")
+    assert(g2.nodes.filter(col("id") === "a:9").collect().head.getAs[String]("name") === "new")
+    val g3 = CypherLite.runWrite(g1, "CREATE (x:a {id: 'a:9', name: 'overwrite'})")
+    assert(g3.nodes.filter(col("id") === "a:9").collect().head.getAs[String]("name") === "new")
+    // the source graph value is untouched (immutable mutation plans)
+    assert(g.nodes.filter(col("id") === "a:9").count() === 0L)
+  }
+
+  test("runWrite MERGE edge writes the edge only, deduped on the triplet") {
+    val g1 = CypherLite.runWrite(g, "MERGE (a {id: 'a:1'})-[:likes {w: '2'}]->(b {id: 'c:1'})")
+    val e = g1.edges.filter(col("rel") === "likes").collect()
+    assert(e.length === 1 && e.head.getAs[String]("src") === "a:1")
+    assert(e.head.getAs[Map[String, String]]("props") === Map("w" -> "2"))
+    // re-merging the same triplet keeps one row with the stored bag
+    val g2 = CypherLite.runWrite(g1, "MERGE (a {id: 'a:1'})-[:likes {w: '9'}]->(b {id: 'c:1'})")
+    val e2 = g2.edges.filter(col("rel") === "likes").collect()
+    assert(e2.length === 1 && e2.head.getAs[Map[String, String]]("props") === Map("w" -> "2"))
+  }
+
+  test("runWrite SET updates the bag and the fixed name column for matched nodes only") {
+    val g1 = CypherLite.runWrite(g, "MATCH (x:a) WHERE x.name = 'alpha' SET x.seen = 'y'")
+    val bags = g1.nodes.collect().map(r =>
+      r.getAs[String]("id") -> r.getAs[Map[String, String]]("props")).toMap
+    assert(bags("a:1") === Map("seen" -> "y"))
+    assert(bags("a:2") === Map.empty)
+    val g2 = CypherLite.runWrite(g, "MATCH (x:b) SET x.name = 'renamed'")
+    assert(g2.nodes.filter(col("id") === "b:1").collect().head.getAs[String]("name") === "renamed")
+    assert(g2.nodes.filter(col("id") === "a:1").collect().head.getAs[String]("name") === "alpha")
+    // identity columns refuse SET
+    intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MATCH (x:a) SET x.id = 'zz'")
+    }
+  }
+
+  test("runWrite DETACH DELETE cascades incident edges; plain DELETE is rejected by contract") {
+    val g1 = CypherLite.runWrite(g, "MATCH (y:b {id: 'b:1'}) DETACH DELETE y")
+    assert(g1.nodes.filter(col("id") === "b:1").count() === 0L)
+    assert(g1.edges.count() === 0L, "every edge touched b:1")
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MATCH (y:b {id: 'b:1'}) DELETE y")
+    }
+    assert(e.getMessage.contains("DETACH"))
+  }
+
+  test("the read path rejects write clauses (read-only contexts stay read-only)") {
+    for (w <- Seq(
+        "CREATE (x:a {id: 'a:9'})",
+        "MERGE (x:a {id: 'a:9'})",
+        "MATCH (x:a) SET x.k = 'v'",
+        "MATCH (x:a) DETACH DELETE x")) {
+      val e = intercept[IllegalArgumentException] { CypherLite.run(g, w) }
+      assert(e.getMessage.contains("read-only"), w)
+    }
+    // …but write KEYWORDS inside string literals are data, not clauses
+    assert(CypherLite.run(g,
+      "MATCH (x:a) WHERE x.name = 'please CREATE and DELETE me' RETURN x.id AS id").count() === 0L)
+  }
 }
