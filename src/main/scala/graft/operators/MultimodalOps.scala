@@ -140,23 +140,73 @@ object MultimodalOps {
   private def byteAt(p: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
     conv(hex(substring(p, i, 1)), 16, 10).cast("long")
 
+  // Column-indexed byte/BE16 reads for the JPEG segment walk (the
+  // marker offsets are data-dependent, unlike the fixed-offset formats).
+  private def byteAtC(p: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+    conv(hex(p.substr(i, lit(1))), 16, 10).cast("long")
+  private def be16C(p: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+    byteAtC(p, i) * 256 + byteAtC(p, i + 1)
+
+  /** JPEG frame dimensions via a BOUNDED SOF marker scan (JPEG has no
+    * fixed-offset dimension field — height/width live in the first
+    * start-of-frame segment, behind a variable run of APPn/DQT/COM
+    * segments). The segment walk `off → off + 2 + BE16(len)` is
+    * unrolled `maxSegs` times as pure byte arithmetic — stays inside
+    * codegen, no UDF. Each step is its OWN projection stage
+    * (`__joff`/`__jw`/`__jh` scratch columns): inlining the offset
+    * recurrence into one expression tree triples per step (a ~36 MiB
+    * task binary at 8 steps); the staged form computes each offset
+    * once, and CollapseProject keeps the stages because the non-cheap
+    * alias is referenced several times. SOF markers are C0-CF minus
+    * C4/C8/CC (DHT/JPG/DAC), per ITU T.81 Table B.1. Baseline files
+    * carry SOF within the first handful of segments; a frame deeper
+    * than the unroll bound parses as dimension-NULL, never wrong. */
+  private def withJpegDims(df: DataFrame, maxSegs: Int = 8): DataFrame = {
+    val p = col("payload")
+    val sofMarkers = Seq(0xC0L, 0xC1L, 0xC2L, 0xC3L, 0xC5L, 0xC6L, 0xC7L,
+      0xC9L, 0xCAL, 0xCBL, 0xCDL, 0xCEL, 0xCFL)
+    var out = df
+      .withColumn("__joff", lit(3L)) // 1-based pos of the segment's 0xFF
+      .withColumn("__jw", lit(null).cast("long"))
+      .withColumn("__jh", lit(null).cast("long"))
+    for (_ <- 1 to maxSegs) {
+      val off = col("__joff")
+      val isSof = byteAtC(p, off) === 0xFFL &&
+        byteAtC(p, off + 1).isin(sofMarkers: _*)
+      // segment layout from `off`: FF(1) marker(1) len(2) payload…;
+      // SOF payload: precision(1) height(2) width(2) …
+      out = out
+        .withColumn("__jh", when(col("__jh").isNull && isSof, be16C(p, off + 5))
+          .otherwise(col("__jh")))
+        .withColumn("__jw", when(col("__jw").isNull && isSof, be16C(p, off + 7))
+          .otherwise(col("__jw")))
+        .withColumn("__joff", off + 2 + be16C(p, off + 2))
+    }
+    out
+  }
+
   /** Detect format and parse dimensions from any (doc_id, payload)
     * media relation: PNG (big-endian IHDR at 17/21), GIF (little-endian
-    * 16-bit at 7/9), BMP (little-endian 32-bit at 19/23); anything else
-    * is `unknown` with NULL dimensions. */
+    * 16-bit at 7/9), BMP (little-endian 32-bit at 19/23), JPEG (bounded
+    * SOF segment scan, [[jpegDims]]); anything else is `unknown` with
+    * NULL dimensions. */
   def imageMeta(media: DataFrame): DataFrame = {
     val p = col("payload")
     val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
     val isGif = hex(substring(p, 1, 4)) === "47494638"
     val isBmp = hex(substring(p, 1, 2)) === "424D"
+    val isJpg = hex(substring(p, 1, 2)) === "FFD8"
     def be32(i: Int) = conv(hex(substring(p, i, 4)), 16, 10).cast("long")
     def le16(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256
     def le32(i: Int) = byteAt(p, i) + byteAt(p, i + 1) * 256 +
       byteAt(p, i + 2) * 65536 + byteAt(p, i + 3) * 16777216
-    media.select(col("doc_id"),
-      when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp").otherwise("unknown").as("format"),
-      when(isPng, be32(17)).when(isGif, le16(7)).when(isBmp, le32(19)).as("width"),
-      when(isPng, be32(21)).when(isGif, le16(9)).when(isBmp, le32(23)).as("height"))
+    withJpegDims(media).select(col("doc_id"),
+      when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+        .when(isJpg, "jpeg").otherwise("unknown").as("format"),
+      when(isPng, be32(17)).when(isGif, le16(7)).when(isBmp, le32(19))
+        .when(isJpg, col("__jw")).as("width"),
+      when(isPng, be32(21)).when(isGif, le16(9)).when(isBmp, le32(23))
+        .when(isJpg, col("__jh")).as("height"))
   }
 
   /** WAV (RIFF) header parse — the audio twin of [[imageMeta]]: a
@@ -219,30 +269,39 @@ object MultimodalOps {
       |FROM documents""".stripMargin
 
   /** Deterministic header corpus: each doc synthesizes a GENUINE
-    * PNG/GIF/BMP header (by doc_id mod 3) carrying dimensions derived
-    * from its columns — so the registered query is a build→parse round
-    * trip through real header layouts, and the oracle pins the closed
-    * form (an endianness or offset bug breaks the hash). */
+    * PNG/GIF/BMP/JPEG header (by doc_id mod 4) carrying dimensions
+    * derived from its columns — so the registered query is a
+    * build→parse round trip through real header layouts, and the oracle
+    * pins the closed form (an endianness or offset bug breaks the
+    * hash). The JPEG stratum is SOI + a full 16-byte APP0/JFIF segment
+    * + SOF0, so parsing REQUIRES the segment walk to skip a non-SOF
+    * segment — a parser reading a fixed offset cannot match. */
   def imageHeaders(spark: SparkSession, dir: String): DataFrame = {
     val w = (col("n_chars") % 1024 + 1).cast("long")
     val h = (col("doc_id") % 768 + 1).cast("long")
+    def beHex16(x: org.apache.spark.sql.Column) = lpad(hex(x), 4, "0")
     def beHex32(x: org.apache.spark.sql.Column) = lpad(hex(x), 8, "0")
     def leHex(x: org.apache.spark.sql.Column, nBytes: Int) = concat(
       (0 until nBytes).map(b => lpad(hex(shiftright(x, b * 8) % 256), 2, "0")): _*)
     val payloadHex =
-      when(col("doc_id") % 3 === 0,
+      when(col("doc_id") % 4 === 0,
         concat(lit("89504E470D0A1A0A0000000D49484452"), beHex32(w), beHex32(h)))
-      .when(col("doc_id") % 3 === 1,
+      .when(col("doc_id") % 4 === 1,
         concat(lit("474946383961"), leHex(w, 2), leHex(h, 2)))
-      .otherwise(
+      .when(col("doc_id") % 4 === 2,
         concat(lit("424D" + "00" * 16), leHex(w, 4), leHex(h, 4)))
+      .otherwise(concat(
+        lit("FFD8"), // SOI
+        lit("FFE000104A46494600010100000100010000"), // APP0/JFIF, len 0x10
+        lit("FFC0001108"), beHex16(h), beHex16(w), // SOF0, len 0x11, 8-bit
+        lit("03011100021101031101"))) // 3 components
     load(spark, dir, "documents")
       .select(col("doc_id"), unhex(payloadHex).as("payload"))
   }
 
   val imageMetaSql: String =
     """SELECT doc_id,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+      |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
       |  CAST(n_chars % 1024 + 1 AS BIGINT) AS width,
       |  CAST(doc_id % 768 + 1 AS BIGINT) AS height
       |FROM documents""".stripMargin

@@ -1233,6 +1233,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(4L) === (("unknown", -1L, -1L)))
   }
 
+  test("imageMeta walks JPEG segments to the first SOF (baseline and progressive)") {
+    import TestSpark.spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // The libjpeg-style prefix of a baseline 1x1 file: SOI, APP0/JFIF,
+    // a full 67-byte DQT, then SOF0 — dimensions sit behind TWO
+    // variable segments, so only the marker walk can find them.
+    val jpgBaseline = hexBytes(
+      "FFD8" +
+        "FFE000104A46494600010100000100010000" +
+        "FFDB0043" + "00" + "01" * 64 +
+        "FFC00011" + "08" + "0001" + "0001" + "03011100021101031101")
+    // Progressive (SOF2) 240x320: the non-SOF0 frame markers count too.
+    val jpgProgressive = hexBytes(
+      "FFD8" +
+        "FFE000104A46494600010100000100010000" +
+        "FFC20011" + "08" + "00F0" + "0140" + "03011100021101031101")
+    // SOI but the walk never meets a SOF within the bound: NULL dims,
+    // still typed jpeg — never a wrong dimension.
+    val jpgNoSof = hexBytes("FFD8" + "FFE000104A46494600010100000100010000")
+    val media = Seq((1L, jpgBaseline), (2L, jpgProgressive), (3L, jpgNoSof))
+      .toDF("doc_id", "payload")
+    val out = MultimodalOps.imageMeta(media).collect()
+      .map(r => (r.getLong(0), (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) === (("jpeg", 1L, 1L)))
+    assert(out(2L) === (("jpeg", 320L, 240L)))
+    assert(out(3L) === (("jpeg", -1L, -1L)))
+  }
+
   test("videoMeta parses genuine MP4/AVI container prefixes and rejects noise") {
     import TestSpark.spark.implicits._
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
