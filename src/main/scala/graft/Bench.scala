@@ -70,6 +70,13 @@ object Bench {
     val regressed: Seq[(String, Double, Double, Double)] = results.collect {
       case (k, _, v) if !errors.contains(k) && v >= 0.5 &&
         records.get(k).exists(r => r > 0 && v > 2 * r) =>
+        // Fresh-cache re-run: evict every session-cached artifact (graph
+        // projections, vector artifacts, CacheManager entries) first, so
+        // the third number approximates a fresh JVM — distinguishing
+        // contention (re-check ≈ record) from a cache-interaction
+        // regression (re-check ≈ the flagged time) instead of
+        // re-measuring whatever the suite left warm.
+        graph.SessionDirCache.evictSession(spark)
         val t0 = System.nanoTime()
         try SparkEntry.queries(k)(spark, sfDir).count()
         catch { case _: Throwable => () } // already-reported class of failure

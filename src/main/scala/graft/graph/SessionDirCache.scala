@@ -42,11 +42,41 @@ object SessionDirCache {
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted.mkString(",")
     }.mkString(";")
+
+  // Every live instance, so a whole-session eviction can reach the
+  // private caches scattered across the operator modules.
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionDirCache[_]]()
+  private def register(c: SessionDirCache[_]): Unit = instances.add(c)
+
+  /** Evict `spark`'s entries from EVERY SessionDirCache (graph
+    * projections, co-purchase edges, feedback/temporal graphs, vector
+    * artifacts): persisted frames are released and the next access
+    * rebuilds. The bench's regression re-check runs behind this so its
+    * third number approximates a fresh JVM (suite-cache interactions
+    * removed) instead of re-measuring whatever the suite left warm.
+    * localCheckpoint blocks of evicted artifacts are NOT force-dropped —
+    * they are unreachable after eviction and the ContextCleaner reclaims
+    * them; force-dropping would break any still-referenced frame, whose
+    * lineage cannot recompute past a checkpoint. */
+  def evictSession(spark: SparkSession): Unit = {
+    instances.forEach(_.evict(spark))
+    if (!spark.sparkContext.isStopped) spark.catalog.clearCache()
+  }
 }
 
 final class SessionDirCache[T](build: (SparkSession, String) => T,
     stamp: (SparkSession, String) => String = (_, _) => "") {
+  SessionDirCache.register(this)
   private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, T)]
+
+  /** Drop every entry of `spark`, releasing persisted frames — the next
+    * access rebuilds from scratch. Used by the bench's fresh-cache
+    * regression re-check ([[SessionDirCache.evictSession]]). */
+  private[graft] def evict(spark: SparkSession): Unit =
+    cache.keysIterator.filter(_._1 eq spark).toList.foreach { k =>
+      cache.remove(k).foreach { case (_, v) => release(spark, v) }
+    }
 
   // Safe under the concurrent double-build race (two threads miss, both
   // build, the loser's value is released while its caller holds it):
