@@ -790,11 +790,22 @@ object CypherLite {
     // column — participates in Cypher's implicit grouping like any
     // non-aggregate item).
     val lengthItemRe = """(?i)^length\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
+    // nodes(p)/relationships(p) get a CONTRACT-NAMING rejection, not a
+    // generic parse error: the path variable binds (endpoints, depth)
+    // only — enumerating the interior of every path is the exponential
+    // materialization the tabular subset deliberately refuses.
+    val pathFnRe = """(?i)^(nodes|relationships)\s*\(\s*(\w+)\s*\).*$""".r
     val items = splitItems(retBody).toArray.flatMap {
       case lengthItemRe(v, alias) if allPath(v) => Seq {
         val name = Option(alias).getOrElse(s"length_$v")
         (false, col(s"${v}_len").as(name), name)
       }
+      case pathFnRe(fn, v) if allPath(v) =>
+        throw new IllegalArgumentException(
+          s"$fn($v) is unsupported: a path variable binds (endpoints, depth) only — " +
+            "the tabular subset never enumerates path interiors (exponential on dense " +
+            s"graphs); read length($v), or match the interior nodes explicitly with a " +
+            "fixed-length pattern")
       case caseItemRe(body, alias) => Seq {
         val whenRe = """(?i)WHEN\s+(.+?)\s+THEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
         val elseRe = """(?i)ELSE\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r

@@ -310,7 +310,19 @@ object EventStream {
     * downstream sinks upsert on userId). Quartile scoring stays the
     * batch-side broadcast-cutoff pass: cutoffs are corpus-wide
     * percentiles no per-key state can maintain. Monetary is rounded at
-    * READ (2dp), matching the batch round(sum(value), 2). */
+    * READ (2dp), matching the batch round(sum(value), 2).
+    *
+    * REPLAY CONTRACT (the bounded window's corruption mode, stated
+    * plainly): the recent-id window holds a user's newest 128 event
+    * ids, sized for an at-least-once source's redelivery span (a
+    * micro-batch or two around a checkpoint) — NOT for archival
+    * replays. A replay reaching deeper than the window double-counts
+    * the out-of-window events' frequency/monetary silently. Feeding a
+    * from-scratch re-read into a live rollup is a rebuild, not a
+    * replay: start it against fresh state (new checkpoint dir), the
+    * same way the batch rfm recomputes from the ledger. The parity
+    * spec asserts its corpus fits the window, so the assumption is
+    * checked, not assumed. */
   def rfmStream(events: Dataset[Event]): Dataset[RfmRollup] = {
     import events.sparkSession.implicits._
     events

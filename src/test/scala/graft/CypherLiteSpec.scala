@@ -832,6 +832,19 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(viaCypher === direct)
   }
 
+  test("nodes(p)/relationships(p) are rejected with the tabular-subset contract") {
+    for (fn <- Seq("nodes", "relationships")) {
+      val e = intercept[IllegalArgumentException] {
+        CypherLite.run(g, s"MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN $fn(p)")
+      }
+      assert(e.getMessage.contains("endpoints, depth") && e.getMessage.contains("length(p)"), fn)
+    }
+    // …while length(p) on the same pattern works
+    assert(CypherLite.run(g,
+      "MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN length(p) AS d, count(*) AS n ORDER BY d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
+  }
+
   // ---- write subset (runWrite) ----
 
   test("runWrite MERGE node upserts keep-existing; CREATE shares the id semantics") {

@@ -115,6 +115,16 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
     val events = loadEvents()
+    // The full-replay leg below exercises the 128-entry recent-id dedup
+    // window ONLY because every test user fits inside it — assert that
+    // precondition, so a regenerated corpus with chattier users fails
+    // HERE (assumption violated) instead of passing by luck or failing
+    // with an opaque parity diff. A replay reaching past the window
+    // double-counts by design (documented in rfmStream's contract);
+    // production replays are micro-batch-sized, not archival.
+    val maxPerUser = events.groupBy(_.userId).values.map(_.size).max
+    assert(maxPerUser <= 128,
+      s"testdata breaks the rfmStream replay-window assumption: $maxPerUser events/user > 128")
     // two batches plus a full replay: state must fold increments AND
     // dedup replayed event ids (no double-counted frequency/monetary)
     val (h1, h2) = events.splitAt(events.length / 2)
