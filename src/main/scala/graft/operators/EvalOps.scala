@@ -113,6 +113,49 @@ object EvalOps {
        |  END, 4) AS f1
        |FROM scored""".stripMargin
 
+  /** Context coverage (context_coverage.py — the eval framework's third
+    * metric): how much of the source context the retrieval context
+    * covers. The reference scores it with deepeval's SummarizationMetric
+    * COVERAGE leg — an LLM generates assessment questions from the
+    * context and the score is the fraction answerable from the
+    * retrieval context. The deterministic stand-in keeps the same
+    * recall shape at token level: the fraction of the context's
+    * distinct normalized tokens present in the retrieval context
+    * (empty context → 1.0, nothing to cover). Cases project from the
+    * same QA stratum: context = words 7-20 (the facts), retrieval
+    * context = words 1-16 (what retrieval returned) — a proper partial
+    * overlap, so the score exercises its range. */
+  def contextCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val cases = load(spark, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("qa_id"),
+        array_join(slice(words, 7, 14), " ").as("context"),
+        array_join(slice(words, 1, 16), " ").as("retrieval_context"))
+    val ctx = array_distinct(f1Tokens(col("context")))
+    val rc = array_distinct(f1Tokens(col("retrieval_context")))
+    val cov = when(size(ctx) === 0, 1.0)
+      .otherwise(size(array_intersect(ctx, rc)).cast("double") / size(ctx))
+    cases.select(col("qa_id"), round(cov, 4).as("coverage"))
+  }
+
+  val contextCoverageSql: String =
+    s"""WITH cases AS (
+       |  SELECT doc_id AS qa_id,
+       |    array_to_string((string_split(text, ' '))[7:20], ' ') AS context,
+       |    array_to_string((string_split(text, ' '))[1:16], ' ') AS retrieval_context
+       |  FROM documents WHERE doc_id % 5 = 0
+       |),
+       |toks AS (
+       |  SELECT qa_id,
+       |    list_distinct(${tokSql("context")}) AS ctx,
+       |    list_distinct(${tokSql("retrieval_context")}) AS rc
+       |  FROM cases
+       |)
+       |SELECT qa_id,
+       |  round(CASE WHEN len(ctx) = 0 THEN 1.0
+       |    ELSE len(list_intersect(ctx, rc)) * 1.0 / len(ctx) END, 4) AS coverage
+       |FROM toks""".stripMargin
+
   /** The aggregate report (metrics_calculator.py extract + mean;
     * run_evaluation_module.py:19 persists this shape): one row per
     * metric — score count and mean. The reference also bootstraps a
@@ -121,26 +164,34 @@ object EvalOps {
     * mean/min/max instead. */
   def report(spark: SparkSession, dir: String): DataFrame = {
     val s = emF1(spark, dir).localCheckpoint(true)
-    def one(metric: String, c: Column): DataFrame =
-      s.agg(count(lit(1)).as("n"), round(avg(c), 4).as("mean"),
+    def one(src: DataFrame, metric: String, c: Column): DataFrame =
+      src.agg(count(lit(1)).as("n"), round(avg(c), 4).as("mean"),
           round(min(c), 4).as("min"), round(max(c), 4).as("max"))
         .select(lit(metric).as("metric"), col("n"), col("mean"), col("min"), col("max"))
-    one("em", col("em")).union(one("f1", col("f1")))
+    one(s, "em", col("em")).union(one(s, "f1", col("f1")))
+      .union(one(contextCoverage(spark, dir), "context_coverage", col("coverage")))
   }
 
   val reportSql: String =
-    s"""WITH scored AS ($emF1Sql)
+    s"""WITH scored AS ($emF1Sql),
+       |cov AS ($contextCoverageSql)
        |SELECT 'em' AS metric, count(*) AS n, round(avg(em), 4) AS mean,
        |  round(min(em), 4) AS min, round(max(em), 4) AS max FROM scored
        |UNION ALL
        |SELECT 'f1', count(*), round(avg(f1), 4), round(min(f1), 4), round(max(f1), 4)
-       |FROM scored""".stripMargin
+       |FROM scored
+       |UNION ALL
+       |SELECT 'context_coverage', count(*), round(avg(coverage), 4),
+       |  round(min(coverage), 4), round(max(coverage), 4)
+       |FROM cov""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_em_f1" -> ((s: SparkSession, d: String) => emF1(s, d)),
+    "eval_context_coverage" -> ((s: SparkSession, d: String) => contextCoverage(s, d)),
     "eval_report" -> ((s: SparkSession, d: String) => report(s, d)))
 
   def oracles: Map[String, String] = Map(
     "eval_em_f1" -> emF1Sql,
+    "eval_context_coverage" -> contextCoverageSql,
     "eval_report" -> reportSql)
 }

@@ -44,6 +44,17 @@ class EvalSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("context coverage is the token recall of the context within the retrieval context") {
+    val s = EvalOps.queries("eval_context_coverage")(spark, sf).cache()
+    assert(s.count() > 0)
+    assert(s.filter(col("coverage") < 0.0 || col("coverage") > 1.0).count() === 0L)
+    // the strata overlap partially by construction (words 7-20 vs 1-16):
+    // the average sits strictly inside (0, 1)
+    val mean = s.agg(avg(col("coverage"))).collect().head.getDouble(0)
+    assert(mean > 0.0 && mean < 1.0)
+    s.unpersist()
+  }
+
   test("report means re-derive from the per-case scores") {
     val s = EvalOps.queries("eval_em_f1")(spark, sf).cache()
     val n = s.count()

@@ -39,7 +39,10 @@ class PlanLintSpec extends SparkSpecBase {
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
-    "search_hybrid_rrf") // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
+    "search_hybrid_rrf", // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
+    "search_cypher_write") // 1-row write increment ⋈ the id-matched base row: both sides
+                           // filter to the same literal id, so constant propagation
+                           // rewrites the equi-join condition away — ≤1 row × ≤1 row
 
   private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     cond.exists(_.isInstanceOf[EqualTo])
