@@ -932,7 +932,7 @@ object CypherLite {
     var in = false
     q.foreach { ch =>
       if (ch == '\'') { in = !in; sb.append('\'') }
-      else sb.append(if (in) ' ' else Character.toUpperCase(ch))
+      else sb.append(if (in) '\u0000' else Character.toUpperCase(ch))
     }
     sb.toString
   }
