@@ -441,16 +441,23 @@ object CypherLite {
         val propsCol =
           if (bag.isEmpty) map().cast("map<string,string>")
           else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        val row = spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
-          lit(name).as("name"), propsCol.as("props"))
+        // The increment is materialized as a stored 1-row scan BEFORE it
+        // meets the mutation plans: left as literal projections, the
+        // constant-aliased join key sends PushDownLeftSemiAntiJoin /
+        // CollapseProject / ColumnPruning into a rewrite cycle that caps
+        // the optimizer's iteration budget on every downstream action.
+        val row = org.apache.spark.sql.graft.Materialize.stored(
+          spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
+            lit(name).as("name"), propsCol.as("props")))
         if (verb.equalsIgnoreCase("CREATE")) g.addNodes(row) else g.mergeNodes(row)
       case writeEdgeRe(verb, srcId, rel, mapText, dstId) =>
         val bag = Option(mapText).map(mapEntries).getOrElse(Seq.empty)
         val propsCol =
           if (bag.isEmpty) map().cast("map<string,string>")
           else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        val row = spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
-          lit(rel).as("rel"), propsCol.as("props"))
+        val row = org.apache.spark.sql.graft.Materialize.stored( // see node case
+          spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
+            lit(rel).as("rel"), propsCol.as("props")))
         if (verb.equalsIgnoreCase("CREATE")) g.addEdges(row) else g.mergeEdges(row)
       case _ if up.startsWith("MATCH ") =>
         // MATCH-driven writes compile the read part through the READ
