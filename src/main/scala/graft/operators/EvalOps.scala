@@ -185,13 +185,84 @@ object EvalOps {
        |  round(min(coverage), 4), round(max(coverage), 4)
        |FROM cov""".stripMargin
 
+  /** Per-metric 10-bin score histogram — the DATA LAYER of the
+    * reference's evaluation dashboard (analysis/dashboard_generator.py
+    * create_distribution_plots: a 10-bin histogram per metric). Binning
+    * is one distributed map + a tiny keyed aggregate (≤ 30 groups);
+    * scores of 1.0 clamp into the top bin, plotly's inclusive upper
+    * edge. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val em = emF1(spark, dir).localCheckpoint(true)
+    val scores = em.select(lit("em").as("metric"), col("em").as("score"))
+      .union(em.select(lit("f1").as("metric"), col("f1").as("score")))
+      .union(contextCoverage(spark, dir)
+        .select(lit("context_coverage").as("metric"), col("coverage").as("score")))
+    scores
+      .select(col("metric"), least(floor(col("score") * 10), lit(9.0)).cast("int").as("bin"))
+      .groupBy(col("metric"), col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  val histogramSql: String =
+    s"""WITH scored AS ($emF1Sql),
+       |cov AS ($contextCoverageSql),
+       |all_scores AS (
+       |  SELECT 'em' AS metric, em AS score FROM scored
+       |  UNION ALL SELECT 'f1', f1 FROM scored
+       |  UNION ALL SELECT 'context_coverage', coverage FROM cov
+       |)
+       |SELECT metric, CAST(least(floor(score * 10), 9) AS INT) AS bin, count(*) AS n
+       |FROM all_scores GROUP BY 1, 2""".stripMargin
+
+  /** The dashboard itself (dashboard_generator.py create_dashboard):
+    * a self-contained HTML page — per-metric summary table + 10-bin
+    * distribution bars — rendered from the DISTRIBUTED aggregates
+    * ([[report]], [[histogram]]; ≤ 33 rows collect driver-side, never
+    * raw scores). The reference draws plotly histograms and a
+    * bootstrap-CI plot; the deterministic render uses inline CSS bars
+    * and the exact min/max the report carries instead of the
+    * randomized CI ([[report]]'s contract). */
+  def dashboardHtml(spark: SparkSession, dir: String): String = {
+    val rep = report(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val hist = histogram(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>" +
+      "<title>Evaluation Dashboard</title><style>" +
+      "body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}" +
+      "td,th{border:1px solid #999;padding:4px 8px}" +
+      ".bar{background:#1f77b4;display:inline-block;height:12px}" +
+      "</style></head><body><h1>Evaluation Dashboard</h1>"
+    sb ++= "<h2>Aggregate Metrics</h2><table><tr><th>metric</th><th>n</th>" +
+      "<th>mean</th><th>min</th><th>max</th></tr>"
+    rep.foreach { case (m, n, mean, mn, mx) =>
+      sb ++= s"<tr><td>$m</td><td>$n</td><td>$mean</td><td>$mn</td><td>$mx</td></tr>"
+    }
+    sb ++= "</table>"
+    rep.foreach { case (m, n, _, _, _) =>
+      sb ++= s"<h2>$m Score Distribution</h2><table>"
+      (0 to 9).foreach { b =>
+        val c = hist.getOrElse((m, b), 0L)
+        val w = if (n == 0) 0 else (300L * c / n).toInt
+        sb ++= f"<tr><td>${b / 10.0}%.1f–${(b + 1) / 10.0}%.1f</td>" +
+          s"<td><span class='bar' style='width:${w}px'></span> $c</td></tr>"
+      }
+      sb ++= "</table>"
+    }
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_em_f1" -> ((s: SparkSession, d: String) => emF1(s, d)),
     "eval_context_coverage" -> ((s: SparkSession, d: String) => contextCoverage(s, d)),
+    "eval_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "eval_report" -> ((s: SparkSession, d: String) => report(s, d)))
 
   def oracles: Map[String, String] = Map(
     "eval_em_f1" -> emF1Sql,
     "eval_context_coverage" -> contextCoverageSql,
+    "eval_histogram" -> histogramSql,
     "eval_report" -> reportSql)
 }

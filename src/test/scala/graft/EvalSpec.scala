@@ -65,4 +65,21 @@ class EvalSpec extends SparkSpecBase {
     assert(rep("f1")._1 === n)
     s.unpersist()
   }
+
+  test("dashboard renders from the distributed aggregates, bins conserve counts") {
+    val hist = EvalOps.queries("eval_histogram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val n = EvalOps.queries("eval_em_f1")(spark, sf).count()
+    // every metric's bins sum back to the case count; bins stay in 0..9
+    for (m <- Seq("em", "f1", "context_coverage")) {
+      assert(hist.filter(_._1 == m).map(_._3).sum === n, m)
+    }
+    assert(hist.forall(h => h._2 >= 0 && h._2 <= 9))
+    val html = EvalOps.dashboardHtml(spark, sf)
+    assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>"))
+    for (m <- Seq("em", "f1", "context_coverage"))
+      assert(html.contains(s"<h2>$m Score Distribution</h2>"), m)
+    // deterministic render: byte-identical across calls
+    assert(html === EvalOps.dashboardHtml(spark, sf))
+  }
 }
