@@ -155,6 +155,51 @@ object Retrievers {
        |FROM scored s JOIN d ON d.doc_id = s.doc_id
        |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
 
+  /** CHUNKS under the PRINCIPAL-model ACL store (roles + tenant
+    * defaults, not just direct user grants): the scope resolves through
+    * [[graft.sources.AclStore.sourcesOf]] — direct grants ∪ grants of
+    * every role/tenant the user belongs to, the reference's
+    * get_principal_datasets over all of a user's principals — and
+    * broadcast-semi-joins into the document scan like [[chunksAcl]].
+    * The store is seeded once per testdata stamp (the storeGraphCypher
+    * persistence discipline) from the shared [[graft.sources.AclStore]]
+    * seed, which the DuckDB oracle inlines as VALUES — dave's effective
+    * scope (src0 direct ∪ src4-7 via role ∪ src12 via tenant) is
+    * re-derived by the same union in SQL, so a resolution bug anywhere
+    * (role join, tenant defaults, write-grant leak) breaks the hash. */
+  def chunksAclRole(spark: SparkSession, dir: String, user: String = "dave"): DataFrame = {
+    val stamp = graft.graph.SessionDirCache.parquetStamp(Seq("documents", "embeddings"))(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + stamp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val as = graft.sources.AclStore(spark, s"${System.getProperty("java.io.tmpdir")}/graft_astore_$key")
+    if (!as.hasGrants) graft.sources.AclStore.seed(as)
+    val docs = load(spark, dir, "documents")
+      .join(broadcast(as.sourcesOf(user)), Seq("source"), "left_semi")
+    chunksOver(spark, dir, graft.QueryVec.Id(0), 5, docs, scoped = true)
+  }
+
+  val chunksAclRoleSql: String =
+    s"""WITH g(principal, ptype, dataset, permission) AS (VALUES ${graft.sources.AclStore.seedGrantsSql}),
+       |m(usr, grp, gtype) AS (VALUES ${graft.sources.AclStore.seedMembersSql}),
+       |scope AS (
+       |  SELECT dataset AS source FROM g
+       |  WHERE ptype = 'user' AND principal = 'dave' AND permission = 'read'
+       |  UNION
+       |  SELECT g.dataset FROM m JOIN g ON m.grp = g.principal AND m.gtype = g.ptype
+       |  WHERE m.usr = 'dave' AND g.permission = 'read'
+       |),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |d AS (SELECT * FROM documents WHERE source IN (SELECT source FROM scope)),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id, round($cosSql, 4) AS cosine
+       |  FROM e, q WHERE e.vec_id <> 0
+       |)
+       |SELECT s.doc_id, s.cosine,
+       |  array_to_string((string_split(d.text, ' '))[1:10], ' ') AS snippet
+       |FROM scored s JOIN d ON d.doc_id = s.doc_id
+       |ORDER BY s.cosine DESC, s.doc_id ASC LIMIT 5""".stripMargin
+
   /** SUMMARIES: deterministic extractive summary (first 16 words) of
     * the cosine top-5 for query vector 1 (summaries_retriever.py over a
     * summaries collection; the LLM summarizer is replaced by a
@@ -1929,6 +1974,7 @@ object Retrievers {
     "search_chunks_scoped" -> ((s: SparkSession, d: String) =>
       chunks(s, d, graft.QueryVec.Id(0), 5, scopedDatasets)),
     "search_chunks_acl" -> ((s: SparkSession, d: String) => chunksAcl(s, d, "alice")),
+    "search_chunks_acl_role" -> ((s: SparkSession, d: String) => chunksAclRole(s, d)),
     "search_summaries" -> ((s: SparkSession, d: String) => summaries(s, d)),
     "search_lexical" -> ((s: SparkSession, d: String) => lexical(s, d)),
     "search_lexical_multiset" -> ((s: SparkSession, d: String) => lexicalMultiset(s, d)),
@@ -1976,6 +2022,7 @@ object Retrievers {
     "search_chunks" -> chunksSql,
     "search_chunks_scoped" -> chunksScopedSql,
     "search_chunks_acl" -> chunksAclSql,
+    "search_chunks_acl_role" -> chunksAclRoleSql,
     "search_summaries" -> summariesSql,
     "search_lexical" -> lexicalSql,
     "search_lexical_multiset" -> lexicalMultisetSql,
