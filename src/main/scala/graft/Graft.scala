@@ -148,8 +148,8 @@ object Graft {
         scoped(R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), scope))
       case GraphCompletion =>
         scoped(R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope))
-      case GraphCompletionCot =>
-        scoped(R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3), scope))
+      case GraphCompletionCot => // eager retriever: denied short-circuits inside
+        R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3), scope, denied)
       case GraphCompletionContextExtension =>
         unscopable(R.completionContextExtension(spark, dir,
           seedTokens = toks(Seq("nation", "3", "located", "in"))))

@@ -727,7 +727,14 @@ object Retrievers {
     * between LLM turns). */
   def completionCot(spark: SparkSession, dir: String,
       qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
-      datasets: Seq[String] = Nil): DataFrame = {
+      datasets: Seq[String] = Nil, denied: Boolean = false): DataFrame = {
+    // Unlike every other retriever this one is EAGER (the two-hop loop
+    // collects hop-1 driver-side), so a denied principal must
+    // short-circuit BEFORE any retrieval work — limit(0) on the result
+    // would still have paid two corpus scans for a caller who may read
+    // nothing.
+    if (denied) return spark.range(0).select(lit(1).as("hop"), lit(0L).as("rank"),
+      lit(0L).as("doc_id"), lit(0.0).as("cosine"))
     // Scratch artifacts use eager localCheckpoint (the repo-wide
     // artifact-lifetime discipline): blocks are executor-local and the
     // context cleaner reclaims them once the result is unreferenced —
