@@ -117,7 +117,16 @@ object Graft {
     val (scope: Seq[String], denied: Boolean) = p.user match {
       case None => (p.datasets, false)
       case Some(u) =>
-        val granted = Acl.readableSourcesOf(u)
+        // grants resolve through the durable principal store when the
+        // caller names one (direct ∪ role ∪ tenant — AclStore.sourcesOf;
+        // the dim is bounded principals×datasets, so the driver-side
+        // read matches the in-code path's shape), else the in-code
+        // verification dim
+        val granted = p.aclRoot match {
+          case Some(root) => sources.AclStore(spark, root)
+            .sourcesOf(u).collect().map(_.getString(0)).toSeq
+          case None => Acl.readableSourcesOf(u)
+        }
         val eff = if (p.datasets.isEmpty) granted else p.datasets.intersect(granted)
         (eff, eff.isEmpty)
     }

@@ -35,6 +35,10 @@ object QueryVec {
   *                   reference's get_document_ids_for_user gate);
   *                   combined with `datasets`, the intersection
   *                   applies; an unknown user sees nothing
+  * @param aclRoot    optional [[sources.AclStore]] root: resolve the
+  *                   user's readable datasets through the DURABLE
+  *                   principal store (direct ∪ role ∪ tenant grants)
+  *                   instead of the in-code verification dim
   * @param interval   TEMPORAL half-open bounds (either side optional)
   * @param cypher     CYPHER pattern override
   */
@@ -45,5 +49,6 @@ final case class SearchParams(
     topK: Option[Int] = None,
     datasets: Seq[String] = Nil,
     user: Option[String] = None,
+    aclRoot: Option[String] = None,
     interval: Option[(Option[String], Option[String])] = None,
     cypher: Option[String] = None)

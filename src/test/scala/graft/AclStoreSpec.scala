@@ -70,4 +70,25 @@ class AclStoreSpec extends SparkSpecBase {
     assert(srcs.nonEmpty &&
       srcs.subsetOf(Set("src0", "src4", "src5", "src6", "src7", "src12")))
   }
+
+  test("the facade resolves scope through a caller-named store (roles included)") {
+    val as = freshStore("facade")
+    AclStore.seed(as)
+    def docsOf(user: String): Set[Long] =
+      Graft.search(spark, sf, Graft.Summaries,
+        SearchParams(user = Some(user), aclRoot = Some(as.root)))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sources = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val daveScope = Set("src0", "src4", "src5", "src6", "src7", "src12")
+    val dave = docsOf("dave")
+    assert(dave.nonEmpty && dave.forall(d => daveScope(sources(d))))
+    // store-resolved deny-by-default still holds
+    assert(docsOf("mallory").isEmpty)
+    // revocation is live: dropping the role grant narrows the next search
+    as.removeMember("dave", "analysts", "role")
+    val after = docsOf("dave")
+    assert(after.forall(d => Set("src0", "src12")(sources(d))))
+  }
 }

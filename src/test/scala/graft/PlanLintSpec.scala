@@ -22,7 +22,9 @@ class PlanLintSpec extends SparkSpecBase {
   // Reviewed tiny-broadcast cross/OR joins: each crosses a ≤25-row
   // broadcast (single query vector, probed cells, nation vocabulary).
   private val tinyBroadcastOk: Set[String] = Set(
-    "search_chunks", "search_chunks_scoped", "search_chunks_acl", "search_summaries", "search_insights", "search_feedback",
+    "search_chunks", "search_chunks_scoped", "search_chunks_acl",
+    "search_chunks_acl_role", // same 1-row query-vector cross as search_chunks_acl
+    "search_summaries", "search_insights", "search_feedback",
     "search_feedback_weighted", // 1-row query-vector cross into the centroid ranking
     "search_completion_context", "search_completion_cot", "search_summary_completion",
     "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
