@@ -44,7 +44,9 @@ class EmptyInputSpec extends SparkSpecBase {
     "search_rag_completion",
     "pipeline_cognify", "pipeline_prune", "pipeline_classify",
     "entity_extract_cascade", "code_summaries", "search_context_render",
-    "store_vec_search", "store_doc_ingest")
+    "store_vec_search", "store_doc_ingest",
+    "eval_em_f1", "eval_context_coverage", "eval_histogram", "eval_report",
+    "search_chunks_acl_role")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>
