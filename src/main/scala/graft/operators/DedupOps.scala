@@ -182,6 +182,67 @@ object DedupOps {
       .select(col("d1"), col("d2"), round(j, 4).as("jaccard"))
   }
 
+  /** Near-dup CLUSTER RESOLUTION — the dedup ACTION the pair detectors
+    * feed: qualifying pairs (the exact prefix-filtered Jaccard
+    * machinery, τ = 0.5) union into connected components, and every
+    * clustered document resolves to its component's MINIMUM doc_id as
+    * the canonical representative — the keep-first policy
+    * [[exact]] applies per content hash, lifted to transitive near-dup
+    * groups (a≈b, b≈c ⇒ one survivor for {a,b,c} even when a≉c).
+    * Output: one row per clustered doc (doc_id, cluster_rep, keep);
+    * singletons — docs in no qualifying pair — are implicitly kept and
+    * excluded.
+    *
+    * Scale shape: components run on the PAIR graph only (nodes = docs
+    * appearing in ≥ 1 pair — O(true dups), tiny against the corpus);
+    * the iterative CC is GraphX over that slice
+    * ([[graft.graph.GraphAlgos.connectedComponents]]). Doc ids ride
+    * ZERO-PADDED through the string-id graph so the component label
+    * (lexicographic min) IS the numeric min the oracle computes. */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    def pid(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 12, "0")
+    val pairs = ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
+    val edges = pairs.select(pid(col("d1")).as("src"), pid(col("d2")).as("dst"),
+      lit("near_dup").as("rel"))
+    val nodes = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), lit("doc").as("ntype"), col("id").as("name"))
+    graft.graph.GraphAlgos.connectedComponents(graft.graph.PropertyGraph(nodes, edges))
+      .select(col("id").cast("long").as("doc_id"),
+        col("component").cast("long").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+  }
+
+  val clusterSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 2)) AS u(i)
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT d1, d2 FROM common
+      |  JOIN cnt ca ON ca.doc_id = d1
+      |  JOIN cnt cb ON cb.doc_id = d2
+      |  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+      |),
+      |ue AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM ue) s
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN ue e ON r.b = e.a
+      |)
+      |SELECT a AS doc_id, min(b) AS cluster_rep, a = min(b) AS keep
+      |FROM reach GROUP BY a""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (
@@ -312,6 +373,7 @@ object DedupOps {
     "dedup_exact" -> ((s: SparkSession, d: String) => exact(s, d)),
     "dedup_tokenset" -> ((s: SparkSession, d: String) => tokenSet(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "dedup_cluster" -> ((s: SparkSession, d: String) => cluster(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minHashLsh(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simHash(s, d)))
 
@@ -350,5 +412,6 @@ object DedupOps {
     "dedup_exact" -> exactSql,
     "dedup_tokenset" -> tokenSetSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_cluster" -> clusterSql,
     "dedup_minhash_lsh" -> ngramJaccardSql) // LSH output ≡ exact threshold on this gap (see scaladoc)
 }

@@ -281,6 +281,28 @@ class DedupOpsSpec extends SparkSpecBase {
     assert(exact.nonEmpty)
   }
 
+  test("cluster resolution is transitive and keeps exactly one doc per component") {
+    val out = DedupOps.queries("dedup_cluster")(spark, sf).cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the representative is a member of its own cluster and is numeric-min
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep, s"rep $rep is not the min member")
+      assert(members.count(_._3) === 1, s"cluster $rep must keep exactly one doc")
+      assert(members.find(_._1 == rep).exists(_._3), s"the kept doc must be the rep")
+    }
+    // TRANSITIVITY beyond pairwise similarity: every qualifying pair's
+    // endpoints land in the same cluster, so a≈b, b≈c chain into one
+    // component even when a and c never paired
+    val clusterOf = rows.map(r => r._1 -> r._2).toMap
+    DedupOps.ngramJaccard(spark, sf).collect().foreach { r =>
+      assert(clusterOf(r.getLong(0)) === clusterOf(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+    }
+    out.unpersist()
+  }
+
   test("simhash near-dup pairs have small hamming and cover jaccard dups") {
     val sim = DedupOps.simHash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
