@@ -200,16 +200,35 @@ object DedupOps {
     * ZERO-PADDED through the string-id graph so the component label
     * (lexicographic min) IS the numeric min the oracle computes. */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
-    def pid(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 12, "0")
     val pairs = ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
-    val edges = pairs.select(pid(col("d1")).as("src"), pid(col("d2")).as("dst"),
-      lit("near_dup").as("rel"))
-    val nodes = edges.select(col("src").as("id")).union(edges.select(col("dst").as("id")))
-      .distinct()
-      .select(col("id"), lit("doc").as("ntype"), col("id").as("name"))
-    graft.graph.GraphAlgos.connectedComponents(graft.graph.PropertyGraph(nodes, edges))
-      .select(col("id").cast("long").as("doc_id"),
-        col("component").cast("long").as("cluster_rep"))
+      .select(col("d1"), col("d2")).localCheckpoint(true)
+    // Min-label propagation on the pair graph (a DF loop, not GraphX:
+    // Pregel's per-superstep machinery cost ~3 s on a few hundred
+    // edges — the pair graph is O(true dups), so every round here is a
+    // sub-second keyed join). Each round every node takes the minimum
+    // label among itself and its neighbors; convergence in
+    // O(component diameter) rounds, checked per round (near-dup
+    // components are clique-ish — typically 1-2 rounds).
+    val ue = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(true)
+    var lab = ue.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 60, "cluster label propagation failed to converge")
+      val nbrMin = ue.join(lab.select(col("id").as("b"), col("rep").as("nrep")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nrep")).as("nmin"))
+      val next = lab.join(nbrMin.select(col("a").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.select(col("id"), col("rep").as("nrep")).join(lab, Seq("id"))
+        .filter(col("nrep") =!= col("rep")).count()
+      lab = next
+    }
+    lab.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
       .withColumn("keep", col("doc_id") === col("cluster_rep"))
   }
 
