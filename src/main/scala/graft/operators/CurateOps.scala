@@ -324,7 +324,83 @@ object CurateOps {
       |SELECT doc_id, source, e AS epoch, n_tokens
       |FROM m, unnest(generate_series(CAST(1 AS BIGINT), CAST(m AS BIGINT))) AS u(e)""".stripMargin
 
+  /** APPLY the dedup decisions — the filtered-corpus ledger that closes
+    * the detect → cluster → drop pipeline: per source, how many docs
+    * survive after removing (a) exact duplicates beyond each content
+    * hash's keep-first doc ([[DedupOps.exact]]'s policy) and (b)
+    * near-dup cluster members beyond the cluster representative
+    * ([[DedupOps.cluster]]'s keep-one). The two drop sets OVERLAP
+    * (an exact dup is also a J=1.0 near-dup), so the ledger counts
+    * their distinct union — never a doc twice.
+    *
+    * Scale shape: exact drops are one hash-keyed aggregate joined back
+    * (doc_id ≠ keep_doc_id); near drops come from the pair-graph loop
+    * (O(true dups)); the union is dropped-id-sized, broadcast-semi-
+    * joinable against the corpus; the ledger is one keyed aggregate. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val exactKeep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+    val exactDropped = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exactKeep, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_doc_id")).select(col("doc_id"))
+    val nearDropped = DedupOps.cluster(spark, dir)
+      .filter(!col("keep")).select(col("doc_id"))
+    val dropped = exactDropped.union(nearDropped).distinct()
+      .withColumn("is_dropped", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L)))).as("n_kept"))
+  }
+
+  val dedupApplySql: String =
+    """WITH RECURSIVE exact_keep AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1
+      |),
+      |exact_dropped AS (
+      |  SELECT d.doc_id FROM documents d JOIN exact_keep k ON md5(d.text) = k.h
+      |  WHERE d.doc_id <> k.keep_doc_id
+      |),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[(i + 1):(i + 3)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 2)) AS u(i)
+      |),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT d1, d2 FROM common
+      |  JOIN cnt ca ON ca.doc_id = d1
+      |  JOIN cnt cb ON cb.doc_id = d2
+      |  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+      |),
+      |ue AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM ue) s
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN ue e ON r.b = e.a
+      |),
+      |near_dropped AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b)
+      |),
+      |dropped AS (
+      |  SELECT doc_id FROM exact_dropped UNION SELECT doc_id FROM near_dropped
+      |)
+      |SELECT d.source, count(*) AS n_docs,
+      |  count(x.doc_id) AS n_dropped,
+      |  count(*) - count(x.doc_id) AS n_kept
+      |FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+      |GROUP BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
@@ -335,6 +411,7 @@ object CurateOps {
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_dedup_apply" -> dedupApplySql,
     "curate_mix" -> mixSql,
     "curate_pack" -> packSql,
     "curate_sample" -> sampleSql,
