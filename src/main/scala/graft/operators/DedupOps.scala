@@ -76,7 +76,19 @@ object DedupOps {
     * shingle sets (same arithmetic as the oracle), so the output is
     * byte-identical to the all-pairs answer. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
+    sharedPairs(spark, dir)
+
+  // The τ=0.5 corpus pair set is a shared artifact (the TpchGraph
+  // discipline): three registered queries derive from it
+  // (dedup_ngram_jaccard, dedup_cluster, curate_dedup_apply) — build
+  // once per (session, dir, corpus stamp), materialized executor-local.
+  private val pairsCache = new graft.graph.SessionDirCache[DataFrame](
+    (spark, dir) => ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
+      .localCheckpoint(true),
+    stamp = graft.graph.SessionDirCache.parquetStamp(Seq("documents")))
+
+  private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache(spark, dir)
 
   /** Prefix-filtered candidate index: each doc's ⌊(1−τ)·n⌋+1 globally
     * rarest shingles, keyed by the shingle's 64-bit hash.
@@ -200,8 +212,7 @@ object DedupOps {
     * ZERO-PADDED through the string-id graph so the component label
     * (lexicographic min) IS the numeric min the oracle computes. */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
-      .select(col("d1"), col("d2")).localCheckpoint(true)
+    val pairs = sharedPairs(spark, dir).select(col("d1"), col("d2"))
     // Min-label propagation on the pair graph (a DF loop, not GraphX:
     // Pregel's per-superstep machinery cost ~3 s on a few hundred
     // edges — the pair graph is O(true dups), so every round here is a

@@ -46,7 +46,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "entity_extract_cascade", "code_summaries", "search_context_render",
     "store_vec_search", "store_doc_ingest",
     "eval_em_f1", "eval_context_coverage", "eval_histogram", "eval_report",
-    "search_chunks_acl_role")
+    "search_chunks_acl_role", "dedup_cluster", "curate_dedup_apply")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>
