@@ -401,7 +401,54 @@ object EventOps {
       |  floor(dau.dau * 10000.0 / mau.mau) / 10000 AS stickiness
       |FROM dau JOIN mau USING (month)""".stripMargin
 
+  /** Conversion ATTRIBUTION — first-touch and last-touch per purchase
+    * (the standard marketing-analytics companion to the funnel): for
+    * every purchase event, the user's EARLIEST view and LATEST click
+    * strictly before it in the event stream. One per-user windowed pass
+    * — running min/max over a (ts_sec, event_id)-ordered frame ending
+    * one row before current (the "strictly before" contract, with
+    * event_id as the same-second tiebreaker) — so the plan is a single
+    * keyed sort per user partition, the events_sessionize scale class:
+    * no self-joins, no per-purchase subqueries, scales with the
+    * per-user event count. Purchases with no prior touch keep NULLs
+    * (organic conversions — the reader's own bucket). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"), col("value"))
+      .withColumn("first_view_sec",
+        min(when(col("event_type") === "view", col("ts_sec"))).over(w))
+      .withColumn("last_click_sec",
+        max(when(col("event_type") === "click", col("ts_sec"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("purchase_sec"),
+        col("first_view_sec"), col("last_click_sec"),
+        round(col("value"), 2).as("value"))
+  }
+
+  val attributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events
+      |),
+      |touched AS (
+      |  SELECT event_id, user_id, event_type, sec, value,
+      |    min(CASE WHEN event_type = 'view' THEN sec END) OVER (
+      |      PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_view_sec,
+      |    max(CASE WHEN event_type = 'click' THEN sec END) OVER (
+      |      PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_sec
+      |  FROM ev
+      |)
+      |SELECT event_id, user_id, sec AS purchase_sec,
+      |  first_view_sec, last_click_sec, round(value, 2) AS value
+      |FROM touched WHERE event_type = 'purchase'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> ((s: SparkSession, d: String) => attribution(s, d)),
     "events_dau_mau" -> ((s: SparkSession, d: String) => dauMau(s, d)),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
@@ -415,6 +462,7 @@ object EventOps {
     "search_temporal_open" -> ((s: SparkSession, d: String) => temporalOpen(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "events_attribution" -> attributionSql,
     "events_dau_mau" -> dauMauSql,
     "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,
