@@ -36,6 +36,14 @@ final case class NearDupCandidate(d1: Long, d2: Long, band: Int)
   * state can know). */
 final case class RfmRollup(userId: Long, lastSeenS: Long, frequency: Long, monetary: Double)
 
+/** One attributed purchase (same shape as the batch
+  * operators.EventOps.attribution rows; -1 = no prior touch). */
+final case class AttributedPurchase(eventId: Long, userId: Long, purchaseSec: Long,
+    firstViewSec: Long, lastClickSec: Long, value: Double)
+
+private final case class TouchState(firstViewSec: Long, lastClickSec: Long,
+                                    recentPurchases: List[Long])
+
 private final case class RfmState(lastSeen: Long, freq: Long, monetary: Double,
                                   recent: List[(Long, Long)])
 
@@ -340,6 +348,50 @@ object EventStream {
           state.update(s)
           Iterator.single(RfmRollup(userId, s.lastSeen, s.freq,
             BigDecimal(s.monetary).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+  }
+
+  /** At-ingest conversion ATTRIBUTION (streaming twin of the batch
+    * events_attribution): per-user state carries the earliest view and
+    * latest click seen so far — both idempotent min/max folds, so
+    * replayed TOUCHES can never corrupt state — and each purchase
+    * emits one attributed row against the touches seen strictly before
+    * it in (tsSec, eventId) order (the batch window-frame contract;
+    * within a time-ordered stream the two are identical). Replayed
+    * PURCHASES are suppressed by a bounded 128-entry recent-purchase-id
+    * window (the rfmStream precedent — without it a replayed purchase
+    * would re-attribute against LATER-arrived touches and emit a
+    * conflicting row); a replay reaching past the window re-attributes
+    * against current state, the same documented corruption mode as
+    * rfmStream's. Late cross-batch touches attribute FORWARD only —
+    * the at-ingest contract (the batch pass is the retrospective
+    * recompute). */
+  def attributionStream(events: Dataset[Event]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TouchState, AttributedPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(-1L, -1L, Nil))
+          val out = List.newBuilder[AttributedPurchase]
+          it.toIndexedSeq.sortBy(e => (e.tsSec, e.eventId)).foreach { e =>
+            e.eventType match {
+              case "view" =>
+                s = s.copy(firstViewSec =
+                  if (s.firstViewSec < 0) e.tsSec else math.min(s.firstViewSec, e.tsSec))
+              case "click" =>
+                s = s.copy(lastClickSec = math.max(s.lastClickSec, e.tsSec))
+              case "purchase" if !s.recentPurchases.contains(e.eventId) =>
+                out += AttributedPurchase(e.eventId, userId, e.tsSec,
+                  s.firstViewSec, s.lastClickSec,
+                  BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                s = s.copy(recentPurchases = (e.eventId :: s.recentPurchases).take(128))
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.result().iterator
       }
   }
 

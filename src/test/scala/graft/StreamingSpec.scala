@@ -151,6 +151,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("streaming attribution equals the batch per-purchase pass, replay-suppressed") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // time-ordered batches: the at-ingest contract attributes against
+    // touches seen so far, which equals the batch strictly-before
+    // window only when batches respect the (tsSec, eventId) order
+    val events = loadEvents().sortBy(e => (e.tsSec, e.eventId))
+    val purchasesPerUser = events.filter(_.eventType == "purchase")
+      .groupBy(_.userId).values.map(_.size).foldLeft(0)(math.max)
+    assert(purchasesPerUser <= 128,
+      s"testdata breaks the replay-window assumption: $purchasesPerUser purchases/user")
+    val (h1, h2) = events.splitAt(events.length / 2)
+    stream.addData(h1)
+    val q = EventStream.attributionStream(stream.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    stream.addData(h2)
+    q.processAllAvailable()
+    stream.addData(events) // full replay: all purchases suppressed, touches idempotent
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    val expect = graft.operators.EventOps.attribution(spark, sf)
+      .select(col("event_id"), col("user_id"), col("purchase_sec"),
+        coalesce(col("first_view_sec"), lit(-1L)),
+        coalesce(col("last_click_sec"), lit(-1L)), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(spark.table("attr").count() === expect.size.toLong,
+      "replay must not re-emit any purchase")
+    assert(got === expect)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
