@@ -487,9 +487,27 @@ object CypherLite {
           }
           val vars = items.map(_._1).distinct
           require(vars.size == 1, s"SET items must target one matched variable: $q")
-          val ids = org.apache.spark.sql.graft.Materialize.stored(
-            run(g, q.substring(0, setIdx) + s" RETURN ${vars.head}.id AS id"))
-          items.foldLeft(g) { case (acc, (_, key, value)) => acc.setNodeProp(ids, key, value) }
+          val matchText = q.substring(0, setIdx)
+          val boundEdgeVars = relRe.findAllMatchIn(matchText)
+            .flatMap(m => Option(m.group(2))).toSet
+          if (boundEdgeVars(vars.head)) {
+            // EDGE SET: the bound-edge contract is a single directed hop,
+            // so the matched triplets are (left.id, right.id, r.rel) —
+            // reconstructed through the read pipeline like the node path.
+            val nvs = nodeRe.findAllMatchIn(matchText).map(_.group(1)).toSeq
+            require(nvs.size == 2 && boundEdgeVars.size == 1,
+              s"edge SET supports a single named (a)-[r:rel]->(b) pattern: $q")
+            val keys = org.apache.spark.sql.graft.Materialize.stored(
+              run(g, matchText + s" RETURN ${nvs.head}.id AS src, " +
+                s"${nvs.last}.id AS dst, ${vars.head}.rel AS rel"))
+            items.foldLeft(g) { case (acc, (_, key, value)) =>
+              acc.setEdgeProp(keys, key, value) }
+          } else {
+            val ids = org.apache.spark.sql.graft.Materialize.stored(
+              run(g, matchText + s" RETURN ${vars.head}.id AS id"))
+            items.foldLeft(g) { case (acc, (_, key, value)) =>
+              acc.setNodeProp(ids, key, value) }
+          }
         } else throw new IllegalArgumentException(s"unsupported write statement: $q")
       case _ => throw new IllegalArgumentException(s"unsupported write statement: $q")
     }

@@ -262,6 +262,26 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     PropertyGraph(updated, edges)
   }
 
+  /** SET one edge property for a (src, dst, rel) triplet set — the
+    * edge twin of [[setNodeProp]] (the adapters' edge-property update;
+    * [[applyFeedbackWeight]] is the specialized increment form): keyed
+    * left join tags matched edge rows, one in-row bag rewrite, a
+    * single distributed pass over the edge relation. The fixed
+    * `rel` column is identity — not settable. */
+  def setEdgeProp(keys: DataFrame, key: String, value: String): PropertyGraph = {
+    require(key != "rel" && key != "src" && key != "dst",
+      s"SET on the identity column '$key' is unsupported")
+    val hits = keys.select(col("src"), col("dst"), col("rel")).distinct()
+      .withColumn("__hit", lit(1))
+    val tagged = edgesP.join(hits, Seq("src", "dst", "rel"), "left")
+    val rebuilt = map_from_entries(concat(
+      filter(map_entries(col("props")), ent => ent.getField("key") =!= key),
+      array(struct(lit(key).as("key"), lit(value).as("value")))))
+    PropertyGraph(nodes,
+      tagged.select(col("src"), col("dst"), col("rel"),
+        when(col("__hit").isNotNull, rebuilt).otherwise(col("props")).as("props")))
+  }
+
   /** Delete nodes by id along with every incident edge (delete_nodes).
     * Column-preserving: the anti-joins keep whatever schema (props or
     * not) the relations carry. */

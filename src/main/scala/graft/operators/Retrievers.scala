@@ -1188,11 +1188,13 @@ object Retrievers {
     g = CypherLite.runWrite(g,
       "MATCH (n:nation {id: 'nation:900'}) SET n.status = 'new'")
     g = CypherLite.runWrite(g,
+      "MATCH (a:nation)-[r:in_region]->(b {id: 'region:0'}) SET r.weight = '2'")
+    g = CypherLite.runWrite(g,
       "MATCH (n:nation {id: 'nation:3'}) DETACH DELETE n")
     CypherLite.run(g,
-      "MATCH (n:nation)-[:in_region]->(r:region) " +
-        "RETURN r.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged " +
-        "ORDER BY region")
+      "MATCH (n:nation)-[r:in_region]->(x:region) " +
+        "RETURN x.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged, " +
+        "count(r.weight) AS n_weighted ORDER BY region")
   }
 
   val cypherWriteSql: String =
@@ -1201,7 +1203,8 @@ object Retrievers {
       |  FROM nation WHERE n_nationkey <> 3
       |  UNION ALL SELECT 'nation:900', 0, 'new'
       |)
-      |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged
+      |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged,
+      |  count(CASE WHEN rk = 0 THEN 1 END) AS n_weighted
       |FROM n2 JOIN region ON rk = r_regionkey
       |GROUP BY r_name ORDER BY region""".stripMargin
 

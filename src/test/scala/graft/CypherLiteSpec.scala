@@ -888,6 +888,26 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("runWrite SET on a bound edge variable rewrites matched edge bags only") {
+    val g1 = CypherLite.runWrite(g, "MATCH (x:a)-[r:knows]->(y:b) SET r.w = '5'")
+    val bags = g1.edges.collect().map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("rel")) -> r.getAs[Map[String, String]]("props")).toMap
+    assert(bags(("a:1", "knows")) === Map("w" -> "5"))
+    assert(bags(("a:2", "knows")) === Map("w" -> "5"))
+    assert(bags(("b:1", "in")) === Map.empty, "unmatched relation must keep its bag")
+    // a WHERE narrows the matched edge set
+    val g2 = CypherLite.runWrite(g,
+      "MATCH (x:a)-[r:knows]->(y:b) WHERE x.name = 'alpha' SET r.w = '9'")
+    val bags2 = g2.edges.collect().map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("rel")) -> r.getAs[Map[String, String]]("props")).toMap
+    assert(bags2(("a:1", "knows")) === Map("w" -> "9"))
+    assert(bags2(("a:2", "knows")) === Map.empty)
+    // identity columns refuse SET
+    intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MATCH (x:a)-[r:knows]->(y:b) SET r.rel = 'zz'")
+    }
+  }
+
   test("runWrite DETACH DELETE cascades incident edges; plain DELETE is rejected by contract") {
     val g1 = CypherLite.runWrite(g, "MATCH (y:b {id: 'b:1'}) DETACH DELETE y")
     assert(g1.nodes.filter(col("id") === "b:1").count() === 0L)
