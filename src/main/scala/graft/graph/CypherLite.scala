@@ -383,7 +383,7 @@ object CypherLite {
     * literals are data, not clauses). */
   def isWrite(cypher: String): Boolean = {
     val up = " " + maskedUpper(cypher.trim.replaceAll("\\s+", " ")) + " "
-    Seq("CREATE", "MERGE", "DELETE", "SET").exists(kw =>
+    Seq("CREATE", "MERGE", "DELETE", "SET", "REMOVE").exists(kw =>
       up.contains(" " + kw + " ") || up.trim.startsWith(kw + " "))
   }
 
@@ -414,6 +414,7 @@ object CypherLite {
       """-\s*\[\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*""" +
       """\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)$""").r
   private val setItemRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
+  private val removeItemRe = """(\w+)\.(\w+)""".r
 
   /** Execute ONE write statement against the graph, returning the
     * mutated graph (PropertyGraph is immutable — the caller re-binds,
@@ -465,11 +466,39 @@ object CypherLite {
         // ids come back as a one-column frame feeding the mutation plan.
         val detachIdx = up.indexOf(" DETACH DELETE ")
         val setIdx = up.indexOf(" SET ")
+        val removeIdx = up.indexOf(" REMOVE ")
         if (up.contains(" DELETE ") && detachIdx < 0)
           throw new IllegalArgumentException(
             "plain DELETE fails on connected nodes in Cypher, which this engine " +
               s"does not check — use DETACH DELETE (cascades incident edges): $q")
-        if (detachIdx >= 0) {
+        if (removeIdx >= 0) {
+          // REMOVE v.key [, ...] — the SET twin with the same node/edge
+          // routing; matched sets reconstruct through the read pipeline.
+          require(setIdx < 0 && detachIdx < 0,
+            s"mixed REMOVE and SET/DELETE in one statement is unsupported: $q")
+          val items = splitItems(q.substring(removeIdx + " REMOVE ".length)).map {
+            case removeItemRe(v, key) => (v, key)
+            case other => throw new IllegalArgumentException(s"unsupported REMOVE item: $other")
+          }
+          val vars = items.map(_._1).distinct
+          require(vars.size == 1, s"REMOVE items must target one matched variable: $q")
+          val matchText = q.substring(0, removeIdx)
+          val boundEdgeVars = relRe.findAllMatchIn(matchText)
+            .flatMap(m => Option(m.group(2))).toSet
+          if (boundEdgeVars(vars.head)) {
+            val nvs = nodeRe.findAllMatchIn(matchText).map(_.group(1)).toSeq
+            require(nvs.size == 2 && boundEdgeVars.size == 1,
+              s"edge REMOVE supports a single named (a)-[r:rel]->(b) pattern: $q")
+            val keys = org.apache.spark.sql.graft.Materialize.stored(
+              run(g, matchText + s" RETURN ${nvs.head}.id AS src, " +
+                s"${nvs.last}.id AS dst, ${vars.head}.rel AS rel"))
+            items.foldLeft(g) { case (acc, (_, key)) => acc.removeEdgeProp(keys, key) }
+          } else {
+            val ids = org.apache.spark.sql.graft.Materialize.stored(
+              run(g, matchText + s" RETURN ${vars.head}.id AS id"))
+            items.foldLeft(g) { case (acc, (_, key)) => acc.removeNodeProp(ids, key) }
+          }
+        } else if (detachIdx >= 0) {
           require(setIdx < 0, s"mixed SET and DELETE in one statement is unsupported: $q")
           val v = q.substring(detachIdx + " DETACH DELETE ".length).trim
           require(v.matches("\\w+"), s"DETACH DELETE takes a single node variable: $q")
@@ -519,7 +548,7 @@ object CypherLite {
     // rejecting here keeps every read-path caller (search facade,
     // stores, oracles) statically incapable of mutating a graph.
     require(!isWrite(q),
-      s"read-only context: CREATE/MERGE/DELETE/SET require CypherLite.runWrite: $q")
+      s"read-only context: CREATE/MERGE/DELETE/SET/REMOVE require CypherLite.runWrite: $q")
     // Arbitrary WITH chains: MATCH… (WITH items [WHERE pred] MATCH…)*
     // RETURN… — the reference forwards whatever Cypher the caller
     // writes (cypher_search_retriever.py:24), and chained reductions

@@ -282,6 +282,37 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         when(col("__hit").isNotNull, rebuilt).otherwise(col("props")).as("props")))
   }
 
+  /** REMOVE one bag property for a node id set (Cypher's REMOVE n.key;
+    * the SET twin): one keyed left join + in-row bag filter. Fixed
+    * columns are identity/required — not removable. */
+  def removeNodeProp(ids: DataFrame, key: String): PropertyGraph = {
+    require(!Seq("id", "ntype", "name").contains(key),
+      s"REMOVE on the fixed column '$key' is unsupported")
+    val hits = ids.select(col("id")).distinct().withColumn("__hit", lit(1))
+    val tagged = nodesP.join(hits, Seq("id"), "left")
+    val rebuilt = map_from_entries(
+      filter(map_entries(col("props")), ent => ent.getField("key") =!= key))
+    PropertyGraph(
+      tagged.select(col("id"), col("ntype"), col("name"),
+        when(col("__hit").isNotNull, rebuilt).otherwise(col("props")).as("props")),
+      edges)
+  }
+
+  /** REMOVE one bag property for a (src, dst, rel) triplet set — the
+    * edge twin of [[removeNodeProp]]. */
+  def removeEdgeProp(keys: DataFrame, key: String): PropertyGraph = {
+    require(!Seq("rel", "src", "dst").contains(key),
+      s"REMOVE on the identity column '$key' is unsupported")
+    val hits = keys.select(col("src"), col("dst"), col("rel")).distinct()
+      .withColumn("__hit", lit(1))
+    val tagged = edgesP.join(hits, Seq("src", "dst", "rel"), "left")
+    val rebuilt = map_from_entries(
+      filter(map_entries(col("props")), ent => ent.getField("key") =!= key))
+    PropertyGraph(nodes,
+      tagged.select(col("src"), col("dst"), col("rel"),
+        when(col("__hit").isNotNull, rebuilt).otherwise(col("props")).as("props")))
+  }
+
   /** Delete nodes by id along with every incident edge (delete_nodes).
     * Column-preserving: the anti-joins keep whatever schema (props or
     * not) the relations carry. */

@@ -908,6 +908,29 @@ class CypherLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("runWrite REMOVE drops the key from matched bags only; fixed columns refuse") {
+    val g1 = CypherLite.runWrite(g, "MATCH (x:a) SET x.tag = 'v'")
+    val g2 = CypherLite.runWrite(g1, "MATCH (x:a) WHERE x.name = 'alpha' REMOVE x.tag")
+    val bags = g2.nodes.collect().map(r =>
+      r.getAs[String]("id") -> r.getAs[Map[String, String]]("props")).toMap
+    assert(bags("a:1") === Map.empty)
+    assert(bags("a:2") === Map("tag" -> "v"), "unmatched node must keep its bag")
+    // removing an absent key is a no-op, not an error (Cypher semantics)
+    assert(CypherLite.runWrite(g, "MATCH (x:a) REMOVE x.ghost")
+      .nodes.count() === g.nodes.count())
+    // edge REMOVE undoes an edge SET
+    val e1 = CypherLite.runWrite(g, "MATCH (x:a)-[r:knows]->(y:b) SET r.w = '5'")
+    val e2 = CypherLite.runWrite(e1, "MATCH (x:a)-[r:knows]->(y:b) REMOVE r.w")
+    assert(e2.edges.collect().forall(r => r.getAs[Map[String, String]]("props").isEmpty))
+    intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MATCH (x:a) REMOVE x.name")
+    }
+    // the read path rejects REMOVE like every other write clause
+    intercept[IllegalArgumentException] {
+      CypherLite.run(g, "MATCH (x:a) REMOVE x.tag")
+    }
+  }
+
   test("runWrite DETACH DELETE cascades incident edges; plain DELETE is rejected by contract") {
     val g1 = CypherLite.runWrite(g, "MATCH (y:b {id: 'b:1'}) DETACH DELETE y")
     assert(g1.nodes.filter(col("id") === "b:1").count() === 0L)
