@@ -1522,13 +1522,84 @@ object Retrievers {
   /** NATURAL_LANGUAGE: canned NL → Cypher dispatch (the LLM translation
     * step stubbed with a deterministic keyword router —
     * natural_language_retriever.py's contract minus the model call). */
-  def naturalLanguage(spark: SparkSession, dir: String,
-      question: String = "how many suppliers are located in each region"): DataFrame = {
-    val cypherQ =
-      if (question.contains("suppliers") && question.contains("region")) supplierCypher
-      else throw new IllegalArgumentException(s"no route for: $question")
-    CypherLite.run(TpchGraph(spark, dir), cypherQ)
+  // ---- NATURAL_LANGUAGE → Cypher (natural_language_retriever.py has
+  // an LLM emit the Cypher; the deterministic stand-in is a
+  // SCHEMA-GUIDED template grammar over the knowledge graph's entity
+  // vocabulary and relation paths — the same grounding a production
+  // NL2Cypher prompt carries, minus the model) ----
+
+  /** The graph schema's entity vocabulary (singular form). */
+  private val nlTypes = Set("region", "nation", "supplier", "customer", "part", "order")
+
+  /** Relation PATHS between entity types: each step is (pattern text,
+    * next node type). Multi-hop entries route questions whose
+    * endpoints aren't directly connected (supplier→region via nation);
+    * reverse arrows route against edge direction (part←contains←order). */
+  private val nlPaths: Map[(String, String), Seq[(String, String)]] = Map(
+    ("supplier", "nation") -> Seq(("-[:located_in]->", "nation")),
+    ("customer", "nation") -> Seq(("-[:located_in]->", "nation")),
+    ("nation", "region") -> Seq(("-[:in_region]->", "region")),
+    ("supplier", "region") -> Seq(("-[:located_in]->", "nation"), ("-[:in_region]->", "region")),
+    ("customer", "region") -> Seq(("-[:located_in]->", "nation"), ("-[:in_region]->", "region")),
+    ("order", "customer") -> Seq(("-[:placed_by]->", "customer")),
+    ("order", "supplier") -> Seq(("-[:supplied_by]->", "supplier")),
+    ("order", "part") -> Seq(("-[:contains]->", "part")),
+    ("part", "order") -> Seq(("<-[:contains]-", "order")),
+    ("order", "nation") -> Seq(("-[:placed_by]->", "customer"), ("-[:located_in]->", "nation")))
+
+  private def nlSingular(w: String): Option[String] = {
+    val s = if (w.endsWith("s") && !nlTypes(w)) w.dropRight(1) else w
+    Some(s).filter(nlTypes)
   }
+
+  private def nlPattern(t1: String, t2: String): String = {
+    val path = nlPaths.getOrElse((t1, t2), throw new IllegalArgumentException(
+      s"no relation path between '$t1' and '$t2' in the graph schema"))
+    val sb = new StringBuilder(s"(a:$t1)")
+    path.zipWithIndex.foreach { case ((rel, nt), i) =>
+      val v = if (i == path.length - 1) "b" else s"m$i"
+      sb ++= s"$rel($v:$nt)"
+    }
+    sb.toString
+  }
+
+  /** Compile one supported question shape to Cypher (grammar below);
+    * exposed so the spec can pin the generated text itself. */
+  private[graft] def nlToCypher(question: String): String = {
+    val q = question.trim.toLowerCase.replaceAll("[?.!]+$", "")
+    val perGroup = """how many (\w+) (?:are|were|is)?\s?.*?each (\w+)""".r.unanchored
+    val most = """which (\w+) has the most (\w+)""".r.unanchored
+    val total = """how many (\w+) are there""".r.unanchored
+    q match {
+      case total(t1w) =>
+        val t1 = nlSingular(t1w).getOrElse(
+          throw new IllegalArgumentException(s"unknown entity '$t1w' in: $question"))
+        s"MATCH (a:$t1) RETURN count(*) AS n_$t1w"
+      case most(t2w, t1w) =>
+        val (t1, t2) = (nlSingular(t1w), nlSingular(t2w)) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => throw new IllegalArgumentException(s"unknown entity in: $question")
+        }
+        s"MATCH ${nlPattern(t1, t2)} RETURN b.name AS $t2, count(*) AS n_$t1w " +
+          s"ORDER BY n_$t1w DESC, $t2 LIMIT 1"
+      case perGroup(t1w, t2w) =>
+        val (t1, t2) = (nlSingular(t1w), nlSingular(t2w)) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => throw new IllegalArgumentException(s"unknown entity in: $question")
+        }
+        s"MATCH ${nlPattern(t1, t2)} RETURN b.name AS $t2, count(*) AS n_$t1w ORDER BY $t2"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported question shape (supported: 'how many X ... each Y', " +
+          s"'which Y has the most X', 'how many X are there'): $question")
+    }
+  }
+
+  /** NATURAL_LANGUAGE: translate the question through the schema-guided
+    * grammar and run the generated Cypher
+    * (natural_language_retriever.py's generate-then-execute loop). */
+  def naturalLanguage(spark: SparkSession, dir: String,
+      question: String = "how many suppliers are located in each region"): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), nlToCypher(question))
 
   // ---------------------------------------------------------------------
   // CODE / CODING_RULES / FEEDBACK / ENTITY search — the remaining

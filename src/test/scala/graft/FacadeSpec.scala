@@ -210,4 +210,44 @@ class FacadeSpec extends SparkSpecBase {
       SearchParams(cypher = Some(Retrievers.withCypher)))
     assert(rows(viaWith) === rows(SparkEntry.queries("search_cypher_with")(spark, sf)))
   }
+
+  test("the NL->Cypher grammar routes question shapes through the schema paths") {
+    import graft.operators.Retrievers
+    // generated text pinned for the flagship shape (2-hop path)
+    assert(Retrievers.nlToCypher("how many suppliers are located in each region") ===
+      "MATCH (a:supplier)-[:located_in]->(m0:nation)-[:in_region]->(b:region) " +
+        "RETURN b.name AS region, count(*) AS n_suppliers ORDER BY region")
+    // per-group over a direct relation: counts re-derive from the tables
+    val perNation = Retrievers.naturalLanguage(spark, sf,
+      "how many customers are located in each nation")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perNation === expect)
+    // reverse-arrow path: parts per order routes through <-[:contains]-
+    assert(Retrievers.nlToCypher("how many parts are contained in each order")
+      .contains("(a:part)<-[:contains]-(b:order)"))
+    // superlative: one row, the argmax of the per-group counts
+    val top = Retrievers.naturalLanguage(spark, sf,
+      "which nation has the most customers").collect()
+    assert(top.length === 1 && top.head.getLong(1) === expect.values.max)
+    // totals
+    assert(Retrievers.naturalLanguage(spark, sf, "how many regions are there?")
+      .collect().head.getLong(0) ===
+      Tables.load(spark, sf, "region").count())
+    // out-of-schema entities and shapes fail fast with the contract
+    assert(intercept[IllegalArgumentException] {
+      Retrievers.nlToCypher("how many dragons are located in each realm")
+    }.getMessage.contains("unknown entity"))
+    assert(intercept[IllegalArgumentException] {
+      Retrievers.nlToCypher("tell me about suppliers")
+    }.getMessage.contains("unsupported question shape"))
+    // unconnected type pair names the schema gap
+    assert(intercept[IllegalArgumentException] {
+      Retrievers.nlToCypher("how many regions are grouped under each part")
+    }.getMessage.contains("no relation path"))
+  }
 }
