@@ -254,15 +254,123 @@ object EvalOps {
     sb.toString
   }
 
+  /** Bootstrap confidence interval per metric — the DETERMINISTIC twin
+    * of the reference's `bootstrap_ci` (analysis/metrics_calculator.py:7:
+    * 10k `np.random.choice` resamples of the score list, mean of each,
+    * 2.5th/97.5th percentile of the means). Two substitutions make it
+    * reproducible and distributed:
+    *
+    *  - The multinomial resample becomes a POISSON bootstrap (the
+    *    standard streaming/map-reduce bootstrap): replicate b draws each
+    *    case with weight ~ Poisson(1), realized by inverting the
+    *    Poisson(1) CDF at a deterministic uniform u = first-8-md5-hex of
+    *    `metric:qa_id:b` / 2^32 — the corpus-wide md5 determinism rule
+    *    ([[graft.operators.CurateOps]]'s split/sample primitive), so
+    *    every engine draws the identical resamples.
+    *  - The percentile over replicate means is the EXPLICIT order
+    *    statistic (10th / 390th of B = 400 sorted means, ties broken by
+    *    replicate id) rather than an engine-specific interpolation rule.
+    *
+    * Scale shape: the replicate fan-out is a constant B multiplier on a
+    * narrow (metric, qa_id, score) projection, immediately collapsed by
+    * a map-side-combined aggregate onto 3·B keys; the order-statistic
+    * selection sorts a bounded B-length array per metric inside a 3-group
+    * aggregate — no window over unbounded rows, no global sort. B = 400
+    * (vs the reference's 10k) keeps the fan-out proportionate; the CI
+    * machinery is B-independent. */
+  def bootstrapCi(spark: SparkSession, dir: String, b: Int = 400): DataFrame = {
+    val em = emF1(spark, dir).localCheckpoint(true)
+    val scores = em.select(lit("em").as("metric"), col("qa_id"), col("em").as("score"))
+      .union(em.select(lit("f1").as("metric"), col("qa_id"), col("f1").as("score")))
+      .union(contextCoverage(spark, dir)
+        .select(lit("context_coverage").as("metric"), col("qa_id"), col("coverage").as("score")))
+      .localCheckpoint(true)
+    val (kLo, kHi) = (math.ceil(0.025 * b).toInt, math.ceil(0.975 * b).toInt)
+    val u = conv(substring(md5(concat_ws(":",
+        col("metric"), col("qa_id"), col("b"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    // Poisson(1) inverse CDF: cumulative e^-1 * Σ 1/k!; capped at 7
+    // (P(X>6) ≈ 8e-5 — the same tail every finite inverter truncates).
+    val w = when(u < 0.36787944117144233, 0).when(u < 0.7357588823428847, 1)
+      .when(u < 0.9196986029286058, 2).when(u < 0.9810118431238462, 3)
+      .when(u < 0.9963401531726563, 4).when(u < 0.9994058151824183, 5)
+      .when(u < 0.9999167588507119, 6).otherwise(7)
+    val repMeans = scores
+      .select(col("metric"), col("qa_id"), col("score"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy(col("metric"), col("b"))
+      .agg((sum(col("w") * col("score")) / nullif(sum(col("w")), lit(0))).as("m"))
+      .filter(col("m").isNotNull)
+    val ci = repMeans.groupBy(col("metric"))
+      .agg(sort_array(collect_list(struct(col("m"), col("b")))).as("ms"))
+      .select(col("metric"),
+        round(element_at(col("ms"), kLo).getField("m"), 4).as("ci_lower"),
+        round(element_at(col("ms"), kHi).getField("m"), 4).as("ci_upper"))
+    val means = scores.groupBy(col("metric")).agg(round(avg(col("score")), 4).as("mean"))
+    means.join(broadcast(ci), Seq("metric"))
+      .select(col("metric"), col("mean"), col("ci_lower"), col("ci_upper"))
+  }
+
+  val bootstrapCiSql: String = {
+    val key = "metric || ':' || CAST(qa_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+    s"""WITH scored AS ($emF1Sql),
+       |cov AS ($contextCoverageSql),
+       |all_scores AS (
+       |  SELECT 'em' AS metric, qa_id, em AS score FROM scored
+       |  UNION ALL SELECT 'f1', qa_id, f1 FROM scored
+       |  UNION ALL SELECT 'context_coverage', qa_id, coverage FROM cov
+       |),
+       |rep AS (
+       |  SELECT metric, qa_id, score, CAST(i AS BIGINT) AS b
+       |  FROM all_scores, unnest(range(400)) AS t(i)
+       |),
+       |drawn AS (
+       |  SELECT metric, b, score,
+       |    CAST(list_sum(list_transform(range(8),
+       |      i -> (strpos('0123456789abcdef', substr(md5($key), CAST(i AS INT) + 1, 1)) - 1)
+       |           * power(16, 7 - i))) AS DOUBLE) / 4294967296.0 AS u
+       |  FROM rep
+       |),
+       |weighted AS (
+       |  SELECT metric, b, score,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1
+       |         WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3
+       |         WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5
+       |         WHEN u < 0.9999167588507119 THEN 6 ELSE 7 END AS w
+       |  FROM drawn
+       |),
+       |means AS (
+       |  SELECT metric, b, sum(w * score) / NULLIF(sum(w), 0) AS m
+       |  FROM weighted GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT metric, m,
+       |    row_number() OVER (PARTITION BY metric ORDER BY m, b) AS rk
+       |  FROM means WHERE m IS NOT NULL
+       |),
+       |ci AS (
+       |  SELECT metric,
+       |    round(max(CASE WHEN rk = 10 THEN m END), 4) AS ci_lower,
+       |    round(max(CASE WHEN rk = 390 THEN m END), 4) AS ci_upper
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT s.metric, round(avg(s.score), 4) AS mean, ci.ci_lower, ci.ci_upper
+       |FROM all_scores s JOIN ci USING (metric)
+       |GROUP BY s.metric, ci.ci_lower, ci.ci_upper""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_em_f1" -> ((s: SparkSession, d: String) => emF1(s, d)),
     "eval_context_coverage" -> ((s: SparkSession, d: String) => contextCoverage(s, d)),
     "eval_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
-    "eval_report" -> ((s: SparkSession, d: String) => report(s, d)))
+    "eval_report" -> ((s: SparkSession, d: String) => report(s, d)),
+    "eval_bootstrap_ci" -> ((s: SparkSession, d: String) => bootstrapCi(s, d)))
 
   def oracles: Map[String, String] = Map(
     "eval_em_f1" -> emF1Sql,
     "eval_context_coverage" -> contextCoverageSql,
     "eval_histogram" -> histogramSql,
-    "eval_report" -> reportSql)
+    "eval_report" -> reportSql,
+    "eval_bootstrap_ci" -> bootstrapCiSql)
 }

@@ -82,4 +82,28 @@ class EvalSpec extends SparkSpecBase {
     // deterministic render: byte-identical across calls
     assert(html === EvalOps.dashboardHtml(spark, sf))
   }
+
+  test("bootstrap CI brackets the mean with deterministic resamples") {
+    val ci = EvalOps.bootstrapCi(spark, sf).cache()
+    val rows = ci.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows.map(_._1).sorted === Seq("context_coverage", "em", "f1"))
+    // a 95% bootstrap CI of the mean contains the point estimate
+    rows.foreach { case (m, mean, lo, hi) =>
+      assert(lo <= mean && mean <= hi, s"$m: [$lo, $hi] should bracket $mean")
+      assert(lo < hi, s"$m: non-degenerate interval")
+      assert(lo >= 0.0 && hi <= 1.0, s"$m: scores live in [0,1]")
+    }
+    // deterministic resamples: identical output on a re-run
+    val again = EvalOps.bootstrapCi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(again.sortBy(_._1) === rows.sortBy(_._1))
+    // em at sf0.01 has a known closed form: 1/5 of QA cases are the
+    // verbatim stratum → mean = fraction of doc_id%10==0 among %5==0
+    val emRow = rows.find(_._1 == "em").get
+    val cases = EvalOps.queries("eval_em_f1")(spark, sf)
+    val frac = cases.filter(col("em") === 1.0).count().toDouble / cases.count()
+    assert(math.abs(emRow._2 - frac) < 1e-9)
+    ci.unpersist()
+  }
 }
