@@ -447,8 +447,79 @@ object EventOps {
       |  first_view_sec, last_click_sec, round(value, 2) AS value
       |FROM touched WHERE event_type = 'purchase'""".stripMargin
 
+  /** LINEAR (multi-touch) attribution — the equal-credit companion to
+    * first/last-touch [[attribution]]: every purchase splits its value
+    * equally across ALL the user's touches (views and clicks) strictly
+    * before it, and each touch reports the total credit it earned
+    * across every later purchase.
+    *
+    * Shape: the pairwise touch×purchase credit matrix is never
+    * materialized. Two frames over ONE (user_id, (ts_sec, event_id))
+    * keyed sort: a backward frame counts each purchase's prior touches
+    * n_p (so its per-touch slice is value/n_p), then a forward frame
+    * (1 FOLLOWING..UNBOUNDED FOLLOWING) running-sums those slices back
+    * onto each touch — the "sum over later purchases" without a
+    * self-join, because every prior touch of p earns the identical
+    * slice. Same scale class as events_sessionize: cost ∝ per-user
+    * event count, one shuffle on user_id. Touches with no later
+    * purchase report 0 credit (still rows — the marketer's unrewarded
+    * spend); organic purchases (n_p = 0) distribute nothing.
+    *
+    * Credit is FIXED-POINT: each slice rounds once to integer
+    * micro-units (value·10⁶/n_p — one multiply + one divide, so the
+    * pre-round double is bit-identical on every engine) and the window
+    * sums exact integers, and the reported credit is that integer divided
+    * by 10⁶ — one division on identical operands, so the double is
+    * bit-identical everywhere with no terminal rounding step (a float
+    * running sum, or a final round-to-4, is summation-order / rounding-
+    * rule dependent: both variants diverged on a handful of
+    * boundary-straddling rows at this corpus). */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val isTouch = col("event_type") === "view" || col("event_type") === "click"
+    loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"), col("value"))
+      .withColumn("n_prior_touches", count(when(isTouch, 1)).over(back))
+      .withColumn("slice_micro",
+        when(col("event_type") === "purchase" && col("n_prior_touches") > 0,
+          round(col("value") * 1000000 / col("n_prior_touches"), 0).cast("long")))
+      .withColumn("credit_micro", sum(col("slice_micro")).over(fwd))
+      .filter(isTouch)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_sec").as("touch_sec"),
+        (coalesce(col("credit_micro"), lit(0L)) / 1000000.0).as("credit"))
+  }
+
+  val attributionLinearSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events
+      |),
+      |sliced AS (
+      |  SELECT event_id, user_id, event_type, sec, value,
+      |    count(CASE WHEN event_type IN ('view', 'click') THEN 1 END) OVER (
+      |      PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior_touches
+      |  FROM ev
+      |),
+      |credited AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |    sum(CASE WHEN event_type = 'purchase' AND n_prior_touches > 0
+      |             THEN CAST(round(value * 1000000 / n_prior_touches) AS BIGINT) END) OVER (
+      |      PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS credit_micro
+      |  FROM sliced
+      |)
+      |SELECT event_id, user_id, event_type, sec AS touch_sec,
+      |  coalesce(credit_micro, 0) / 1000000.0 AS credit
+      |FROM credited WHERE event_type IN ('view', 'click')""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> ((s: SparkSession, d: String) => attribution(s, d)),
+    "events_attribution_linear" -> ((s: SparkSession, d: String) => attributionLinear(s, d)),
     "events_dau_mau" -> ((s: SparkSession, d: String) => dauMau(s, d)),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
@@ -463,6 +534,7 @@ object EventOps {
 
   def oracles: Map[String, String] = Map(
     "events_attribution" -> attributionSql,
+    "events_attribution_linear" -> attributionLinearSql,
     "events_dau_mau" -> dauMauSql,
     "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,

@@ -793,6 +793,57 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(wins.isEmpty, "rfm must not plan any window")
   }
 
+  test("events_attribution_linear conserves purchase value over one shuffle") {
+    val credits = EventOps.attributionLinear(spark, sf)
+    val rows = credits.collect()
+    // every touch event appears exactly once, credited or not
+    val nTouches = Tables.loadEvents(spark, sf)
+      .filter(col("event_type").isin("view", "click")).count()
+    assert(rows.length.toLong === nTouches)
+    assert(rows.forall(_.getAs[Double]("credit") >= 0.0))
+    // conservation: total credit == total value of purchases that HAD a
+    // prior touch, up to the documented 5e-7-per-slice fixed-point cap
+    val ev = Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_sec"), r.getAs[Double]("value")))
+    val byUser = ev.groupBy(_._2).view.mapValues(_.sortBy(e => (e._4, e._1)))
+    val attributed = byUser.values.flatMap { es =>
+      es.zipWithIndex.collect {
+        case (e, i) if e._3 == "purchase" &&
+          es.take(i).exists(t => t._3 == "view" || t._3 == "click") => (e._5, i)
+      }
+    }.toSeq
+    val totalCredit = rows.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totalCredit - attributed.map(_._1).sum) < 1e-3,
+      "credits must re-assemble the attributed purchase value")
+    // hand-replay one user: each purchase's micro-slice lands on every
+    // prior touch
+    val uid = ev.filter(_._3 == "purchase").map(_._2).head
+    val es = byUser(uid)
+    val expect = es.filter(e => e._3 == "view" || e._3 == "click").map { t =>
+      val idx = es.indexOf(t)
+      val micro = es.zipWithIndex.collect {
+        case (p, i) if p._3 == "purchase" && i > idx =>
+          val n = es.take(i).count(x => x._3 == "view" || x._3 == "click")
+          if (n > 0) math.round(p._5 * 1000000 / n) else 0L
+      }.sum
+      t._1 -> micro / 1000000.0
+    }.toMap
+    rows.filter(_.getAs[Long]("user_id") == uid).foreach { r =>
+      assert(r.getAs[Double]("credit") === expect(r.getAs[Long]("event_id")),
+        s"user $uid event ${r.getAs[Long]("event_id")}")
+    }
+    // scale pin: both frames ride ONE user_id exchange — no self-join
+    // (AQE's plan string repeats the shuffle in its Initial Plan echo —
+    // count the final section only)
+    val plan = credits.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges === 1, s"expected a single user_id shuffle:\n${plan.take(1500)}")
+  }
+
   test("events_dau_mau stickiness is dau/mau and bounded by 1") {
     val rows = EventOps.dauMau(spark, sf).collect()
     assert(rows.nonEmpty)
