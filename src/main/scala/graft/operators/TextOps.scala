@@ -751,9 +751,74 @@ object TextOps {
       |  strftime(TIMESTAMP '2024-01-01 00:00:00' + ((h8 % 2678400) * INTERVAL 1 SECOND), '%Y-%m-%d') AS day
       |FROM f WHERE h4 % 11 = 0""".stripMargin
 
+  /** CROSS-DOC duplicate-content fraction — the corpus-level companion
+    * to [[repetition]]'s within-doc Gopher filters (the Dolma/Gopher
+    * "fraction of characters in duplicate n-grams" quality signal):
+    * for each document, the fraction of its distinct 8-gram shingles
+    * that also occur in at least one OTHER document. High-fraction docs
+    * are templated/mirrored content a pretraining curation pass
+    * down-weights even when no single pair crosses a dedup threshold.
+    *
+    * Scale shape: per-doc DISTINCT shingling in-row (the
+    * [[graft.operators.CurateOps.decontaminate]] inverted-index shape),
+    * one shingle-keyed aggregate for global doc-frequency (map-side
+    * partial — a hot boilerplate shingle folds per-partition, no hot
+    * reducer), one equi-join of the per-doc shingle list back onto the
+    * df≥2 flag (Catalyst reuses the shingle exchange), one doc-keyed
+    * rollup. No pairwise anything: cost is O(total shingles), the same
+    * class as exact decontamination. Docs under 8 tokens carry no
+    * shingles and report 0 duplicated fraction over 0 shingles. */
+  def dupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val exploded = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 8),
+          i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))).as("shingle"))
+    val df2 = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("shingle"))
+    val perDoc = exploded.join(df2.withColumn("dup", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)), 4).as("dup_frac"))
+  }
+
+  val dupFractionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[(i + 1):(i + 8)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 7)) AS u(i)
+      |),
+      |df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2),
+      |per_doc AS (
+      |  SELECT sh.doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN df.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM sh LEFT JOIN df ON sh.shingle = df.shingle
+      |  GROUP BY sh.doc_id
+      |)
+      |SELECT d.doc_id, d.source,
+      |  coalesce(p.n_shingles, 0) AS n_shingles,
+      |  coalesce(p.n_dup, 0) AS n_dup,
+      |  round(coalesce(p.n_dup, 0) * 1.0 / greatest(coalesce(p.n_shingles, 0), 1), 4) AS dup_frac
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "entity_extract_cascade" -> ((s: SparkSession, d: String) => entityCascade(s, d)),
     "temporal_extract" -> ((s: SparkSession, d: String) => temporalExtract(s, d)),
+    "text_dup_fraction" -> ((s: SparkSession, d: String) => dupFraction(s, d)),
     "entity_extract_regex" -> ((s: SparkSession, d: String) => entityExtract(s, d)),
     "text_chunk_paragraph" -> ((s: SparkSession, d: String) => chunkParagraph(s, d)),
     "text_chunk_overlap" -> ((s: SparkSession, d: String) => chunkOverlap(s, d)),
@@ -769,6 +834,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "text_dup_fraction" -> dupFractionSql,
     "entity_extract_cascade" -> entityCascadeSql,
     "temporal_extract" -> temporalExtractSql,
     "entity_extract_regex" -> entityExtractSql,

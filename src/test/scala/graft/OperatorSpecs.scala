@@ -478,6 +478,36 @@ class CurateOpsSpec extends SparkSpecBase {
 
 class TextOpsSpec extends SparkSpecBase {
 
+  test("cross-doc dup fraction replays the corpus shingle index") {
+    val out = TextOps.dupFraction(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length === docs.size, "one row per document")
+    // driver-side replay of the whole index (500 docs × ~35 shingles)
+    val shingles: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      id -> (if (toks.length < 8) Set.empty[String]
+             else toks.sliding(8).map(_.mkString(" ")).toSet)
+    }
+    val docFreq = shingles.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val mine = shingles(id)
+      val dup = mine.count(s => docFreq(s) >= 2)
+      assert(r.getAs[Long]("n_shingles") === mine.size.toLong, s"doc $id shingle count")
+      assert(r.getAs[Long]("n_dup") === dup.toLong, s"doc $id dup count")
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (mine.nonEmpty)
+        assert(math.abs(frac - dup.toDouble / mine.size) < 5e-5, s"doc $id fraction")
+    }
+    // the corpus genuinely exercises both regimes
+    assert(out.exists(_.getAs[Long]("n_dup") > 0), "some cross-doc duplication exists")
+    assert(out.exists(r => r.getAs[Long]("n_dup") < r.getAs[Long]("n_shingles")),
+      "not everything is duplicated")
+  }
+
   test("tfidf keywords rank distinctive tokens above corpus-wide ones") {
     val out = TextOps.tfidfKeywords(spark, sf).collect()
     assert(out.nonEmpty)
