@@ -399,7 +399,56 @@ object CurateOps {
       |FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
       |GROUP BY d.source""".stripMargin
 
+  /** Deterministic EPOCH SHUFFLE — the global training-order
+    * permutation every pretraining data loader needs ("shuffle the
+    * corpus for epoch e, reproducibly, and tell me which shard each
+    * example lands in"). The permutation is ORDER BY md5('shuffle:' ||
+    * epoch || ':' || doc_id): seeded, uniform, and re-derivable by any
+    * engine — no RNG state, so a resumed/retried job shuffles
+    * identically.
+    *
+    * The global position is NOT a global sort: the terasort shape. The
+    * md5 key's first two hex digits give 256 uniform range buckets
+    * whose numeric order equals the key's lexicographic order (fixed-
+    * width lowercase hex), so bucket-count offsets (pass 1: a 256-row
+    * aggregate + tiny window) plus a within-bucket rank (pass 2:
+    * row_number partitioned by bucket) compose the exact global rank —
+    * identical to the packRunning two-pass prefix sum, cost one keyed
+    * shuffle at any corpus size, skew-free by construction (md5 is
+    * uniform over buckets). Shard = pos DIV 64: contiguous fixed-size
+    * output files in shuffled order. */
+  def shuffle(spark: SparkSession, dir: String, epoch: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit("shuffle"), lit(epoch), col("doc_id")))
+    val base = load(spark, dir, "documents")
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(length(col("bucket").cast("string")) * lit(0))
+            .orderBy(col("bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val local = Window.partitionBy(col("bucket")).orderBy(col("k").asc, col("doc_id").asc)
+    base.withColumn("local_rank", row_number().over(local))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("offset") + col("local_rank") - 1).as("pos"))
+      .withColumn("shard", (col("pos") / 64).cast("long"))
+  }
+
+  val shuffleSql: String =
+    """SELECT doc_id,
+      |  row_number() OVER (
+      |    ORDER BY md5('shuffle:0:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1 AS pos,
+      |  CAST(floor((row_number() OVER (
+      |    ORDER BY md5('shuffle:0:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1) / 64)
+      |    AS BIGINT) AS shard
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
     "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
@@ -411,6 +460,7 @@ object CurateOps {
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,
     "curate_mix" -> mixSql,
     "curate_pack" -> packSql,

@@ -418,6 +418,34 @@ class DedupOpsSpec extends SparkSpecBase {
 
 class CurateOpsSpec extends SparkSpecBase {
 
+  test("epoch shuffle is a seeded permutation assembled without a global sort") {
+    val out = CurateOps.shuffle(spark, sf).cache()
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"), r.getAs[Long]("shard")))
+    val n = rows.length
+    // pos is exactly the permutation 0..n-1; shard is its DIV-64 block
+    assert(rows.map(_._2).sorted.toSeq === (0L until n).toSeq)
+    rows.foreach { case (_, pos, shard) => assert(shard === pos / 64) }
+    // the realized order is the md5 order (the portable contract)
+    val byKey = rows.map(_._1).sortBy { id =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuffle:0:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id)
+    }
+    assert(rows.sortBy(_._2).map(_._1).toSeq === byKey.toSeq)
+    // epoch reseeds: a different epoch yields a different permutation
+    val e1 = CurateOps.shuffle(spark, sf, epoch = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(rows.exists { case (id, pos, _) => e1(id) != pos })
+    assert(e1.values.toSeq.sorted === (0L until n).toSeq)
+    // two-pass shape: no partition-less global sort in the plan — the
+    // only sorts are bucket-partitioned (terasort offsets + local rank)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("rangepartitioning"),
+      s"global range sort must not appear:\n${plan.take(1200)}")
+    out.unpersist()
+  }
+
   test("mixture multiplicities follow the integer-percent weights and the holdout never leaks") {
     val mixed = CurateOps.mix(spark, sf).cache()
     // Eval holdout (weight 0) must never appear in a training mixture.
