@@ -447,7 +447,59 @@ object CurateOps {
       |    AS BIGINT) AS shard
       |FROM documents""".stripMargin
 
+  /** EMBEDDING-SPACE diversity balancing — cap how many examples any
+    * dense semantic neighborhood contributes to the training mix (the
+    * SemDeDup/density-capping curation move: web corpora are dominated
+    * by a few over-represented semantic clusters; capping them shifts
+    * the mixture toward the tail without pairwise dedup). Neighborhoods
+    * are random-hyperplane LSH sign buckets — bit i of the bucket is
+    * sign(v[i]) over the first 8 dimensions, the axis-aligned instance
+    * of the classic cosine-LSH family — so bucketing is one in-row
+    * expression, deterministic, and ANSI-replayable (unlike a trained
+    * k-means assignment, which is why the IVF family is rows-only but
+    * this is oracle-checked). Each bucket keeps at most 16 examples in
+    * seeded md5 order (the corpus determinism rule).
+    *
+    * Scale shape: the cap runs on the [[org.apache.spark.sql.graft
+    * .TopKPerGroup]] bounded-heap operator — per-partition partial
+    * heaps of ≤16 rows per bucket, merged once; no per-bucket sort, no
+    * window over the full corpus, one keyed shuffle of ≤16·P rows per
+    * bucket. A hot bucket (the whole corpus in one neighborhood)
+    * still moves only 16 rows per upstream partition. */
+  def clusterBalance(spark: SparkSession, dir: String, cap: Int = 16): DataFrame = {
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bucket = (0 until 8)
+      .map(i => when(element_at(col("v"), i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val keyed = e.select(col("vec_id"), bucket.as("bucket"),
+      md5(concat_ws(":", lit("balance"), col("vec_id"))).as("k"))
+    org.apache.spark.sql.graft.TopKPerGroup(
+        keyed, Seq(col("bucket")), Seq(col("k").asc, col("vec_id").asc), cap)
+      .select(col("vec_id"), col("bucket"))
+  }
+
+  val clusterBalanceSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |),
+      |bucketed AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> CASE WHEN v[CAST(i AS INT) + 1] > 0.0 THEN power(2, i) ELSE 0 END)) AS BIGINT)
+      |      AS bucket,
+      |    md5('balance:' || CAST(vec_id AS VARCHAR)) AS k
+      |  FROM e
+      |),
+      |ranked AS (
+      |  SELECT vec_id, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY k ASC, vec_id ASC) AS rk
+      |  FROM bucketed
+      |)
+      |SELECT vec_id, bucket FROM ranked WHERE rk <= 16""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_cluster_balance" -> ((s: SparkSession, d: String) => clusterBalance(s, d)),
     "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
     "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
@@ -460,6 +512,7 @@ object CurateOps {
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_cluster_balance" -> clusterBalanceSql,
     "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,
     "curate_mix" -> mixSql,

@@ -517,9 +517,112 @@ object EventOps {
       |  coalesce(credit_micro, 0) / 1000000.0 AS credit
       |FROM credited WHERE event_type IN ('view', 'click')""".stripMargin
 
+  /** POSITION-BASED (U-shaped) attribution — the third standard model
+    * next to first/last-touch [[attribution]] and equal-split
+    * [[attributionLinear]]: a purchase with n prior touches credits 40%
+    * to the FIRST touch, 40% to the LAST touch before it, and splits
+    * 20% across the middles (n = 1 → 100% to the sole touch; n = 2 →
+    * 50/50 — the standard degenerate forms).
+    *
+    * The touch×purchase matrix is again never materialized. The key
+    * observation: with rows in (user, (ts_sec, event_id)) order and
+    * `seg` = running count of touches (inclusive), a purchase's prior-
+    * touch count n IS its seg, its LAST prior touch is the touch that
+    * OPENED its seg, its FIRST prior touch is always the seg-1 touch,
+    * and its middles are exactly the touches with 2 ≤ seg' ≤ n-1. So
+    * per-purchase micro-slices aggregate once per (user, seg) and
+    * credit assembles from three seg-level reductions: the seg's own
+    * last-share sum, the user total of first-shares (seg-1 touch only),
+    * and a suffix sum of middle-slices over later segs (seg ≥ 2
+    * touches). One full-width keyed sort (the sessionize class), then
+    * everything runs on the collapsed per-(user, seg) table — keyed
+    * equi-joins and per-user windows over one row per touch segment,
+    * never a second pass over raw events. Fixed-point micro-units as in
+    * [[attributionLinear]]: one round per purchase-slice, integer sums,
+    * terminal division only. */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val isTouch = col("event_type") === "view" || col("event_type") === "click"
+    val isP = col("event_type") === "purchase"
+    val base = loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"), col("value"))
+      .withColumn("seg", sum(when(isTouch, 1L).otherwise(0L))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val v6 = col("value") * 1000000
+    val endShare = when(isP && col("seg") >= 3, round(v6 * 0.4, 0))
+      .when(isP && col("seg").isin(1L, 2L), round(v6 * 0.5, 0))
+      .otherwise(lit(0.0)).cast("long")
+    val midSlice = when(isP && col("seg") >= 3,
+      round(v6 * 0.2 / (col("seg") - 2), 0)).otherwise(lit(0.0)).cast("long")
+    val segAgg = base
+      .withColumn("fc", endShare).withColumn("lc", endShare).withColumn("mc", midSlice)
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("fc")).as("f"), sum(col("lc")).as("l"), sum(col("mc")).as("m"))
+    val wUser = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSuffix = Window.partitionBy(col("user_id")).orderBy(col("seg").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val segCredits = segAgg
+      .withColumn("first_total", sum(col("f")).over(wUser))
+      .withColumn("suffix_mid", coalesce(sum(col("m")).over(wSuffix), lit(0L)))
+      .select(col("user_id"), col("seg"), col("l"), col("first_total"), col("suffix_mid"))
+    base.filter(isTouch)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_sec").as("touch_sec"), col("seg"))
+      .join(segCredits, Seq("user_id", "seg"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("touch_sec"),
+        ((col("l")
+          + when(col("seg") === 1, col("first_total")).otherwise(lit(0L))
+          + when(col("seg") >= 2, col("suffix_mid")).otherwise(lit(0L)))
+          / 1000000.0).as("credit"))
+  }
+
+  val attributionPositionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events
+      |),
+      |segged AS (
+      |  SELECT event_id, user_id, event_type, sec, value,
+      |    CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+      |  FROM ev
+      |),
+      |sliced AS (
+      |  SELECT user_id, seg,
+      |    CASE WHEN event_type = 'purchase' AND seg >= 3
+      |           THEN CAST(round(value * 1000000 * 0.4) AS BIGINT)
+      |         WHEN event_type = 'purchase' AND seg IN (1, 2)
+      |           THEN CAST(round(value * 1000000 * 0.5) AS BIGINT)
+      |         ELSE 0 END AS fc,
+      |    CASE WHEN event_type = 'purchase' AND seg >= 3
+      |           THEN CAST(round(value * 1000000 * 0.2 / (seg - 2)) AS BIGINT)
+      |         ELSE 0 END AS mc
+      |  FROM segged
+      |),
+      |seg_agg AS (
+      |  SELECT user_id, seg, sum(fc) AS f, sum(fc) AS l, sum(mc) AS m
+      |  FROM sliced GROUP BY 1, 2
+      |),
+      |seg_credits AS (
+      |  SELECT user_id, seg, l,
+      |    sum(f) OVER (PARTITION BY user_id) AS first_total,
+      |    coalesce(sum(m) OVER (PARTITION BY user_id ORDER BY seg ASC
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS suffix_mid
+      |  FROM seg_agg
+      |)
+      |SELECT t.event_id, t.user_id, t.event_type, t.sec AS touch_sec,
+      |  (c.l + CASE WHEN t.seg = 1 THEN c.first_total ELSE 0 END
+      |       + CASE WHEN t.seg >= 2 THEN c.suffix_mid ELSE 0 END) / 1000000.0 AS credit
+      |FROM segged t JOIN seg_credits c ON t.user_id = c.user_id AND t.seg = c.seg
+      |WHERE t.event_type IN ('view', 'click')""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> ((s: SparkSession, d: String) => attribution(s, d)),
     "events_attribution_linear" -> ((s: SparkSession, d: String) => attributionLinear(s, d)),
+    "events_attribution_position" -> ((s: SparkSession, d: String) => attributionPosition(s, d)),
     "events_dau_mau" -> ((s: SparkSession, d: String) => dauMau(s, d)),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
@@ -535,6 +638,7 @@ object EventOps {
   def oracles: Map[String, String] = Map(
     "events_attribution" -> attributionSql,
     "events_attribution_linear" -> attributionLinearSql,
+    "events_attribution_position" -> attributionPositionSql,
     "events_dau_mau" -> dauMauSql,
     "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,

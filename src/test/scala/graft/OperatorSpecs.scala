@@ -446,6 +446,35 @@ class CurateOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("cluster balance caps every sign-LSH bucket in seeded order") {
+    // cap = 2 so the 50-vector spec corpus genuinely overflows buckets
+    val kept = CurateOps.clusterBalance(spark, sf, cap = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket")))
+    // replay the contract driver-side: bucket = sign bits of dims 1..8,
+    // per-bucket keep the cap smallest md5('balance:'||id) keys
+    val all = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val b = (0 until 8).map(i => if (v(i) > 0.0f) 1L << i else 0L).sum
+        val k = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"balance:${r.getAs[Long]("vec_id")}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getAs[Long]("vec_id"), b, k)
+      }
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(2).map(r => (r._1, b)).toSeq
+    }.toSet
+    assert(kept.toSet === expect, "kept set must equal the seeded per-bucket cap")
+    // the corpus exercises the cap: some bucket overflows, none exceeds it
+    val sizes = all.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.exists(_ > 2), "a dense bucket must exist at this sf")
+    val keptSizes = kept.groupBy(_._2).view.mapValues(_.length)
+    assert(keptSizes.values.forall(_ <= 2))
+    assert(sizes.forall { case (b, n) => keptSizes.getOrElse(b, 0) == math.min(n, 2) },
+      "every bucket contributes min(size, cap)")
+  }
+
   test("mixture multiplicities follow the integer-percent weights and the holdout never leaks") {
     val mixed = CurateOps.mix(spark, sf).cache()
     // Eval holdout (weight 0) must never appear in a training mixture.
@@ -900,6 +929,57 @@ class RelationalOpsSpec extends SparkSpecBase {
     val exchanges = plan.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange"))
     assert(exchanges === 1, s"expected a single user_id shuffle:\n${plan.take(1500)}")
+  }
+
+  test("events_attribution_position replays the U-shape model and conserves value") {
+    val rows = EventOps.attributionPosition(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Double]("credit")))
+    val ev = Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_sec"), r.getAs[Double]("value")))
+    // full driver-side replay: 40/20/40 with n=1 → 100%, n=2 → 50/50,
+    // in integer micro-units exactly as documented
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    ev.groupBy(_._2).values.foreach { es =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      val touchIds = sorted.filter(e => e._3 == "view" || e._3 == "click").map(_._1)
+      var nTouch = 0
+      sorted.foreach { e =>
+        if (e._3 == "view" || e._3 == "click") nTouch += 1
+        else if (e._3 == "purchase" && nTouch >= 1) {
+          val v6 = e._5 * 1000000
+          val n = nTouch
+          val end = math.round(v6 * (if (n >= 3) 0.4 else 0.5))
+          expect(touchIds(0)) += end
+          expect(touchIds(n - 1)) += end
+          if (n >= 3) {
+            val mid = math.round(v6 * 0.2 / (n - 2))
+            (1 until n - 1).foreach(i => expect(touchIds(i)) += mid)
+          }
+        }
+      }
+    }
+    val got = rows.map(r => r._1 -> math.round(r._3 * 1000000)).toMap
+    val nTouches = ev.count(e => e._3 == "view" || e._3 == "click")
+    assert(rows.length === nTouches, "one row per touch")
+    got.foreach { case (id, micro) =>
+      assert(micro === expect(id), s"touch $id credit mismatch")
+    }
+    // conservation: per attributed purchase, the end shares and the
+    // (n-2) middle slices re-assemble the value up to slice rounding
+    val totalCredit = rows.map(_._3).sum
+    val attributedValue = ev.groupBy(_._2).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._1))
+      var n = 0
+      sorted.flatMap { e =>
+        if (e._3 == "view" || e._3 == "click") { n += 1; None }
+        else if (e._3 == "purchase" && n >= 1) Some(e._5) else None
+      }
+    }.sum
+    assert(math.abs(totalCredit - attributedValue) < 1e-2,
+      "U-shape credits must re-assemble the attributed purchase value")
   }
 
   test("events_dau_mau stickiness is dau/mau and bounded by 1") {
