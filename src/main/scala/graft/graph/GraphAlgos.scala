@@ -440,6 +440,84 @@ object GraphAlgos {
     out
   }
 
+  /** k-CORE decomposition by synchronous peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik sequential algorithm's bulk twin): repeatedly
+    * drop every node whose degree within the surviving subgraph is
+    * below k until stable, then report each survivor's in-core degree.
+    * Cores are the standard density skeleton for graph curation —
+    * "which entities sit in a mutually-dense neighborhood" — and the
+    * peeling loop is the canonical test of iterative-subtraction
+    * discipline (the BFS/LPA loops GROW or RELABEL; this one SHRINKS).
+    *
+    * Scale shape: each round is two keyed semi-join-shaped equi-joins
+    * of the persisted undirected edge list against the (shrinking)
+    * survivor set plus one partial-aggregated degree count — cost
+    * ∝ surviving edges, one shuffle class per round, localCheckpoint
+    * per round bounds plan depth (the repo's loop discipline). Peeling
+    * is MONOTONE (the survivor set only shrinks), so an equal count
+    * between rounds proves an identical set — the early exit needs no
+    * set comparison. `maxRounds` bounds the loop to the oracle's
+    * unrolled depth; converged rounds are no-ops, so an early exit at
+    * stability is indistinguishable from running all rounds.
+    *
+    * @param pairs canonical undirected edges (x < y), e.g.
+    *              [[coOccurrenceEdges]]
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    // The undirected view stays a lazy union over the (persisted)
+    // canonical pairs — an eager copy re-materialized 2×|E| rows per
+    // invocation for no reuse benefit, since every consumer below
+    // streams it exactly once per round through a broadcast join.
+    val und = pairs.select(col("x").as("a"), col("y").as("b"))
+      .union(pairs.select(col("y").as("a"), col("x").as("b")))
+    // DELTA peeling: maintain each survivor's in-core degree and, per
+    // round, subtract only the edges incident to the newly-dead
+    // frontier — a full-recompute peel rescans every edge every round
+    // (measured 10.0 s vs ~2 s at sf0.1, k=80); this touches
+    // O(edges-to-frontier) per round. The frontier/degree/loss tables
+    // are node-bounded and explicitly broadcast, so the edge list is
+    // never shuffled after the initial degree count.
+    // d_v after removing dead D = deg(v) − |edges v→D|: degrees stay
+    // exact w.r.t. the current survivor set, so "deg table after r
+    // filter rounds" is definitionally the oracle's alive_r with its
+    // in-alive_r degrees — including the capped, not-yet-converged
+    // case, where survivors of filter r may carry d < k (both engines
+    // keep them) and a survivor whose last in-core edge died drops to
+    // d = 0 (both engines omit it: the oracle's final inner join, the
+    // d > 0 filter here).
+    // The edge list collapses ONCE into an adjacency-bag artifact (the
+    // GraphStore.kHopAdjacency shape: one row per node, neighbor
+    // array), so no round ever rescans edges: a round broadcasts the
+    // frontier against the 1-row-per-node adjacency, explodes only the
+    // FRONTIER rows' neighbor bags, and partial-aggregates the loss —
+    // work ∝ Σ deg(frontier), the Batagelj–Zaveršnik bound. Earlier
+    // shapes measured at sf0.1/k=80: full recompute 10.0 s, per-round
+    // edge-scanning delta 5.5 s, this 2.6 s (42 → 17 jobs; the loop
+    // was scheduler-bound, 8.6 MB total shuffle). LAZY checkpoint +
+    // count per round (the BFS lesson) fuses block materialization
+    // with the frontier-size probe.
+    val adj = und.groupBy(col("a")).agg(collect_list(col("b")).as("ns"))
+      .localCheckpoint(false)
+    var deg = adj.select(col("a").as("id"), size(col("ns")).cast("long").as("d"))
+      .localCheckpoint(false)
+    var frontierN = deg.filter(col("d") < k).count()
+    var applied = 0
+    while (applied < maxRounds && frontierN > 0) {
+      val frontier = deg.filter(col("d") < k).select(col("id").as("a"))
+      val loss = adj.join(broadcast(frontier), Seq("a"))
+        .select(explode(col("ns")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("lost"))
+      deg = deg.filter(col("d") >= k)
+        .join(broadcast(loss), Seq("id"), "left")
+        .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
+        .localCheckpoint(false)
+      applied += 1
+      frontierN = if (applied < maxRounds) deg.filter(col("d") < k).count() else 0
+    }
+    deg.filter(col("d") > 0)
+      .select(col("id"), col("d").cast("long").as("core_degree"))
+  }
+
   /** Bipartite co-occurrence projection: items sharing a basket become
     * an undirected canonical edge (x < y). One self-join shuffled on the
     * basket key, then distinct. */

@@ -272,6 +272,42 @@ object GraphQueries {
        |SELECT id, round(r, 4) AS rank FROM p10 WHERE r > 0
        |ORDER BY rank DESC, id ASC LIMIT 50""".stripMargin
 
+  /** k-core of the co-purchase projection ([[GraphAlgos.kCore]] peeling
+    * loop). k = 80 sits just below this corpus's core-collapse
+    * threshold (the random-ish co-occurrence graph peels to empty at
+    * k ≈ 85), so the demo exercises genuine multi-round cascade
+    * peeling (6 rounds at sf0.01) instead of a one-round no-op; the
+    * oracle unrolls the same 12 fixed rounds the loop is bounded to
+    * (the graph_pagerank fixed-iteration precedent — converged rounds
+    * are no-ops, so early exit at stability is plan-equivalent). */
+  def kCore(spark: SparkSession, dir: String): DataFrame =
+    GraphAlgos.kCore(coPurchase(spark, dir), k = 80, maxRounds = 12)
+
+  val kCoreSql: String = {
+    val rounds = 12
+    // AS MATERIALIZED on every CTE: DuckDB inlines plain CTEs per
+    // reference, which makes the alive chain expand 2^rounds-fold
+    // (each step references its predecessor twice).
+    val steps = (1 to rounds).map { r =>
+      s"""alive$r AS MATERIALIZED (
+         |  SELECT u.a AS id FROM und u
+         |  JOIN alive${r - 1} s ON u.a = s.id JOIN alive${r - 1} t ON u.b = t.id
+         |  GROUP BY u.a HAVING count(*) >= 80
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |),
+       |und AS MATERIALIZED (SELECT x AS a, y AS b FROM pairs UNION ALL SELECT y, x FROM pairs),
+       |alive0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+       |$steps
+       |SELECT u.a AS id, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM und u JOIN alive$rounds s ON u.a = s.id JOIN alive$rounds t ON u.b = t.id
+       |GROUP BY u.a""".stripMargin
+  }
+
   val trianglesSql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
@@ -853,7 +889,8 @@ object GraphQueries {
     "graph_subgraph" -> ((s: SparkSession, d: String) => subgraph(s, d)),
     "graph_connected_components" -> ((s: SparkSession, d: String) => components(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) => pageRank(s, d)),
-    "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)))
+    "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
+    "graph_kcore" -> ((s: SparkSession, d: String) => kCore(s, d)))
 
   def oracles: Map[String, String] = Map(
     "graph_lpa" -> lpaCommunitiesSql,
@@ -880,5 +917,6 @@ object GraphQueries {
     "graph_subgraph" -> subgraphSql,
     "graph_connected_components" -> componentsSql,
     "graph_pagerank" -> pageRankSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "graph_kcore" -> kCoreSql)
 }

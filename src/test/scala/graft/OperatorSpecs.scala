@@ -1046,6 +1046,37 @@ class ApproxPercentileSpec extends SparkSpecBase {
 
 class GraphAlgosSpec extends SparkSpecBase {
 
+  test("k-core peeling matches a driver-side replay in both regimes") {
+    import graph.{GraphAlgos, GraphQueries}
+    val pairs = GraphQueries.coPurchase(spark, sf)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    def replay(k: Int): Map[Long, Int] = {
+      var adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 12) {
+        val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        if (changed) adj = (adj -- dead).view
+          .mapValues(_ -- dead).filter(_._2.nonEmpty).toMap
+        rounds += 1
+      }
+      adj.view.mapValues(_.size).toMap
+    }
+    // k=60: a nontrivial core survives at this sf; k=70: the whole graph
+    // cascade-peels to empty over several rounds (the collapse regime)
+    for (k <- Seq(60, 70)) {
+      val got = GraphAlgos.kCore(GraphQueries.coPurchase(spark, sf), k)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree")).toMap
+      val want = replay(k).map { case (v, d) => v -> d.toLong }
+      assert(got === want, s"k=$k")
+      assert(got.values.forall(_ >= k), s"k=$k: every survivor keeps >= k in-core neighbors")
+    }
+    assert(GraphAlgos.kCore(GraphQueries.coPurchase(spark, sf), 60).count() > 0)
+    assert(GraphAlgos.kCore(GraphQueries.coPurchase(spark, sf), 70).count() === 0L)
+  }
+
   test("synchronous LPA converges a triangle and 2-cycles an isolated edge") {
     import TestSpark.spark.implicits._
     // triangle {1,2,3} plus the disjoint edge {10,11}
