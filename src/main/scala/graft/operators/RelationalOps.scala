@@ -438,7 +438,136 @@ object RelationalOps {
       |  FROM orders
       |) WHERE rn <= 3""".stripMargin
 
+  /** Generic AS-OF JOIN — for every left row, the single right row with
+    * the greatest timestamp at-or-before the left row's, per key (the
+    * time-series enrichment join Spark lacks natively; kdb's `aj`,
+    * DuckDB's ASOF JOIN, pandas merge_asof). NOT implemented as a range
+    * join: the union-tag shape interleaves both inputs in ONE keyed
+    * (ts, side)-ordered sort — right rows sort before left rows at
+    * equal ts so "at-or-before" includes same-instant — and a
+    * forward-carried `last(_, ignoreNulls)` propagates the latest
+    * right-side payload onto every left row. One shuffle, cost
+    * ∝ |L|+|R| (the sessionize class), no per-left-row probe, no
+    * interval explosion; an unmatched left row keeps NULLs (left-outer
+    * as-of). Right rows must be unique per (key, ts) — enforce
+    * upstream (the registered query dedups by max event_id) — since
+    * "the" row at a tied instant is otherwise undefined.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val rCols = right.columns.filter(c => c != key && c != ts)
+    val lCols = left.columns.filter(c => c != key && c != ts)
+    val rTagged = right.select(
+      Seq(col(key), col(ts), lit(1).as("is_right")) ++
+        rCols.map(col) ++ lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(key), col(ts), lit(0).as("is_right")) ++
+        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++ lCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.union(lTagged)
+      .withColumn("asof_ts",
+        last(when(col("is_right") === 1, col(ts)), ignoreNulls = true).over(w))
+      .withColumns(rCols.map(c =>
+        c -> last(when(col("is_right") === 1, col(c)), ignoreNulls = true).over(w)).toMap)
+    carried.filter(col("is_right") === 0)
+      .select(Seq(col(key), col(ts)) ++ lCols.map(col) ++
+        Seq(col("asof_ts")) ++ rCols.map(col): _*)
+  }
+
+  /** As-of enrichment demo on the event stream: every purchase joined
+    * to the user's most recent click at-or-before it (click stream
+    * deduped to one row per (user, second) by max event_id — arg_max
+    * payload — so the as-of match is well-defined). The DuckDB oracle
+    * is the engine's NATIVE `ASOF LEFT JOIN`, so the union-tag
+    * implementation is checked against an independent implementation
+    * of the semantics, not a re-derivation of itself. */
+  def asofDemo(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_sec"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_sec"),
+        col("event_id"), col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_sec"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    asofJoin(purchases, clicks, "user_id", "ts_sec")
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("purchase_sec"),
+        col("purchase_value"), col("asof_ts").as("click_sec"),
+        col("click_id"), col("click_value"))
+  }
+
+  val asofDemoSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events
+      |),
+      |p AS (SELECT event_id, user_id, sec, value AS purchase_value
+      |      FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, sec, max(event_id) AS click_id,
+      |        arg_max(value, event_id) AS click_value
+      |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.sec AS purchase_sec, p.purchase_value,
+      |  c.sec AS click_sec, c.click_id, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.sec >= c.sec""".stripMargin
+
+  /** Generic RANGE (interval-containment) JOIN — match each point row
+    * to the interval rows containing it, per key, WITHOUT the O(|P|·|I|)
+    * nested-loop a naive theta-join plans: intervals explode into the
+    * coarse buckets they overlap (explode factor = span/width + 1 —
+    * pick `width` near the typical span so it stays ~1-2), points map
+    * to one bucket, and the match is a plain EQUI-join on
+    * (key, bucket) + a residual containment filter. One keyed shuffle,
+    * broadcast-eligible, AQE-skew-splittable — the interval-binning
+    * pattern every time-range enrichment at scale uses. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      pt: String, lo: String, hi: String, width: Long): DataFrame = {
+    val p = points.withColumn("_bucket", floor(col(pt) / width))
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(floor(col(lo) / width), floor(col(hi) / width))))
+    p.join(iv, Seq(key, "_bucket"))
+      .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop("_bucket")
+  }
+
+  /** Range-join demo: every event matched back to the 30-minute-gap
+    * session interval containing it ([[EventOps.sessionize]] output) —
+    * each event lands in exactly one session (intervals are per-user
+    * disjoint and cover their events), so the result doubles as a
+    * sessionization consistency check. The DuckDB oracle states the
+    * raw BETWEEN theta-join (its IEJoin plans it natively) — an
+    * independent implementation of the same semantics, as with
+    * q_asof_join. */
+  def rangeDemo(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.loadEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val sessions = EventOps.sessionize(spark, dir)
+      .select(col("user_id"), col("sess_id"), col("start_s"), col("end_s"))
+    rangeJoin(ev, sessions, "user_id", "ts_sec", "start_s", "end_s", width = 3600L)
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("sec"),
+        col("sess_id"), col("start_s"))
+  }
+
+  val rangeDemoSql: String = {
+    val sessions = EventOps.sessionizeSql
+      .replaceAll("(?s)SELECT user_id, sess_id, count\\(\\*\\).*$",
+        "SELECT user_id, sess_id, min(sec) AS start_s, max(sec) AS end_s FROM sessed GROUP BY user_id, sess_id")
+    s"""WITH sess AS (
+       |$sessions
+       |),
+       |ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+       |SELECT ev.event_id, ev.user_id, ev.sec, sess.sess_id, sess.start_s
+       |FROM ev JOIN sess
+       |  ON ev.user_id = sess.user_id AND ev.sec BETWEEN sess.start_s AND sess.end_s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> ((s: SparkSession, d: String) => asofDemo(s, d)),
+    "q_range_join" -> ((s: SparkSession, d: String) => rangeDemo(s, d)),
     "q_topn_per_group" -> ((s: SparkSession, d: String) => qTopPerPriority(s, d)),
     "q_pivot" -> ((s: SparkSession, d: String) => qPivot(s, d)),
     "store_bucketed_join" -> ((s: SparkSession, d: String) => storeBucketedJoin(s, d)),
@@ -457,6 +586,8 @@ object RelationalOps {
     "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofDemoSql,
+    "q_range_join" -> rangeDemoSql,
     "q_topn_per_group" -> qTopPerPrioritySql,
     "q_pivot" -> qPivotSql,
     "store_bucketed_join" -> storeBucketedJoinSql,

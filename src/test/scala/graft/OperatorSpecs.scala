@@ -931,6 +931,63 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(exchanges === 1, s"expected a single user_id shuffle:\n${plan.take(1500)}")
   }
 
+  test("as-of join carries the latest at-or-before right row per key") {
+    import TestSpark.spark.implicits._
+    // ties: a right row at the SAME instant as the left row must match
+    // (at-or-before is inclusive); later rows must not
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 99L, "r99"))
+      .toDF("k", "t", "payload")
+    val left = Seq((1L, 10L, "same-instant"), (1L, 15L, "between"),
+      (1L, 25L, "after-both"), (2L, 50L, "no-prior"), (3L, 7L, "no-key"))
+      .toDF("k", "t", "tag")
+    val out = RelationalOps.asofJoin(left, right, "k", "t")
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.get(r.fieldIndex("asof_ts"))), Option(r.getAs[String]("payload")))).toMap
+    assert(out("same-instant") === (Some(10L), Some("r10")))
+    assert(out("between") === (Some(10L), Some("r10")))
+    assert(out("after-both") === (Some(20L), Some("r20")))
+    assert(out("no-prior") === (None, None))
+    assert(out("no-key") === (None, None))
+    // corpus query: replay per purchase against the raw click stream
+    val demo = RelationalOps.asofDemo(spark, sf).collect()
+    val clicks = Tables.loadEvents(spark, sf).filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_sec")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_sec")))
+    demo.foreach { r =>
+      val (u, p) = (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_sec"))
+      val want = clicks.filter(c => c._1 == u && c._2 <= p).map(_._2).maxOption
+      val got = Option(r.get(r.fieldIndex("click_sec"))).map(_.asInstanceOf[Long])
+      assert(got === want, s"user $u purchase@$p")
+    }
+    // one keyed sort, no join operator in the plan (the union-tag shape)
+    val plan = RelationalOps.asofDemo(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"as-of must not plan a join of the two streams:\n${plan.take(1200)}")
+  }
+
+  test("range join buckets intervals and matches containment exactly") {
+    import TestSpark.spark.implicits._
+    // an interval spanning MANY buckets (span >> width) must still
+    // match points across its whole extent, and points outside match
+    // nothing
+    val intervals = Seq((1L, 100L, 0L, 25000L), (1L, 200L, 30000L, 30100L))
+      .toDF("k", "iv_id", "lo", "hi")
+    val points = Seq((1L, 1L, 0L), (1L, 2L, 24999L), (1L, 3L, 25001L),
+      (1L, 4L, 30050L), (2L, 5L, 10L)).toDF("k", "p_id", "t")
+    val got = RelationalOps.rangeJoin(points, intervals, "k", "t", "lo", "hi", width = 3600L)
+      .select(col("p_id"), col("iv_id")).collect()
+      .map(r => r.getAs[Long]("p_id") -> r.getAs[Long]("iv_id")).toSet
+    assert(got === Set(1L -> 100L, 2L -> 100L, 4L -> 200L))
+    // corpus query: every event lands in exactly one session and the
+    // assignment agrees with sessionize's own bounds
+    val demo = RelationalOps.rangeDemo(spark, sf).collect()
+    val nEvents = Tables.loadEvents(spark, sf).count()
+    assert(demo.length.toLong === nEvents, "sessions partition the event stream")
+    assert(demo.map(_.getAs[Long]("event_id")).distinct.length === demo.length)
+    demo.foreach(r => assert(r.getAs[Long]("sec") >= r.getAs[Long]("start_s")))
+  }
+
   test("events_attribution_position replays the U-shape model and conserves value") {
     val rows = EventOps.attributionPosition(spark, sf).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Double]("credit")))
