@@ -44,6 +44,14 @@ final case class AttributedPurchase(eventId: Long, userId: Long, purchaseSec: Lo
 private final case class TouchState(firstViewSec: Long, lastClickSec: Long,
                                     recentPurchases: List[Long])
 
+/** One as-of-enriched purchase (the batch operators.RelationalOps
+  * .asofDemo row shape; -1 = no click at-or-before the purchase). */
+final case class AsofPurchase(eventId: Long, userId: Long, purchaseSec: Long,
+    purchaseValue: Double, clickSec: Long, clickId: Long, clickValue: Double)
+
+private final case class AsofState(clickSec: Long, clickId: Long, clickValue: Double,
+                                   recentPurchases: List[Long])
+
 private final case class RfmState(lastSeen: Long, freq: Long, monetary: Double,
                                   recent: List[(Long, Long)])
 
@@ -390,6 +398,47 @@ object EventStream {
               case _ =>
             }
           }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** At-ingest AS-OF enrichment twin of the batch
+    * [[graft.operators.RelationalOps.asofDemo]]: per-user state carries
+    * the LATEST click seen so far as a (sec, eventId)-lexicographic max
+    * fold — idempotent, so replayed clicks can never corrupt it, and at
+    * a tied second the max eventId wins exactly like the batch arg_max
+    * dedup — and every purchase emits one enriched row against that
+    * state. Within a micro-batch, events fold in (tsSec, type, eventId)
+    * order with clicks BEFORE purchases at the same instant, matching
+    * the batch's inclusive at-or-before; a same-instant click arriving
+    * in a LATER batch than its purchase cannot match (the documented
+    * at-ingest forward-only contract — the batch pass is the
+    * retrospective recompute). Replayed purchases are suppressed by the
+    * bounded 128-entry recent-id window (rfmStream precedent, same
+    * documented corruption mode past the window). */
+  def asofStream(events: Dataset[Event]): Dataset[AsofPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AsofState, AsofPurchase](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[AsofState]) =>
+          var s = state.getOption.getOrElse(AsofState(-1L, -1L, -1.0, Nil))
+          val out = List.newBuilder[AsofPurchase]
+          it.toIndexedSeq
+            .sortBy(e => (e.tsSec, e.eventType == "purchase", e.eventId)).foreach { e =>
+              e.eventType match {
+                case "click" =>
+                  if (e.tsSec > s.clickSec || (e.tsSec == s.clickSec && e.eventId > s.clickId))
+                    s = s.copy(clickSec = e.tsSec, clickId = e.eventId, clickValue = e.value)
+                case "purchase" if !s.recentPurchases.contains(e.eventId) =>
+                  out += AsofPurchase(e.eventId, userId, e.tsSec, e.value,
+                    s.clickSec, s.clickId, s.clickValue)
+                  s = s.copy(recentPurchases = (e.eventId :: s.recentPurchases).take(128))
+                case _ =>
+              }
+            }
           state.update(s)
           out.result().iterator
       }

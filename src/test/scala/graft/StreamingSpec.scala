@@ -188,6 +188,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("streaming as-of enrichment equals the batch union-tag join, replay-suppressed") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // at-ingest parity needs same-instant clicks to precede purchases
+    // (the batch at-or-before is inclusive); the sort encodes that
+    // order contract
+    val events = loadEvents().sortBy(e => (e.tsSec, e.eventType == "purchase", e.eventId))
+    val (h1, h2) = events.splitAt(events.length / 2)
+    stream.addData(h1)
+    val q = EventStream.asofStream(stream.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    stream.addData(h2)
+    q.processAllAvailable()
+    stream.addData(events) // full replay: purchases suppressed, click state idempotent
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val expect = graft.operators.RelationalOps.asofDemo(spark, sf)
+      .select(col("event_id"), col("user_id"), col("purchase_sec"), col("purchase_value"),
+        coalesce(col("click_sec"), lit(-1L)), coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("click_value"), lit(-1.0)))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(spark.table("asof").count() === expect.size.toLong,
+      "replay must not re-emit any purchase")
+    assert(got === expect)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
