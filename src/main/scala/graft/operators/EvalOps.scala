@@ -214,17 +214,18 @@ object EvalOps {
        |FROM all_scores GROUP BY 1, 2""".stripMargin
 
   /** The dashboard itself (dashboard_generator.py create_dashboard):
-    * a self-contained HTML page — per-metric summary table + 10-bin
-    * distribution bars — rendered from the DISTRIBUTED aggregates
-    * ([[report]], [[histogram]]; ≤ 33 rows collect driver-side, never
-    * raw scores). The reference draws plotly histograms and a
-    * bootstrap-CI plot; the deterministic render uses inline CSS bars
-    * and the exact min/max the report carries instead of the
-    * randomized CI ([[report]]'s contract). */
+    * a self-contained HTML page — per-metric summary table (with the
+    * [[bootstrapCi]] deterministic 95% interval, the reference's
+    * bootstrap-CI plot as numbers) + 10-bin distribution bars —
+    * rendered from the DISTRIBUTED aggregates ([[report]],
+    * [[bootstrapCi]], [[histogram]]; ≤ 36 rows collect driver-side,
+    * never raw scores). */
   def dashboardHtml(spark: SparkSession, dir: String): String = {
     val rep = report(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .sortBy(_._1)
+    val ci = bootstrapCi(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     val hist = histogram(spark, dir).collect()
       .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
     val sb = new StringBuilder
@@ -235,9 +236,11 @@ object EvalOps {
       ".bar{background:#1f77b4;display:inline-block;height:12px}" +
       "</style></head><body><h1>Evaluation Dashboard</h1>"
     sb ++= "<h2>Aggregate Metrics</h2><table><tr><th>metric</th><th>n</th>" +
-      "<th>mean</th><th>min</th><th>max</th></tr>"
+      "<th>mean</th><th>ci95_lower</th><th>ci95_upper</th><th>min</th><th>max</th></tr>"
     rep.foreach { case (m, n, mean, mn, mx) =>
-      sb ++= s"<tr><td>$m</td><td>$n</td><td>$mean</td><td>$mn</td><td>$mx</td></tr>"
+      val (lo, hi) = ci(m)
+      sb ++= s"<tr><td>$m</td><td>$n</td><td>$mean</td><td>$lo</td><td>$hi</td>" +
+        s"<td>$mn</td><td>$mx</td></tr>"
     }
     sb ++= "</table>"
     rep.foreach { case (m, n, _, _, _) =>

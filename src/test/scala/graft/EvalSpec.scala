@@ -79,6 +79,8 @@ class EvalSpec extends SparkSpecBase {
     assert(html.startsWith("<!DOCTYPE html>") && html.endsWith("</html>"))
     for (m <- Seq("em", "f1", "context_coverage"))
       assert(html.contains(s"<h2>$m Score Distribution</h2>"), m)
+    assert(html.contains("ci95_lower") && html.contains("ci95_upper"),
+      "the summary table carries the deterministic bootstrap CI")
     // deterministic render: byte-identical across calls
     assert(html === EvalOps.dashboardHtml(spark, sf))
   }
