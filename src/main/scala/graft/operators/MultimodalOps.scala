@@ -378,7 +378,82 @@ object MultimodalOps {
       |  END AS duration_s
       |FROM documents""".stripMargin
 
+  /** Perceptual-hash NEAR-DUP over the decoded "pixels" — the image
+    * analog of [[graft.operators.DedupOps]]'s simhash text pass, using
+    * AVERAGE HASH (aHash, the classic perceptual-hash family member:
+    * downscale, threshold each cell against the global mean, pack the
+    * bits): 64 two-byte windows over the first 128 payload bytes stand
+    * in for the 8×8 downscaled luma grid (swap the window sums for
+    * real pixel averages and nothing downstream changes — the
+    * [[fakeDecode]] contract), bit i = window i above the global mean.
+    *
+    * The 64-bit hash is carried as FOUR 16-bit band integers, never a
+    * single word: hamming ≤ 3 across 4 bands forces ≥ 1 identical band
+    * (pigeonhole — the simhash banding scheme), so candidates come
+    * from an equi-join on (band_idx, band_value) — no all-pairs, and
+    * no 2^63 overflow in any engine. Exact hamming (Σ bit_count(xor)
+    * over bands) verifies candidates; near-identical leading content
+    * (the planted cross-source dups) surfaces as hamming ≈ 0 pairs. */
+  def ahashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+    val ws = transform(sequence(lit(0), lit(63)), w =>
+      ascii(col("t").substr(w * 2 + 1, lit(1))) + ascii(col("t").substr(w * 2 + 2, lit(1))))
+    val banded = docs
+      .withColumn("ws", ws)
+      .withColumn("total", aggregate(col("ws"), lit(0), (a, x) => a + x))
+      .withColumn("bands", transform(sequence(lit(0), lit(3)), b =>
+        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) =>
+          acc + when(element_at(col("ws"), b * 16 + i + 1) * 64 > col("total"),
+            pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))))
+      .select(col("doc_id"), col("bands"))
+    val keyed = banded.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("k", "bv")))
+    val cand = keyed.select(col("doc_id").as("x"), col("bands").as("ba"), col("k"), col("bv"))
+      .join(keyed.select(col("doc_id").as("y"), col("bands").as("bb"), col("k"), col("bv")),
+        Seq("k", "bv"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y"), col("ba"), col("bb")).distinct()
+    val hamming = aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, k) =>
+      acc + bit_count(element_at(col("ba"), k + 1).bitwiseXOR(element_at(col("bb"), k + 1))))
+    cand.withColumn("hamming", hamming)
+      .filter(col("hamming") <= 3)
+      .select(col("x"), col("y"), col("hamming"))
+  }
+
+  val ahashDedupSql: String =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 128) AS t FROM documents
+      |           WHERE length(text) >= 128),
+      |wins AS (
+      |  SELECT doc_id,
+      |    list_transform(range(64), w ->
+      |      ascii(substr(t, CAST(w*2+1 AS INT), 1)) + ascii(substr(t, CAST(w*2+2 AS INT), 1))) AS ws
+      |  FROM d
+      |),
+      |banded AS (
+      |  SELECT doc_id,
+      |    list_transform(range(4), b ->
+      |      CAST(list_sum(list_transform(range(16), i ->
+      |        CASE WHEN ws[CAST(b*16+i AS INT)+1]*64 > list_sum(ws)
+      |             THEN power(2, i) ELSE 0 END)) AS BIGINT)) AS bands
+      |  FROM wins
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y, a.bands AS ba, b.bands AS bb
+      |  FROM banded a, banded b, unnest(range(4)) AS u(k)
+      |  WHERE a.doc_id < b.doc_id AND a.bands[CAST(k AS INT)+1] = b.bands[CAST(k AS INT)+1]
+      |),
+      |scored AS (
+      |  SELECT x, y,
+      |    CAST(list_sum(list_transform(range(4), k ->
+      |      bit_count(xor(ba[CAST(k AS INT)+1], bb[CAST(k AS INT)+1])))) AS BIGINT) AS hamming
+      |  FROM cand
+      |)
+      |SELECT x, y, hamming FROM scored WHERE hamming <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash_dedup" -> ((s: SparkSession, d: String) => ahashDedup(s, d)),
     "mm_video_meta" -> ((s: SparkSession, d: String) => videoMeta(videoHeaders(s, d))),
     "mm_image_meta" -> ((s: SparkSession, d: String) => imageMeta(imageHeaders(s, d))),
     "mm_audio_meta" -> ((s: SparkSession, d: String) => audioMeta(audioHeaders(s, d))),
@@ -407,6 +482,7 @@ object MultimodalOps {
       |FROM pos GROUP BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "mm_ahash_dedup" -> ahashDedupSql,
     "mm_video_meta" -> videoMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_binary_meta" -> binaryFeaturesSql,

@@ -1634,4 +1634,36 @@ class MultimodalSpec extends SparkSpecBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("ahash banding is lossless vs brute-force hamming <= 3 at sf0.001") {
+    // Recompute the 64-bit average hash per doc in plain Scala and take
+    // ALL pairs with hamming <= 3; the 4x16-bit banded equi-join must
+    // return exactly that set (pigeonhole: <= 3 flipped bits across 4
+    // bands leaves at least one band identical).
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def hash(t: String): Array[Long] = {
+      val ws = Array.tabulate(64)(w => t.charAt(2 * w).toInt + t.charAt(2 * w + 1).toInt)
+      val total = ws.sum
+      Array.tabulate(4) { b =>
+        (0 until 16).foldLeft(0L)((acc, i) =>
+          if (ws(b * 16 + i).toLong * 64 > total) acc | (1L << i) else acc)
+      }
+    }
+    val hs = docs.map { case (id, t) => (id, hash(t)) }
+    val expect = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      h = (0 until 4).map(k => java.lang.Long.bitCount(hs(i)._2(k) ^ hs(j)._2(k))).sum
+      if h <= 3
+    } yield {
+      val (a, b) = if (hs(i)._1 < hs(j)._1) (hs(i)._1, hs(j)._1) else (hs(j)._1, hs(i)._1)
+      (a, b, h.toLong)
+    }).toSet
+    val got = MultimodalOps.ahashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty) // planted cross-source dups guarantee hits
+    assert(got === expect)
+  }
 }
