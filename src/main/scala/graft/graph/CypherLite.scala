@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *      Cypher's one-row-per-distinct-path multiplicity is deliberately
   *      NOT modeled — it is exponential on dense graphs; the depth
   *      projection is the tabular-subset contract, like the
-  *      endpoint-only var-length semantics. nodes(p)/relationships(p)
-  *      are unsupported.)
+  *      endpoint-only var-length semantics. `nodes(p)` in RETURN
+  *      projects the sorted SET of nodes on some walk of the row's
+  *      length between its endpoints — forward×backward frontier
+  *      joins, never a path enumeration; relationships(p) stays
+  *      unsupported.)
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE atom [AND ...] [OR atom [AND ...]]*]
   *     where atom = var.prop op 'literal' | var.prop IS [NOT] NULL
@@ -140,7 +143,8 @@ object CypherLite {
     * vars, path vars). The relation carries `${v}_id/_ntype/_name/
     * _props` per node variable, `${r}_rel/_props` per bound edge
     * variable, and `${p}_len` (the hop depth) per path variable. */
-  private def compileChain(g: PropertyGraph, chain: String)
+  private def compileChain(g: PropertyGraph, chain: String,
+      pathNodeVars: Set[String] = Set.empty)
       : (DataFrame, Seq[String], Set[String], Set[String]) = {
     // Path binding: the variable captures the matched path's DEPTH —
     // one row per (endpoints, depth) reachable combination, read back
@@ -293,10 +297,19 @@ object CypherLite {
           // one frontier⋈(raw edge scan) join + a frontier-sized
           // distinct — the per-level work scales with the frontier, not
           // the graph.
+          val seedSrc = df.select(col(s"${pv}_id").as("src")).distinct()
           val seeded = pathVar.fold(hopD) { _ =>
-            hopRaw.join(df.select(col(s"${pv}_id").as("src")).distinct(), Seq("src"), "left_semi")
-              .distinct()
+            hopRaw.join(seedSrc, Seq("src"), "left_semi").distinct()
           }
+          // nodes(p) support: per-level forward frontiers are retained so
+          // the interior-node projection below can split each (src, dst,
+          // len) row at every i + j = len boundary. fwLevels(i) holds the
+          // EXACT-i-hop (src, frontier-node) pairs; level 0 is the seed
+          // identity.
+          val wantNodes = pathVar.exists(pathNodeVars)
+          val fwLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          if (wantNodes)
+            fwLevels += seedSrc.select(col("src"), col("src").as("dst"))
           // shortestPath follows Neo4j's own restriction (its planner
           // rejects a minimal length other than 0/1): with lo = 1 the
           // first level a pair appears at IS its min depth, so the BFS
@@ -313,8 +326,9 @@ object CypherLite {
             // shortestPath) as an anti-join prune source — and a lazy
             // join-chain lineage would re-execute the whole walk per use.
             // (level 1 of an unseeded walk IS hopD — already stored)
-            if (hi > 1 && (len > 1 || pathVar.isDefined))
+            if ((hi > 1 || wantNodes) && (len > 1 || pathVar.isDefined))
               cur = org.apache.spark.sql.graft.Materialize.stored(cur)
+            if (wantNodes) fwLevels += cur
             if (len >= lo) {
               val level = pathVar.fold(cur)(_ => cur.withColumn("len", lit(len.toLong)))
               reach = if (reach == null) level else reach.union(level)
@@ -345,8 +359,46 @@ object CypherLite {
               val tagged =
                 if (shortest) reach.groupBy(col("src"), col("dst")).agg(min(col("len")).as("len"))
                 else reach
-              tagged.select(col("src").as(s"${pv}_id"),
+              // nodes(p): the sorted set of nodes on SOME walk of the
+              // row's length between its endpoints — the bounded tabular
+              // projection of Cypher's per-path node list (per-path
+              // multiplicity is exponential; the union-over-walks SET per
+              // (endpoints, depth) row is computable as frontier joins).
+              // Node m is on a length-len walk src→dst iff src reaches m
+              // in exactly i hops and m reaches dst in exactly len-i hops
+              // for some split i + j = len: forward levels are the BFS
+              // frontiers already materialized above, backward levels run
+              // the same recurrence from the reached endpoint set over
+              // the oriented hop view — every join is a keyed equi-join
+              // on frontier-sized relations, never a path enumeration.
+              // For shortestPath the forward frontiers are min-depth
+              // pruned, which is exact here: a node on a minimal-length
+              // walk sits at precisely its min depth on that walk (a
+              // shallower arrival would splice into a shorter total).
+              val out =
+                if (!wantNodes) tagged
+                else {
+                  val bk = scala.collection.mutable.ArrayBuffer(
+                    org.apache.spark.sql.graft.Materialize.stored(
+                      reach.select(col("dst")).distinct()
+                        .select(col("dst").as("mid"), col("dst"))))
+                  for (j <- 1 to hi)
+                    bk += org.apache.spark.sql.graft.Materialize.stored(
+                      hopRaw.as("e").join(bk(j - 1).as("b"), col("e.dst") === col("b.mid"))
+                        .select(col("e.src").as("mid"), col("b.dst").as("dst")).distinct())
+                  val splits = for { len <- math.max(lo, 1) to hi; i <- 0 to len } yield
+                    fwLevels(i).as("f").join(bk(len - i).as("b"), col("f.dst") === col("b.mid"))
+                      .select(col("f.src").as("src"), col("b.dst").as("dst"),
+                        lit(len.toLong).as("len"), col("f.dst").as("mid"))
+                  val nodesRel = splits.reduce(_ union _)
+                    .groupBy(col("src"), col("dst"), col("len"))
+                    .agg(sort_array(collect_set(col("mid"))).as(s"${p}_nodes"))
+                  tagged.join(nodesRel, Seq("src", "dst", "len"))
+                }
+              val base = Seq(col("src").as(s"${pv}_id"),
                 col("dst").as(s"${nv}_id"), col("len").as(s"${p}_len"))
+              val cols = if (wantNodes) base :+ col(s"${p}_nodes") else base
+              out.select(cols: _*)
             case None => reach.distinct()
               .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
           }
@@ -558,6 +610,12 @@ object CypherLite {
     // clause).
     val withParts = splitOnWithClause(q)
 
+    // Which path variables the query reads through nodes(p): the
+    // interior-node projection is only computed when actually
+    // referenced (it adds a backward BFS + split joins to the chain).
+    val pathNodeVars: Set[String] =
+      """(?i)\bnodes\s*\(\s*(\w+)\s*\)""".r.findAllMatchIn(q).map(_.group(1)).toSet
+
     var df: DataFrame = null
     var allNode: Set[String] = Set.empty
     var allEdge: Set[String] = Set.empty
@@ -578,7 +636,7 @@ object CypherLite {
       }
 
     def merge(chainText: String, joinType: String): Unit = {
-      val (cdf, nv, evs, pvs) = compileChain(g, chainText)
+      val (cdf, nv, evs, pvs) = compileChain(g, chainText, pathNodeVars)
       require((evs intersect allEdge).isEmpty,
         s"edge variable reused across patterns in: $q")
       require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
@@ -693,7 +751,7 @@ object CypherLite {
       require(chains.nonEmpty, s"empty MATCH in: $q")
       var rest: Seq[String] = chains.toIndexedSeq
       if (df == null) {
-        val (d, nv, ev, pv) = compileChain(g, chains.head)
+        val (d, nv, ev, pv) = compileChain(g, chains.head, pathNodeVars)
         df = d; allNode = nv.toSet; allEdge = ev; allPath = pv
         rest = rest.tail
       }
@@ -844,22 +902,29 @@ object CypherLite {
     // column — participates in Cypher's implicit grouping like any
     // non-aggregate item).
     val lengthItemRe = """(?i)^length\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
-    // nodes(p)/relationships(p) get a CONTRACT-NAMING rejection, not a
-    // generic parse error: the path variable binds (endpoints, depth)
-    // only — enumerating the interior of every path is the exponential
-    // materialization the tabular subset deliberately refuses.
-    val pathFnRe = """(?i)^(nodes|relationships)\s*\(\s*(\w+)\s*\).*$""".r
+    // nodes(p) projects the SORTED SET of nodes on some walk of the
+    // row's length between its endpoints (the bounded union-over-walks
+    // contract — per-path multiplicity would be exponential; the chain
+    // compiler computes the set as forward×backward frontier joins).
+    // relationships(p) gets a CONTRACT-NAMING rejection, not a generic
+    // parse error: per-path edge lists have no bounded tabular
+    // projection the subset commits to.
+    val pathFnRe = """(?i)^(nodes|relationships)\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
     val items = splitItems(retBody).toArray.flatMap {
       case lengthItemRe(v, alias) if allPath(v) => Seq {
         val name = Option(alias).getOrElse(s"length_$v")
         (false, col(s"${v}_len").as(name), name)
       }
-      case pathFnRe(fn, v) if allPath(v) =>
+      case pathFnRe(fn, v, alias) if allPath(v) && fn.equalsIgnoreCase("nodes") => Seq {
+        val name = Option(alias).getOrElse(s"nodes_$v")
+        (false, col(s"${v}_nodes").as(name), name)
+      }
+      case pathFnRe(fn, v, _) if allPath(v) =>
         throw new IllegalArgumentException(
-          s"$fn($v) is unsupported: a path variable binds (endpoints, depth) only — " +
-            "the tabular subset never enumerates path interiors (exponential on dense " +
-            s"graphs); read length($v), or match the interior nodes explicitly with a " +
-            "fixed-length pattern")
+          s"$fn($v) is unsupported: a path variable binds (endpoints, depth) plus the " +
+            "nodes(p) union-over-walks node SET — per-path edge enumeration is the " +
+            s"exponential materialization the tabular subset refuses; read length($v) " +
+            s"or nodes($v), or match the interior explicitly with a fixed-length pattern")
       case caseItemRe(body, alias) => Seq {
         val whenRe = """(?i)WHEN\s+(.+?)\s+THEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
         val elseRe = """(?i)ELSE\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r

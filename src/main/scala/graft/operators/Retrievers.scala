@@ -1141,6 +1141,39 @@ object Retrievers {
       |SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
       |ORDER BY depth""".stripMargin
 
+  /** nodes(p) — the path-interior projection (the next thing a
+    * `length(p)` user asks for). The tabular contract: one row per
+    * (endpoints, depth) combination, `nodes(p)` = the SORTED SET of
+    * nodes on some walk of that length between the endpoints (per-path
+    * multiplicity is exponential; the union-over-walks set is computed
+    * as forward×backward frontier equi-joins — see CypherLite's chain
+    * compiler). Anchored at one region, expanded over the reversed
+    * membership edges: depth 1 binds the region's nations
+    * ([nation, region:0]), depth 2 its customers and suppliers
+    * ([endpoint, its nation, region:0]) — every interior is forced, so
+    * the oracle re-derives each row's set in closed form. The array is
+    * rendered `array_join`-ed for the cross-engine hash. */
+  val nodesCypher: String =
+    "MATCH p = (r:region {id: 'region:0'})<-[:in_region|located_in*1..2]-(x) " +
+      "RETURN x.id AS endpoint, length(p) AS depth, nodes(p) AS path_nodes"
+
+  def cypherNodes(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), nodesCypher)
+      .withColumn("path_nodes", array_join(col("path_nodes"), ","))
+
+  val cypherNodesSql: String =
+    """SELECT 'nation:'||n_nationkey AS endpoint, CAST(1 AS BIGINT) AS depth,
+      |       'nation:'||n_nationkey||',region:0' AS path_nodes
+      |FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'customer:'||c_custkey, 2,
+      |       'customer:'||c_custkey||',nation:'||c_nationkey||',region:0'
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'supplier:'||s_suppkey, 2,
+      |       'nation:'||s_nationkey||',region:0,supplier:'||s_suppkey
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0""".stripMargin
+
   /** shortestPath() — Cypher's min-depth path wrapper
     * (cypher_search_retriever.py forwards these verbatim): undirected
     * shortest hops from one customer to the suppliers within 3 hops
@@ -2079,6 +2112,7 @@ object Retrievers {
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
+    "search_cypher_nodes" -> ((s: SparkSession, d: String) => cypherNodes(s, d)),
     "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
     "search_cypher_write" -> ((s: SparkSession, d: String) => cypherWrite(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
@@ -2127,6 +2161,7 @@ object Retrievers {
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_path" -> cypherPathSql,
+    "search_cypher_nodes" -> cypherNodesSql,
     "search_cypher_shortest" -> cypherShortestSql,
     "search_cypher_write" -> cypherWriteSql,
     "search_cypher_unwind" -> cypherUnwindSql,

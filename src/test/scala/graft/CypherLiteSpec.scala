@@ -832,17 +832,56 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(viaCypher === direct)
   }
 
-  test("nodes(p)/relationships(p) are rejected with the tabular-subset contract") {
-    for (fn <- Seq("nodes", "relationships")) {
-      val e = intercept[IllegalArgumentException] {
-        CypherLite.run(g, s"MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN $fn(p)")
-      }
-      assert(e.getMessage.contains("endpoints, depth") && e.getMessage.contains("length(p)"), fn)
+  test("relationships(p) is rejected with the tabular-subset contract") {
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.run(g, "MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN relationships(p)")
     }
+    assert(e.getMessage.contains("endpoints, depth") && e.getMessage.contains("nodes(p)"))
     // …while length(p) on the same pattern works
     assert(CypherLite.run(g,
       "MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN length(p) AS d, count(*) AS n ORDER BY d")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
+  }
+
+  test("nodes(p) projects the sorted union-over-walks node set per (endpoints, depth) row") {
+    val out = CypherLite.run(g,
+      "MATCH p = (x:a)-[:knows|in*1..2]->(z) " +
+        "RETURN x.id AS xid, z.id AS zid, length(p) AS d, nodes(p) AS ns")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getSeq[String](3).toList))
+      .toSet
+    assert(out === Set(
+      ("a:1", "b:1", 1L, List("a:1", "b:1")),
+      ("a:2", "b:1", 1L, List("a:2", "b:1")),
+      ("a:1", "c:1", 2L, List("a:1", "b:1", "c:1")),
+      ("a:2", "c:1", 2L, List("a:2", "b:1", "c:1"))))
+    // undirected back-walk: a:1 -2-> a:1 passes only through b:1; the
+    // a:1 -2-> a:2 row's set carries both endpoints plus the interior
+    val undirected = CypherLite.run(g,
+      "MATCH p = (x:a {id: 'a:1'})-[:knows*2..2]-(y:a) RETURN y.id AS yid, nodes(p) AS ns")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSet
+    assert(undirected === Set(
+      ("a:1", List("a:1", "b:1")),
+      ("a:2", List("a:1", "a:2", "b:1"))))
+  }
+
+  test("nodes(p) unions interiors across PARALLEL walks, incl. under shortestPath") {
+    import TestSpark.spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // s → m1 → t and s → m2 → t: one (s, t, 2) row whose node set must
+    // contain BOTH interiors (union over all walks of that length).
+    val diamond = PropertyGraph(
+      Seq(("s", "v", "s"), ("m1", "v", "m1"), ("m2", "v", "m2"), ("t", "w", "t"))
+        .toDF("id", "ntype", "name"),
+      Seq(("s", "m1", "e"), ("s", "m2", "e"), ("m1", "t", "e"), ("m2", "t", "e"))
+        .toDF("src", "dst", "rel"))
+    val rows = CypherLite.run(diamond,
+      "MATCH p = (x:v {id: 's'})-[:e*2..2]->(y:w) RETURN y.id AS yid, nodes(p) AS ns")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toList
+    assert(rows === List(("t", List("m1", "m2", "s", "t"))))
+    val short = CypherLite.run(diamond,
+      "MATCH p = shortestPath((x:v {id: 's'})-[:e*1..3]->(y:w)) " +
+        "RETURN y.id AS yid, length(p) AS d, nodes(p) AS ns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList)).toList
+    assert(short === List(("t", 2L, List("m1", "m2", "s", "t"))))
   }
 
   // ---- write subset (runWrite) ----
