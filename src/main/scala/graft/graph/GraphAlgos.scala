@@ -128,7 +128,12 @@ object GraphAlgos {
       // checkpoint + separate isEmpty idiom paid two scheduler
       // round-trips per level — visible as judged-channel inflation,
       // where each job submission waits on a contended driver).
-      val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
+      // shuffle_hash on the frontier side: build the (small) frontier
+      // hash table and STREAM the persisted edge view in place — a
+      // sort-merge plan re-sorts the multi-million-row cached ue every
+      // level (the graph_lpa finding; measured there 11.3→4.3 s).
+      val next = frontier.as("f").hint("shuffle_hash")
+        .join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("e.dst").as("id")).distinct()
         .join(frontier.select(col("id")).union(prev.select(col("id"))), Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
@@ -165,6 +170,10 @@ object GraphAlgos {
     var d = 1
     var exhausted = false
     while (d <= k && !exhausted) {
+      // NO shuffle_hash here (unlike kHop): the multi-source frontier is
+      // (seed × node)-scale, so hashing it as the build side regressed
+      // graph_harmonic 1.1 → 3.0 s — sort-merge handles the big-build
+      // case better.
       val next = frontier.as("f").join(ue.as("e"), col("f.id") === col("e.src"))
         .select(col("f.seed").as("seed"), col("e.dst").as("id")).distinct()
         .join(frontier.select(col("seed"), col("id"))
