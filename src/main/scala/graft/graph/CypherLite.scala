@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   *      Cypher's one-row-per-distinct-path multiplicity is deliberately
   *      NOT modeled — it is exponential on dense graphs; the depth
   *      projection is the tabular-subset contract, like the
-  *      endpoint-only var-length semantics. `nodes(p)` in RETURN
-  *      projects the sorted SET of nodes on some walk of the row's
+  *      endpoint-only var-length semantics. `nodes(p)` /
+  *      `relationships(p)` in RETURN project the sorted SET of nodes /
+  *      of traversed "m1>m2" hop steps on some walk of the row's
   *      length between its endpoints — forward×backward frontier
-  *      joins, never a path enumeration; relationships(p) stays
-  *      unsupported.)
+  *      joins, never a path enumeration.)
   *   [OPTIONAL MATCH pattern]*
   *   [WHERE atom [AND ...] [OR atom [AND ...]]*]
   *     where atom = var.prop op 'literal' | var.prop IS [NOT] NULL
@@ -144,7 +144,7 @@ object CypherLite {
     * _props` per node variable, `${r}_rel/_props` per bound edge
     * variable, and `${p}_len` (the hop depth) per path variable. */
   private def compileChain(g: PropertyGraph, chain: String,
-      pathNodeVars: Set[String] = Set.empty)
+      pathNodeVars: Set[String] = Set.empty, pathRelVars: Set[String] = Set.empty)
       : (DataFrame, Seq[String], Set[String], Set[String]) = {
     // Path binding: the variable captures the matched path's DEPTH —
     // one row per (endpoints, depth) reachable combination, read back
@@ -307,8 +307,10 @@ object CypherLite {
           // EXACT-i-hop (src, frontier-node) pairs; level 0 is the seed
           // identity.
           val wantNodes = pathVar.exists(pathNodeVars)
+          val wantRels = pathVar.exists(pathRelVars)
+          val wantProj = wantNodes || wantRels
           val fwLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-          if (wantNodes)
+          if (wantProj)
             fwLevels += seedSrc.select(col("src"), col("src").as("dst"))
           // shortestPath follows Neo4j's own restriction (its planner
           // rejects a minimal length other than 0/1): with lo = 1 the
@@ -326,9 +328,9 @@ object CypherLite {
             // shortestPath) as an anti-join prune source — and a lazy
             // join-chain lineage would re-execute the whole walk per use.
             // (level 1 of an unseeded walk IS hopD — already stored)
-            if ((hi > 1 || wantNodes) && (len > 1 || pathVar.isDefined))
+            if ((hi > 1 || wantProj) && (len > 1 || pathVar.isDefined))
               cur = org.apache.spark.sql.graft.Materialize.stored(cur)
-            if (wantNodes) fwLevels += cur
+            if (wantProj) fwLevels += cur
             if (len >= lo) {
               val level = pathVar.fold(cur)(_ => cur.withColumn("len", lit(len.toLong)))
               reach = if (reach == null) level else reach.union(level)
@@ -375,17 +377,17 @@ object CypherLite {
               // pruned, which is exact here: a node on a minimal-length
               // walk sits at precisely its min depth on that walk (a
               // shallower arrival would splice into a shorter total).
-              val out =
-                if (!wantNodes) tagged
-                else {
-                  val bk = scala.collection.mutable.ArrayBuffer(
-                    org.apache.spark.sql.graft.Materialize.stored(
-                      reach.select(col("dst")).distinct()
-                        .select(col("dst").as("mid"), col("dst"))))
-                  for (j <- 1 to hi)
-                    bk += org.apache.spark.sql.graft.Materialize.stored(
-                      hopRaw.as("e").join(bk(j - 1).as("b"), col("e.dst") === col("b.mid"))
-                        .select(col("e.src").as("mid"), col("b.dst").as("dst")).distinct())
+              var out = tagged
+              if (wantProj) {
+                val bk = scala.collection.mutable.ArrayBuffer(
+                  org.apache.spark.sql.graft.Materialize.stored(
+                    reach.select(col("dst")).distinct()
+                      .select(col("dst").as("mid"), col("dst"))))
+                for (j <- 1 to hi)
+                  bk += org.apache.spark.sql.graft.Materialize.stored(
+                    hopRaw.as("e").join(bk(j - 1).as("b"), col("e.dst") === col("b.mid"))
+                      .select(col("e.src").as("mid"), col("b.dst").as("dst")).distinct())
+                if (wantNodes) {
                   val splits = for { len <- math.max(lo, 1) to hi; i <- 0 to len } yield
                     fwLevels(i).as("f").join(bk(len - i).as("b"), col("f.dst") === col("b.mid"))
                       .select(col("f.src").as("src"), col("b.dst").as("dst"),
@@ -393,11 +395,31 @@ object CypherLite {
                   val nodesRel = splits.reduce(_ union _)
                     .groupBy(col("src"), col("dst"), col("len"))
                     .agg(sort_array(collect_set(col("mid"))).as(s"${p}_nodes"))
-                  tagged.join(nodesRel, Seq("src", "dst", "len"))
+                  out = out.join(nodesRel, Seq("src", "dst", "len"))
                 }
+                // relationships(p): the sorted SET of traversed hop STEPS
+                // ("m1>m2" in the walked orientation) on some walk of the
+                // row's length — step (m1, m2) is on one iff src→m1 in
+                // exactly i hops and m2→dst in exactly len-1-i hops.
+                if (wantRels) {
+                  val splits = for { len <- math.max(lo, 1) to hi; i <- 0 until len } yield
+                    fwLevels(i).as("f")
+                      .join(hopRaw.as("e"), col("f.dst") === col("e.src"))
+                      .join(bk(len - 1 - i).as("b"), col("e.dst") === col("b.mid"))
+                      .select(col("f.src").as("src"), col("b.dst").as("dst"),
+                        lit(len.toLong).as("len"),
+                        concat(col("e.src"), lit(">"), col("e.dst")).as("step"))
+                  val relsRel = splits.reduce(_ union _)
+                    .groupBy(col("src"), col("dst"), col("len"))
+                    .agg(sort_array(collect_set(col("step"))).as(s"${p}_rels"))
+                  out = out.join(relsRel, Seq("src", "dst", "len"))
+                }
+              }
               val base = Seq(col("src").as(s"${pv}_id"),
                 col("dst").as(s"${nv}_id"), col("len").as(s"${p}_len"))
-              val cols = if (wantNodes) base :+ col(s"${p}_nodes") else base
+              val cols = base ++
+                (if (wantNodes) Seq(col(s"${p}_nodes")) else Nil) ++
+                (if (wantRels) Seq(col(s"${p}_rels")) else Nil)
               out.select(cols: _*)
             case None => reach.distinct()
               .select(col("src").as(s"${pv}_id"), col("dst").as(s"${nv}_id"))
@@ -610,11 +632,13 @@ object CypherLite {
     // clause).
     val withParts = splitOnWithClause(q)
 
-    // Which path variables the query reads through nodes(p): the
-    // interior-node projection is only computed when actually
-    // referenced (it adds a backward BFS + split joins to the chain).
+    // Which path variables the query reads through nodes(p) /
+    // relationships(p): the interior projections are only computed when
+    // actually referenced (each adds a backward BFS + split joins).
     val pathNodeVars: Set[String] =
       """(?i)\bnodes\s*\(\s*(\w+)\s*\)""".r.findAllMatchIn(q).map(_.group(1)).toSet
+    val pathRelVars: Set[String] =
+      """(?i)\brelationships\s*\(\s*(\w+)\s*\)""".r.findAllMatchIn(q).map(_.group(1)).toSet
 
     var df: DataFrame = null
     var allNode: Set[String] = Set.empty
@@ -636,7 +660,7 @@ object CypherLite {
       }
 
     def merge(chainText: String, joinType: String): Unit = {
-      val (cdf, nv, evs, pvs) = compileChain(g, chainText, pathNodeVars)
+      val (cdf, nv, evs, pvs) = compileChain(g, chainText, pathNodeVars, pathRelVars)
       require((evs intersect allEdge).isEmpty,
         s"edge variable reused across patterns in: $q")
       require((nv.toSet intersect allEdge).isEmpty && (evs intersect allNode).isEmpty,
@@ -751,7 +775,7 @@ object CypherLite {
       require(chains.nonEmpty, s"empty MATCH in: $q")
       var rest: Seq[String] = chains.toIndexedSeq
       if (df == null) {
-        val (d, nv, ev, pv) = compileChain(g, chains.head, pathNodeVars)
+        val (d, nv, ev, pv) = compileChain(g, chains.head, pathNodeVars, pathRelVars)
         df = d; allNode = nv.toSet; allEdge = ev; allPath = pv
         rest = rest.tail
       }
@@ -902,29 +926,22 @@ object CypherLite {
     // column — participates in Cypher's implicit grouping like any
     // non-aggregate item).
     val lengthItemRe = """(?i)^length\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
-    // nodes(p) projects the SORTED SET of nodes on some walk of the
-    // row's length between its endpoints (the bounded union-over-walks
-    // contract — per-path multiplicity would be exponential; the chain
-    // compiler computes the set as forward×backward frontier joins).
-    // relationships(p) gets a CONTRACT-NAMING rejection, not a generic
-    // parse error: per-path edge lists have no bounded tabular
-    // projection the subset commits to.
+    // nodes(p)/relationships(p) project the SORTED SET of nodes / of
+    // traversed "m1>m2" hop steps on some walk of the row's length
+    // between its endpoints (the bounded union-over-walks contract —
+    // per-path multiplicity would be exponential; the chain compiler
+    // computes both sets as forward×backward frontier joins).
     val pathFnRe = """(?i)^(nodes|relationships)\s*\(\s*(\w+)\s*\)(?:\s+[aA][sS]\s+(\w+))?$""".r
     val items = splitItems(retBody).toArray.flatMap {
       case lengthItemRe(v, alias) if allPath(v) => Seq {
         val name = Option(alias).getOrElse(s"length_$v")
         (false, col(s"${v}_len").as(name), name)
       }
-      case pathFnRe(fn, v, alias) if allPath(v) && fn.equalsIgnoreCase("nodes") => Seq {
-        val name = Option(alias).getOrElse(s"nodes_$v")
-        (false, col(s"${v}_nodes").as(name), name)
+      case pathFnRe(fn, v, alias) if allPath(v) => Seq {
+        val isNodes = fn.equalsIgnoreCase("nodes")
+        val name = Option(alias).getOrElse(if (isNodes) s"nodes_$v" else s"relationships_$v")
+        (false, col(if (isNodes) s"${v}_nodes" else s"${v}_rels").as(name), name)
       }
-      case pathFnRe(fn, v, _) if allPath(v) =>
-        throw new IllegalArgumentException(
-          s"$fn($v) is unsupported: a path variable binds (endpoints, depth) plus the " +
-            "nodes(p) union-over-walks node SET — per-path edge enumeration is the " +
-            s"exponential materialization the tabular subset refuses; read length($v) " +
-            s"or nodes($v), or match the interior explicitly with a fixed-length pattern")
       case caseItemRe(body, alias) => Seq {
         val whenRe = """(?i)WHEN\s+(.+?)\s+THEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
         val elseRe = """(?i)ELSE\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r

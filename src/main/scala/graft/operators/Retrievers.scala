@@ -1174,6 +1174,34 @@ object Retrievers {
       |       'nation:'||s_nationkey||',region:0,supplier:'||s_suppkey
       |FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0""".stripMargin
 
+  /** relationships(p) — the edge-step companion of [[nodesCypher]]:
+    * per (endpoints, depth) row, the SORTED SET of traversed "m1>m2"
+    * hop steps on some walk of that length (union-over-walks, computed
+    * as forward ⋈ hop ⋈ backward frontier joins). Same anchored
+    * pattern, so every row's step set is closed-form: depth 1 =
+    * [region:0>nation], depth 2 = [nation>endpoint, region:0>nation]
+    * in the reversed-edge orientation the pattern walks. */
+  val relsCypher: String =
+    "MATCH p = (r:region {id: 'region:0'})<-[:in_region|located_in*1..2]-(x) " +
+      "RETURN x.id AS endpoint, length(p) AS depth, relationships(p) AS path_steps"
+
+  def cypherRels(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.run(TpchGraph(spark, dir), relsCypher)
+      .withColumn("path_steps", array_join(col("path_steps"), ","))
+
+  val cypherRelsSql: String =
+    """SELECT 'nation:'||n_nationkey AS endpoint, CAST(1 AS BIGINT) AS depth,
+      |       'region:0>nation:'||n_nationkey AS path_steps
+      |FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'customer:'||c_custkey, 2,
+      |       'nation:'||c_nationkey||'>customer:'||c_custkey||',region:0>nation:'||c_nationkey
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'supplier:'||s_suppkey, 2,
+      |       'nation:'||s_nationkey||'>supplier:'||s_suppkey||',region:0>nation:'||s_nationkey
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0""".stripMargin
+
   /** shortestPath() — Cypher's min-depth path wrapper
     * (cypher_search_retriever.py forwards these verbatim): undirected
     * shortest hops from one customer to the suppliers within 3 hops
@@ -2113,6 +2141,7 @@ object Retrievers {
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
     "search_cypher_nodes" -> ((s: SparkSession, d: String) => cypherNodes(s, d)),
+    "search_cypher_rels" -> ((s: SparkSession, d: String) => cypherRels(s, d)),
     "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
     "search_cypher_write" -> ((s: SparkSession, d: String) => cypherWrite(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
@@ -2162,6 +2191,7 @@ object Retrievers {
     "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_path" -> cypherPathSql,
     "search_cypher_nodes" -> cypherNodesSql,
+    "search_cypher_rels" -> cypherRelsSql,
     "search_cypher_shortest" -> cypherShortestSql,
     "search_cypher_write" -> cypherWriteSql,
     "search_cypher_unwind" -> cypherUnwindSql,

@@ -832,12 +832,17 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(viaCypher === direct)
   }
 
-  test("relationships(p) is rejected with the tabular-subset contract") {
-    val e = intercept[IllegalArgumentException] {
-      CypherLite.run(g, "MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN relationships(p)")
-    }
-    assert(e.getMessage.contains("endpoints, depth") && e.getMessage.contains("nodes(p)"))
-    // …while length(p) on the same pattern works
+  test("relationships(p) projects the sorted union-over-walks hop-step set") {
+    val out = CypherLite.run(g,
+      "MATCH p = (x:a)-[:knows|in*1..2]->(z) " +
+        "RETURN x.id AS xid, z.id AS zid, relationships(p) AS rs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList)).toSet
+    assert(out === Set(
+      ("a:1", "b:1", List("a:1>b:1")),
+      ("a:2", "b:1", List("a:2>b:1")),
+      ("a:1", "c:1", List("a:1>b:1", "b:1>c:1")),
+      ("a:2", "c:1", List("a:2>b:1", "b:1>c:1"))))
+    // …and length(p) on the same pattern still works
     assert(CypherLite.run(g,
       "MATCH p = (x:a)-[:knows*1..2]->(y:b) RETURN length(p) AS d, count(*) AS n ORDER BY d")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toList === List((1L, 2L)))
@@ -882,6 +887,14 @@ class CypherLiteSpec extends SparkSpecBase {
         "RETURN y.id AS yid, length(p) AS d, nodes(p) AS ns")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList)).toList
     assert(short === List(("t", 2L, List("m1", "m2", "s", "t"))))
+    // both projections together: the edge-step union spans both walks
+    val both = CypherLite.run(diamond,
+      "MATCH p = (x:v {id: 's'})-[:e*2..2]->(y:w) " +
+        "RETURN y.id AS yid, nodes(p) AS ns, relationships(p) AS rs")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList, r.getSeq[String](2).toList))
+      .toList
+    assert(both === List(
+      ("t", List("m1", "m2", "s", "t"), List("m1>t", "m2>t", "s>m1", "s>m2"))))
   }
 
   // ---- write subset (runWrite) ----
