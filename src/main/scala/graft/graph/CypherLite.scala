@@ -348,7 +348,10 @@ object CypherLite {
               if (shortest)
                 visited = (if (visited == null) cur
                            else org.apache.spark.sql.graft.Materialize.stored(visited.union(cur)))
-              var next = cur.as("a")
+              // shuffle_hash on the frontier side: hash the (small)
+              // frontier and stream the edge-scan side without the
+              // sort-merge sort of the big side (the kHop discipline).
+              var next = cur.as("a").hint("shuffle_hash")
                 .join(hopD.as("b"), col("a.dst") === col("b.src"))
                 .select(col("a.src").as("src"), col("b.dst").as("dst"))
                 .distinct()
