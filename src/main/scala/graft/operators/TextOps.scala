@@ -470,6 +470,55 @@ object TextOps {
       |SELECT doc_id, floor(avg(ln(total * 1.0 / c)) * 10000) / 10000 AS nll
       |FROM w JOIN v USING (w), t GROUP BY doc_id""".stripMargin
 
+  /** Interpolated BIGRAM negative-log-likelihood — the CCNet/KenLM
+    * perplexity filter one order up from [[unigramNll]]: per doc,
+    * avg −ln P(wᵢ | wᵢ₋₁) with Jelinek–Mercer interpolation
+    * P = λ·c(a,b)/c(a·) + (1−λ)·c(b)/total (λ = 0.75; c(a·) is the
+    * bigram-table prefix marginal), the LM trained on the corpus
+    * itself, so every observed bigram has mass and the score is fully
+    * deterministic — no external model file.
+    *
+    * Scale shape: one position-explode into bigram pairs, keyed
+    * aggregations for the bigram table and its prefix marginal
+    * (map-side partial), KEYED joins back on (a,b) / a / b — LM tables
+    * are corpus-sized, never broadcast — one 1-row total broadcast,
+    * and a per-doc rollup. No windows, no driver loops; hot prefixes
+    * shard naturally because the join key (a,b) carries the successor. */
+  def bigramNll(spark: SparkSession, dir: String, lambda: Double = 0.75): DataFrame = {
+    val pairsCol = transform(sequence(lit(1), size(toks) - 1), i =>
+      struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b")))
+    val pairs = load(spark, dir, "documents")
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(pairsCol).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val pf = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val words = load(spark, dir, "documents").select(explode(toks).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    pairs.join(bg, Seq("a", "b")).join(pf, Seq("a"))
+      .join(vocab.withColumnRenamed("w", "b"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg((floor(avg(-log(lit(lambda) * col("cab") / col("ca")
+        + lit(1.0 - lambda) * col("c") / col("total"))) * 10000) / 10000).as("bigram_nll"))
+  }
+
+  val bigramNllSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (SELECT doc_id, ts[CAST(i AS INT)] AS a, ts[CAST(i AS INT) + 1] AS b
+      |          FROM d, unnest(range(1, len(ts))) AS u(i)),
+      |bg AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+      |pf AS (SELECT a, sum(cab) AS ca FROM bg GROUP BY 1),
+      |v AS (SELECT w, count(*) AS c
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+      |t AS (SELECT sum(c) AS total FROM v)
+      |SELECT doc_id,
+      |  floor(avg(-ln(0.75 * cab / ca + 0.25 * c / total)) * 10000) / 10000 AS bigram_nll
+      |FROM pairs JOIN bg USING (a, b) JOIN pf USING (a) JOIN v ON v.w = pairs.b, t
+      |GROUP BY doc_id""".stripMargin
+
   /** Per-document top-k TF-IDF keywords — the keyword-extraction
     * primitive a document-processing pipeline exposes next to
     * [[quality]] and [[fingerprint]] (and the deterministic stand-in
@@ -828,6 +877,7 @@ object TextOps {
     "text_redact" -> ((s: SparkSession, d: String) => redact(s, d)),
     "text_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "text_unigram_nll" -> ((s: SparkSession, d: String) => unigramNll(s, d)),
+    "text_bigram_nll" -> ((s: SparkSession, d: String) => bigramNll(s, d)),
     "text_ngram_stats" -> ((s: SparkSession, d: String) => ngramStats(s, d)),
     "text_langid" -> ((s: SparkSession, d: String) => langId(s, d)),
     "text_fingerprint" -> ((s: SparkSession, d: String) => fingerprint(s, d)),
@@ -846,6 +896,7 @@ object TextOps {
     "text_redact" -> redactSql,
     "text_tfidf_keywords" -> tfidfKeywordsSql,
     "text_unigram_nll" -> unigramNllSql,
+    "text_bigram_nll" -> bigramNllSql,
     "text_ngram_stats" -> ngramStatsSql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,

@@ -26,6 +26,7 @@ class EmptyInputSpec extends SparkSpecBase {
 
   private val corpusOps: Seq[String] = Seq(
     "text_tokens", "text_quality", "text_repetition", "text_redact", "text_unigram_nll",
+    "text_bigram_nll",
     "text_ngram_stats", "text_tfidf_keywords",
     "text_langid", "text_fingerprint",
     "text_chunk", "text_chunk_overlap", "text_chunk_paragraph",

@@ -535,6 +535,28 @@ class CurateOpsSpec extends SparkSpecBase {
 
 class TextOpsSpec extends SparkSpecBase {
 
+  test("bigram NLL replays the interpolated corpus LM driver-side") {
+    val out = TextOps.bigramNll(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bigram_nll")).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq).toMap
+    val uni = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = uni.values.sum
+    val bg = docs.values.flatMap(ts => ts.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val pf = bg.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val scored = docs.filter(_._2.length >= 2)
+    assert(out.keySet === scored.keySet)
+    scored.foreach { case (id, ts) =>
+      val nll = ts.sliding(2).filter(_.length == 2).map { p =>
+        -math.log(0.75 * bg((p(0), p(1))) / pf(p(0)) + 0.25 * uni(p(1)) / total)
+      }.toSeq
+      val expect = math.floor(nll.sum / nll.size * 10000) / 10000
+      assert(math.abs(out(id) - expect) < 2e-4, s"doc $id: ${out(id)} vs $expect")
+    }
+  }
+
   test("cross-doc dup fraction replays the corpus shingle index") {
     val out = TextOps.dupFraction(spark, sf).collect()
     val docs = Tables.load(spark, sf, "documents")

@@ -40,6 +40,7 @@ class PlanLintSpec extends SparkSpecBase {
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
+    "text_bigram_nll",  // same 1-row corpus-total broadcast (interpolation denominator)
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
     "search_hybrid_rrf", // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
     "search_cypher_write") // 1-row write increment ⋈ the id-matched base row: both sides
