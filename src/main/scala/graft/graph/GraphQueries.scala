@@ -807,6 +807,21 @@ object GraphQueries {
       .orderBy(col("harmonic").desc, col("id").asc).limit(k)
   }
 
+  /** Top-k sampled Brandes betweenness over the supplier–nation–region
+    * subgraph, seeded at the nation+region hubs (the [[harmonicCentrality]]
+    * seed set): the bridging-node ranking (nations dominate — every
+    * supplier↔region shortest path passes its nation). Rows-only at the
+    * driver gate (recursive Brandes has no SQL oracle); GraphAlgosSpec
+    * replays textbook Brandes driver-side and pins every δ to 1e-9. */
+  def betweennessCentrality(spark: SparkSession, dir: String, k: Int = 20,
+      maxDepth: Int = 8): DataFrame = {
+    val g = snrSubgraph(spark, dir)
+    val seeds = g.nodes.filter(col("ntype").isin("nation", "region")).select(col("id"))
+    GraphAlgos.betweenness(g, seeds, maxDepth)
+      .select(col("id"), (floor(col("betweenness") * 10000) / 10000).as("betweenness"))
+      .orderBy(col("betweenness").desc, col("id").asc).limit(k)
+  }
+
   val harmonicCentralitySql: String =
     s"""WITH RECURSIVE ${TpchGraph.nodesSql},
        |${TpchGraph.edgesSql},
@@ -868,6 +883,7 @@ object GraphQueries {
     "graph_lpa" -> ((s: SparkSession, d: String) => lpaCommunities(s, d)),
     "graph_adamic_adar" -> ((s: SparkSession, d: String) => adamicAdar(s, d)),
     "graph_harmonic" -> ((s: SparkSession, d: String) => harmonicCentrality(s, d)),
+    "graph_betweenness" -> ((s: SparkSession, d: String) => betweennessCentrality(s, d)),
     "graph_jaccard" -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "graph_ppr" -> ((s: SparkSession, d: String) => personalizedPageRank(s, d)),
     "graph_prune_chunks" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),

@@ -1125,6 +1125,49 @@ class ApproxPercentileSpec extends SparkSpecBase {
 
 class GraphAlgosSpec extends SparkSpecBase {
 
+  test("sampled Brandes betweenness matches a textbook driver-side replay") {
+    import graph.{GraphAlgos, GraphQueries, TpchGraph}
+    val g = TpchGraph(spark, sf).subgraphByType(Seq("region", "nation", "supplier"))
+    val seeds = g.nodes.filter(col("ntype").isin("nation", "region"))
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    val out = GraphAlgos.betweenness(g,
+        g.nodes.filter(col("ntype").isin("nation", "region")).select(col("id")), 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // textbook Brandes (BFS + stack accumulation) per seed, driver-side
+    val adj = g.undirectedEdges.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      var i = 0
+      while (i < order.length) {
+        val v = order(i); i += 1
+        adj.getOrElse(v, Set.empty).foreach { w =>
+          if (!dist.contains(w) && dist(v) + 1 <= 8) {
+            dist(w) = dist(v) + 1; order += w
+          }
+          if (dist.get(w).contains(dist(v) + 1)) sigma(w) += sigma(v)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      order.reverse.foreach { w =>
+        adj.getOrElse(w, Set.empty).foreach { v =>
+          if (dist.get(v).contains(dist(w) - 1))
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        }
+        if (w != s) expect(w) += delta(w)
+      }
+    }
+    val keys = expect.filter(_._2 > 1e-12).keySet
+    assert(out.keySet.filter(out(_) > 1e-12) === keys)
+    keys.foreach { v =>
+      assert(math.abs(out(v) - expect(v)) < 1e-9, s"$v: ${out(v)} vs ${expect(v)}")
+    }
+  }
+
   test("k-core peeling matches a driver-side replay in both regimes") {
     import graph.{GraphAlgos, GraphQueries}
     val pairs = GraphQueries.coPurchase(spark, sf)

@@ -54,7 +54,8 @@ class PlanLintSpec extends SparkSpecBase {
   // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
   private val rowsOnlyByDesign: Set[String] =
     Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
-      "q_approx_distinct", "q_approx_percentiles")
+      "q_approx_distinct", "q_approx_percentiles",
+      "graph_betweenness") // recursive Brandes has no SQL oracle; exact driver replay spec-pinned
 
   test("every registered query has an oracle or is a documented rows-only sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
