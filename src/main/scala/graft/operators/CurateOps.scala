@@ -305,6 +305,56 @@ object CurateOps {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** Temperature-based domain rebalancing — the multilingual-corpus
+    * sampling rule (XLM-R, Conneau et al. 2020; mT5): sampling mass
+    * qᵢ ∝ pᵢ^α with α = 0.3 flattens the LANGUAGE distribution, so
+    * low-resource languages are upsampled and the dominant one
+    * thinned, with the TOTAL volume preserved. Unlike [[mix]] the
+    * weights are DERIVED from the corpus itself: per-language
+    * multiplicity mᵢ = qᵢ·N/nᵢ, realized as the same integer-percent +
+    * hash-bucket-fractional rule (⌊wᵢ/100⌋ epochs plus one iff
+    * bucket < wᵢ mod 100, wᵢ = ⌊100·mᵢ⌋) — fully deterministic per
+    * document, no RNG. (Keyed on `lang`, the skewed dimension of this
+    * corpus — `source` is uniform here, which would degenerate to the
+    * identity mixture and park every weight on the 100.0 floor
+    * boundary.)
+    *
+    * Scale shape: one per-language count aggregate (map-side partial),
+    * one 1-row (total, Σnᵢ^α) aggregate over the language dim, the
+    * derived weight table broadcast back into the corpus scan, then the
+    * [[mix]] narrow epoch fan-out — the corpus itself never shuffles. */
+  def mixTemperature(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val langStats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val totals = langStats.agg(sum(col("n")).as("total"),
+      sum(pow(col("n"), lit(alpha))).as("sum_pow"))
+    val wdim = langStats.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        floor(pow(col("n"), lit(alpha)) / col("sum_pow") * col("total") / col("n") * 100)
+          .cast("long").as("wt"))
+    docs.join(broadcast(wdim), Seq("lang"))
+      .withColumn("m",
+        floor(col("wt") / 100) + when(bucket < col("wt") % 100, 1L).otherwise(0L))
+      .filter(col("m") > 0)
+      .select(col("doc_id"), col("lang"), col("wt"),
+        explode(sequence(lit(1L), col("m"))).as("epoch"))
+  }
+
+  val mixTemperatureSql: String =
+    """WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n) AS total, sum(power(n, 0.3)) AS sum_pow FROM s),
+      |w AS (SELECT lang, CAST(floor(power(n, 0.3) / sum_pow * total / n * 100) AS BIGINT) AS wt
+      |      FROM s, t),
+      |m AS (
+      |  SELECT doc_id, d.lang AS lang, wt,
+      |    wt // 100 + CASE WHEN CAST(list_sum(list_transform(range(4),
+      |        i -> (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT) + 1, 1)) - 1)
+      |             * power(16, 3 - i))) AS BIGINT) % 100 < wt % 100 THEN 1 ELSE 0 END AS m
+      |  FROM documents d JOIN w ON w.lang = d.lang
+      |)
+      |SELECT doc_id, lang, wt, e AS epoch
+      |FROM m, unnest(generate_series(CAST(1 AS BIGINT), CAST(m AS BIGINT))) AS u(e)""".stripMargin
+
   val mixSql: String =
     """WITH w AS (
       |  SELECT doc_id, source,
@@ -507,6 +557,7 @@ object CurateOps {
     "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "curate_split" -> ((s: SparkSession, d: String) => split3(s, d)),
     "curate_mix" -> ((s: SparkSession, d: String) => mix(s, d)),
+    "curate_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "curate_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => decontaminateFuzzy(s, d)),
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
@@ -516,6 +567,7 @@ object CurateOps {
     "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,
     "curate_mix" -> mixSql,
+    "curate_mix_temperature" -> mixTemperatureSql,
     "curate_pack" -> packSql,
     "curate_sample" -> sampleSql,
     "curate_sample_stratified" -> sampleStratifiedSql,

