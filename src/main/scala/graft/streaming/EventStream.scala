@@ -55,6 +55,16 @@ private final case class AsofState(clickSec: Long, clickId: Long, clickValue: Do
 private final case class RfmState(lastSeen: Long, freq: Long, monetary: Double,
                                   recent: List[(Long, Long)])
 
+/** One SpaceSaving summary entry as emitted per micro-batch: the
+  * shard's tracked key with its overestimate count (`est`) and error
+  * bound (`err`; the true count lies in [est − err, est]), plus the
+  * shard's processed-event total `n` so a consumer can pick each
+  * shard's LATEST summary (max n) and apply the n/k guarantee. */
+final case class HeavyHitterEntry(shard: Int, n: Long, userId: Long, est: Long, err: Long)
+
+private final case class HhState(counters: Map[Long, (Long, Long)], n: Long,
+                                 recent: List[Long])
+
 private final case class SessionState(sessId: Long, nEvents: Long, totalValue: Double,
                                       startS: Long, endS: Long)
 
@@ -356,6 +366,55 @@ object EventStream {
           state.update(s)
           Iterator.single(RfmRollup(userId, s.lastSeen, s.freq,
             BigDecimal(s.monetary).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+  }
+
+  /** Continuously-maintained HEAVY HITTERS (streaming twin of the batch
+    * two-pass Misra–Gries `events_heavy_hitters`): a SpaceSaving
+    * summary (Metwally et al. 2005) per SHARD — keys are hashed to
+    * `shards` groups (a user's events all land in its own shard, so a
+    * shard's count for a user IS the global count), each shard's state
+    * holds at most k = ⌈1/φ⌉ (userId → (est, err)) counters. Hit:
+    * est+1. Miss with a full table: evict the argmin-est key; the new
+    * key enters at (minEst + 1, minEst). Invariants at every batch
+    * boundary: true ∈ [est − err, est] for each tracked key, and any
+    * key with true count > n_shard/k is guaranteed tracked — so a
+    * consumer taking each shard's latest summary (max `n`) gets a
+    * candidate superset of the φ-heavy hitters with certified bounds,
+    * the streaming analog of the batch pass-1 superset. Emissions are
+    * the full summary per batch (Update mode).
+    *
+    * Replay suppression follows the rfmStream precedent — a bounded
+    * 256-entry recent-event-id window PER SHARD, sized for micro-batch
+    * redelivery, NOT archival replays (a deeper replay inflates est
+    * beyond the err bound; rebuild from fresh state instead — same
+    * documented corruption mode as rfmStream). */
+  def heavyHittersStream(events: Dataset[Event], phi: Double = 0.005,
+      shards: Int = 8): Dataset[HeavyHitterEntry] = {
+    import events.sparkSession.implicits._
+    val k = math.ceil(1.0 / phi).toInt
+    events
+      .groupByKey(e => (math.abs(e.userId) % shards).toInt)
+      .flatMapGroupsWithState[HhState, HeavyHitterEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[Event], state: GroupState[HhState]) =>
+          var s = state.getOption.getOrElse(HhState(Map.empty, 0L, Nil))
+          it.toIndexedSeq.sortBy(e => (e.tsSec, e.eventId)).foreach { e =>
+            if (!s.recent.contains(e.eventId)) {
+              val counters = s.counters.get(e.userId) match {
+                case Some((est, err)) => s.counters.updated(e.userId, (est + 1L, err))
+                case None if s.counters.size < k => s.counters.updated(e.userId, (1L, 0L))
+                case None =>
+                  val (evict, (minEst, _)) = s.counters.minBy { case (id, (est, _)) => (est, id) }
+                  (s.counters - evict).updated(e.userId, (minEst + 1L, minEst))
+              }
+              s = HhState(counters, s.n + 1L, (e.eventId :: s.recent).take(256))
+            }
+          }
+          state.update(s)
+          s.counters.iterator.map { case (id, (est, err)) =>
+            HeavyHitterEntry(shard, s.n, id, est, err)
+          }
       }
   }
 

@@ -151,6 +151,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("streaming SpaceSaving heavy hitters certify the batch answer, replay-suppressed") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val events = loadEvents()
+    val (h1, h2) = events.splitAt(events.length / 2)
+    stream.addData(h1)
+    val q = EventStream.heavyHittersStream(stream.toDS())
+      .writeStream.format("memory").queryName("hh").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    stream.addData(h2)
+    q.processAllAvailable()
+    // micro-batch-sized redelivery: the LAST batch's time-tail is what
+    // each shard's 256-entry recent-id window still holds (batches are
+    // processed time-sorted, so the window ends as the batch's
+    // time-largest ids) — replaying it must not move any estimate
+    stream.addData(h2.sortBy(e => (e.tsSec, e.eventId)).takeRight(64))
+    q.processAllAvailable()
+    q.stop()
+    // each shard's LATEST summary = rows at its max processed-count n
+    val all = spark.table("hh")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val latest = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val nMax = rows.map(_._2).max
+      rows.filter(_._2 == nMax).toSeq
+    }.map { case (_, _, id, est, err) => id -> ((est, err)) }.toMap
+    val truth = Tables.loadEvents(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    // certified bounds: true ∈ [est − err, est] for every tracked key
+    latest.foreach { case (id, (est, err)) =>
+      assert(truth(id) <= est && truth(id) >= est - err, s"user $id: [$est-$err,$est] vs ${truth(id)}")
+    }
+    // superset guarantee: every batch heavy hitter is tracked
+    val batchHh = EventOps.heavyHitters(spark, sf).collect().map(_.getAs[Long]("user_id")).toSet
+    assert(batchHh.subsetOf(latest.keySet),
+      s"missing true heavy hitters: ${batchHh -- latest.keySet}")
+    // the replay leg did not advance any shard's processed count: each
+    // shard shows at most one n per REAL batch (the replay batch
+    // re-emits the batch-2 n, collapsing under distinct), never a third
+    all.groupBy(_._1).foreach { case (shard, rows) =>
+      val ns = rows.map(_._2).distinct
+      assert(ns.length <= 2, s"shard $shard replay advanced n: ${ns.sorted.toList}")
+    }
+  }
+
   test("streaming attribution equals the batch per-purchase pass, replay-suppressed") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
