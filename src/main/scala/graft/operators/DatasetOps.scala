@@ -70,11 +70,81 @@ object DatasetOps {
       |  count(DISTINCT text) AS n_unique
       |FROM documents WHERE length(text) > 0""".stripMargin
 
+  /** Deequ-style DATA VALIDATION report — the constraint-check pass a
+    * training-data pipeline runs before trusting an ingest (uniqueness,
+    * completeness, consistency, well-formedness, NaN hygiene), one row
+    * per check with its exact violation count.
+    *
+    * Scale shape: ONE full-scan aggregate per table (every per-row
+    * predicate folds into the same hash-aggregate pass — adding a check
+    * adds a column, not a scan), the 1-row results cross-assembled and
+    * exploded into the report rows. No joins, no windows; violation
+    * counts are exact, not sampled. */
+  def validate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val d = docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_dup"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+        .as("text_empty"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_chars_drift"),
+      sum(when(col("lang").isNull || length(col("lang")) =!= 2, 1L).otherwise(0L))
+        .as("lang_malformed"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_null"))
+    val e = load(spark, dir, "embeddings").agg(
+      (count(lit(1)) - countDistinct(col("vec_id"))).as("vec_id_dup"),
+      (countDistinct(size(col("embedding"))) - 1).as("dim_nonuniform"),
+      sum(when(exists(col("embedding"), x => isnan(x)), 1L).otherwise(0L))
+        .as("embedding_nan"))
+    d.crossJoin(broadcast(e))
+      .select(explode(array(
+        struct(lit("doc_id_unique").as("check"), col("doc_id_dup").as("violations")),
+        struct(lit("text_non_empty").as("check"), col("text_empty").as("violations")),
+        struct(lit("n_chars_consistent").as("check"), col("n_chars_drift").as("violations")),
+        struct(lit("lang_wellformed").as("check"), col("lang_malformed").as("violations")),
+        struct(lit("source_complete").as("check"), col("source_null").as("violations")),
+        struct(lit("vec_id_unique").as("check"), col("vec_id_dup").as("violations")),
+        struct(lit("embedding_dim_uniform").as("check"), col("dim_nonuniform").as("violations")),
+        struct(lit("embedding_no_nan").as("check"), col("embedding_nan").as("violations"))
+      )).as("c"))
+      .select(col("c.check").as("check"), col("c.violations").cast("long").as("violations"),
+        (col("c.violations") === 0L).as("passed"))
+  }
+
+  val validateSql: String =
+    """WITH d AS (
+      |  SELECT count(*) - count(DISTINCT doc_id) AS doc_id_dup,
+      |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS text_empty,
+      |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_drift,
+      |    sum(CASE WHEN lang IS NULL OR length(lang) <> 2 THEN 1 ELSE 0 END) AS lang_malformed,
+      |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_null
+      |  FROM documents
+      |), e AS (
+      |  SELECT count(*) - count(DISTINCT vec_id) AS vec_id_dup,
+      |    count(DISTINCT len(embedding)) - 1 AS dim_nonuniform,
+      |    sum(CASE WHEN list_aggregate(list_transform(embedding, x -> isnan(x)), 'bool_or')
+      |        THEN 1 ELSE 0 END) AS embedding_nan
+      |  FROM embeddings
+      |)
+      |SELECT u.check, u.violations, u.violations = 0 AS passed
+      |FROM d, e, LATERAL (VALUES
+      |  ('doc_id_unique', CAST(doc_id_dup AS BIGINT)),
+      |  ('text_non_empty', CAST(text_empty AS BIGINT)),
+      |  ('n_chars_consistent', CAST(n_chars_drift AS BIGINT)),
+      |  ('lang_wellformed', CAST(lang_malformed AS BIGINT)),
+      |  ('source_complete', CAST(source_null AS BIGINT)),
+      |  ('vec_id_unique', CAST(vec_id_dup AS BIGINT)),
+      |  ('embedding_dim_uniform', CAST(dim_nonuniform AS BIGINT)),
+      |  ('embedding_no_nan', CAST(embedding_nan AS BIGINT))
+      |) AS u("check", violations)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_datasets" -> ((s: SparkSession, d: String) => datasets(s, d)),
+    "data_validate" -> ((s: SparkSession, d: String) => validate(s, d)),
     "store_doc_ingest" -> ((s: SparkSession, d: String) => storeDocIngest(s, d)))
 
   def oracles: Map[String, String] = Map(
     "data_datasets" -> datasetsSql,
+    "data_validate" -> validateSql,
     "store_doc_ingest" -> storeDocIngestSql)
 }

