@@ -548,7 +548,82 @@ object CurateOps {
       |)
       |SELECT vec_id, bucket FROM ranked WHERE rk <= 16""".stripMargin
 
+  /** DSIR importance resampling (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-domain-like its hashed-n-gram
+    * profile is, log w(x) = Σ_f c_f(x)·(ln p̂_target(f) − ln q̂_raw(f)),
+    * with p̂/q̂ the Laplace-smoothed hashed-BIGRAM bag distributions
+    * (the paper's hashed n-gram feature space; fold16(md5) % buckets is
+    * the engine-portable hash). Target slice = the `en` documents (the
+    * "quality domain" stand-in); raw = the whole corpus. The k
+    * highest-weight documents are the resampled selection — the
+    * deterministic top-k instance of the paper's Gumbel resampling
+    * (temperature → 0), matching the corpus determinism rule.
+    *
+    * Scale shape: one token explode into hashed features, two keyed
+    * feature aggregations (map-side partials; the feature space is B
+    * buckets BY CONSTRUCTION, so the log-ratio table is ≤ B rows and
+    * broadcasts — unlike a vocabulary, which never would), per-doc
+    * rollup = one keyed aggregation, selection = TakeOrdered over k.
+    * Floor-truncated at 4dp before the rank (ln-ulp-proof, the
+    * [[graft.operators.TextOps.unigramNll]] precedent). */
+  def dsir(spark: SparkSession, dir: String, buckets: Int = 256, k: Int = 50): DataFrame = {
+    val ts = split(col("text"), " ")
+    val featsCol = transform(sequence(lit(1), size(ts) - 1), i =>
+      conv(substring(md5(concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))), 1, 4),
+        16, 10).cast("long") % buckets)
+    val feats = load(spark, dir, "documents")
+      .filter(size(ts) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), explode(featsCol).as("f"))
+    val tCounts = feats.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val rCounts = feats.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val tTot = tCounts.agg(sum(col("ct")).as("tt"))
+    val rTot = rCounts.agg(sum(col("cr")).as("rt"))
+    val ratio = rCounts.join(tCounts, Seq("f"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("f"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets))
+          - log((col("cr") + 1.0) / (col("rt") + buckets))).as("lr"))
+    feats.join(broadcast(ratio), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg((floor(sum(col("lr")) * 10000) / 10000).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val dsirSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |),
+      |f AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(list_sum(list_transform(range(4),
+      |      i -> (strpos('0123456789abcdef',
+      |              substr(md5(ts[CAST(u AS INT)] || ' ' || ts[CAST(u AS INT) + 1]),
+      |                     CAST(i AS INT) + 1, 1)) - 1)
+      |           * power(16, 3 - i))) AS BIGINT) % 256 AS f
+      |  FROM d, unnest(range(1, len(ts))) AS t(u)
+      |),
+      |tc AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT f, count(*) AS cr FROM f GROUP BY 1),
+      |tt AS (SELECT sum(ct) AS tt FROM tc),
+      |rt AS (SELECT sum(cr) AS rt FROM rc),
+      |ratio AS (
+      |  SELECT rc.f,
+      |    ln((coalesce(ct, 0) + 1.0) / (tt + 256)) - ln((cr + 1.0) / (rt + 256)) AS lr
+      |  FROM rc LEFT JOIN tc USING (f), tt, rt
+      |),
+      |scored AS (
+      |  SELECT doc_id, lang, source, floor(sum(lr) * 10000) / 10000 AS logw
+      |  FROM f JOIN ratio USING (f) GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, lang, source, logw FROM scored
+      |ORDER BY logw DESC, doc_id ASC LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dsir" -> ((s: SparkSession, d: String) => dsir(s, d)),
     "curate_cluster_balance" -> ((s: SparkSession, d: String) => clusterBalance(s, d)),
     "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
     "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
@@ -563,6 +638,7 @@ object CurateOps {
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_dsir" -> dsirSql,
     "curate_cluster_balance" -> clusterBalanceSql,
     "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,

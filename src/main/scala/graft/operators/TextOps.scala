@@ -864,7 +864,49 @@ object TextOps {
       |  round(coalesce(p.n_dup, 0) * 1.0 / greatest(coalesce(p.n_shingles, 0), 1), 4) AS dup_frac
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  /** Token-distribution Shannon entropy per document — the vocabulary-
+    * diversity quality signal (low entropy = keyword-stuffed / looping
+    * generation, the repetition family's information-theoretic twin;
+    * normalized entropy H/ln(n_distinct) ∈ [0,1] compares documents of
+    * different lengths). Uses the identity H = ln(n) − (Σ c·ln c)/n so
+    * the whole score is ONE keyed (doc_id, token) count plus one
+    * per-doc aggregation — no second pass over tokens, no windows.
+    * Floor-truncated at 4dp ([[unigramNll]] rule); single-token docs
+    * define norm_entropy = 0 (ln(1) denominator guarded). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        (floor((log(col("n")) - col("s") / col("n")) * 10000) / 10000).as("entropy"),
+        when(col("n_distinct") <= 1, lit(0.0))
+          .otherwise(floor((log(col("n")) - col("s") / col("n"))
+            / log(col("n_distinct").cast("double")) * 10000) / 10000)
+          .as("norm_entropy"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2
+      |),
+      |agg AS (
+      |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct, sum(c * ln(c)) AS s
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, n_distinct,
+      |  floor((ln(n) - s / n) * 10000) / 10000 AS entropy,
+      |  CASE WHEN n_distinct <= 1 THEN 0.0
+      |       ELSE floor((ln(n) - s / n) / ln(n_distinct::DOUBLE) * 10000) / 10000
+      |  END AS norm_entropy
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_entropy" -> ((s: SparkSession, d: String) => tokenEntropy(s, d)),
     "entity_extract_cascade" -> ((s: SparkSession, d: String) => entityCascade(s, d)),
     "temporal_extract" -> ((s: SparkSession, d: String) => temporalExtract(s, d)),
     "text_dup_fraction" -> ((s: SparkSession, d: String) => dupFraction(s, d)),
@@ -884,6 +926,7 @@ object TextOps {
     "text_chunk" -> ((s: SparkSession, d: String) => chunk(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "text_token_entropy" -> tokenEntropySql,
     "text_dup_fraction" -> dupFractionSql,
     "entity_extract_cascade" -> entityCascadeSql,
     "temporal_extract" -> temporalExtractSql,

@@ -788,7 +788,57 @@ object VectorOps {
       |FROM e, q
       |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Mutual k-NN graph over the embedding corpus — the similarity-graph
+    * construction that semantic clustering / SemDeDup-style curation
+    * and graph-based label propagation start from: an undirected edge
+    * (a, b) exists iff b is in a's cosine top-k AND a is in b's
+    * (mutuality prunes the hub artifacts of one-directional kNN).
+    *
+    * Plan: one corpus×corpus scored pass through the TopKPerGroup
+    * bounded-heap operator (per-group partial heaps of ≤ k rows — no
+    * window sort over n² rows), then the mutual check is a self-join of
+    * the n·k directed edge list on the reversed key. This is the exact
+    * baseline; at 100 TB the scored pass composes with the IVF/LSH
+    * shortlist exactly as [[knnIvf]]/[[knnLsh]] do for queries (score
+    * only cell-mates instead of the full cross), trading recall for the
+    * corpus-squared scan the same way Faiss does. Cosines round to 4dp
+    * BEFORE ranking so rank ties are engine-stable ([[knn]] rule). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("v"))
+    val scored = e.join(e.select(col("vec_id").as("other_id"), col("v").as("ov")),
+        col("vec_id") =!= col("other_id"))
+      .select(col("vec_id"), col("other_id"),
+        round(cosine(col("v"), col("ov")), 4).as("cosine"))
+    val knnEdges = org.apache.spark.sql.graft.TopKPerGroup(
+      scored, Seq(col("vec_id")), Seq(col("cosine").desc, col("other_id").asc), k)
+    knnEdges.filter(col("vec_id") < col("other_id"))
+      .join(knnEdges.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
+        Seq("vec_id", "other_id"), "left_semi")
+      .select(col("vec_id").as("a"), col("other_id").as("b"), col("cosine"))
+  }
+
+  val knnGraphSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT x.vec_id, y.vec_id AS other_id,
+      |    round(list_dot_product(x.v, y.v)
+      |          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
+      |      AS cosine
+      |  FROM e x, e y WHERE x.vec_id <> y.vec_id
+      |),
+      |knn AS (
+      |  SELECT vec_id, other_id, cosine FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cosine DESC, other_id ASC) AS rn
+      |    FROM scored
+      |  ) WHERE rn <= 5
+      |)
+      |SELECT f.vec_id AS a, f.other_id AS b, f.cosine
+      |FROM knn f JOIN knn r ON f.vec_id = r.other_id AND f.other_id = r.vec_id
+      |WHERE f.vec_id < f.other_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "store_vec_search" -> ((s: SparkSession, d: String) => storeVecSearch(s, d)),
     "vec_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "vec_knn" -> ((s: SparkSession, d: String) => knn(s, d)),
@@ -801,6 +851,7 @@ object VectorOps {
     "vec_knn_trunc" -> ((s: SparkSession, d: String) => knnTruncated(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "vec_knn_graph" -> knnGraphSql,
     "store_vec_search" -> storeVecSearchSql,
     "vec_knn" -> knnSql,
     "vec_range_search" -> rangeSearchSql,
