@@ -23,7 +23,24 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Family-boundary artifact eviction: at 181 queries the suite's
+    // accumulated session artifacts (graph projections, vector code
+    // tables, rendered-triplet frames, localCheckpoint blocks) exceed
+    // comfortable executor storage and evict EACH OTHER mid-suite —
+    // r10's driver run showed 58.7 s for a query that measures 4.2 s
+    // isolated-warm. Queries run name-sorted, so the name prefix is a
+    // family boundary: evict every session-cached artifact there (the
+    // next family rebuilds on its cold pass; the reported warm pass
+    // then matches isolated-warm semantics), and nudge GC so the
+    // ContextCleaner reclaims now-unreachable localCheckpoint blocks.
+    var prevFamily = ""
     val results = selected.map { case (name, fn) =>
+      val family = name.takeWhile(_ != '_')
+      if (prevFamily.nonEmpty && family != prevFamily) {
+        graph.SessionDirCache.evictSession(spark)
+        System.gc()
+      }
+      prevFamily = family
       var first = 0.0
       var last = 0.0
       var pass = 0
@@ -41,8 +58,14 @@ object Bench {
       }
       (name, first, last)
     }
-    // Previous-round per-query records: the newest BENCH_r*.json in the
-    // cwd (the driver snapshots one per round, same measurement channel).
+    // Previous-round per-query records: ALL BENCH_r*.json in the cwd
+    // (the driver snapshots one per round, same measurement channel),
+    // merged by MIN — the record is the best driver-measured warm time
+    // ever achieved, so an in-suite contention spike in one round can't
+    // poison the baseline for the next. A file whose `parsed` is null
+    // (the r10 failure mode: compact line over the tail budget) still
+    // contributes via a regex sweep of its truncated `tail` string, so
+    // one unparseable round no longer blinds regression detection.
     // A query whose warm time exceeds 2x its record lands in a
     // `regressed` map on BOTH output lines — cross-round regressions
     // stay visible even when the compact line's degradation tiers drop
@@ -51,16 +74,29 @@ object Bench {
     val records: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (files.isEmpty) Map.empty
-      else try {
-        val latest = files.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
-        val qs = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(latest).path("parsed").path("queries")
-        val out = scala.collection.mutable.Map.empty[String, Double]
-        val it = qs.fields()
-        while (it.hasNext) { val e = it.next(); out(e.getKey) = e.getValue.asDouble() }
-        out.toMap
-      } catch { case _: Throwable => Map.empty }
+      val nonQuery = Set("value", "n_fast_omitted", "n_errors", "repeat", "n", "rc", "cpus", "sf")
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      def add(k: String, v: Double): Unit =
+        if (v > 0 && !nonQuery(k)) out(k) = out.get(k).fold(v)(math.min(_, v))
+      files.foreach { f =>
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val qs = root.path("parsed").path("queries")
+          if (qs.isObject) {
+            val it = qs.fields()
+            while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue.asDouble()) }
+          } else {
+            // `"name":12.3` pairs inside the tail; `[`-valued keys (the
+            // regressed map's arrays) don't match, so only plain query
+            // timings are recovered.
+            val pat = java.util.regex.Pattern
+              .compile("\"([A-Za-z0-9_]+)\":([0-9]+(?:\\.[0-9]+)?)")
+            val m = pat.matcher(root.path("tail").asText(""))
+            while (m.find()) add(m.group(1), m.group(2).toDouble)
+          }
+        } catch { case _: Throwable => () }
+      }
+      out.toMap
     }
     // A flagged query is re-run ONCE more, isolated at the end of the
     // suite, and the third number distinguishes driver/suite contention
@@ -108,7 +144,8 @@ object Bench {
     val errsCompact = errors.map { case (k, v) => "\"" + k + "\":\"" + v.take(40) + "\"" }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
-    def line(dec: Int, withErrs: Boolean, minSec: Double = 0.0): String = {
+    def line(dec: Int, withErrs: Boolean, minSec: Double = 0.0,
+             withRegressed: Boolean = true): String = {
       def f(d: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
       val kept = results.filter { case (_, _, v) => v >= minSec }
       val qs2 = kept.map { case (k, _, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
@@ -116,16 +153,26 @@ object Bench {
         else s""","n_fast_omitted":${results.size - kept.size}"""
       val e = if (errors.isEmpty) "" else if (withErrs) s""","errors":$errsCompact"""
         else s""","n_errors":${errors.size}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e,"regressed":$regressedJson,"sf":"$sfShort"}"""
+      val reg = if (withRegressed) s""","regressed":$regressedJson"""
+        else s""","n_regressed":${regressed.size}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e$reg,"sf":"$sfShort"}"""
     }
     // Adaptive degradation, mildest first: 2→0 decimals with every query
-    // present; drop error messages to a count; finally keep only the
-    // ≥0.5 s queries (the driver's gate reads `value` — the per-query
-    // map is diagnostic, and the hot queries are the diagnostic part) —
-    // all before ever exceeding the ~1.8 KB tail-window budget.
+    // present; drop error messages to a count; keep only the slow
+    // queries with a RISING minSec ladder (the driver's gate reads
+    // `value` — the per-query map is diagnostic, and the hot queries
+    // are the diagnostic part); as the last resort drop the regressed
+    // map to a count. The r10 failure was a ladder that stopped at
+    // minSec=0.5, still 2 KB at a 181-query inventory, and printed the
+    // over-budget line anyway — the final tiers here are bounded by the
+    // handful of multi-second queries, so SOME line always fits.
     val candidates = (2 to 0 by -1).map(line(_, withErrs = true)) ++
       (2 to 0 by -1).map(line(_, withErrs = false)) ++
-      Seq(line(2, withErrs = false, minSec = 0.5), line(1, withErrs = false, minSec = 0.5))
+      Seq(0.5, 1.0, 2.0, 5.0).flatMap(m =>
+        Seq(line(2, withErrs = false, minSec = m), line(1, withErrs = false, minSec = m))) ++
+      Seq(line(1, withErrs = false, minSec = 2.0, withRegressed = false),
+          line(1, withErrs = false, minSec = 5.0, withRegressed = false),
+          line(0, withErrs = false, minSec = 10.0, withRegressed = false))
     System.out.println(candidates.find(_.length <= 1800).getOrElse(candidates.last))
     System.out.flush()
   }
