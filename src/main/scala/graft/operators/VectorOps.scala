@@ -794,23 +794,96 @@ object VectorOps {
     * (a, b) exists iff b is in a's cosine top-k AND a is in b's
     * (mutuality prunes the hub artifacts of one-directional kNN).
     *
-    * Plan: one corpus×corpus scored pass through the TopKPerGroup
-    * bounded-heap operator (per-group partial heaps of ≤ k rows — no
-    * window sort over n² rows), then the mutual check is a self-join of
-    * the n·k directed edge list on the reversed key. This is the exact
-    * baseline; at 100 TB the scored pass composes with the IVF/LSH
-    * shortlist exactly as [[knnIvf]]/[[knnLsh]] do for queries (score
-    * only cell-mates instead of the full cross), trading recall for the
-    * corpus-squared scan the same way Faiss does. Cosines round to 4dp
-    * BEFORE ranking so rank ties are engine-stable ([[knn]] rule). */
+    * EXACT, with candidate generation blocked by the shared quantizer
+    * cells instead of an all-pairs nested loop (the r10 plan was a
+    * corpus×corpus `=!=` join — quadratic death at 100 TB). Two passes,
+    * both cell-keyed EQUI-joins:
+    *
+    *  1. WITHIN-CELL: score each vector against its own cell-mates and
+    *     keep the bounded-heap top-k ([[org.apache.spark.sql.graft.TopKPerGroup]],
+    *     no n² window sort). A vector with ≥ k cell-mates gets a LOWER
+    *     BOUND lb = its k-th best within-cell rounded cosine; fewer →
+    *     lb = −1 (must probe everywhere; exactness never at risk).
+    *  2. CROSS-CELL, per-vector adaptively pruned: v probes cell c ≠
+    *     own(v) only when θ(v, ĉ_c) − r_c ≤ acos(lb − 1e-3) + 1e-6,
+    *     where r_c is c's max member-to-centroid angle. By the angular
+    *     triangle inequality ([[dedupCosine]]'s soundness argument) a
+    *     pruned cell's best achievable TRUE cosine is < lb − 1e-3, so
+    *     its 4dp-rounded value is strictly below lb — it can never
+    *     displace the k within-cell candidates already at ≥ lb, ties
+    *     included. The probe list is one `filter` HOF over the ≤ 16
+    *     (cell, ĉ, r) broadcast literals; survivors explode into an
+    *     equi-join on the probed cell key.
+    *
+    * Union(within-top-k, cross scores) → top-k → mutual semi-join of
+    * the n·k directed edge list on the reversed key. Output is
+    * row-identical to the brute-force all-pairs ranking (the spec pins
+    * this); on clustered corpora the cross pass scores a small fraction
+    * of n², on adversarially uniform ones it degrades to distributed
+    * equi-joined verification — never a single-task nested loop.
+    * Cosines round to 4dp BEFORE ranking so rank ties are
+    * engine-stable ([[knn]] rule). */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = emb(spark, dir).select(col("vec_id"), col("v"))
-    val scored = e.join(e.select(col("vec_id").as("other_id"), col("v").as("ov")),
-        col("vec_id") =!= col("other_id"))
+    val cents = quantizerCache(spark, dir)
+    val e0 = emb(spark, dir).select(col("vec_id"), col("v"), norm(col("v")).as("nv"))
+    val best = bestCell(col("v"), cents)
+    // Assignment feeds four consumers (radii agg, both within sides,
+    // the probe pass); localCheckpoint computes the cell dots once.
+    val assigned = e0.select(col("vec_id"), col("v"), col("nv"),
+        best.getField("cell").as("cell"),
+        acos(least(lit(1.0), greatest(lit(-1.0), best.getField("s") / col("nv")))).as("cang"))
+      .localCheckpoint(true)
+    val radii = assigned.groupBy(col("cell")).agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val unit = cents.map { c => val nn = math.sqrt(c.map(x => x * x).sum); c.map(_ / nn) }
+    val rhs = assigned.select(col("cell"), col("vec_id").as("other_id"),
+      col("v").as("ov"), col("nv").as("onv"))
+    // EXPANSION-join parallelism: both cell joins output ~|cell| rows
+    // per input row, so the scoring work is proportional to the OUTPUT
+    // — which AQE cannot see (it coalesces by map-output size, and the
+    // unexpanded inputs are tiny). An explicit round-robin repartition
+    // of the driving side pins the fused join+score+heap stage to P
+    // tasks; the cell-mate side stays an unhinted equi-join leg (AQE
+    // broadcasts it when small, shuffles it at corpus scale).
+    val par = spark.sessionState.conf.numShufflePartitions
+    val within = assigned.repartition(par).join(rhs, Seq("cell"))
+      .filter(col("vec_id") =!= col("other_id"))
       .select(col("vec_id"), col("other_id"),
-        round(cosine(col("v"), col("ov")), 4).as("cosine"))
+        round(dot(col("v"), col("ov")) / (col("nv") * col("onv")), 4).as("cosine"))
+    // Bounded artifact (≤ n·k rows), consumed twice: as the pass-1
+    // candidates and as the lb source. Dominated within-cell rows can
+    // be dropped before the union: top-k(union) is unchanged.
+    // localCheckpoint (not recompute): the double evaluation would
+    // re-run the within-cell scoring, the quadratic-in-cell-size part.
+    val withinTopK = org.apache.spark.sql.graft.TopKPerGroup(
+      within, Seq(col("vec_id")), Seq(col("cosine").desc, col("other_id").asc), k)
+      .localCheckpoint(true)
+    val lb = withinTopK.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("c"), min(col("cosine")).as("kth"))
+      .select(col("vec_id"), when(col("c") >= k, col("kth")).otherwise(lit(-1.0)).as("lb"))
+    // (cell, ĉ, r) broadcast literals; an untrained/empty corpus yields
+    // an empty probe array and the plan stays well-formed.
+    val cellsLit = typedLit(unit.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, radii.getOrElse(i, 0.0))
+    }.toSeq)
+    val probes = assigned.join(lb, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nv"), col("cell"),
+        (acos(greatest(coalesce(col("lb"), lit(-1.0)) - 1e-3, lit(-1.0))) + 1e-6).as("maxang"))
+      .select(col("vec_id"), col("v"), col("nv"),
+        explode(filter(cellsLit, c =>
+          c.getField("_1") =!= col("cell") &&
+            (acos(least(lit(1.0), greatest(lit(-1.0),
+              dot(col("v"), c.getField("_2")) / col("nv")))) - c.getField("_3"))
+              <= col("maxang"))).as("pc"))
+      .select(col("vec_id"), col("v"), col("nv"), col("pc").getField("_1").as("cell"))
+      .repartition(par) // same expansion-parallelism pin as `within`
+    val cross = probes.join(rhs, Seq("cell")) // cell ≠ own(v) ⟹ other_id ≠ vec_id
+      .select(col("vec_id"), col("other_id"),
+        round(dot(col("v"), col("ov")) / (col("nv") * col("onv")), 4).as("cosine"))
     val knnEdges = org.apache.spark.sql.graft.TopKPerGroup(
-      scored, Seq(col("vec_id")), Seq(col("cosine").desc, col("other_id").asc), k)
+      withinTopK.union(cross), Seq(col("vec_id")),
+      Seq(col("cosine").desc, col("other_id").asc), k)
+      .localCheckpoint(true) // ≤ n·k rows, consumed by both mutual sides
     knnEdges.filter(col("vec_id") < col("other_id"))
       .join(knnEdges.select(col("other_id").as("vec_id"), col("vec_id").as("other_id")),
         Seq("vec_id", "other_id"), "left_semi")

@@ -28,6 +28,8 @@ class PlanLintSpec extends SparkSpecBase {
     "search_feedback_weighted", // 1-row query-vector cross into the centroid ranking
     "search_completion_context", "search_completion_cot", "search_summary_completion",
     "search_entity", "search_feeling_lucky", "vec_knn", "vec_knn_ivf", "vec_knn_lsh",
+    "vec_range_search", // ≤10-row query-vector broadcast crossed into the corpus scan
+                        // (the vec_knn shape; the radius filter folds into the join)
     "vec_centroids", "ontology_resolve", "ontology_graph", "graph_metrics", "pipeline_cognify",
     "graph_metrics_full", // crossJoin of five 1-row aggregates into the summary row
     "pipeline_metrics",   // crossJoin of three 1-row aggregates into the metrics row
@@ -46,19 +48,34 @@ class PlanLintSpec extends SparkSpecBase {
     "text_bigram_nll",  // same 1-row corpus-total broadcast (interpolation denominator)
     "text_tfidf_keywords", // 1-row corpus-size broadcast into the tf⋈df scoring
     "search_hybrid_rrf", // both legs' 1-row broadcasts (query vector; BM25 corpus stats)
-    "search_cypher_write") // 1-row write increment ⋈ the id-matched base row: both sides
+    "search_cypher_write", // 1-row write increment ⋈ the id-matched base row: both sides
                            // filter to the same literal id, so constant propagation
                            // rewrites the equi-join condition away — ≤1 row × ≤1 row
+    "curate_dsir") // two 1-row total-aggregate crossJoins (tt = Σ target counts,
+                   // rt = Σ raw counts) broadcast into the ≤256-row log-ratio table
 
-  private def hasEquality(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
-    cond.exists(_.isInstanceOf[EqualTo])
+  // A join "has equality" ONLY when some TOP-LEVEL conjunct is an
+  // EqualTo — a shuffle/broadcast HASH join key Catalyst can actually
+  // use. The r10 loophole: `exists(_.isInstanceOf[EqualTo])` accepted
+  // any DESCENDANT EqualTo, so `a =!= b` (= Not(EqualTo)) and
+  // OR-of-equalities passed as "has equality" while planning nested
+  // loops — vec_knn_graph's corpus×corpus self-join slipped through.
+  private def hasEquality(cond: Expression): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists(c => c.isInstanceOf[EqualTo] ||
+      c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualNullSafe])
+  }
 
   // Documented rows-only sketches: no cross-engine oracle exists (ANN
   // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
   private val rowsOnlyByDesign: Set[String] =
     Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
-      "q_approx_distinct", "q_approx_percentiles",
-      "graph_betweenness") // recursive Brandes has no SQL oracle; exact driver replay spec-pinned
+      "q_approx_distinct", "q_approx_percentiles")
+    // graph_betweenness graduated to hash-checked in r11: the σ/δ
+    // recurrences unroll into staged MATERIALIZED CTEs (kcore precedent)
 
   test("every registered query has an oracle or is a documented rows-only sketch") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -187,6 +204,19 @@ class PlanLintSpec extends SparkSpecBase {
       val bad = walk(lp, underLimit = false)
       assert(bad.isEmpty, s"$name globally sorts unbounded raw rows (full range shuffle): $bad")
     }
+  }
+
+  // The lint itself must reject the evaded shape: an inequality-only
+  // self-join (`=!=` is Not(EqualTo) — a descendant EqualTo that is NOT
+  // a usable hash key) must read as cartesian.
+  test("the cartesian lint catches an inequality-only (=!=) join") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.load(spark, sf, "region").select(col("r_regionkey"))
+    val j = e.join(e.select(col("r_regionkey").as("other")), col("r_regionkey") =!= col("other"))
+    val bad = j.queryExecution.optimizedPlan.collect {
+      case jn: logical.Join if !jn.condition.forall(hasEquality) => jn
+    }
+    assert(bad.nonEmpty, "a =!= b must NOT count as an equality join predicate")
   }
 
   test("no registered query plans a cartesian join outside the reviewed tiny-broadcast set") {
