@@ -572,12 +572,22 @@ object CurateOps {
     val featsCol = transform(sequence(lit(1), size(ts) - 1), i =>
       conv(substring(md5(concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))), 1, 4),
         16, 10).cast("long") % buckets)
-    val feats = load(spark, dir, "documents")
+    // ONE tokenize+md5 pass (the r10 plan recomputed `feats` for each
+    // of its three consumers — 3× the per-occurrence hashing, and the
+    // hashing IS the cost): fold occurrences to per-(doc, f) counts
+    // immediately (map-side partials; ≤ docs×B rows survive the
+    // shuffle) and localCheckpoint the bounded relation so the target/
+    // raw/rollup consumers reuse it. Downstream sums weight by `c`,
+    // which equals the per-occurrence sums to well under the 4dp floor.
+    val occ = load(spark, dir, "documents")
       .filter(size(ts) >= 2)
       .select(col("doc_id"), col("lang"), col("source"), explode(featsCol).as("f"))
-    val tCounts = feats.filter(col("lang") === "en")
-      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
-    val rCounts = feats.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tCounts = occ.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(sum(col("c")).as("ct"))
+    val rCounts = occ.groupBy(col("f")).agg(sum(col("c")).as("cr"))
     val tTot = tCounts.agg(sum(col("ct")).as("tt"))
     val rTot = rCounts.agg(sum(col("cr")).as("rt"))
     val ratio = rCounts.join(tCounts, Seq("f"), "left")
@@ -585,9 +595,9 @@ object CurateOps {
       .select(col("f"),
         (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets))
           - log((col("cr") + 1.0) / (col("rt") + buckets))).as("lr"))
-    feats.join(broadcast(ratio), Seq("f"))
+    occ.join(broadcast(ratio), Seq("f"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
-      .agg((floor(sum(col("lr")) * 10000) / 10000).as("logw"))
+      .agg((floor(sum(col("lr") * col("c")) * 10000) / 10000).as("logw"))
       .orderBy(col("logw").desc, col("doc_id").asc)
       .limit(k)
   }
