@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutation AUDIT LEDGER over [[PropertyGraph]] — the reference wraps
+  * every graph mutation in `record_graph_changes`
+  * (graph_db_interface.py:22), which appends per-entity audit rows
+  * (creator, operation, node/relationship ids, source function,
+  * timestamp) to `graph_relationship_ledger.py`'s table. Graft's
+  * mutations are immutable plan transformations, so the ledger is the
+  * same thing one level up: a (graph, entries) pair where each
+  * mutation returns a NEW pair with the audit increment unioned on —
+  * the ledger is itself a DataFrame plan, distributed like everything
+  * else, and materializing it is a parquet write, not a side effect.
+  *
+  * Ledger row shape (mirrors graph_relationship_ledger columns, minus
+  * wall-clock): `seq` — the monotone per-wrapper call counter (the
+  * reference's created_at ordering without breaking the determinism
+  * rules in SURVEY §4; callers that want wall-clock stamp the write,
+  * not the plan), `op`, `kind` ('node' | 'edge'), `entity_id` (node id
+  * or src|rel|dst triplet key), `source_function` (the API the
+  * reference's decorator would have seen), `principal` (creator —
+  * defaults to "system", same default principal as
+  * [[graft.sources.AclStore]]).
+  *
+  * Entries record the ATTEMPTED increment (call-level provenance,
+  * what the reference's decorator logs) — a keep-first-ignored
+  * duplicate id still leaves its audit row, which is exactly what an
+  * auditor wants to see. Entry plans are increment-sized projections;
+  * no mutation pays more than its unledgered twin.
+  */
+final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: Long = 0L) {
+
+  private def stamp(rows: DataFrame, op: String, kind: String,
+      fn: String, principal: String): DataFrame =
+    rows.select(lit(nextSeq).as("seq"), lit(op).as("op"), lit(kind).as("kind"),
+      col("entity_id"), lit(fn).as("source_function"), lit(principal).as("principal"))
+
+  private def next(g: PropertyGraph, inc: DataFrame): GraphLedger =
+    GraphLedger(g, entries.union(inc), nextSeq + 1)
+
+  private def nodeIds(df: DataFrame): DataFrame =
+    df.select(col("id").cast("string").as("entity_id"))
+
+  private def edgeIds(df: DataFrame): DataFrame =
+    df.select(concat_ws("|", col("src"), col("rel"), col("dst")).as("entity_id"))
+
+  def addNodes(inc: DataFrame, principal: String = "system"): GraphLedger =
+    next(graph.addNodes(inc), stamp(nodeIds(inc), "add_node", "node", "addNodes", principal))
+
+  def addEdges(inc: DataFrame, principal: String = "system"): GraphLedger =
+    next(graph.addEdges(inc), stamp(edgeIds(inc), "add_edge", "edge", "addEdges", principal))
+
+  def mergeNodes(inc: DataFrame, principal: String = "system"): GraphLedger =
+    next(graph.mergeNodes(inc), stamp(nodeIds(inc), "merge_node", "node", "mergeNodes", principal))
+
+  def mergeEdges(inc: DataFrame, principal: String = "system"): GraphLedger =
+    next(graph.mergeEdges(inc), stamp(edgeIds(inc), "merge_edge", "edge", "mergeEdges", principal))
+
+  def deleteNodes(ids: DataFrame, principal: String = "system"): GraphLedger =
+    next(graph.deleteNodes(ids),
+      stamp(nodeIds(ids), "delete_node", "node", "deleteNodes", principal))
+
+  def applyFeedbackWeight(weights: DataFrame,
+      rel: String = "used_graph_element_to_answer",
+      principal: String = "system"): GraphLedger =
+    next(graph.applyFeedbackWeight(weights, rel),
+      stamp(weights.select(col("id").cast("string").as("entity_id")),
+        "feedback_weight", "edge", "applyFeedbackWeight", principal))
+
+  def setNodeProp(ids: DataFrame, key: String, value: String,
+      principal: String = "system"): GraphLedger =
+    next(graph.setNodeProp(ids, key, value),
+      stamp(nodeIds(ids), s"set_prop:$key", "node", "setNodeProp", principal))
+
+  def removeNodeProp(ids: DataFrame, key: String,
+      principal: String = "system"): GraphLedger =
+    next(graph.removeNodeProp(ids, key),
+      stamp(nodeIds(ids), s"remove_prop:$key", "node", "removeNodeProp", principal))
+}
+
+object GraphLedger {
+  /** Fresh ledger around a graph: zero entries, correctly typed. */
+  def apply(g: PropertyGraph): GraphLedger = {
+    val spark = g.nodes.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("entity_id", org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("source_function", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("principal", org.apache.spark.sql.types.StringType, nullable = false))))
+    GraphLedger(g, empty)
+  }
+}

@@ -406,6 +406,56 @@ object GraphQueries {
        |UNION ALL SELECT 'custom', 1
        |UNION ALL SELECT '__edges__', (SELECT count(*) FROM edges)""".stripMargin
 
+  /** Mutation AUDIT LEDGER round-trip (the reference's
+    * record_graph_changes decorator, graph_db_interface.py:22, writing
+    * graph_relationship_ledger rows around every mutation — see
+    * [[GraphLedger]]): the [[mutations]] script extended with a
+    * corpus-derived bulk merge (one brand node per part row — the
+    * ledger must carry table-sized increments, not just literals) and
+    * a feedback-weight bump, all through the ledgered wrapper. Output:
+    * per-(op, kind, source_function) row + distinct-entity counts,
+    * plus two census rows over the RESULTING graph proving the wrapper
+    * delegated every mutation (not just logged it). */
+  def mutationLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brands = graft.Tables.load(spark, dir, "part")
+      .select(concat(lit("brand:"), col("p_brand")).as("id"),
+        lit("brand").as("ntype"), col("p_brand").as("name"))
+    val fin = GraphLedger(TpchGraph(spark, dir))
+      .addNodes(Seq(
+        ("custom:1", "custom", "one"),
+        ("custom:2", "custom", "two"),
+        ("nation:0", "nation", "duplicate-ignored")).toDF("id", "ntype", "name"))
+      .addEdges(Seq(("custom:1", "custom:2", "linked")).toDF("src", "dst", "rel"))
+      .mergeNodes(brands)
+      .applyFeedbackWeight(Seq(("customer:1", 1.0), ("customer:2", -0.5)).toDF("id", "weight"))
+      .deleteNodes(Seq("custom:2").toDF("id"))
+    val census = fin.entries.groupBy(col("op"), col("kind"), col("source_function"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("entity_id")).as("n_entities"))
+    val graphRows = fin.graph.nodes.agg(count(lit(1)).as("c"))
+      .select(lit("__nodes__").as("op"), lit("graph").as("kind"),
+        lit("census").as("source_function"), col("c").as("n"), col("c").as("n_entities"))
+      .union(fin.graph.edges.agg(count(lit(1)).as("c"))
+        .select(lit("__edges__").as("op"), lit("graph").as("kind"),
+          lit("census").as("source_function"), col("c").as("n"), col("c").as("n_entities")))
+    census.union(graphRows)
+  }
+
+  val mutationLedgerSql: String =
+    s"""$withGraph
+       |SELECT 'add_node' AS op, 'node' AS kind, 'addNodes' AS source_function,
+       |  CAST(3 AS BIGINT) AS n, CAST(3 AS BIGINT) AS n_entities
+       |UNION ALL SELECT 'add_edge', 'edge', 'addEdges', 1, 1
+       |UNION ALL SELECT 'merge_node', 'node', 'mergeNodes',
+       |  (SELECT count(*) FROM part), (SELECT count(DISTINCT p_brand) FROM part)
+       |UNION ALL SELECT 'feedback_weight', 'edge', 'applyFeedbackWeight', 2, 2
+       |UNION ALL SELECT 'delete_node', 'node', 'deleteNodes', 1, 1
+       |UNION ALL SELECT '__nodes__', 'graph', 'census',
+       |  (SELECT count(*) FROM nodes) + 2 + (SELECT count(DISTINCT p_brand) FROM part) - 1,
+       |  (SELECT count(*) FROM nodes) + 2 + (SELECT count(DISTINCT p_brand) FROM part) - 1
+       |UNION ALL SELECT '__edges__', 'graph', 'census',
+       |  (SELECT count(*) FROM edges), (SELECT count(*) FROM edges)""".stripMargin
+
   /** The optional half of cognee's get_graph_metrics
     * (kuzu/adapter.py:1353 include_optional=True; GraphMetrics model:
     * num_connected_components, sizes_of_connected_components,
@@ -810,9 +860,11 @@ object GraphQueries {
   /** Top-k sampled Brandes betweenness over the supplier–nation–region
     * subgraph, seeded at the nation+region hubs (the [[harmonicCentrality]]
     * seed set): the bridging-node ranking (nations dominate — every
-    * supplier↔region shortest path passes its nation). Rows-only at the
-    * driver gate (recursive Brandes has no SQL oracle); GraphAlgosSpec
-    * replays textbook Brandes driver-side and pins every δ to 1e-9. */
+    * supplier↔region shortest path passes its nation). Hash-checked
+    * against [[betweennessSql]] — the σ/δ recurrences at fixed maxDepth
+    * unroll into staged MATERIALIZED CTEs exactly like the kcore/
+    * pagerank precedent; GraphAlgosSpec additionally replays textbook
+    * Brandes driver-side and pins every δ to 1e-9. */
   def betweennessCentrality(spark: SparkSession, dir: String, k: Int = 20,
       maxDepth: Int = 8): DataFrame = {
     val g = snrSubgraph(spark, dir)
@@ -820,6 +872,65 @@ object GraphQueries {
     GraphAlgos.betweenness(g, seeds, maxDepth)
       .select(col("id"), (floor(col("betweenness") * 10000) / 10000).as("betweenness"))
       .orderBy(col("betweenness").desc, col("id").asc).limit(k)
+  }
+
+  /** Unrolled-Brandes oracle: forward σ levels lvl0..lvl{maxDepth}
+    * (BFS levels keyed by seed; level d+1 anti-checks only levels d and
+    * d−1 — in an undirected graph a frontier edge can't reach depth
+    * ≤ d−2, the same two-level anti-join the Spark loop uses), then
+    * backward δ levels delta{maxDepth}..delta1 via the successor
+    * recurrence δ(v) = Σ σ(v)/σ(w)·(1+δ(w)). Every CTE is MATERIALIZED
+    * (the kcore lesson: DuckDB inlines plain CTEs per reference, and
+    * each δ level references its predecessor once per successor join —
+    * unmaterialized this expands exponentially). Levels past the true
+    * depth are empty and contribute nothing; the accumulator unions
+    * δ levels 1..maxDepth−1, which can add betweenness-0 rows the
+    * Spark loop's deepest-level cutoff drops — invisible under the
+    * top-20-by-positive-betweenness limit (30 hub nodes rank first). */
+  val betweennessSql: String = {
+    val maxDepth = 8
+    val fwd = (1 to maxDepth).map { d =>
+      val excl =
+        if (d == 1)
+          s"  WHERE NOT EXISTS (SELECT 1 FROM lvl0 p WHERE p.seed = f.seed AND p.id = e.dst)"
+        else
+          s"""  WHERE NOT EXISTS (SELECT 1 FROM lvl${d - 1} p WHERE p.seed = f.seed AND p.id = e.dst)
+             |    AND NOT EXISTS (SELECT 1 FROM lvl${d - 2} q WHERE q.seed = f.seed AND q.id = e.dst)""".stripMargin
+      s"""lvl$d AS MATERIALIZED (
+         |  SELECT f.seed, e.dst AS id, sum(f.sigma) AS sigma
+         |  FROM lvl${d - 1} f JOIN ue e ON f.id = e.src
+         |$excl
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (maxDepth - 1 to 1 by -1).map { lvl =>
+      s"""delta$lvl AS MATERIALIZED (
+         |  SELECT l.seed, l.id, l.sigma, coalesce(c.delta, CAST(0 AS DOUBLE)) AS delta
+         |  FROM lvl$lvl l LEFT JOIN (
+         |    SELECT v.seed, v.id, sum(v.sigma / w.sigma * (CAST(1 AS DOUBLE) + w.delta)) AS delta
+         |    FROM lvl$lvl v JOIN ue e ON v.id = e.src
+         |    JOIN delta${lvl + 1} w ON w.seed = v.seed AND w.id = e.dst
+         |    GROUP BY 1, 2
+         |  ) c ON c.seed = l.seed AND c.id = l.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val acc = (1 to maxDepth - 1).map(l => s"SELECT id, delta FROM delta$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${TpchGraph.nodesSql},
+       |${TpchGraph.edgesSql},
+       |sn AS (SELECT id FROM nodes WHERE ntype IN ('nation', 'region')),
+       |sd AS (SELECT src, dst FROM edges
+       |       WHERE rel = 'in_region' OR (rel = 'located_in' AND src LIKE 'supplier:%')),
+       |ue AS MATERIALIZED (SELECT src, dst FROM sd UNION SELECT dst, src FROM sd),
+       |lvl0 AS MATERIALIZED (SELECT id AS seed, id, CAST(1 AS DOUBLE) AS sigma FROM sn),
+       |$fwd,
+       |delta$maxDepth AS MATERIALIZED (
+       |  SELECT seed, id, sigma, CAST(0 AS DOUBLE) AS delta FROM lvl$maxDepth),
+       |$bwd
+       |SELECT id, floor(sum(delta) * 10000) / 10000 AS betweenness
+       |FROM ($acc)
+       |GROUP BY id
+       |ORDER BY betweenness DESC, id ASC LIMIT 20""".stripMargin
   }
 
   val harmonicCentralitySql: String =
@@ -895,6 +1006,7 @@ object GraphQueries {
     "graph_export" -> ((s: SparkSession, d: String) => export(s, d)),
     "graph_formatted" -> ((s: SparkSession, d: String) => formatted(s, d)),
     "graph_mutations" -> ((s: SparkSession, d: String) => mutations(s, d)),
+    "graph_mutation_ledger" -> ((s: SparkSession, d: String) => mutationLedger(s, d)),
     "graph_build" -> ((s: SparkSession, d: String) => build(s, d)),
     "graph_degree" -> ((s: SparkSession, d: String) => degree(s, d)),
     "graph_neighbors" -> ((s: SparkSession, d: String) => neighbors(s, d)),
@@ -923,6 +1035,7 @@ object GraphQueries {
     "graph_export" -> exportSql,
     "graph_formatted" -> formattedSql,
     "graph_mutations" -> mutationsSql,
+    "graph_mutation_ledger" -> mutationLedgerSql,
     "graph_build" -> buildSql,
     "graph_degree" -> degreeSql,
     "graph_neighbors" -> neighborsSql,
@@ -934,5 +1047,6 @@ object GraphQueries {
     "graph_connected_components" -> componentsSql,
     "graph_pagerank" -> pageRankSql,
     "graph_triangles" -> trianglesSql,
-    "graph_kcore" -> kCoreSql)
+    "graph_kcore" -> kCoreSql,
+    "graph_betweenness" -> betweennessSql)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphLedger, PropertyGraph, TpchGraph}
+
+/** [[graft.graph.GraphLedger]] — the record_graph_changes audit wrapper
+  * (graph_db_interface.py:22 → graph_relationship_ledger.py): every
+  * mutation must (a) delegate to the exact PropertyGraph semantics and
+  * (b) append per-entity audit rows with call ordering and principal. */
+class GraphLedgerSpec extends SparkSpecBase {
+  import TestSpark.spark.implicits._
+
+  private def base: PropertyGraph = TpchGraph(spark, sf)
+
+  test("ledgered mutations delegate exactly: result graph ≡ unledgered PropertyGraph ops") {
+    val nodesInc = Seq(("custom:1", "custom", "one"), ("custom:2", "custom", "two"))
+      .toDF("id", "ntype", "name")
+    val edgeInc = Seq(("custom:1", "custom:2", "linked")).toDF("src", "dst", "rel")
+    val del = Seq("custom:2").toDF("id")
+    val plain = base.addNodes(nodesInc).addEdges(edgeInc).deleteNodes(del)
+    val led = GraphLedger(base).addNodes(nodesInc).addEdges(edgeInc).deleteNodes(del)
+    assert(led.graph.nodes.count() === plain.nodes.count())
+    assert(led.graph.edges.count() === plain.edges.count())
+    // the surviving custom node is identical through both paths
+    val a = plain.nodes.filter(col("ntype") === "custom").select("id", "name").collect().toSet
+    val b = led.graph.nodes.filter(col("ntype") === "custom").select("id", "name").collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("entries record the ATTEMPTED increment per entity, in call order, with principal") {
+    val led = GraphLedger(base)
+      .addNodes(Seq(
+        ("custom:1", "custom", "one"),
+        ("nation:0", "nation", "dup-ignored")).toDF("id", "ntype", "name"), principal = "alice")
+      .addEdges(Seq(("custom:1", "nation:0", "linked")).toDF("src", "dst", "rel"))
+      .deleteNodes(Seq("custom:1").toDF("id"), principal = "bob")
+    val rows = led.entries
+      .select("seq", "op", "kind", "entity_id", "source_function", "principal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    assert(rows === Set(
+      (0L, "add_node", "node", "custom:1", "addNodes", "alice"),
+      // keep-first ignored the duplicate id in the GRAPH, but the audit
+      // row survives — the attempted mutation is what an auditor wants
+      (0L, "add_node", "node", "nation:0", "addNodes", "alice"),
+      (1L, "add_edge", "edge", "custom:1|linked|nation:0", "addEdges", "system"),
+      (2L, "delete_node", "node", "custom:1", "deleteNodes", "bob")))
+    assert(led.nextSeq === 3L)
+  }
+
+  test("fresh ledger is empty and typed; feedback/set/remove ops ledger their id sets") {
+    val l0 = GraphLedger(base)
+    assert(l0.entries.count() === 0L)
+    assert(l0.entries.columns.toSeq ===
+      Seq("seq", "op", "kind", "entity_id", "source_function", "principal"))
+    val led = l0
+      .applyFeedbackWeight(Seq(("customer:1", 2.0)).toDF("id", "weight"))
+      .setNodeProp(Seq("nation:0").toDF("id"), "note", "x")
+      .removeNodeProp(Seq("nation:0").toDF("id"), "note")
+    val ops = led.entries.select("op", "kind", "entity_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ops === Set(
+      ("feedback_weight", "edge", "customer:1"),
+      ("set_prop:note", "node", "nation:0"),
+      ("remove_prop:note", "node", "nation:0")))
+    // and the graph-side effect of the set/remove round-trip is a no-op
+    assert(led.graph.nodes.count() === base.nodes.count())
+  }
+}
