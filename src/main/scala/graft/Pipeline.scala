@@ -385,6 +385,90 @@ object Pipeline {
     }
   }
 
+  /** One step of a user-composable pipeline (the reference's Task,
+    * modules/pipelines/tasks/task.py): a named DataFrame transform.
+    * Spark-native re-expression: the reference threads Python
+    * generators/batches through coroutine plumbing; here each task
+    * CONTRIBUTES TO ONE LAZY PLAN, so the whole chain optimizes as a
+    * single Catalyst tree (filters reordered across task boundaries,
+    * columns pruned through the chain) and nothing materializes until
+    * the caller acts. */
+  final case class Task(name: String, fn: DataFrame => DataFrame)
+
+  /** run_tasks (reference: modules/pipelines/operations/run_tasks.py —
+    * execute an arbitrary caller-supplied Task list over the input,
+    * logging pipeline-run lifecycle events around it): threads `input`
+    * through the tasks, appending [[RunLedger]] events — `initiated`,
+    * per-task `task_started:`/`task_completed:` pairs, final
+    * `completed` — on the monotone `seq` logical clock. A throwing
+    * task logs `errored:<name>` and rethrows with the ledger attached
+    * ([[TaskFailed]]), the reference's log_pipeline_run_errored + raise
+    * contract. Fixed-stage [[cognify]]/[[memify]] remain the canned
+    * pipelines; this is the escape hatch for user-defined chains. */
+  final case class TaskFailed(taskName: String, ledger: RunLedger, cause: Throwable)
+    extends RuntimeException(s"task '$taskName' failed", cause)
+
+  def runTasks(tasks: Seq[Task], input: DataFrame,
+      runId: String, dataset: String,
+      ledger0: RunLedger, seq0: Long = 0L): (DataFrame, RunLedger) = {
+    var seq = seq0
+    def tick(): Long = { val s = seq; seq += 1; s }
+    var led = ledger0.log(runId, dataset, "initiated", tick())
+    var df = input
+    tasks.foreach { t =>
+      led = led.log(runId, dataset, s"task_started:${t.name}", tick())
+      df =
+        try t.fn(df)
+        catch { case e: Throwable =>
+          throw TaskFailed(t.name, led.log(runId, dataset, s"errored:${t.name}", tick()), e)
+        }
+      led = led.log(runId, dataset, s"task_completed:${t.name}", tick())
+    }
+    (df, led.log(runId, dataset, "completed", tick()))
+  }
+
+  /** The cognify mention-extraction chain as a Task list — spec-pinned
+    * row-identical to [[cognify]]'s mentions relation, proving the
+    * composable runner reproduces the canned pipeline. */
+  def defaultCognifyTasks: Seq[Task] = Seq(
+    Task("extract_mentions", docs => docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("entity"))))
+
+  /** Registered round-trip for the composable runner: a three-task
+    * document chain (tokenize → drop short docs → window-chunk) plus
+    * the lifecycle ledger it leaves behind. Each task's output
+    * cardinality is a census row (forcing a real run, not just plan
+    * assembly), and the ledger contributes its event count and the
+    * final per-dataset status — all closed-form in SQL. */
+  def runTasksQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tasks = Seq(
+      Task("tokenize", d => d.withColumn("n_tokens", size(split(col("text"), " ")))),
+      Task("filter_short", d => d.filter(col("n_tokens") >= 10)),
+      Task("chunk", d => d.select(col("doc_id"),
+        explode(sequence(lit(0), ceil(col("n_tokens") / lit(64.0)).cast("int") - 1))
+          .as("chunk_idx"))))
+    val docs = Tables.load(spark, dir, "documents")
+    val (chunks, ledger) = runTasks(tasks, docs, "run-1", "documents",
+      RunLedger.empty(spark))
+    def c(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    c("input_docs", docs)
+      .union(c("chunks_out", chunks))
+      .union(c("ledger_events", ledger.runs))
+      .union(ledger.status.select(concat(lit("status_"), col("status")).as("stage"),
+        lit(1L).as("n")))
+  }
+
+  val runTasksQuerySql: String =
+    """SELECT 'input_docs' AS stage, count(*) AS n FROM documents
+      |UNION ALL
+      |SELECT 'chunks_out', CAST(sum(ceil(len(string_split(text, ' ')) / 64.0)) AS BIGINT)
+      |FROM documents WHERE len(string_split(text, ' ')) >= 10
+      |UNION ALL
+      |SELECT 'ledger_events', 8
+      |UNION ALL
+      |SELECT 'status_completed', 1""".stripMargin
+
   /** Stage row-count summary — the pipeline_run telemetry analog. */
   def stageCounts(spark: SparkSession, dir: String): DataFrame = {
     val r = cognify(spark, dir)
@@ -539,7 +623,8 @@ object Pipeline {
     "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
     "pipeline_metrics" -> ((s: SparkSession, d: String) => runMetrics(s, d)),
     "pipeline_prune" -> ((s: SparkSession, d: String) => pruneChunks(s, d)),
-    "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)))
+    "pipeline_cognify" -> ((s: SparkSession, d: String) => stageCounts(s, d)),
+    "pipeline_run_tasks" -> ((s: SparkSession, d: String) => runTasksQuery(s, d)))
 
   def oracles: Map[String, String] = Map(
     "pipeline_classify" -> classifyChunksSql,
@@ -548,5 +633,6 @@ object Pipeline {
     "pipeline_memify" -> memifySql,
     "pipeline_metrics" -> runMetricsSql,
     "pipeline_prune" -> pruneChunksSql,
-    "pipeline_cognify" -> stageCountsSql)
+    "pipeline_cognify" -> stageCountsSql,
+    "pipeline_run_tasks" -> runTasksQuerySql)
 }

@@ -104,6 +104,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(fanIns.sameElements(fanIns.sortBy(-_)))
   }
 
+  test("runTasks: composable chain ≡ canned cognify on the default task list") {
+    val spark = TestSpark.spark
+    val docs = Tables.load(spark, sf, "documents")
+    val (out, ledger) = Pipeline.runTasks(Pipeline.defaultCognifyTasks, docs,
+      "run-x", "documents", Pipeline.RunLedger.empty(spark))
+    val canned = Pipeline.cognify(spark, sf).mentions
+    assert(out.columns.toSeq === canned.columns.toSeq)
+    assert(out.exceptAll(canned).isEmpty && canned.exceptAll(out).isEmpty)
+    // lifecycle events in seq order: initiated, started/completed pair, completed
+    val evts = ledger.runs.orderBy("seq").collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(evts.toSeq === Seq(("initiated", 0L), ("task_started:extract_mentions", 1L),
+      ("task_completed:extract_mentions", 2L), ("completed", 3L)))
+    assert(ledger.status.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("documents", "completed")))
+  }
+
+  test("runTasks: a throwing task logs errored and rethrows with the ledger attached") {
+    val spark = TestSpark.spark
+    val docs = Tables.load(spark, sf, "documents")
+    val boom = Pipeline.Task("boom", _ => throw new IllegalStateException("nope"))
+    val e = intercept[Pipeline.TaskFailed] {
+      Pipeline.runTasks(Pipeline.defaultCognifyTasks :+ boom, docs,
+        "run-y", "documents", Pipeline.RunLedger.empty(spark))
+    }
+    assert(e.taskName === "boom")
+    assert(e.getCause.isInstanceOf[IllegalStateException])
+    val statuses = e.ledger.runs.orderBy("seq").collect().map(_.getString(2)).toSeq
+    assert(statuses === Seq("initiated", "task_started:extract_mentions",
+      "task_completed:extract_mentions", "task_started:boom", "errored:boom"))
+  }
+
   test("graph mutations: add is idempotent, delete removes incident edges") {
     import TestSpark.spark.implicits._
     val g = PropertyGraph(
