@@ -103,9 +103,14 @@ object Bench {
     // (re-check ≈ record) from a genuine code regression (re-check ≈
     // the flagged warm time) — round 8's one flag turned out to be
     // contention and cost a manual re-measurement to adjudicate.
+    // Flag = 2x the record AND ≥ 0.75 s over it: records are all-time
+    // MINs merged across every round (one lucky co-tenant-quiet run
+    // sets the bar forever), so a plain 2x cried wolf on sub-second
+    // queries — r11's first run flagged five, each costing an isolated
+    // re-check; every genuine regression ever flagged cleared 0.75 s.
     val regressed: Seq[(String, Double, Double, Double)] = results.collect {
       case (k, _, v) if !errors.contains(k) && v >= 0.5 &&
-        records.get(k).exists(r => r > 0 && v > 2 * r) =>
+        records.get(k).exists(r => r > 0 && v > 2 * r && v - r >= 0.75) =>
         // Fresh-cache re-run: evict every session-cached artifact (graph
         // projections, vector artifacts, CacheManager entries) first, so
         // the third number approximates a fresh JVM — distinguishing

@@ -16,6 +16,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-aware expansion-parallelism pin: a per-row EXPANSION stage
+    * (explode to shingles/bigrams/features, per-row hashing) does work
+    * proportional to its OUTPUT, which neither the scan planner nor AQE
+    * can see — both size stages by INPUT bytes, so a small corpus lands
+    * in a handful of splits and the whole expansion runs near-serial
+    * (measured: text_bigram_nll 7.0 → 1.8 s, curate_dsir 5.1 → 2.3 s at
+    * sf0.1 from this pin alone). Round-robin repartition the narrow
+    * input rows to the session parallelism — but ONLY when the scan is
+    * under-split: at cluster scale the corpus already arrives in
+    * thousands of splits and the repartition would be a pure full-data
+    * shuffle tax, so it's skipped. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** events.parquet's `ts` physical type has varied across testdata
     * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader only
     * accepts as a raw long via the legacy nanosAsLong conf, set at session

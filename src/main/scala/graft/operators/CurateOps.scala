@@ -99,9 +99,11 @@ object CurateOps {
         explode(array_distinct(transform(
           sequence(lit(0), size(col("toks")) - 8),
           i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))).as("shingle"))
-    val evalSh = shingles(docs.filter(col("source") === "src0"))
+    // spread AFTER the pushable source filter (pushdown preserved);
+    // the 8-gram explode then parallelizes on small single-split corpora
+    val evalSh = shingles(graft.Tables.spread(spark, docs.filter(col("source") === "src0")))
       .select(col("shingle")).distinct()
-    val trainSh = shingles(docs.filter(col("source") =!= "src0"))
+    val trainSh = shingles(graft.Tables.spread(spark, docs.filter(col("source") =!= "src0")))
     trainSh.join(evalSh, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
@@ -141,7 +143,7 @@ object CurateOps {
     val src = docs.select(col("doc_id"), col("source"))
     // max of 4dp-rounded pair scores ≡ 4dp-rounded max (rounding is
     // monotone), so the rollup matches the oracle's round(max(j), 4).
-    DedupOps.ngramJaccardPairs(docs, tau)
+    DedupOps.ngramJaccardPairs(graft.Tables.spread(spark, docs), tau)
       .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
       .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
       .filter((col("s1") === "src0") =!= (col("s2") === "src0"))
@@ -441,7 +443,12 @@ object CurateOps {
       |  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b)
       |),
       |dropped AS (
-      |  SELECT doc_id FROM exact_dropped UNION SELECT doc_id FROM near_dropped
+      |  -- explicit DISTINCT over UNION ALL: DuckDB's plain UNION failed to
+      |  -- dedup here when one branch feeds from the recursive reach CTE
+      |  -- (observed at sf0.1: 252 rows / 244 distinct), inflating the
+      |  -- census; the Spark side was already a distinct union.
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id FROM exact_dropped UNION ALL SELECT doc_id FROM near_dropped)
       |)
       |SELECT d.source, count(*) AS n_docs,
       |  count(x.doc_id) AS n_dropped,
@@ -579,7 +586,9 @@ object CurateOps {
     // shuffle) and localCheckpoint the bounded relation so the target/
     // raw/rollup consumers reuse it. Downstream sums weight by `c`,
     // which equals the per-occurrence sums to well under the 4dp floor.
-    val occ = load(spark, dir, "documents")
+    // Expansion-parallelism pin before the per-occurrence md5 stage
+    // (scale-aware: [[graft.Tables.spread]]).
+    val occ = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .filter(size(ts) >= 2)
       .select(col("doc_id"), col("lang"), col("source"), explode(featsCol).as("f"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("f"))

@@ -30,8 +30,12 @@ object DedupOps {
           sequence(lit(0), size(col("toks")) - 3),
           i => array_join(slice(col("toks"), i + 1, lit(3)), " ")))).as("shingle"))
 
+  // Batch call sites pin expansion parallelism via the scale-aware
+  // Tables.spread (small corpora arrive in one split, so the shingle
+  // explode otherwise runs serial); the *Of helpers stay pin-free —
+  // streaming reuses them and spread's rdd probe is batch-only.
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(load(spark, dir, "documents"))
+    shinglesOf(graft.Tables.spread(spark, load(spark, dir, "documents")))
 
   /** Exact dedup: md5 content groups with keep-first policy. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -83,7 +87,8 @@ object DedupOps {
   // (dedup_ngram_jaccard, dedup_cluster, curate_dedup_apply) — build
   // once per (session, dir, corpus stamp), materialized executor-local.
   private val pairsCache = new graft.graph.SessionDirCache[DataFrame](
-    (spark, dir) => ngramJaccardPairs(load(spark, dir, "documents"), 0.5)
+    (spark, dir) => ngramJaccardPairs(
+      graft.Tables.spread(spark, load(spark, dir, "documents")), 0.5)
       .localCheckpoint(true),
     stamp = graft.graph.SessionDirCache.parquetStamp(Seq("documents")))
 
@@ -347,7 +352,7 @@ object DedupOps {
     // independent slots, miss probability at the planted j≥0.8 dup band
     // is (1-j⁴)¹⁶ ≤ 2e-4, while j≈0.1 noise pairs collide at 0.16% —
     // ~8× fewer false candidates than a 32×2 shape.
-    val bands = bandSignaturesOf(load(spark, dir, "documents"))
+    val bands = bandSignaturesOf(graft.Tables.spread(spark, load(spark, dir, "documents")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -374,7 +379,7 @@ object DedupOps {
     * re-derives the integer with a hex-digit fold, then replays the
     * same bit math. */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+    val docs = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .select(col("doc_id"), explode(toks).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("wh"))

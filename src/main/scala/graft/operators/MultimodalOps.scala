@@ -401,7 +401,9 @@ object MultimodalOps {
     * join carries doc-id pairs only; band arrays re-attach after the
     * pair distinct, and exact hamming (Σ bit_count(xor)) verifies. */
   def ahashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
+    // spread: the per-row hash arithmetic below runs through aggregate
+    // HOFs (CodegenFallback) — serial on a single-split corpus otherwise
+    val docs = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .filter(length(col("text")) >= 128)
       .select(col("doc_id"), substring(col("text"), 1, 128).as("t"))
     val ws = transform(sequence(lit(0), lit(63)), w =>
@@ -414,6 +416,9 @@ object MultimodalOps {
           acc + when(element_at(col("ws"), b * 16 + i + 1) * 64 > col("total"),
             pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))))
       .select(col("doc_id"), col("bands"))
+      // three consumers (key explode + both verify joins): compute the
+      // HOF-heavy hash once, not three times
+      .localCheckpoint(true)
     // rest(b) = the other three bands as one 48-bit value (band order);
     // key = (b, bands[b], s, 12-bit slice s of rest(b)) — 4×4 keys/doc,
     // unrolled statically (16 struct expressions, constant shifts)

@@ -487,21 +487,33 @@ object TextOps {
   def bigramNll(spark: SparkSession, dir: String, lambda: Double = 0.75): DataFrame = {
     val pairsCol = transform(sequence(lit(1), size(toks) - 1), i =>
       struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b")))
-    val pairs = load(spark, dir, "documents")
+    // ONE tokenize+explode pass folded straight to per-(doc, a, b)
+    // counts (the curate_dsir lesson: the r10 plan re-ran the pair
+    // explode for the LM aggregation AND the rollup, and shuffled
+    // per-OCCURRENCE rows through three string-keyed joins). The
+    // bounded distinct-pairs-per-doc relation localCheckpoints for its
+    // two consumers; the per-doc avg becomes the n-weighted mean,
+    // equal to the per-occurrence average well under the 4dp floor.
+    // Expansion parallelism (the vec_knn_graph lesson, via the
+    // scale-aware [[graft.Tables.spread]] pin).
+    val docBg = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .filter(size(toks) >= 2)
       .select(col("doc_id"), explode(pairsCol).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val bg = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bg = docBg.groupBy(col("a"), col("b")).agg(sum(col("n")).as("cab"))
     val pf = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val words = load(spark, dir, "documents").select(explode(toks).as("w"))
     val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("total"))
-    pairs.join(bg, Seq("a", "b")).join(pf, Seq("a"))
+    val nll = -log(lit(lambda) * col("cab") / col("ca")
+      + lit(1.0 - lambda) * col("c") / col("total"))
+    docBg.join(bg, Seq("a", "b")).join(pf, Seq("a"))
       .join(vocab.withColumnRenamed("w", "b"), Seq("b"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg((floor(avg(-log(lit(lambda) * col("cab") / col("ca")
-        + lit(1.0 - lambda) * col("c") / col("total"))) * 10000) / 10000).as("bigram_nll"))
+      .agg((floor(sum(col("n") * nll) / sum(col("n")) * 10000) / 10000).as("bigram_nll"))
   }
 
   val bigramNllSql: String =

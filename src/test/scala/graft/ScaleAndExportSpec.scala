@@ -17,6 +17,21 @@ class ScaleAndExportSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("spread pins under-split scans to session parallelism and is a no-op on wide inputs") {
+    val spark = TestSpark.spark
+    val p = spark.sessionState.conf.numShufflePartitions
+    val narrow = Tables.load(spark, sf, "documents") // single-split parquet at spec scale
+    assert(narrow.rdd.getNumPartitions < p)
+    val spreadNarrow = Tables.spread(spark, narrow)
+    assert(spreadNarrow.rdd.getNumPartitions === p)
+    // rows unchanged (round-robin repartition, no filter/dedup effect)
+    assert(spreadNarrow.count() === narrow.count())
+    // already-wide input: identity — at cluster scale the pin must not
+    // add a full-data shuffle tax
+    val wide = narrow.repartition(p + 4)
+    assert(Tables.spread(spark, wide) eq wide)
+  }
+
   test("dot_native registers as a SQL function") {
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT dot_native(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
