@@ -565,7 +565,15 @@ object GraphAlgos {
     // array), so no round ever rescans edges: a round broadcasts the
     // frontier against the 1-row-per-node adjacency, explodes only the
     // FRONTIER rows' neighbor bags, and partial-aggregates the loss —
-    // work ∝ Σ deg(frontier), the Batagelj–Zaveršnik bound. Earlier
+    // work ∝ Σ deg(frontier), the Batagelj–Zaveršnik bound.
+    // CASCADE-REGIME CAVEAT: the frontier/loss broadcasts are
+    // node-bounded, which is the right trade at the registered k
+    // (frontiers are a sliver of the graph). Near a critical k where
+    // peeling cascades, a single round's frontier can approach |V| —
+    // past the broadcast threshold, swap the two broadcast() hints
+    // below for plain keyed joins (AQE still broadcasts small rounds
+    // on its own); semantics are identical, only the join strategy
+    // changes. Earlier
     // shapes measured at sf0.1/k=80: full recompute 10.0 s, per-round
     // edge-scanning delta 5.5 s, this 2.6 s (42 → 17 jobs; the loop
     // was scheduler-bound, 8.6 MB total shuffle). LAZY checkpoint +

@@ -910,7 +910,91 @@ object VectorOps {
       |FROM knn f JOIN knn r ON f.vec_id = r.other_id AND f.other_id = r.vec_id
       |WHERE f.vec_id < f.other_id""".stripMargin
 
+  /** The trained coarse quantizer ITSELF as a hash-checked query — the
+    * artifact every shortlist path shares ([[knnIvf]]/[[knnIvfPq]]/
+    * [[dedupCosine]]/[[knnGraph]] all stand on these centroids, so a
+    * training drift would silently degrade recall everywhere; this
+    * registers the training as a first-class checked surface instead
+    * of an implicitly-trusted cache). Output: per-cell member count at
+    * the final assignment plus the 4dp centroid norm — a fingerprint of
+    * both the partition structure and the centroid values.
+    *
+    * The oracle replays deterministic Lloyd's EXACTLY (no RNG anywhere,
+    * SURVEY §4): init = first k corpus vectors by (md5(vec_id), vec_id),
+    * then `iters` unrolled assignment→mean rounds — assignment is
+    * argmax of dot(v, ĉ) with ties to the LARGER cell id (array_max's
+    * struct order = ORDER BY s DESC, cell DESC rank-1), empty cells
+    * keep their previous centroid. Both engines average the same
+    * doubles; the 4dp norm round and integer member counts absorb
+    * summation-order ulps. */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = quantizerCache(spark, dir)
+    val e = emb(spark, dir).select(col("vec_id"), col("v"))
+    val assigned = e.select(col("vec_id"),
+      bestCell(col("v"), cents).getField("cell").as("cell"))
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(c.map(x => x * x).sum)) }
+      .toSeq.toDF("cell", "cnorm")
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(centRows), Seq("cell"), "right")
+      .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(col("cnorm"), 4).as("centroid_norm"))
+  }
+
+  /** Unrolled Lloyd's oracle: k=16 cells (cellCount's cap, hit at every
+    * test SF), 4 iterations, spherical assignment. Each round is one
+    * (assignment) rank-1 window over the vec×cell cross plus one
+    * per-(cell, dim) mean; empty cells carry the previous centroid via
+    * a LEFT JOIN coalesce. MATERIALIZED per round (the kcore lesson). */
+  val kmeansSql: String = {
+    val k = 16
+    val iters = 4
+    def round(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+         |        c.cell DESC) AS rn
+         |    FROM e CROSS JOIN c${r - 1} c
+         |  ) WHERE rn = 1
+         |),
+         |m$r AS (
+         |  SELECT cell, list(cx ORDER BY pos) AS c FROM (
+         |    SELECT cell, i AS pos, avg(v[CAST(i AS INT) + 1]) AS cx
+         |    FROM a$r, unnest(range(len(v))) AS u(i)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY cell
+         |),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(n.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN m$r n ON n.cell = p.cell
+         |)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+       |    AS cell, v AS c
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $k
+       |),
+       |${(1 to iters).map(round).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.c) / sqrt(list_dot_product(c.c, c.c)) DESC,
+       |        c.cell DESC) AS rn
+       |    FROM e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
+       |  round(sqrt(list_dot_product(c.c, c.c)), 4) AS centroid_norm
+       |FROM c$iters c LEFT JOIN
+       |  (SELECT cell, count(*) AS n_members FROM fin GROUP BY 1) n ON n.cell = c.cell""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_kmeans" -> ((s: SparkSession, d: String) => kmeansQuery(s, d)),
     "vec_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "store_vec_search" -> ((s: SparkSession, d: String) => storeVecSearch(s, d)),
     "vec_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -924,6 +1008,7 @@ object VectorOps {
     "vec_knn_trunc" -> ((s: SparkSession, d: String) => knnTruncated(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "vec_kmeans" -> kmeansSql,
     "vec_knn_graph" -> knnGraphSql,
     "store_vec_search" -> storeVecSearchSql,
     "vec_knn" -> knnSql,

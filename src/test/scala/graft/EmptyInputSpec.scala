@@ -48,7 +48,9 @@ class EmptyInputSpec extends SparkSpecBase {
     "entity_extract_cascade", "code_summaries", "search_context_render",
     "store_vec_search", "store_doc_ingest",
     "eval_em_f1", "eval_context_coverage", "eval_histogram", "eval_report",
-    "search_chunks_acl_role", "dedup_cluster", "curate_dedup_apply")
+    "search_chunks_acl_role", "dedup_cluster", "curate_dedup_apply",
+    "vec_kmeans", "vec_knn_graph", "curate_dsir",
+    "text_dup_fraction", "text_token_entropy", "pipeline_run_tasks")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>
