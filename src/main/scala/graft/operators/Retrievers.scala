@@ -1958,20 +1958,14 @@ object Retrievers {
     val ents = g.nodes
       .filter(col("ntype") === "nation" && col("name").isInCollection(query.split(" ").toSeq))
       .select(col("name").as("entity"))
-    val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
-    val ttoks = array_distinct(split(lower(rendered), "[ _-]"))
     // "{entity_text} {query}" stem: the entity's own name tokens + the
     // query's content words (stopwords dropped deterministically).
     val qtoks = array_distinct(concat(split(lower(col("entity")), "[ _-]"),
       array(contentWords.map(lit): _*)))
-    val named = g.edges
-      .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
-      .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
-    // Render + tokenize each triplet ONCE, before the entity crossJoin —
-    // ttoks doesn't depend on the entity, so computing it inside the
-    // crossJoin select would redo the split/lower per (edge × entity)
-    // row (|entities|× the string work on the corpus-sized relation).
-    val tokenized = named.select(rendered.as("line"), ttoks.as("ttoks"))
+    // The rendered+tokenized triplet relation is the SHARED persisted
+    // artifact ([[renderedTriplets]]) — rendering/tokenizing here per
+    // invocation re-ran the corpus-sized 3-way name join every call.
+    val tokenized = renderedTriplets(spark, dir).select(col("line"), col("ttoks"))
     // Per-entity query tokens are precomputed on the tiny broadcast side
     // (not re-derived per scored row), and the union size comes from
     // inclusion-exclusion over the two already-distinct arrays —
@@ -2063,6 +2057,10 @@ object Retrievers {
         .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
         .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
         .select(col("src"), col("rel"), col("dst"),
+          // the rendered line rides along so contextTriplets reuses
+          // this artifact instead of re-running the corpus-sized
+          // 3-way name join per invocation
+          rendered.as("line"),
           array_distinct(split(lower(rendered), "[ _-]")).as("ttoks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }, stamp = graft.graph.SessionDirCache.parquetStamp(
