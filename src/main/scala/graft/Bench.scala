@@ -112,15 +112,19 @@ object Bench {
       case (k, _, v) if !errors.contains(k) && v >= 0.5 &&
         records.get(k).exists(r => r > 0 && v > 2 * r && v - r >= 0.75) =>
         // Fresh-cache re-run: evict every session-cached artifact (graph
-        // projections, vector artifacts, CacheManager entries) first, so
-        // the third number approximates a fresh JVM — distinguishing
-        // contention (re-check ≈ record) from a cache-interaction
-        // regression (re-check ≈ the flagged time) instead of
-        // re-measuring whatever the suite left warm.
+        // projections, vector artifacts, CacheManager entries), REBUILD
+        // once untimed, then time a warm pass — the third number is then
+        // directly comparable to the record (a warm measurement), so a
+        // steady-state slowdown (re-check ≈ the flagged time) separates
+        // cleanly from suite contention (re-check ≈ record). Timing the
+        // rebuild pass itself (the r10 behavior) reported cold artifact
+        // construction and read as a 5-12 s scare number.
         graph.SessionDirCache.evictSession(spark)
-        val t0 = System.nanoTime()
         try SparkEntry.queries(k)(spark, sfDir).count()
         catch { case _: Throwable => () } // already-reported class of failure
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(k)(spark, sfDir).count()
+        catch { case _: Throwable => () }
         (k, v, records(k), (System.nanoTime() - t0) / 1e9)
     }
     spark.stop()
