@@ -376,6 +376,67 @@ object CurateOps {
       |SELECT doc_id, source, e AS epoch, n_tokens
       |FROM m, unnest(generate_series(CAST(1 AS BIGINT), CAST(m AS BIGINT))) AS u(e)""".stripMargin
 
+  /** Duplicated-SPAN measurement (Lee et al., ACL 2022 — "Deduplicating
+    * Training Data Makes Language Models Better": exact substring
+    * duplication at fixed token granularity, the ExactSubstr criterion
+    * every serious pretraining corpus applies on top of document-level
+    * dedup): per document, the tokens covered by some word-8-gram that
+    * also occurs in ANOTHER document — the span mass ExactSubstr would
+    * cut, reported as count + fraction. [[graft.operators.TextOps.dupFraction]]
+    * is the SHINGLE-count signal; this is the TOKEN-coverage action
+    * measure (a duplicated shingle at position i covers tokens
+    * [i, i+7]; overlapping spans union, not sum).
+    *
+    * Scale shape: one tokenize+shingle explode (spread-pinned), one
+    * shingle-keyed distinct-doc aggregate (map-side partials absorb
+    * hot boilerplate), one semi-join back, an 8× position explode with
+    * per-doc distinct for the coverage union — O(total shingles),
+    * never pairwise, no suffix array (the paper's suffix automaton is
+    * a single-node construction; the shingle-cover relaxation is the
+    * standard distributed equivalent at fixed granularity). */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val ts = split(col("text"), " ")
+    val p = graft.Tables.spread(spark, docs)
+      .select(col("doc_id"), ts.as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(sequence(lit(0), size(col("toks")) - 8)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), col("i") + 1, lit(8)), " ").as("shingle"))
+    val dup = p.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val covered = p.join(dup, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("t"))
+      .distinct()
+    val perDoc = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs.select(col("doc_id"), size(ts).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_tokens"),
+        (floor(coalesce(col("n_dup"), lit(0L)) * lit(10000.0) / col("n_tokens")) / 10000)
+          .as("dup_token_frac"))
+  }
+
+  val dedupSpansSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, i, array_to_string(toks[(i + 1):(i + 8)], ' ') AS shingle
+      |  FROM t, unnest(range(len(toks) - 7)) AS u(i)
+      |  WHERE len(toks) >= 8
+      |),
+      |dup AS (SELECT shingle FROM p GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, tt
+      |  FROM p JOIN dup USING (shingle), unnest(range(i, i + 8)) AS v(tt)
+      |),
+      |pd AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+      |  floor(coalesce(pd.n_dup, 0) * 10000.0 / len(toks)) / 10000 AS dup_token_frac
+      |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin
+
   /** APPLY the dedup decisions — the filtered-corpus ledger that closes
     * the detect → cluster → drop pipeline: per source, how many docs
     * survive after removing (a) exact duplicates beyond each content
@@ -646,6 +707,7 @@ object CurateOps {
     "curate_cluster_balance" -> ((s: SparkSession, d: String) => clusterBalance(s, d)),
     "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
     "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
+    "curate_dedup_spans" -> ((s: SparkSession, d: String) => dedupSpans(s, d)),
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
     "curate_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
@@ -661,6 +723,7 @@ object CurateOps {
     "curate_cluster_balance" -> clusterBalanceSql,
     "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,
+    "curate_dedup_spans" -> dedupSpansSql,
     "curate_mix" -> mixSql,
     "curate_mix_temperature" -> mixTemperatureSql,
     "curate_pack" -> packSql,
