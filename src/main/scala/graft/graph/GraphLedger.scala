@@ -78,9 +78,35 @@ final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: 
       principal: String = "system"): GraphLedger =
     next(graph.removeNodeProp(ids, key),
       stamp(nodeIds(ids), s"remove_prop:$key", "node", "removeNodeProp", principal))
+
+  /** Persist the audit entries — the reference's ledger IS a database
+    * table (graph_relationship_ledger.py); here it's an append-only
+    * parquet log, the durable twin of the in-plan entries. Wall-clock
+    * provenance belongs to the WRITE, not the plan (SURVEY §4), so the
+    * batch is stamped with one `written_at` epoch-second column here
+    * and nowhere else. */
+  def save(path: String): Unit =
+    entries.withColumn("written_at",
+      lit(java.time.Instant.now().getEpochSecond))
+      .write.mode("append").parquet(path)
 }
 
 object GraphLedger {
+  /** Resume auditing against a persisted ledger log: entries start
+    * from the saved rows (sans the write stamp) and `nextSeq`
+    * continues past the highest saved call counter, so a reloaded
+    * ledger appends with monotone seq exactly like the reference's
+    * created_at ordering across process restarts. */
+  def resume(g: PropertyGraph, path: String): GraphLedger = {
+    val spark = g.nodes.sparkSession
+    val saved = spark.read.parquet(path)
+      .select("seq", "op", "kind", "entity_id", "source_function", "principal")
+    val maxSeq = saved.agg(org.apache.spark.sql.functions.max("seq"))
+      .head(1).headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(-1L)
+    GraphLedger(g, saved, maxSeq + 1)
+  }
+
   /** Fresh ledger around a graph: zero entries, correctly typed. */
   def apply(g: PropertyGraph): GraphLedger = {
     val spark = g.nodes.sparkSession

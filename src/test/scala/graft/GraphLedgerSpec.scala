@@ -48,6 +48,26 @@ class GraphLedgerSpec extends SparkSpecBase {
     assert(led.nextSeq === 3L)
   }
 
+  test("save/resume round-trip: persisted entries reload and seq continues monotone") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/log"
+    val led = GraphLedger(base)
+      .addNodes(Seq(("custom:9", "custom", "nine")).toDF("id", "ntype", "name"))
+      .deleteNodes(Seq("custom:9").toDF("id"))
+    led.save(path)
+    val resumed = GraphLedger.resume(base, path)
+    assert(resumed.nextSeq === 2L) // past the saved max seq (1)
+    assert(resumed.entries.count() === 2L)
+    // the durable log carries the write stamp; the resumed plan does not
+    assert(spark.read.parquet(path).columns.contains("written_at"))
+    assert(!resumed.entries.columns.contains("written_at"))
+    val more = resumed.addNodes(Seq(("custom:10", "custom", "ten")).toDF("id", "ntype", "name"))
+    val seqs = more.entries.select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === Seq(0L, 1L, 2L))
+    // appending a second save accumulates (append-only log semantics)
+    more.save(path)
+    assert(spark.read.parquet(path).count() === 5L) // 2 + 3
+  }
+
   test("fresh ledger is empty and typed; feedback/set/remove ops ledger their id sets") {
     val l0 = GraphLedger(base)
     assert(l0.entries.count() === 0L)
