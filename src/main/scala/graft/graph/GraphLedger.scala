@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   * duplicate id still leaves its audit row, which is exactly what an
   * auditor wants to see. Entry plans are increment-sized projections;
   * no mutation pays more than its unledgered twin.
+  *
+  * Scope parity note: the reference decorates the TYPED adapter
+  * mutations only — raw `query()` Cypher writes are not audited there
+  * — so [[CypherLite.runWrite]] mutating an unwrapped PropertyGraph
+  * matches the reference's audit boundary; callers who want audited
+  * Cypher writes route the mutation through this wrapper's typed API.
   */
 final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: Long = 0L) {
 
@@ -37,8 +43,33 @@ final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: 
     rows.select(lit(nextSeq).as("seq"), lit(op).as("op"), lit(kind).as("kind"),
       col("entity_id"), lit(fn).as("source_function"), lit(principal).as("principal"))
 
-  private def next(g: PropertyGraph, inc: DataFrame): GraphLedger =
-    GraphLedger(g, entries.union(inc), nextSeq + 1)
+  // Chain discipline (the RunLedger lesson, and CypherLite's chained-
+  // write finding). Two different growth laws, two cadences:
+  //  - ENTRIES grow LINEARLY (each union references the previous chain
+  //    once), so every 32nd call collapses them behind a LAZY
+  //    localCheckpoint — nothing runs until the ledger is read/saved.
+  //  - The GRAPH tree grows EXPONENTIALLY: one addNodes embeds the
+  //    prior graph ~3× (union leg + collision probe + anti-join), so
+  //    n chained mutations build a ~3^n-node plan — Catalyst's
+  //    attribute rewriting OOMs well before n = 32 (measured). Every
+  //    4th call the graph collapses through Materialize.stored (~81
+  //    subtree copies max between collapses) — an eager,
+  //    lineage-stripped materialization, the same remedy
+  //    CypherLite.runWrite applies per write. At corpus scale that is
+  //    2 bounded jobs per 4 mutations; the documented contract stands:
+  //    interactive increments here, bulk changes through re-ingest.
+  private def next(g: PropertyGraph, inc: DataFrame): GraphLedger = {
+    val g2 =
+      if ((nextSeq + 1) % 4 == 0)
+        PropertyGraph(
+          org.apache.spark.sql.graft.Materialize.stored(g.nodes),
+          org.apache.spark.sql.graft.Materialize.stored(g.edges))
+      else g
+    val e2 =
+      if ((nextSeq + 1) % 32 == 0) entries.union(inc).localCheckpoint(false)
+      else entries.union(inc)
+    GraphLedger(g2, e2, nextSeq + 1)
+  }
 
   private def nodeIds(df: DataFrame): DataFrame =
     df.select(col("id").cast("string").as("entity_id"))

@@ -48,6 +48,23 @@ class GraphLedgerSpec extends SparkSpecBase {
     assert(led.nextSeq === 3L)
   }
 
+  test("long mutation scripts stay bounded: periodic graph + entries collapse") {
+    // 70 chained calls: without the every-4 graph collapse the ~3^n
+    // plan tree OOMs Catalyst's attribute rewrite long before the end
+    // (measured); entries cross two lazy-checkpoint points (32, 64).
+    // Every audit row AND every mutated node must survive both kinds
+    // of collapse.
+    val led = (1 to 70).foldLeft(GraphLedger(base)) { (lg, i) =>
+      lg.addNodes(Seq((s"bulk:$i", "bulk", s"b$i")).toDF("id", "ntype", "name"))
+    }
+    assert(led.nextSeq === 70L)
+    assert(led.entries.count() === 70L)
+    val seqs = led.entries.select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === (0L until 70L))
+    assert(led.graph.nodes.filter(col("ntype") === "bulk").count() === 70L)
+    assert(led.graph.nodes.count() === base.nodes.count() + 70L)
+  }
+
   test("save/resume round-trip: persisted entries reload and seq continues monotone") {
     val path = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/log"
     val led = GraphLedger(base)
