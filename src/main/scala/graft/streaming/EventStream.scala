@@ -30,6 +30,11 @@ private final case class FunnelState(t1: Long, t2: Long, t3: Long)
   * stage owns exact-Jaccard confirmation. */
 final case class NearDupCandidate(d1: Long, d2: Long, band: Int)
 
+/** An at-ingest duplicated-span hit: the word-8-gram starting at
+  * 0-based token position `pos` of `docId` was already carried by a
+  * DIFFERENT accepted document (it covers tokens [pos, pos+7]). */
+final case class DupSpanHit(docId: Long, pos: Int)
+
 /** A user's continuously-maintained R/F/M rollup (same columns as the
   * batch events_rfm per-user stage; quartile SCORING stays a global
   * pass over the rollup — cutoffs are corpus statistics no per-key
@@ -236,6 +241,60 @@ object EventStream {
             }
           }
           state.update(residents)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming duplicated-SPAN detection — the at-ingest twin of
+    * [[graft.operators.CurateOps.dedupSpans]] (Lee et al. ExactSubstr
+    * at 8-gram granularity): flag the arriving document's token
+    * positions whose shingle was already carried by a DIFFERENT
+    * accepted document. Shingling is the same tokenize+slice math as
+    * batch; the ONE stateful op keys the state store by shingle.
+    *
+    * State per shingle = (first owner doc, seen-in-another-doc bit).
+    * An arrival from a NEW doc emits its hit and sets the bit; the
+    * owner's own positions emit once sharing is KNOWN — same
+    * invocation when carriers co-arrive in one micro-batch, on replay
+    * otherwise —
+    * so a full second replay of a corpus emits EXACTLY the positions
+    * batch dedupSpans covers (shingle carried by ≥ 2 distinct docs;
+    * spec pins token-coverage parity), while the live first pass
+    * honestly reports the at-ingest prefix view (the first carrier
+    * cannot be flagged before a duplicate ever arrives). Within-doc
+    * repeats alone never flag — cross-doc is the batch rule. State is
+    * one entry per distinct shingle: at production scale this store is
+    * corpus-sized, so deployments scope it (per-source streams, state
+    * TTL, or periodic batch resets) — the same honest-bounds note as
+    * the other twins' capped windows. */
+  def dupSpanStream(docs: DataFrame): Dataset[DupSpanHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = split(col("text"), " ")
+    docs.select(col("docId").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(sequence(lit(0), size(col("toks")) - 8)).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("i").cast("int").as("i"),
+        array_join(slice(col("toks"), col("i") + 1, lit(8)), " ").as("shingle"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Boolean), DupSpanHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[(Long, Int, String)], state: GroupState[(Long, Boolean)]) =>
+          val arrivals = it.map(t => (t._1, t._2)).toIndexedSeq.distinct.sorted
+          val (owner0, shared0) = state.getOption.getOrElse((-1L, false))
+          val owner = if (owner0 >= 0) owner0 else arrivals.head._1
+          // Sharing is decided for the WHOLE invocation up front: when
+          // two carriers co-arrive in one micro-batch, the owner's own
+          // positions must flag too (processing arrivals in order would
+          // miss them — the owner sorts first).
+          val shared = shared0 || arrivals.exists(_._1 != owner)
+          val out = List.newBuilder[DupSpanHit]
+          arrivals.foreach { case (doc, pos) =>
+            if (doc != owner || shared) out += DupSpanHit(doc, pos)
+          }
+          state.update((owner, shared))
           out.result().iterator
       }
   }

@@ -364,6 +364,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming duplicated spans: a full replay reaches exact batch token-coverage parity") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, Long, String)]
+    val t0 = 1700000000L
+    // Pass 1 split across two micro-batches (cross-batch shingle state),
+    // then a FULL replay: the prefix view converges to the batch rule
+    // (shingle carried by >= 2 distinct docs) once every doc has seen
+    // every other doc's shingles.
+    stream.addData(docs.take(75).map { case (id, tx) => (id, t0, tx) }.toSeq)
+    stream.addData(docs.drop(75).map { case (id, tx) => (id, t0 + 1, tx) }.toSeq)
+    stream.addData(docs.map { case (id, tx) => (id, t0 + 2, tx) }.toSeq)
+    val q = EventStream.dupSpanStream(stream.toDF().toDF("docId", "tsSec", "text"))
+      .writeStream.format("memory").queryName("dupspanstream").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    // Emissions accumulate across passes; pass-1 hits are a subset of
+    // the replay's, so the DISTINCT hit set is the converged view.
+    val got = spark.table("dupspanstream")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // Batch rule on the same corpus: positions whose 8-gram occurs in
+    // >= 2 distinct docs.
+    val toks = split(col("text"), " ")
+    val p = docs.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), toks.as("toks")).filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(sequence(lit(0), size(col("toks")) - 8)).as("i"), col("toks"))
+      .select(col("doc_id"), col("i").cast("int").as("i"),
+        array_join(slice(col("toks"), col("i") + 1, lit(8)), " ").as("shingle"))
+    val dup = p.groupBy(col("shingle")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("shingle"))
+    val expect = p.join(dup, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), col("i")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // and the hit coverage rolls up to curate_dedup_spans' token counts
+    // for these docs (span union = distinct covered token indices)
+    val coverage = got.toSeq.flatMap { case (d, i) => (i to i + 7).map(t => (d, t)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val batch = operators.CurateOps.dedupSpans(spark, sf)
+      .filter(col("doc_id").isin(docs.map(_._1).toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // restrict to docs whose duplicate partners are inside the 150-doc
+    // slice: full-corpus batch counts can only be >= the slice's
+    docs.map(_._1).foreach { d =>
+      val sliceCov = coverage.getOrElse(d, 0L)
+      assert(batch.getOrElse(d, 0L) >= sliceCov,
+        s"doc $d: batch coverage ${batch.getOrElse(d, 0L)} < slice coverage $sliceCov")
+    }
+  }
+
   test("streaming near-dup detection emits exactly the batch band-collision candidates, replay-idempotent") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
