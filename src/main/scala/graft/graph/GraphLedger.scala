@@ -52,15 +52,17 @@ final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: 
   //    prior graph ~3× (union leg + collision probe + anti-join), so
   //    n chained mutations build a ~3^n-node plan — Catalyst's
   //    attribute rewriting OOMs well before n = 32 (measured). Every
-  //    4th call the graph collapses through Materialize.stored (~81
-  //    subtree copies max between collapses) — an eager,
-  //    lineage-stripped materialization, the same remedy
+  //    6th call the graph collapses through Materialize.stored (≤3^6 ≈
+  //    729 subtree copies between collapses — analysis stays cheap; a
+  //    cadence of 4 made the 5-mutation census query pay an eager
+  //    whole-graph materialization it didn't need, 3.2 → 5.0 s) — an
+  //    eager, lineage-stripped materialization, the same remedy
   //    CypherLite.runWrite applies per write. At corpus scale that is
-  //    2 bounded jobs per 4 mutations; the documented contract stands:
+  //    2 bounded jobs per 6 mutations; the documented contract stands:
   //    interactive increments here, bulk changes through re-ingest.
   private def next(g: PropertyGraph, inc: DataFrame): GraphLedger = {
     val g2 =
-      if ((nextSeq + 1) % 4 == 0)
+      if ((nextSeq + 1) % 6 == 0)
         PropertyGraph(
           org.apache.spark.sql.graft.Materialize.stored(g.nodes),
           org.apache.spark.sql.graft.Materialize.stored(g.edges))
