@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * matches the reference's audit boundary; callers who want audited
   * Cypher writes route the mutation through this wrapper's typed API.
   */
-final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: Long = 0L) {
+final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: Long = 0L,
+    savedUpTo: Long = -1L) {
 
   private def stamp(rows: DataFrame, op: String, kind: String,
       fn: String, principal: String): DataFrame =
@@ -70,7 +71,7 @@ final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: 
     val e2 =
       if ((nextSeq + 1) % 32 == 0) entries.union(inc).localCheckpoint(false)
       else entries.union(inc)
-    GraphLedger(g2, e2, nextSeq + 1)
+    GraphLedger(g2, e2, nextSeq + 1, savedUpTo)
   }
 
   private def nodeIds(df: DataFrame): DataFrame =
@@ -117,11 +118,23 @@ final case class GraphLedger(graph: PropertyGraph, entries: DataFrame, nextSeq: 
     * parquet log, the durable twin of the in-plan entries. Wall-clock
     * provenance belongs to the WRITE, not the plan (SURVEY §4), so the
     * batch is stamped with one `written_at` epoch-second column here
-    * and nowhere else. */
-  def save(path: String): Unit =
-    entries.withColumn("written_at",
-      lit(java.time.Instant.now().getEpochSecond))
+    * and nowhere else.
+    *
+    * Only entries NOT yet durable are appended — `savedUpTo` is the
+    * persisted-seq watermark (set by [[GraphLedger.resume]] to the
+    * reloaded log's max seq, advanced by every save), so a
+    * resume → mutate → save cycle appends exactly the new increments
+    * and a re-saved log never carries duplicate seq values; the
+    * monotone-seq audit contract holds across any number of
+    * save/resume generations. Returns the advanced ledger so chained
+    * save → mutate → save scripts stay incremental. */
+  def save(path: String): GraphLedger = {
+    entries.filter(col("seq") > savedUpTo)
+      .withColumn("written_at",
+        lit(java.time.Instant.now().getEpochSecond))
       .write.mode("append").parquet(path)
+    GraphLedger(graph, entries, nextSeq, savedUpTo = nextSeq - 1)
+  }
 }
 
 object GraphLedger {
@@ -137,7 +150,7 @@ object GraphLedger {
     val maxSeq = saved.agg(org.apache.spark.sql.functions.max("seq"))
       .head(1).headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(-1L)
-    GraphLedger(g, saved, maxSeq + 1)
+    GraphLedger(g, saved, maxSeq + 1, savedUpTo = maxSeq)
   }
 
   /** Fresh ledger around a graph: zero entries, correctly typed. */

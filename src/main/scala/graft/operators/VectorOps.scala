@@ -942,13 +942,21 @@ object VectorOps {
         round(col("cnorm"), 4).as("centroid_norm"))
   }
 
-  /** Unrolled Lloyd's oracle: k=16 cells (cellCount's cap, hit at every
-    * test SF), 4 iterations, spherical assignment. Each round is one
-    * (assignment) rank-1 window over the vec×cell cross plus one
-    * per-(cell, dim) mean; empty cells carry the previous centroid via
-    * a LEFT JOIN coalesce. MATERIALIZED per round (the kcore lesson). */
+  /** Unrolled Lloyd's oracle: k derived IN-SQL from the corpus count
+    * with the exact [[cellCount]] clamp (GREATEST(4, LEAST(16,
+    * floor(√n))) — truncation matches Scala's `.toInt`), 4 iterations,
+    * spherical assignment. Each round is one (assignment) rank-1
+    * window over the vec×cell cross plus one per-(cell, dim) mean;
+    * empty cells carry the previous centroid via a LEFT JOIN coalesce.
+    * MATERIALIZED per round (the kcore lesson).
+    *
+    * Known parity bound: above [[DefaultTrainCap]] (200k) rows the
+    * Spark side trains on the md5-bucket [[trainingSample]] while this
+    * oracle trains on the full table — the oracle is only sound for
+    * corpora ≤ the train cap (every test SF is; sf0.1 has 20k
+    * embeddings). Below the cap, k now tracks the corpus, so the
+    * r11-flagged silent break for n < 256 is closed. */
   val kmeansSql: String = {
-    val k = 16
     val iters = 4
     def round(r: Int): String =
       s"""a$r AS MATERIALIZED (
@@ -973,9 +981,11 @@ object VectorOps {
          |)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
-       |    AS cell, v AS c
-       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $k
+       |  SELECT cell, c FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+       |      AS cell, v AS c, count(*) OVER () AS n
+       |    FROM e
+       |  ) WHERE cell < GREATEST(4, LEAST(16, CAST(FLOOR(sqrt(n)) AS BIGINT)))
        |),
        |${(1 to iters).map(round).mkString(",\n")},
        |fin AS (

@@ -49,7 +49,7 @@ class GraphLedgerSpec extends SparkSpecBase {
   }
 
   test("long mutation scripts stay bounded: periodic graph + entries collapse") {
-    // 70 chained calls: without the every-4 graph collapse the ~3^n
+    // 70 chained calls: without the every-6 graph collapse the ~3^n
     // plan tree OOMs Catalyst's attribute rewrite long before the end
     // (measured); entries cross two lazy-checkpoint points (32, 64).
     // Every audit row AND every mutated node must survive both kinds
@@ -80,9 +80,16 @@ class GraphLedgerSpec extends SparkSpecBase {
     val more = resumed.addNodes(Seq(("custom:10", "custom", "ten")).toDF("id", "ntype", "name"))
     val seqs = more.entries.select("seq").collect().map(_.getLong(0)).sorted
     assert(seqs.toSeq === Seq(0L, 1L, 2L))
-    // appending a second save accumulates (append-only log semantics)
-    more.save(path)
-    assert(spark.read.parquet(path).count() === 5L) // 2 + 3
+    // a second save appends ONLY the unsaved increment (seq 2): the
+    // persisted watermark keeps resume→mutate→save cycles from
+    // re-appending rows the log already holds, so seq stays unique
+    val more2 = more.save(path)
+    val log = spark.read.parquet(path)
+    assert(log.count() === 3L) // 2 saved + 1 new, no duplicates
+    assert(log.select("seq").distinct().count() === 3L)
+    // saving again with nothing new is a no-op on the log
+    more2.save(path)
+    assert(spark.read.parquet(path).count() === 3L)
   }
 
   test("fresh ledger is empty and typed; feedback/set/remove ops ledger their id sets") {
