@@ -156,12 +156,25 @@ object Graft {
         // search_rag_completion operator pins k=2 explicitly)
         scoped(R.ragCompletion(spark, dir, vec(0), p.topK.getOrElse(1), scope))
       case GraphCompletion =>
-        scoped(R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope))
+        scoped(R.completionContext(spark, dir, vec(0), p.topK.getOrElse(3), scope,
+          nodeType = p.nodeType, nodeNames = p.nodeNames))
       case GraphCompletionCot => // eager retriever: denied short-circuits inside
+        // The reference's COT retriever inherits node_type/node_name
+        // (graph_completion_cot_retriever.py extends
+        // GraphCompletionRetriever) and narrows its get_triplets leg;
+        // graft's COT stand-in retrieves DOCUMENTS (the two-hop
+        // re-query loop), so there is no triplet candidate set the
+        // narrowing could apply to — fail fast rather than silently
+        // return un-narrowed rows to a caller who asked for a nodeset.
+        require(p.nodeType.isEmpty && p.nodeNames.isEmpty,
+          "GRAPH_COMPLETION_COT's document-loop stand-in has no triplet candidate " +
+            "set; node_type/node_name narrowing applies to GRAPH_COMPLETION and " +
+            "GRAPH_COMPLETION_CONTEXT_EXTENSION")
         R.completionCot(spark, dir, vec(0), p.topK.getOrElse(3), scope, denied)
       case GraphCompletionContextExtension =>
         unscopable(R.completionContextExtension(spark, dir,
-          seedTokens = toks(Seq("nation", "3", "located", "in"))))
+          seedTokens = toks(Seq("nation", "3", "located", "in")),
+          nodeType = p.nodeType, nodeNames = p.nodeNames))
       case GraphSummaryCompletion => scoped(R.summaryCompletion(spark, dir, vec(2), scope))
       case Code => scoped(R.code(spark, dir, toks(R.queryTokens), scope))
       case CodingRules => scoped(R.codingRules(spark, dir, scope))

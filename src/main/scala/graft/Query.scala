@@ -41,6 +41,18 @@ object QueryVec {
   *                   instead of the in-code verification dim
   * @param interval   TEMPORAL half-open bounds (either side optional)
   * @param cypher     CYPHER pattern override
+  * @param nodeType   graph-completion candidate narrowing, half 1
+  *                   (graph_completion_retriever.py:41-42 `node_type`):
+  *                   with [[nodeNames]] non-empty, the triplet
+  *                   candidate set is the named-nodeset SUBGRAPH
+  *                   (seeds of this ntype + 1-hop neighborhood —
+  *                   CogneeGraph.project_graph_from_db:79 routes to
+  *                   get_nodeset_subgraph) instead of the whole graph;
+  *                   either half alone leaves the full graph, exactly
+  *                   the reference's `node_type is not None and
+  *                   node_name not in [None, [], ""]` guard
+  * @param nodeNames  narrowing half 2: the node `name` values that
+  *                   seed the subgraph
   */
 final case class SearchParams(
     queryText: Option[String] = None,
@@ -51,4 +63,6 @@ final case class SearchParams(
     user: Option[String] = None,
     aclRoot: Option[String] = None,
     interval: Option[(Option[String], Option[String])] = None,
-    cypher: Option[String] = None)
+    cypher: Option[String] = None,
+    nodeType: Option[String] = None,
+    nodeNames: Seq[String] = Nil)

@@ -216,15 +216,24 @@ object DedupOps {
     * ([[graft.graph.GraphAlgos.connectedComponents]]). Doc ids ride
     * ZERO-PADDED through the string-id graph so the component label
     * (lexicographic min) IS the numeric min the oracle computes. */
-  def cluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = sharedPairs(spark, dir).select(col("d1"), col("d2"))
-    // Min-label propagation on the pair graph (a DF loop, not GraphX:
-    // Pregel's per-superstep machinery cost ~3 s on a few hundred
-    // edges — the pair graph is O(true dups), so every round here is a
-    // sub-second keyed join). Each round every node takes the minimum
-    // label among itself and its neighbors; convergence in
-    // O(component diameter) rounds, checked per round (near-dup
-    // components are clique-ish — typically 1-2 rounds).
+  def cluster(spark: SparkSession, dir: String): DataFrame =
+    minLabelComponents(sharedPairs(spark, dir).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+
+  /** Min-label propagation over a canonical pair set `(d1, d2)` →
+    * `(id, rep)` per clustered node, rep = the component's minimum id
+    * (a DF loop, not GraphX: Pregel's per-superstep machinery cost
+    * ~3 s on a few hundred edges — a qualifying-pair graph is O(true
+    * dups), tiny against the corpus, so every round here is a
+    * sub-second keyed join). Each round every node takes the minimum
+    * label among itself and its neighbors; convergence in O(component
+    * diameter) rounds, checked per round (near-dup components are
+    * clique-ish — typically 1-2 rounds). Shared by the text-side
+    * [[cluster]] and the embedding-side SemDeDup action
+    * ([[CurateOps.semDedup]]), which resolve their pair graphs through
+    * the identical discipline. */
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     val ue = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint(true)
@@ -244,8 +253,7 @@ object DedupOps {
         .filter(col("nrep") =!= col("rep")).count()
       lab = next
     }
-    lab.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
-      .withColumn("keep", col("doc_id") === col("cluster_rep"))
+    lab
   }
 
   val clusterSql: String =

@@ -449,15 +449,19 @@ object Retrievers {
 
   def insights(spark: SparkSession, dir: String,
       qv: graft.QueryVec = graft.QueryVec.Id(0), kEntities: Int = 3,
-      datasets: Seq[String] = Nil): DataFrame = {
+      datasets: Seq[String] = Nil,
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val topNations = nationCentroidScores(spark, dir, qv, datasets)
       .withColumn("rn", rankOver(col("label"), col("ccos").desc, col("label").asc))
       .filter(col("rn") <= kEntities)
       .select(concat(lit("nation:"), col("label").cast("string")).as("nid"))
     // One equi-join per endpoint (broadcast hash joins), unioned, instead
     // of an OR-condition join (which can only plan as a nested-loop);
-    // distinct dedups edges matching on both endpoints.
-    val edges = TpchGraph(spark, dir).edges
+    // distinct dedups edges matching on both endpoints. The optional
+    // node_type/node_name narrowing restricts the EXPANSION edges to
+    // the nodeset subgraph (the reference projects the fragment before
+    // get_connections runs over it).
+    val edges = nodesetNarrow(spark, dir, nodeType, nodeNames)(TpchGraph(spark, dir).edges)
     val n = broadcast(topNations.localCheckpoint(true))
     edges.join(n, col("src") === col("nid"))
       .unionByName(edges.join(n, col("dst") === col("nid")))
@@ -562,12 +566,14 @@ object Retrievers {
 
   def completionContext(spark: SparkSession, dir: String,
       qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
-      datasets: Seq[String] = Nil): DataFrame = {
+      datasets: Seq[String] = Nil,
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val chunkPart = chunks(spark, dir, qv, k, datasets).limit(k)
       .select(lit("chunk").as("part"),
         rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
-    val tripletPart = insights(spark, dir, qv, datasets = datasets)
+    val tripletPart = insights(spark, dir, qv, datasets = datasets,
+        nodeType = nodeType, nodeNames = nodeNames)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(k)
       .select(lit("triplet").as("part"),
@@ -812,8 +818,14 @@ object Retrievers {
     * the BFS frontier discipline. */
   def completionContextExtension(spark: SparkSession, dir: String,
       maxRounds: Int = 4,
-      seedTokens: Seq[String] = Seq("nation", "3", "located", "in")): DataFrame = {
-    val base = renderedTriplets(spark, dir)
+      seedTokens: Seq[String] = Seq("nation", "3", "located", "in"),
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
+    // node_type/node_name narrowing restricts every round's candidate
+    // scan to the nodeset subgraph (the retriever inherits the params
+    // from GraphCompletionRetriever and the fragment is projected once
+    // before the extension loop) — still the shared persisted artifact
+    // underneath, with the semi-joins applied per round's plan.
+    val base = nodesetNarrow(spark, dir, nodeType, nodeNames)(renderedTriplets(spark, dir))
     var toks = seedTokens
     var retrieved = Seq.empty[String]
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -2069,13 +2081,63 @@ object Retrievers {
   private[graft] def renderedTriplets(spark: SparkSession, dir: String): DataFrame =
     renderedTripletsCache(spark, dir)
 
+  /** `node_type`/`node_name` candidate narrowing for the brute-force
+    * triplet scorers (graph_completion_retriever.py:41-42 →
+    * brute_force_triplet_search.py:96-97 →
+    * CogneeGraph.project_graph_from_db:79: when BOTH are given, the
+    * memory fragment projects get_nodeset_subgraph(node_type,
+    * node_name) — the typed+named seed nodes plus their 1-hop
+    * neighborhood — instead of the whole graph; either half alone
+    * falls through to the full projection, the reference's exact
+    * guard). Returns a filter over any (src, dst)-keyed triplet
+    * relation: two left-semi joins against the keep set, PUSHED before
+    * scoring so the TakeOrdered top-k only ever sees subgraph rows.
+    * Seeds are a name-list filter (tiny — broadcast); the keep set is
+    * seed-degree-bounded, so the semi-joins stay cheap at corpus
+    * scale. */
+  private[graft] def nodesetNarrow(spark: SparkSession, dir: String,
+      nodeType: Option[String], nodeNames: Seq[String])(cand: DataFrame): DataFrame =
+    (nodeType, nodeNames) match {
+      case (Some(t), names) if names.nonEmpty =>
+        val g = TpchGraph(spark, dir)
+        val seeds = g.nodes
+          .filter(col("ntype") === t && col("name").isin(names: _*))
+          .select(col("id"))
+        val bseeds = broadcast(seeds)
+        val keep = seeds
+          .union(g.edges.join(bseeds.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id")))
+          .union(g.edges.join(bseeds.withColumnRenamed("id", "dst"), Seq("dst"))
+            .select(col("src").as("id")))
+          .distinct()
+        cand
+          .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(cand.columns.map(col).toIndexedSeq: _*)
+      case _ => cand
+    }
+
+  /** The oracle-side twin of [[nodesetNarrow]]'s keep set, shared by
+    * every `_typed` oracle: `keep(id)` = seeds ∪ 1-hop neighbors. */
+  private[graft] def nodesetKeepSql(ntype: String, names: Seq[String]): String =
+    s"""seeds AS (
+       |  SELECT id FROM nodes
+       |  WHERE ntype = '$ntype' AND name IN (${names.map(n => s"'$n'").mkString(", ")})
+       |),
+       |keep AS (
+       |  SELECT id FROM seeds
+       |  UNION SELECT e.dst AS id FROM edges e JOIN seeds s ON e.src = s.id
+       |  UNION SELECT e.src AS id FROM edges e JOIN seeds s ON e.dst = s.id
+       |)""".stripMargin
+
   def triplets(spark: SparkSession, dir: String,
-      tokens: Seq[String] = Seq("nation", "3", "located", "in"), k: Int = 10): DataFrame = {
+      tokens: Seq[String] = Seq("nation", "3", "located", "in"), k: Int = 10,
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val queryToks = array(tokens.distinct.map(lit): _*)
     val inter = size(array_intersect(col("ttoks"), queryToks))
     val score = round(inter.cast("double") /
       (size(col("ttoks")) + lit(tokens.distinct.size) - inter), 4)
-    renderedTriplets(spark, dir)
+    nodesetNarrow(spark, dir, nodeType, nodeNames)(renderedTriplets(spark, dir))
       .select(col("src"), col("rel"), col("dst"), score.as("score"))
       .orderBy(col("score").desc, col("src").asc, col("rel").asc, col("dst").asc)
       .limit(k)
@@ -2102,7 +2164,37 @@ object Retrievers {
        |SELECT src, rel, dst, score FROM scored
        |ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 10""".stripMargin
 
+  /** [[triplets]] with the `node_type`/`node_name` narrowing active —
+    * the typed-retrieval surface the reference threads from
+    * GraphCompletionRetriever into brute_force_triplet_search: the
+    * same query tokens and top-k, but candidates restricted to the
+    * (nation, {NATION_3, NATION_7}) nodeset subgraph before scoring. */
+  val tripletsTypedSql: String =
+    s"""${TpchGraph.withGraph},
+       |${nodesetKeepSql("nation", Seq("NATION_3", "NATION_7"))},
+       |named AS (
+       |  SELECT e.src, e.rel, e.dst, ns.name AS sname, nd.name AS dname
+       |  FROM edges e
+       |  JOIN nodes ns ON ns.id = e.src
+       |  JOIN nodes nd ON nd.id = e.dst
+       |  WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)
+       |),
+       |scored AS (
+       |  SELECT src, rel, dst,
+       |    round(len(list_intersect(
+       |            list_distinct(string_split_regex(lower(sname || ' ' || rel || ' ' || dname), '[ _-]')),
+       |            ['nation', '3', 'located', 'in'])) * 1.0
+       |          / len(list_distinct(list_concat(
+       |            list_distinct(string_split_regex(lower(sname || ' ' || rel || ' ' || dname), '[ _-]')),
+       |            ['nation', '3', 'located', 'in']))), 4) AS score
+       |  FROM named
+       |)
+       |SELECT src, rel, dst, score FROM scored
+       |ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_triplets_typed" -> ((s: SparkSession, d: String) =>
+      triplets(s, d, nodeType = Some("nation"), nodeNames = Seq("NATION_3", "NATION_7"))),
     "search_context_triplets" -> ((s: SparkSession, d: String) => contextTriplets(s, d)),
     "search_triplets" -> ((s: SparkSession, d: String) => triplets(s, d)),
     "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
@@ -2156,6 +2248,7 @@ object Retrievers {
   def oracles: Map[String, String] = Map(
     "search_context_triplets" -> contextTripletsSql,
     "search_triplets" -> tripletsSql,
+    "search_triplets_typed" -> tripletsTypedSql,
     "search_code" -> codeSql,
     "search_coding_rules" -> codingRulesSql,
     "search_feedback" -> feedbackSql,

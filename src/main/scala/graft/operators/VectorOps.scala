@@ -956,7 +956,22 @@ object VectorOps {
     * corpora ≤ the train cap (every test SF is; sf0.1 has 20k
     * embeddings). Below the cap, k now tracks the corpus, so the
     * r11-flagged silent break for n < 256 is closed. */
-  val kmeansSql: String = {
+  /** Per-row final cell assignment against the shared trained
+    * quantizer — (vec_id, v, label, cell). The SemDeDup action and any
+    * other within-cell consumer reads cells through this so every
+    * surface shares ONE training (the [[kmeansQuery]]-checked one). */
+  private[graft] def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val cents = quantizerCache(spark, dir)
+    emb(spark, dir).select(col("vec_id"), col("v"), col("label"),
+      bestCell(col("v"), cents).getField("cell").as("cell"))
+  }
+
+  /** The [[kmeansSql]] CTE chain without its `WITH` prefix, through
+    * the final assignment `fin(vec_id, cell)` — shared verbatim by the
+    * SemDeDup oracle (which must see the SAME cells the Spark side
+    * trains) so the two oracles can never drift apart. Callers prepend
+    * `WITH ` or `WITH RECURSIVE `. */
+  private[graft] val kmeansCtes: String = {
     val iters = 4
     def round(r: Int): String =
       s"""a$r AS MATERIALIZED (
@@ -979,7 +994,7 @@ object VectorOps {
          |  SELECT p.cell, coalesce(n.c, p.c) AS c
          |  FROM c${r - 1} p LEFT JOIN m$r n ON n.cell = p.cell
          |)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT cell, c FROM (
        |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
@@ -996,12 +1011,17 @@ object VectorOps {
        |        c.cell DESC) AS rn
        |    FROM e CROSS JOIN c$iters c
        |  ) WHERE rn = 1
-       |)
+       |)""".stripMargin
+  }
+
+  private[graft] val kmeansFinalCentroids = "c4" // c$iters of [[kmeansCtes]]
+
+  val kmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT c.cell, coalesce(n.n_members, 0) AS n_members,
        |  round(sqrt(list_dot_product(c.c, c.c)), 4) AS centroid_norm
-       |FROM c$iters c LEFT JOIN
+       |FROM $kmeansFinalCentroids c LEFT JOIN
        |  (SELECT cell, count(*) AS n_members FROM fin GROUP BY 1) n ON n.cell = c.cell""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_kmeans" -> ((s: SparkSession, d: String) => kmeansQuery(s, d)),

@@ -201,6 +201,48 @@ class FacadeSpec extends SparkSpecBase {
       s"narrowed interval should shrink the event mass: $nTotal vs $dTotal")
   }
 
+  test("node_type/node_name narrowing threads into the graph-completion retrievers") {
+    // GRAPH_COMPLETION: the triplet leg must restrict to the nodeset
+    // subgraph — narrowing to a nation NOT among the centroid top-3
+    // changes (empties) the triplet part while leaving chunks alone
+    val dflt = Graft.search(spark, sf, Graft.GraphCompletion)
+    val nar = Graft.search(spark, sf, Graft.GraphCompletion,
+      SearchParams(nodeType = Some("nation"), nodeNames = Seq("NATION_0")))
+    assert(rows(dflt.filter(col("part") === "chunk")) ===
+      rows(nar.filter(col("part") === "chunk")))
+    assert(rows(dflt.filter(col("part") === "triplet")) !==
+      rows(nar.filter(col("part") === "triplet")),
+      "nodeset narrowing must change the triplet candidates")
+    // half a pair = no narrowing (the reference's exact guard:
+    // node_type AND node_name both required)
+    assert(rows(Graft.search(spark, sf, Graft.GraphCompletion,
+      SearchParams(nodeType = Some("nation")))) === rows(dflt))
+    assert(rows(Graft.search(spark, sf, Graft.GraphCompletion,
+      SearchParams(nodeNames = Seq("NATION_0")))) === rows(dflt))
+    // typed triplet search ≡ the registered query, and ⊂ the subgraph:
+    // every winner's endpoints live in the nodeset 1-hop neighborhood
+    val typed = SparkEntry.queries("search_triplets_typed")(spark, sf)
+    val sub = graft.graph.TpchGraph(spark, sf)
+      .nodesetSubgraph("nation", Seq("NATION_3", "NATION_7"))
+    val ids = sub.nodes.select("id").collect().map(_.getString(0)).toSet
+    val win = typed.collect()
+    assert(win.nonEmpty && win.forall(r =>
+      ids.contains(r.getString(0)) && ids.contains(r.getString(2))))
+    // and the narrowing CHANGED the top-10 vs the unrestricted search
+    assert(rows(typed) !== rows(SparkEntry.queries("search_triplets")(spark, sf)))
+    // EXTENSION threads the same params (rounds restricted to subgraph)
+    val extN = Graft.search(spark, sf, Graft.GraphCompletionContextExtension,
+      SearchParams(nodeType = Some("nation"), nodeNames = Seq("NATION_3", "NATION_7")))
+      .collect()
+    assert(extN.nonEmpty && extN.forall(r =>
+      ids.contains(r.getString(1)) && ids.contains(r.getString(3))))
+    // COT's document-loop stand-in has no triplet leg: fail fast
+    assert(intercept[IllegalArgumentException] {
+      Graft.search(spark, sf, Graft.GraphCompletionCot,
+        SearchParams(nodeType = Some("nation"), nodeNames = Seq("NATION_0")))
+    }.getMessage.contains("narrowing"))
+  }
+
   test("cypher override threads through the facade") {
     val viaParams = Graft.search(spark, sf, Graft.Cypher,
       SearchParams(cypher = Some(Retrievers.supplierCypher)))
