@@ -142,9 +142,15 @@ object GraphLedger {
     * from the saved rows (sans the write stamp) and `nextSeq`
     * continues past the highest saved call counter, so a reloaded
     * ledger appends with monotone seq exactly like the reference's
-    * created_at ordering across process restarts. */
+    * created_at ordering across process restarts. A missing or
+    * never-written log resumes as a FRESH ledger (the reference's
+    * ledger table is create-on-first-write; a first-boot resume is an
+    * ordinary event, not an error). */
   def resume(g: PropertyGraph, path: String): GraphLedger = {
     val spark = g.nodes.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return apply(g)
     val saved = spark.read.parquet(path)
       .select("seq", "op", "kind", "entity_id", "source_function", "principal")
     val maxSeq = saved.agg(org.apache.spark.sql.functions.max("seq"))

@@ -517,6 +517,80 @@ object CurateOps {
       |FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
       |GROUP BY d.source""".stripMargin
 
+  /** SemDeDup — the embedding-space dedup ACTION (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus embeddings with k-means, and
+    * WITHIN each cluster drop all but one member of every group of
+    * pairs above cosine τ. This closes the embedding-dedup loop the
+    * way [[dedupApply]] closed the text loop — [[VectorOps]] detects
+    * (cells, cosines), [[DedupOps.minLabelComponents]] resolves the
+    * pair graph to one kept representative (the component's min
+    * vec_id — the paper keeps an arbitrary member; min-id is the
+    * deterministic choice every engine re-derives), and the ledger
+    * reports per-label survival.
+    *
+    * Cells come from the SHARED trained quantizer
+    * ([[VectorOps.cellAssignments]] — the same training the
+    * `vec_kmeans` query hash-checks), so the dedup decision is itself
+    * gated against training drift. Within-cell-only comparison is the
+    * paper's approximation (a cross-cell pair ≥ τ is NOT dropped);
+    * that is the semantics, not a shortcut — the exact-across-cells
+    * variant is [[VectorOps.dedupCosine]]'s pair set.
+    *
+    * Scale shape: the pair stage is an EQUI-join on the cell key
+    * (hash-partitions at any corpus size, never a nested loop); cell
+    * populations are ~n/k with k→√n at scale, which is exactly the
+    * knob the paper turns to keep within-cell pairs tractable.
+    * Components run on the qualifying-pair graph only (O(true dups));
+    * the ledger is one keyed aggregate. */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val a = VectorOps.cellAssignments(spark, dir)
+    val lhs = a.select(col("cell"), col("vec_id").as("d1"), col("v").as("v1"))
+    val rhs = a.select(col("cell"), col("vec_id").as("d2"), col("v").as("v2"))
+    val pairs = lhs.join(rhs, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .filter(round(VectorOps.cosine(col("v1"), col("v2")), 4) >= tau)
+      .select(col("d1"), col("d2"))
+    val dropped = DedupOps.minLabelComponents(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("vec_id"), lit(1L).as("is_dropped"))
+    a.select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("is_dropped"), lit(0L)))).as("n_kept"))
+  }
+
+  /** All-pairs oracle over the SAME trained cells: the assignment CTE
+    * chain is [[VectorOps.kmeansCtes]] VERBATIM (one source of truth —
+    * the two oracles cannot drift), then within-cell pairs ≥ τ,
+    * recursive min-label reach, per-label survival census. */
+  val semDedupSql: String =
+    s"""WITH RECURSIVE ${VectorOps.kmeansCtes},
+       |pr AS (
+       |  SELECT fa.vec_id AS d1, fb.vec_id AS d2
+       |  FROM fin fa JOIN fin fb ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+       |  JOIN e ea ON ea.vec_id = fa.vec_id
+       |  JOIN e eb ON eb.vec_id = fb.vec_id
+       |  WHERE round(list_dot_product(ea.v, eb.v)
+       |        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.4
+       |),
+       |ue AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM ue) s
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN ue e2 ON r.b = e2.a
+       |),
+       |dropped AS (
+       |  SELECT a AS vec_id FROM reach GROUP BY a HAVING a <> min(b)
+       |)
+       |SELECT em.label, count(*) AS n_vecs,
+       |  count(x.vec_id) AS n_dropped,
+       |  count(*) - count(x.vec_id) AS n_kept
+       |FROM embeddings em LEFT JOIN dropped x ON em.vec_id = x.vec_id
+       |GROUP BY em.label""".stripMargin
+
   /** Deterministic EPOCH SHUFFLE — the global training-order
     * permutation every pretraining data loader needs ("shuffle the
     * corpus for epoch e, reproducibly, and tell me which shard each
@@ -707,6 +781,7 @@ object CurateOps {
     "curate_cluster_balance" -> ((s: SparkSession, d: String) => clusterBalance(s, d)),
     "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
     "curate_dedup_apply" -> ((s: SparkSession, d: String) => dedupApply(s, d)),
+    "curate_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)),
     "curate_dedup_spans" -> ((s: SparkSession, d: String) => dedupSpans(s, d)),
     "curate_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "curate_sample" -> ((s: SparkSession, d: String) => sample(s, d)),
@@ -723,6 +798,7 @@ object CurateOps {
     "curate_cluster_balance" -> clusterBalanceSql,
     "curate_shuffle" -> shuffleSql,
     "curate_dedup_apply" -> dedupApplySql,
+    "curate_semdedup" -> semDedupSql,
     "curate_dedup_spans" -> dedupSpansSql,
     "curate_mix" -> mixSql,
     "curate_mix_temperature" -> mixTemperatureSql,

@@ -50,7 +50,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "eval_em_f1", "eval_context_coverage", "eval_histogram", "eval_report",
     "search_chunks_acl_role", "dedup_cluster", "curate_dedup_apply",
     "vec_kmeans", "vec_knn_graph", "curate_dsir", "curate_dedup_spans",
-    "text_dup_fraction", "text_token_entropy", "pipeline_run_tasks")
+    "text_dup_fraction", "text_token_entropy", "pipeline_run_tasks",
+    "curate_semdedup")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>

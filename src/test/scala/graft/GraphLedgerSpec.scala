@@ -92,6 +92,16 @@ class GraphLedgerSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() === 3L)
   }
 
+  test("resume on a missing log is a fresh ledger, and its first save creates the log") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_fresh").toString + "/log"
+    val resumed = GraphLedger.resume(base, path) // nothing written yet — first boot
+    assert(resumed.nextSeq === 0L && resumed.entries.count() === 0L)
+    val led = resumed.addNodes(Seq(("custom:11", "custom", "eleven")).toDF("id", "ntype", "name"))
+    led.save(path)
+    assert(spark.read.parquet(path).count() === 1L)
+    assert(GraphLedger.resume(base, path).nextSeq === 1L)
+  }
+
   test("fresh ledger is empty and typed; feedback/set/remove ops ledger their id sets") {
     val l0 = GraphLedger(base)
     assert(l0.entries.count() === 0L)

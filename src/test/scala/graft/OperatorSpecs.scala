@@ -450,6 +450,42 @@ class CurateOpsSpec extends SparkSpecBase {
     assert(CurateOps.mixTemperature(spark, sf).collect().length === out.length)
   }
 
+  test("SemDeDup kept-set ≡ driver-side replay of within-cell pairing + min-label resolution") {
+    import graft.operators.{CurateOps, VectorOps}
+    // the shared-quantizer assignment is the query's own candidate
+    // blocking; replay the ACTION from it independently: all
+    // within-cell pairs ≥ τ (4dp, HALF_UP like Spark's round), then
+    // union-find to the min-id representative
+    val a = VectorOps.cellAssignments(spark, sf)
+      .select(col("vec_id"), col("v"), col("label"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2), r.getInt(3)))
+    def cos4(x: Array[Double], y: Array[Double]): BigDecimal = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      BigDecimal(d / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry } // min-id root
+    }
+    var nPairs = 0
+    for (cell <- a.groupBy(_._4).values; Array(x, y) <- cell.combinations(2))
+      if (cos4(x._2, y._2) >= BigDecimal("0.4")) { union(x._1, y._1); nPairs += 1 }
+    assert(nPairs > 0, "corpus must exercise the action (qualifying pairs exist)")
+    val droppedReplay = a.map(_._1).filter(id => find(id) != id).toSet
+    assert(droppedReplay.nonEmpty)
+    val perLabel = a.groupBy(_._3).map { case (l, vs) =>
+      l.toLong -> ((vs.length.toLong, vs.count(v => droppedReplay(v._1)).toLong)) }
+    val out = CurateOps.semDedup(spark, sf).collect()
+      .map(r => r.getAs[Any]("label").toString.toLong ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dropped")))).toMap
+    assert(out === perLabel, "per-label (n_vecs, n_dropped) must equal the replay")
+  }
+
   test("epoch shuffle is a seeded permutation assembled without a global sort") {
     val out = CurateOps.shuffle(spark, sf).cache()
     val rows = out.collect().map(r =>
