@@ -113,19 +113,27 @@ object Bench {
         records.get(k).exists(r => r > 0 && v > 2 * r && v - r >= 0.75) =>
         // Fresh-cache re-run: evict every session-cached artifact (graph
         // projections, vector artifacts, CacheManager entries), REBUILD
-        // once untimed, then time a warm pass — the third number is then
+        // once untimed, then time warm passes — the third number is then
         // directly comparable to the record (a warm measurement), so a
         // steady-state slowdown (re-check ≈ the flagged time) separates
         // cleanly from suite contention (re-check ≈ record). Timing the
         // rebuild pass itself (the r10 behavior) reported cold artifact
-        // construction and read as a 5-12 s scare number.
+        // construction and read as a 5-12 s scare number. The warm pass
+        // runs THREE times and reports the MIN: in r11 the end-of-suite
+        // re-checks were themselves contended (khop re-check 24.9 s vs a
+        // 2.0 s record — worse than the flagged number), which defeated
+        // the contention-vs-code adjudication this number exists for;
+        // one co-tenant burst can inflate one pass, not the min of 3.
         graph.SessionDirCache.evictSession(spark)
         try SparkEntry.queries(k)(spark, sfDir).count()
         catch { case _: Throwable => () } // already-reported class of failure
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(k)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (k, v, records(k), (System.nanoTime() - t0) / 1e9)
+        val re = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(k)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (k, v, records(k), re)
     }
     spark.stop()
     def fmt(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
