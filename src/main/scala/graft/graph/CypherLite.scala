@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *      per endpoint pair. Path-bound expansions are seeded from the
   *      filtered left node set (frontier BFS, not full-graph closure).
   *      Cypher's one-row-per-distinct-path multiplicity is deliberately
-  *      NOT modeled — it is exponential on dense graphs; the depth
+  *      NOT modeled here — it is exponential on dense graphs; the depth
   *      projection is the tabular-subset contract, like the
-  *      endpoint-only var-length semantics. `nodes(p)` /
+  *      endpoint-only var-length semantics. The EXPLICIT escape hatch
+  *      for small subgraphs is [[enumeratePaths]]: one row per distinct
+  *      trail behind a hard row cap that refuses loudly. `nodes(p)` /
   *      `relationships(p)` in RETURN project the sorted SET of nodes /
   *      of traversed "m1>m2" hop steps on some walk of the row's
   *      length between its endpoints — forward×backward frontier
@@ -617,6 +619,119 @@ object CypherLite {
         } else throw new IllegalArgumentException(s"unsupported write statement: $q")
       case _ => throw new IllegalArgumentException(s"unsupported write statement: $q")
     }
+  }
+
+  /** BOUNDED PATH ENUMERATION — the explicit opt-OUT of the
+    * depth-projection contract for small subgraphs. The tabular subset
+    * deliberately models a bound path variable as one row per
+    * (endpoints, depth) because Cypher's one-row-per-distinct-path
+    * multiplicity is exponential on dense graphs; this entry point
+    * restores the real multiplicity — one row PER DISTINCT TRAIL
+    * (Cypher's relationship-uniqueness semantics: no underlying edge
+    * traversed twice within a path; node revisits allowed) — behind an
+    * EXPLICIT row cap, refusing loudly the moment any expansion level
+    * exceeds it (so a hub pattern fails fast with a named limit
+    * instead of melting the cluster).
+    *
+    * Pattern: exactly one `(a[:type][{k: 'v'}])-[:rel[|rel2][*lo..hi]]-(b[...])`
+    * relationship pattern (directed either way or undirected), same
+    * node/relationship syntax as [[run]]. Output: one row per trail —
+    * (src, dst, len, path) with `path` the '>'-joined node sequence in
+    * walk order.
+    *
+    * Scale shape: level-synchronous expansion — each level is one
+    * frontier-keyed equi-join against the rel-filtered hop view
+    * (shuffle_hash: hash the frontier, stream the edges), materialized
+    * per level (the BFS discipline) with the cap enforced on the
+    * materialized count; trail uniqueness is a codegen'd
+    * array_contains on the accumulated edge-key array (≤ hi ≤ 10
+    * entries). Never a cartesian; the cap bounds every intermediate. */
+  def enumeratePaths(g: PropertyGraph, pattern: String, cap: Long): DataFrame = {
+    require(cap > 0, "path enumeration cap must be positive")
+    val nodePats = nodeRe.findAllMatchIn(pattern)
+      .map(m => (m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
+    val relPats = relRe.findAllMatchIn(pattern).map { m =>
+      require(m.group(2) == null,
+        s"edge variables are not supported in enumeratePaths: $pattern")
+      val (lo, hi) =
+        if (m.group(4) == null) (1, 1) else (m.group(4).toInt, m.group(5).toInt)
+      require(lo >= 1 && hi >= lo && hi <= 10, s"unsupported path bounds *$lo..$hi")
+      (m.group(3).split("\\|").map(_.trim).toSeq,
+        lo, hi, m.group(1) != null, m.group(6) != null)
+    }.toSeq
+    require(nodePats.length == 2 && relPats.length == 1,
+      s"enumeratePaths supports exactly one (a)-[:rel*lo..hi]-(b) pattern: $pattern")
+    val (rels, lo, hi, revHead, fwdHead) = relPats.head
+    require(!(revHead && fwdHead), s"unsupported double-headed relationship in: $pattern")
+
+    // Inline-map + type filters on an endpoint node set (the [[run]]
+    // semantics: pushed equality predicates at the scan).
+    def endpointIds(t: Option[String], m: Option[String]): DataFrame = {
+      val typed = PropertyGraph.ensureProps(
+        t.fold(g.nodes)(tp => g.nodes.filter(col("ntype") === tp)))
+      val filtered = m.fold(typed) { mt =>
+        splitOutsideQuotes(mt.stripPrefix("{").stripSuffix("}"), ",")
+          .map(_.trim).filter(_.nonEmpty).map {
+            case mapPairRe(k, s, n) =>
+              val c = k match {
+                case "id" | "ntype" | "name" => col(k)
+                case bagKey => element_at(col("props"), bagKey)
+              }
+              if (s != null) c === lit(s) else c.try_cast("double") === lit(n.toDouble)
+            case other => throw new IllegalArgumentException(
+              s"unsupported inline property entry: $other")
+          }.foldLeft(typed)(_ filter _)
+      }
+      filtered.select(col("id"))
+    }
+
+    // Hop view in the walked orientation; `ekey` is the UNDERLYING
+    // edge identity (orientation-free), so an undirected walk cannot
+    // re-traverse the same relationship backwards — Cypher's
+    // relationship uniqueness.
+    val base = g.edges.filter(col("rel").isin(rels: _*))
+      .select(col("src"), col("dst"),
+        concat_ws("|", col("src"), col("rel"), col("dst")).as("ekey"))
+    val hop =
+      if (revHead) base.select(col("dst").as("src"), col("src").as("dst"), col("ekey"))
+      else if (fwdHead) base
+      else base.union(
+        base.select(col("dst").as("src"), col("src").as("dst"), col("ekey"))).distinct()
+
+    def capped(df: DataFrame, level: Int): DataFrame = {
+      val stored = org.apache.spark.sql.graft.Materialize.stored(df)
+      val n = stored.count()
+      require(n <= cap,
+        s"path enumeration exceeded cap $cap at level $level ($n partial paths) " +
+          s"for pattern: $pattern — narrow the pattern or raise the cap")
+      stored
+    }
+
+    val seeds = endpointIds(nodePats.head._2, nodePats.head._3)
+      .select(col("id").as("src"))
+    var cur = capped(hop.join(seeds, Seq("src"), "left_semi")
+      .select(col("src"), col("dst"),
+        array(col("src"), col("dst")).as("pnodes"), array(col("ekey")).as("ekeys")), 1)
+    val rightIds = endpointIds(nodePats(1)._2, nodePats(1)._3)
+      .select(col("id").as("dst"))
+    def emit(df: DataFrame, len: Int): DataFrame =
+      df.join(rightIds, Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"), lit(len.toLong).as("len"),
+          array_join(col("pnodes"), ">").as("path"))
+    var out = if (lo <= 1) emit(cur, 1) else null
+    for (len <- 2 to hi) {
+      cur = capped(cur.as("p").hint("shuffle_hash")
+        .join(hop.as("e"), col("p.dst") === col("e.src"))
+        .filter(!array_contains(col("p.ekeys"), col("e.ekey")))
+        .select(col("p.src").as("src"), col("e.dst").as("dst"),
+          concat(col("p.pnodes"), array(col("e.dst"))).as("pnodes"),
+          concat(col("p.ekeys"), array(col("e.ekey"))).as("ekeys")), len)
+      if (len >= lo) {
+        val e = emit(cur, len)
+        out = if (out == null) e else out.union(e)
+      }
+    }
+    out
   }
 
   def run(g: PropertyGraph, cypher: String): DataFrame = {

@@ -1153,6 +1153,27 @@ object Retrievers {
       |SELECT 2, (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
       |ORDER BY depth""".stripMargin
 
+  /** Bounded per-path ENUMERATION ([[CypherLite.enumeratePaths]] — the
+    * explicit opt-out of the depth-projection contract): every distinct
+    * 2-hop trail part→order→part through the co-purchase structure from
+    * the 'small widget' parts, one row PER PATH (real Cypher
+    * multiplicity: the same (src, dst) pair appears once per shared
+    * order), capped at 200k rows with a loud refusal over it. */
+  val pathEnumPattern = "(a:part {name: 'small widget'})-[:contains*2..2]-(b:part)"
+
+  def cypherPathEnum(spark: SparkSession, dir: String): DataFrame =
+    CypherLite.enumeratePaths(TpchGraph(spark, dir), pathEnumPattern, cap = 200000L)
+
+  val cypherPathEnumSql: String =
+    s"""${TpchGraph.withGraph},
+       |seeds AS (SELECT id FROM nodes WHERE ntype = 'part' AND name = 'small widget'),
+       |ce AS (SELECT src AS o, dst AS p FROM edges WHERE rel = 'contains')
+       |SELECT s.id AS src, c2.p AS dst, CAST(2 AS BIGINT) AS len,
+       |  s.id || '>' || c1.o || '>' || c2.p AS path
+       |FROM seeds s
+       |JOIN ce c1 ON c1.p = s.id
+       |JOIN ce c2 ON c2.o = c1.o AND c2.p <> s.id""".stripMargin
+
   /** nodes(p) — the path-interior projection (the next thing a
     * `length(p)` user asks for). The tabular contract: one row per
     * (endpoints, depth) combination, `nodes(p)` = the SORTED SET of
@@ -2230,6 +2251,7 @@ object Retrievers {
     "search_cypher_with2" -> ((s: SparkSession, d: String) => cypherWith2(s, d)),
     "search_cypher_varlen" -> ((s: SparkSession, d: String) => cypherVarlen(s, d)),
     "search_cypher_path" -> ((s: SparkSession, d: String) => cypherPath(s, d)),
+    "search_cypher_path_enum" -> ((s: SparkSession, d: String) => cypherPathEnum(s, d)),
     "search_cypher_nodes" -> ((s: SparkSession, d: String) => cypherNodes(s, d)),
     "search_cypher_rels" -> ((s: SparkSession, d: String) => cypherRels(s, d)),
     "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
@@ -2281,6 +2303,7 @@ object Retrievers {
     "search_cypher_with2" -> cypherWith2Sql,
     "search_cypher_varlen" -> cypherVarlenSql,
     "search_cypher_path" -> cypherPathSql,
+    "search_cypher_path_enum" -> cypherPathEnumSql,
     "search_cypher_nodes" -> cypherNodesSql,
     "search_cypher_rels" -> cypherRelsSql,
     "search_cypher_shortest" -> cypherShortestSql,

@@ -899,6 +899,46 @@ class CypherLiteSpec extends SparkSpecBase {
 
   // ---- write subset (runWrite) ----
 
+  test("enumeratePaths: real per-trail multiplicity, trail uniqueness, loud cap refusal") {
+    import TestSpark.spark.implicits._
+    // diamond: s reaches t along BOTH interiors — the depth projection
+    // collapses these to one (s, t, 2) row; enumeration must keep both
+    val dg = PropertyGraph(
+      Seq(("s", "x", "s"), ("m1", "x", "m1"), ("m2", "x", "m2"), ("t", "x", "t"))
+        .toDF("id", "ntype", "name"),
+      Seq(("s", "m1", "e"), ("s", "m2", "e"), ("m1", "t", "e"), ("m2", "t", "e"))
+        .toDF("src", "dst", "rel"))
+    val paths = CypherLite.enumeratePaths(dg, "(a {name: 's'})-[:e*2..2]->(b)", cap = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(paths.toSet === Set(
+      ("s", "t", 2L, "s>m1>t"), ("s", "t", 2L, "s>m2>t")),
+      "one row per distinct trail, not per (endpoints, depth)")
+    // vs the depth projection: run() yields ONE (s,t) depth-2 row
+    assert(CypherLite.run(dg,
+      "MATCH p = (a)-[:e*2..2]->(b) WHERE a.name = 's' RETURN count(*) AS n")
+      .head().getLong(0) === 1L)
+    // trail uniqueness: undirected 2-hops from m1 may step m1>s>m2 and
+    // m1>t>m2, but never back down the SAME edge (no m1>s>m1)
+    val und = CypherLite.enumeratePaths(dg, "(a {name: 'm1'})-[:e*2..2]-(b)", cap = 100L)
+      .collect().map(_.getString(3))
+    assert(und.toSet === Set("m1>s>m2", "m1>t>m2"))
+    // the cap refuses LOUDLY, naming the limit, before returning junk
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.enumeratePaths(dg, "(a)-[:e*1..3]-(b)", cap = 3L).count()
+    }
+    assert(e.getMessage.contains("exceeded cap 3"))
+    // closed-form parity on the corpus: every 2-hop co-purchase trail
+    // from the 'small widget' parts ≡ the lineitem-derived pair count
+    val enumN = SparkEntry.queries("search_cypher_path_enum")(spark, sf).count()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val seeds = Tables.load(spark, sf, "part")
+      .filter(col("p_name") === "small widget").select(col("p_partkey").as("sp"))
+    val expect = seeds.join(li.withColumnRenamed("p", "sp"), Seq("sp"))
+      .join(li, Seq("o")).filter(col("p") =!= col("sp")).count()
+    assert(enumN === expect && enumN > 0)
+  }
+
   test("runWrite MERGE node upserts keep-existing; CREATE shares the id semantics") {
     val g1 = CypherLite.runWrite(g, "MERGE (x:a {id: 'a:9', name: 'new', tag: 'v1'})")
     val row = g1.nodes.filter(col("id") === "a:9").collect()
