@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: GraftSession.local now sizes local[n] to the machine
+  // (32 threads here), and 32 concurrent array-heavy tasks + session
+  // artifacts need more unified memory than the old 8g/local[4] posture
+  // (the box grants 128 GiB; override via SPARK_DRIVER_MEM).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -43,7 +43,13 @@ object GraftSession {
 
   /** Local session sized by SPARK_GRAFT_CPUS (the driver contract). */
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine: a fixed "4" silently ran every un-exported
+    // channel (notably the driver's Bench/Verify) at local[4] on a
+    // 32-core box — the entire 2.1x "contention" delta between channels
+    // was this. availableProcessors respects cgroup quotas, so the
+    // session gets exactly the cores the container actually grants.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

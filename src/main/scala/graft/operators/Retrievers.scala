@@ -2086,7 +2086,16 @@ object Retrievers {
     (spark, dir) => {
       val g = TpchGraph(spark, dir)
       val rendered = concat_ws(" ", col("sname"), col("rel"), col("dname"))
-      g.edges
+      // spread-pin before persist: AQE coalesces the build joins to ~12
+      // partitions, but every consumer (triplet scoring, the 4-round
+      // extension loop) is a full-artifact scan whose per-round latency
+      // is partition-bound — pin to session parallelism so each of the
+      // repeated scans uses the whole machine (one extra shuffle at
+      // build, amortized across every scan of the session-cached frame).
+      // Unconditional repartition, not Tables.spread: spread's
+      // plan-time partition probe sees the pre-AQE estimate (≥32) and
+      // skips, while AQE then coalesces the executed join to ~12.
+      (g.edges
         .join(g.nodes.select(col("id").as("src"), col("name").as("sname")), Seq("src"))
         .join(g.nodes.select(col("id").as("dst"), col("name").as("dname")), Seq("dst"))
         .select(col("src"), col("rel"), col("dst"),
@@ -2094,7 +2103,8 @@ object Retrievers {
           // this artifact instead of re-running the corpus-sized
           // 3-way name join per invocation
           rendered.as("line"),
-          array_distinct(split(lower(rendered), "[ _-]")).as("ttoks"))
+          array_distinct(split(lower(rendered), "[ _-]")).as("ttoks")))
+        .repartition(spark.sessionState.conf.numShufflePartitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }, stamp = graft.graph.SessionDirCache.parquetStamp(
       graft.graph.SessionDirCache.graphTables))
