@@ -544,7 +544,10 @@ object TextOps {
   def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
-    val tf = load(spark, dir, "documents")
+    // spread before the token explode: expansion work must parallelize
+    // even when the corpus arrives in one split (AQE can't see the
+    // explode's output size at plan time)
+    val tf = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .select(col("doc_id"), explode(toks).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
@@ -586,7 +589,9 @@ object TextOps {
     * count — one explode + one aggregation, the [[unigramNll]] scale
     * shape with the vocabulary keyed by pair. */
   def ngramStats(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val bigram = load(spark, dir, "documents")
+    // spread before the bigram explode (single-split corpora otherwise
+    // expand in one task)
+    val bigram = graft.Tables.spread(spark, load(spark, dir, "documents"))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(expr(
         "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))"))
@@ -831,7 +836,9 @@ object TextOps {
     * shingles and report 0 duplicated fraction over 0 shingles. */
   def dupFraction(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val exploded = docs
+    // spread before the 8-shingle explode — the corpus-sized expansion
+    // stage, not the scan, is the work here
+    val exploded = graft.Tables.spread(spark, docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),

@@ -960,6 +960,13 @@ object VectorOps {
     * quantizer — (vec_id, v, label, cell). The SemDeDup action and any
     * other within-cell consumer reads cells through this so every
     * surface shares ONE training (the [[kmeansQuery]]-checked one). */
+  /** The persisted shared quantizer's centroids (the training
+    * `vec_kmeans` hash-checks) — the at-ingest streaming twins assign
+    * against these with NO retrain, the Faiss practice indexStream
+    * already follows. */
+  private[graft] def trainedQuantizer(spark: SparkSession, dir: String): Array[Array[Double]] =
+    quantizerCache(spark, dir)
+
   private[graft] def cellAssignments(spark: SparkSession, dir: String): DataFrame = {
     val cents = quantizerCache(spark, dir)
     emb(spark, dir).select(col("vec_id"), col("v"), col("label"),

@@ -35,6 +35,12 @@ final case class NearDupCandidate(d1: Long, d2: Long, band: Int)
   * DIFFERENT accepted document (it covers tokens [pos, pos+7]). */
 final case class DupSpanHit(docId: Long, pos: Int)
 
+/** An at-ingest SemDeDup decision for one arriving embedding: its cell
+  * under the persisted quantizer, and whether it was kept. A dropped
+  * vector names `matchId` — the smallest-id kept resident of its cell
+  * at cosine ≥ τ (kept rows carry -1). */
+final case class SemDedupDecision(vecId: Long, cell: Int, kept: Boolean, matchId: Long)
+
 /** A user's continuously-maintained R/F/M rollup (same columns as the
   * batch events_rfm per-user stage; quartile SCORING stays a global
   * pass over the rollup — cutoffs are corpus statistics no per-key
@@ -321,6 +327,78 @@ object EventStream {
         store.indexDataPoints(name, fresh)
         ()
       }.start()
+
+  /** At-ingest SemDeDup — the streaming twin of
+    * [[graft.operators.CurateOps.semDedup]] (Abbas et al. 2023): each
+    * arriving embedding is assigned a cell under the PERSISTED
+    * quantizer (no retrain, like [[indexStream]]) in the stateless
+    * prefix; the ONE stateful op keys the state store by cell and
+    * keeps the unit-normalized vectors of that cell's KEPT residents.
+    * An arrival at rounded cosine ≥ τ to any kept resident is dropped
+    * (greedy leader clustering); otherwise it's kept and becomes a
+    * resident.
+    *
+    * Batch-parity contract (spec-pinned, for id-ordered arrivals):
+    * greedy keep is CONSERVATIVE against the batch component
+    * resolution — every batch-kept representative (its component's
+    * min id, which arrives before any τ-neighbor that could drop it)
+    * is stream-kept, and every stream-dropped vector names a
+    * smaller-id τ-neighbor, hence shares a component whose min it is
+    * not, so stream-dropped ⊆ batch-dropped. The gap (a vector τ-far
+    * from its component's kept min through a dropped chain link) is
+    * deferred to the batch sweep — the paper's resolution is itself
+    * arbitrary-per-group, so both sides are valid SemDeDup actions.
+    *
+    * Replay-idempotent: a replayed kept id re-emits its kept row
+    * without re-adding; a replayed dropped id re-derives the SAME
+    * verdict against the unchanged resident set. State per cell is
+    * capped at [[maxBucketResidents]] vectors (over-cap keeps still
+    * emit but are not stored, so later arrivals can't match them —
+    * the same bounded-state honesty note as [[nearDupStream]]; cells
+    * are ~√n at scale, so the per-key cap bounds total state). */
+  def semDedupStream(vectors: DataFrame, centroids: Array[Array[Double]],
+      tau: Double = 0.4): Dataset[SemDedupDecision] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col("vecId").cast("long").as("vecId"),
+        col("v").cast("array<double>").as("v"),
+        graft.operators.VectorOps.bestCell(col("v"), centroids)
+          .getField("cell").as("cell"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Array[Double])], SemDedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Int, it: Iterator[(Long, Seq[Double], Int)],
+         state: GroupState[List[(Long, Array[Double])]]) =>
+          var kept = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[SemDedupDecision]
+          def cos4(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i) * b(i); i += 1 }
+            math.floor(s * 10000 + 0.5) / 10000 // round-half-up, the batch round(_, 4)
+          }
+          // id-ordered processing (dedup replayed-in-batch ids first):
+          // deterministic, and the order under which the containment
+          // contract above holds.
+          val arrivals = it.toIndexedSeq.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head)
+          arrivals.foreach { case (id, vRaw, _) =>
+            if (kept.exists(_._1 == id)) out += SemDedupDecision(id, cell, kept = true, -1L)
+            else {
+              val n = math.sqrt(vRaw.foldLeft(0.0)((a, x) => a + x * x))
+              val vn = (if (n > 0) vRaw.map(_ / n) else vRaw).toArray
+              val hits = kept.collect { case (kid, kv) if cos4(kv, vn) >= tau => kid }
+              if (hits.nonEmpty) out += SemDedupDecision(id, cell, kept = false, hits.min)
+              else {
+                out += SemDedupDecision(id, cell, kept = true, -1L)
+                if (kept.length < maxBucketResidents) kept = (id, vn) :: kept
+              }
+            }
+          }
+          state.update(kept)
+          out.result().iterator
+      }
+  }
 
   /** Continuously-maintained per-user history — the streaming twin of
     * EventOps.history (get_history's latest-k ledger read, kept hot as

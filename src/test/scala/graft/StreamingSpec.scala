@@ -457,6 +457,81 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming SemDeDup is greedy-exact vs batch pairs, conservative vs batch components, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Batch ground truth over the SAME persisted quantizer: within-cell
+    // τ-pairs and their min-label component resolution (the registered
+    // curate_semdedup machinery).
+    val a = operators.VectorOps.cellAssignments(spark, sf)
+      .select(col("vec_id"), col("v"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val assigns = a.sortBy(_._1)
+    val lhs = operators.VectorOps.cellAssignments(spark, sf)
+      .select(col("cell"), col("vec_id").as("d1"), col("v").as("v1"))
+    val rhs = operators.VectorOps.cellAssignments(spark, sf)
+      .select(col("cell"), col("vec_id").as("d2"), col("v").as("v2"))
+    val pairRows = lhs.join(rhs, Seq("cell")).filter(col("d1") < col("d2"))
+      .filter(round(operators.VectorOps.cosine(col("v1"), col("v2")), 4) >= 0.4)
+      .select(col("d1"), col("d2"))
+    val pairs = pairRows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchDropped = operators.DedupOps.minLabelComponents(pairRows.toDF("d1", "d2"))
+      .filter(col("id") =!= col("rep")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    // Driver-side greedy replay from the pair set alone (every cell is
+    // under the resident cap at this sf, so greedy is fully determined
+    // by id order): kept(id) unless a kept smaller id is a τ-pair.
+    val expectKept = scala.collection.mutable.Set.empty[Long]
+    assigns.map(_._1).foreach { id =>
+      if (!expectKept.exists(k => pairs((math.min(k, id), math.max(k, id))))) expectKept += id
+    }
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val half = assigns.length / 2
+    // id-ordered arrivals across two micro-batches (the containment
+    // contract's ordering), then a replay batch of one kept + one
+    // dropped id.
+    stream.addData(assigns.take(half).map(t => (t._1, t._2)).toSeq)
+    stream.addData(assigns.drop(half).map(t => (t._1, t._2)).toSeq)
+    val q = streaming.EventStream.semDedupStream(
+        stream.toDF().toDF("vecId", "v"),
+        operators.VectorOps.trainedQuantizer(spark, sf))
+      .writeStream.format("memory").queryName("semdedupstream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val first = spark.table("semdedupstream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val streamKept = first.filter(_._3).map(_._1).toSet
+    val streamDropped = first.filterNot(_._3).map(_._1).toSet
+
+    // one decision per id, cells match the batch assignment
+    assert(first.length === assigns.length)
+    assert(first.map(t => t._1 -> t._2).toMap === assigns.map(t => t._1 -> t._3).toMap)
+    // greedy-exact vs the batch pair set
+    assert(streamKept === expectKept.toSet)
+    // conservative vs the batch component resolution
+    assert(streamDropped.subsetOf(batchDropped))
+    assert((assigns.map(_._1).toSet -- batchDropped).subsetOf(streamKept))
+    // every drop names a smaller kept τ-neighbor
+    first.filterNot(_._3).foreach { case (id, _, _, m) =>
+      assert(m < id && streamKept(m) && pairs((m, id)))
+    }
+    // the corpus actually exercises the drop path
+    assert(streamDropped.nonEmpty === batchDropped.nonEmpty)
+
+    val replayIds = (streamKept.take(1) ++ streamDropped.take(1)).toSeq
+    stream.addData(assigns.filter(t => replayIds.contains(t._1)).map(t => (t._1, t._2)).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("semdedupstream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    // replayed ids re-emit their ORIGINAL verdict, nothing else changes
+    assert(all.length === first.length + replayIds.length)
+    replayIds.foreach { id =>
+      assert(all.filter(_._1 == id).map(t => (t._2, t._3, t._4)).distinct.length === 1)
+    }
+  }
+
   test("streaming IVF index maintenance: arrivals land in their cells, replay-idempotent") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
