@@ -26,7 +26,13 @@ object Tables {
     * input rows to the session parallelism — but ONLY when the scan is
     * under-split: at cluster scale the corpus already arrives in
     * thousands of splits and the repartition would be a pure full-data
-    * shuffle tax, so it's skipped. */
+    * shuffle tax, so it's skipped.
+    *
+    * SCAN INPUTS ONLY: the partition probe is plan-time, which is
+    * accurate for file scans but sees the pre-AQE estimate for a plan
+    * containing shuffles (AQE later coalesces the executed exchange, so
+    * spread would silently no-op — the renderedTriplets artifact hit
+    * exactly this). Post-shuffle pins must repartition unconditionally. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
