@@ -141,9 +141,15 @@ object CurateOps {
   def decontaminateFuzzy(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val docs = load(spark, dir, "documents")
     val src = docs.select(col("doc_id"), col("source"))
+    // At the shared artifact's τ=0.5 this is the FOURTH consumer of
+    // DedupOps.sharedPairs — rebuilding the prefix-filter machinery per
+    // call re-paid the whole pair generation on every warm pass (~2.2 s
+    // of the query's 2.5 s at sf0.1); a custom τ still derives fresh.
+    val pairs = if (tau == 0.5) DedupOps.sharedPairs(spark, dir)
+      else DedupOps.ngramJaccardPairs(graft.Tables.spread(spark, docs), tau)
     // max of 4dp-rounded pair scores ≡ 4dp-rounded max (rounding is
     // monotone), so the rollup matches the oracle's round(max(j), 4).
-    DedupOps.ngramJaccardPairs(graft.Tables.spread(spark, docs), tau)
+    pairs
       .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
       .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
       .filter((col("s1") === "src0") =!= (col("s2") === "src0"))
