@@ -97,6 +97,69 @@ class PropertySpecs extends SparkSpecBase {
     }
   }
 
+  test("streaming SemDeDup invariants hold on random clustered embeddings") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 8
+    val centers = Array.fill(4)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
+    val vecs: Seq[(Long, Seq[Double])] = (0L until 160L).map { i =>
+      val c = centers(rng.nextInt(4))
+      (i, c.toSeq.map(x => x + rng.nextGaussian() * 0.05))
+    }
+    val tau = 0.99
+    // Batch ground truth through the PRODUCTION expressions (bestCell +
+    // Spark round(cosine, 4)) — any rounding divergence between the
+    // stream's scala-side normalized dot and the batch Column math
+    // shows up here, on vectors the testdata never planted.
+    val df = vecs.toDF("vecId", "v")
+      .withColumn("cell", VectorOps.bestCell(col("v"), centers).getField("cell"))
+    val l = df.select(col("cell"), col("vecId").as("d1"), col("v").as("v1"))
+    val r = df.select(col("cell"), col("vecId").as("d2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
+      .filter(round(VectorOps.cosine(col("v1"), col("v2")), 4) >= tau)
+      .select(col("d1"), col("d2"))
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    val batchDropped: Set[Long] =
+      if (pairs.isEmpty) Set.empty
+      else operators.DedupOps.minLabelComponents(pairs.toSeq.toDF("d1", "d2"))
+        .filter(col("id") =!= col("rep")).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+    // Driver-side greedy reference (under the resident cap, greedy is
+    // fully determined by id order and the pair set alone).
+    val expectKept = scala.collection.mutable.Set.empty[Long]
+    vecs.map(_._1).foreach { id =>
+      if (!expectKept.exists(kid => pairs((math.min(kid, id), math.max(kid, id)))))
+        expectKept += id
+    }
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    // random micro-batch boundaries, id order preserved across batches
+    val cut1 = 40 + rng.nextInt(40); val cut2 = cut1 + 20 + rng.nextInt(40)
+    stream.addData(vecs.take(cut1))
+    stream.addData(vecs.slice(cut1, cut2))
+    stream.addData(vecs.drop(cut2))
+    val q = streaming.EventStream.semDedupStream(
+        stream.toDF().toDF("vecId", "v"), centers, tau)
+      .writeStream.format("memory").queryName("semdedup_prop")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semdedup_prop").collect()
+      .map(rw => (rw.getLong(0), rw.getBoolean(2), rw.getLong(3)))
+    val streamKept = got.filter(_._2).map(_._1).toSet
+    val streamDropped = got.filterNot(_._2).map(_._1).toSet
+    assert(got.length === vecs.length)
+    assert(streamKept === expectKept.toSet)
+    assert(streamDropped.subsetOf(batchDropped))
+    assert((vecs.map(_._1).toSet -- batchDropped).subsetOf(streamKept))
+    got.filterNot(_._2).foreach { case (id, _, m) =>
+      assert(m < id && streamKept(m) && pairs((m, id)))
+    }
+    // clustered corpus must exercise both classes
+    assert(streamDropped.nonEmpty && streamKept.nonEmpty)
+  }
+
   test("incremental add admits exactly the unseen documents") {
     import TestSpark.spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
