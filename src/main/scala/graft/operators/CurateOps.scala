@@ -90,21 +90,59 @@ object CurateOps {
     * corpus). The overlap join is an equi-join on the shingle inverted
     * index — the only scalable shape for cross-corpus n-gram
     * contamination checks. */
+  private def shingles8(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) >= 8)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - 8),
+        i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))).as("shingle"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("toks")) - 8),
-          i => array_join(slice(col("toks"), i + 1, lit(8)), " ")))).as("shingle"))
     // spread AFTER the pushable source filter (pushdown preserved);
     // the 8-gram explode then parallelizes on small single-split corpora
-    val evalSh = shingles(graft.Tables.spread(spark, docs.filter(col("source") === "src0")))
+    val evalSh = shingles8(graft.Tables.spread(spark, docs.filter(col("source") === "src0")))
       .select(col("shingle")).distinct()
-    val trainSh = shingles(graft.Tables.spread(spark, docs.filter(col("source") =!= "src0")))
+    val trainSh = shingles8(graft.Tables.spread(spark, docs.filter(col("source") =!= "src0")))
     trainSh.join(evalSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
+  /** [[decontaminate]]'s 100 TB shape: the eval set is benchmark-sized
+    * (bounded) while the train corpus is the 100 TB side, so shuffling
+    * every train shingle into the overlap join pays the whole corpus
+    * through the exchange to reject almost all of it. Build a Bloom
+    * filter over the eval shingle hashes (one distributed aggregate →
+    * one bounded binary, ≤ 8 MB by construction — the same driver-held
+    * small-artifact contract as the collected k-means centroids) and
+    * PREFILTER the train shingles with `might_contain` in the scan
+    * stage: non-candidate shingles never reach the shuffle. False
+    * positives (rate set at 16 bits/item, ~0.05%) are discarded by the
+    * exact join that follows, so the result is byte-identical to the
+    * exact path — same oracle. This is Catalyst's own runtime
+    * row-level-filter pattern ([[org.apache.spark.sql.graft.SketchExpressions]]),
+    * applied where the optimizer can't see it (the "small side" is a
+    * derived shingle set, not a join of base tables). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.SketchExpressions
+    val docs = load(spark, dir, "documents")
+    val evalSh = shingles8(graft.Tables.spread(spark, docs.filter(col("source") === "src0")))
+      .select(col("shingle")).distinct()
+      .localCheckpoint(true) // reused twice: bloom build + exact verify
+    val nEval = evalSh.count()
+    val trainSh = shingles8(graft.Tables.spread(spark, docs.filter(col("source") =!= "src0")))
+    if (nEval == 0) // empty eval set: nothing can be contaminated
+      return trainSh.limit(0).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated_shingles"))
+    val bits = math.min(math.max(nEval * 16L, 1024L), 64L * 1024 * 1024)
+    val bloom = evalSh
+      .agg(SketchExpressions.bloomAgg(xxhash64(col("shingle")), nEval, bits))
+      .collect()(0).getAs[Array[Byte]](0)
+    trainSh
+      .filter(SketchExpressions.mightContain(bloom, xxhash64(col("shingle"))))
+      .join(evalSh, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
@@ -796,6 +834,7 @@ object CurateOps {
     "curate_mix" -> ((s: SparkSession, d: String) => mix(s, d)),
     "curate_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "curate_decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "curate_decontaminate_fuzzy" -> ((s: SparkSession, d: String) => decontaminateFuzzy(s, d)),
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
@@ -813,6 +852,9 @@ object CurateOps {
     "curate_sample_stratified" -> sampleStratifiedSql,
     "curate_split" -> split3Sql,
     "curate_decontaminate" -> decontaminateSql,
+    // the Bloom prefilter is lossless (exact verify downstream), so the
+    // oracle is the exact path's SQL verbatim
+    "curate_decontaminate_bloom" -> decontaminateSql,
     "curate_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "curate_budget" -> budgetSql)
 }

@@ -33,7 +33,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "dedup_exact", "dedup_tokenset", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash",
     "curate_sample", "curate_sample_stratified", "curate_split",
-    "curate_decontaminate", "curate_decontaminate_fuzzy", "curate_pack", "curate_mix",
+    "curate_decontaminate", "curate_decontaminate_fuzzy", "curate_decontaminate_bloom",
+    "curate_pack", "curate_mix",
     "curate_mix_temperature",
     "vec_knn", "vec_range_search", "vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
     "vec_dedup_cosine", "vec_centroids",

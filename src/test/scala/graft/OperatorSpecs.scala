@@ -418,6 +418,15 @@ class DedupOpsSpec extends SparkSpecBase {
 
 class CurateOpsSpec extends SparkSpecBase {
 
+  test("bloom-prefiltered decontamination is byte-identical to the exact path") {
+    val exact = CurateOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = CurateOps.decontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the corpus plants cross-source contamination
+  }
+
   test("temperature mixing flattens the language mix and preserves total volume") {
     val docs = Tables.load(spark, sf, "documents")
     val langN = docs.groupBy(col("lang")).count().collect()
