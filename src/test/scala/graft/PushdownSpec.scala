@@ -24,6 +24,23 @@ class PushdownSpec extends SparkSpecBase {
     assert(iso.contains("GreaterThanOrEqual(l_shipdate"), s"isolated scan:\n$iso")
   }
 
+  test("the bloom prefilter sits directly above the shingle explode (map side)") {
+    // curate_decontaminate_bloom's scale claim IS plan shape: the
+    // might_contain probe must filter shingles AT PRODUCTION TIME —
+    // directly above the train side's Generate(explode) and below the
+    // overlap join — so non-candidate shingles never reach a shuffle.
+    // Pin the printed executed plan: a might_contain Filter whose
+    // immediate child is the shingle Generate.
+    val lines = operators.CurateOps.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString.split("\n")
+    val ok = lines.zip(lines.drop(1)).exists { case (f, child) =>
+      f.contains("Filter") && f.contains("might_contain") &&
+        child.contains("Generate explode")
+    }
+    assert(ok, s"bloom probe not directly above the shingle explode:\n${
+      lines.map(_.take(160)).mkString("\n")}")
+  }
+
   test("the dataset scope pushes the source predicate into the documents scan") {
     // search_chunks_scoped: the datasets filter must reach the parquet
     // reader as an In(source, ...) pushed filter — at 100 TB this is
