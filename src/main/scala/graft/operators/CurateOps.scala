@@ -90,7 +90,7 @@ object CurateOps {
     * corpus). The overlap join is an equi-join on the shingle inverted
     * index — the only scalable shape for cross-corpus n-gram
     * contamination checks. */
-  private def shingles8(df: DataFrame): DataFrame = df
+  private[graft] def shingles8(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("toks"))
     .filter(size(col("toks")) >= 8)
     .select(col("doc_id"),

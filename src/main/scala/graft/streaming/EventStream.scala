@@ -41,6 +41,13 @@ final case class DupSpanHit(docId: Long, pos: Int)
   * at cosine ≥ τ (kept rows carry -1). */
 final case class SemDedupDecision(vecId: Long, cell: Int, kept: Boolean, matchId: Long)
 
+/** An at-ingest contamination verdict: `nContaminatedShingles` of the
+  * arriving document's distinct word-8-grams appear in the eval set.
+  * Emitted only for contaminated docs — the batch
+  * `curate_decontaminate` contract (clean docs produce no row; an
+  * admit/reject sink anti-joins). */
+final case class ContaminationVerdict(docId: Long, nContaminatedShingles: Long)
+
 /** A user's continuously-maintained R/F/M rollup (same columns as the
   * batch events_rfm per-user stage; quartile SCORING stays a global
   * pass over the rollup — cutoffs are corpus statistics no per-key
@@ -397,6 +404,40 @@ object EventStream {
           }
           state.update(kept)
           out.result().iterator
+      }
+  }
+
+  /** At-ingest decontamination — the streaming twin of
+    * `curate_decontaminate` via `curate_decontaminate_bloom`'s plan
+    * shape: the arriving document's distinct word-8-grams (the SHARED
+    * [[graft.operators.CurateOps.shingles8]] math) pass a
+    * `might_contain` probe against the PREBUILT eval-set Bloom (a
+    * bounded Literal, built once from the static eval corpus — the
+    * persisted-quantizer discipline), then a stream-static LEFT SEMI
+    * join against the exact eval shingle set discards false positives.
+    * A doc's shingles all ride its own row, so the per-doc count
+    * completes inside its micro-batch — the one stateful op keys by
+    * doc and stores NOTHING (replay re-derives the identical verdict
+    * from the static eval side: idempotent by determinism, no state to
+    * corrupt, no growth for the life of the stream). At scale the
+    * Bloom rejects non-candidate shingles in the scan stage, so the
+    * stream-static join only ever sees candidates — the map-side
+    * prefilter contract pinned for the batch twin in PushdownSpec. */
+  def decontaminateStream(docs: DataFrame, evalShingles: DataFrame,
+      bloom: Array[Byte]): Dataset[ContaminationVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.CurateOps.shingles8(
+        docs.select(col("docId").cast("long").as("doc_id"), col("text")))
+      .filter(org.apache.spark.sql.graft.SketchExpressions.mightContain(
+        bloom, xxhash64(col("shingle"))))
+      .join(evalShingles.select(col("shingle")), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, ContaminationVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, it: Iterator[Long], _: GroupState[Boolean]) =>
+          Iterator.single(ContaminationVerdict(id, it.size.toLong))
       }
   }
 

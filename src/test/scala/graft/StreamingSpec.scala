@@ -532,6 +532,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming decontamination emits exactly the batch verdicts, replay re-derives them") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.SketchExpressions
+    val docs = Tables.load(spark, sf, "documents")
+    // static eval side, built once: exact shingle set + its Bloom
+    val evalSh = operators.CurateOps.shingles8(docs.filter(col("source") === "src0"))
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val nEval = evalSh.count()
+    val bloom = evalSh
+      .agg(SketchExpressions.bloomAgg(xxhash64(col("shingle")), nEval, nEval * 16))
+      .collect()(0).getAs[Array[Byte]](0)
+    val train = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(train.take(train.length / 2).toSeq)
+    stream.addData(train.drop(train.length / 2).toSeq)
+    val q = EventStream.decontaminateStream(
+        stream.toDF().toDF("docId", "text"), evalSh, bloom)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val first = spark.table("decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = operators.CurateOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first.toSet === expect)
+    assert(first.length === expect.size) // one verdict per contaminated doc
+    assert(expect.nonEmpty)
+    // replay one contaminated doc: the identical verdict re-derives
+    val rid = first.head._1
+    stream.addData(train.filter(_._1 == rid).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("decon_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length === first.length + 1)
+    assert(all.filter(_._1 == rid).toSet.size === 1) // same (doc, count) both times
+  }
+
   test("streaming IVF index maintenance: arrivals land in their cells, replay-idempotent") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx = spark.sqlContext
