@@ -160,6 +160,32 @@ class PropertySpecs extends SparkSpecBase {
     assert(streamDropped.nonEmpty && streamKept.nonEmpty)
   }
 
+  test("bloom decontamination equals the exact path on random corpora with planted leaks") {
+    import TestSpark.spark.implicits._
+    val vocab = Array.tabulate(50)(i => s"w$i")
+    def doc(len: Int): String = Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val evalDocs = (0L until 20L).map(i => (i, doc(12 + rng.nextInt(20)), "src0"))
+    val trainDocs = (100L until 160L).map { i =>
+      val base = doc(rng.nextInt(40)) // includes docs under 8 tokens
+      // plant an eval 8-gram span into roughly a third of the train docs
+      val planted = if (rng.nextInt(3) == 0) {
+        val src = evalDocs(rng.nextInt(evalDocs.length))._2.split(" ")
+        val off = rng.nextInt(math.max(1, src.length - 8))
+        base + " " + src.slice(off, off + 8).mkString(" ")
+      } else base
+      (i, planted, s"src${1 + rng.nextInt(2)}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomprop").toString
+    (evalDocs ++ trainDocs).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = operators.CurateOps.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = operators.CurateOps.decontaminateBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty) // the planted spans must surface
+  }
+
   test("incremental add admits exactly the unseen documents") {
     import TestSpark.spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
