@@ -175,7 +175,10 @@ object Graft {
         unscopable(R.completionContextExtension(spark, dir,
           seedTokens = toks(Seq("nation", "3", "located", "in")),
           nodeType = p.nodeType, nodeNames = p.nodeNames))
-      case GraphSummaryCompletion => scoped(R.summaryCompletion(spark, dir, vec(2), scope))
+      case GraphSummaryCompletion => // inherits narrowing like the reference
+        // (graph_summary_completion_retriever.py extends GraphCompletionRetriever)
+        scoped(R.summaryCompletion(spark, dir, vec(2), scope,
+          nodeType = p.nodeType, nodeNames = p.nodeNames))
       case Code => scoped(R.code(spark, dir, toks(R.queryTokens), scope))
       case CodingRules => scoped(R.codingRules(spark, dir, scope))
       case Feedback => scoped(R.feedback(spark, dir, vec(0), p.topK.getOrElse(5), scope))

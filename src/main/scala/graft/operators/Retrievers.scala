@@ -626,7 +626,8 @@ object Retrievers {
     * (graph_summary_completion_retriever.py = summaries_retriever ∘
     * graph context). Query vector 2; same rank-tagged context shape. */
   def summaryCompletion(spark: SparkSession, dir: String,
-      qv: graft.QueryVec = graft.QueryVec.Id(2), datasets: Seq[String] = Nil): DataFrame = {
+      qv: graft.QueryVec = graft.QueryVec.Id(2), datasets: Seq[String] = Nil,
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val e0 = embD(spark, dir)
     val (q, candidate) = resolveQuery(e0, qv)
     val docs = docsScoped(spark, dir, datasets)
@@ -644,7 +645,13 @@ object Retrievers {
       .select(lit("summary").as("part"), col("rank"),
         concat(col("doc_id").cast("string"), lit(": "),
           array_join(slice(split(col("text"), " "), 1, 16), " ")).as("ref"))
-    val tripletPart = insights(spark, dir, datasets = datasets)
+    // node_type/node_name narrowing applies to the TRIPLET leg only —
+    // the reference's summary retriever extends GraphCompletionRetriever
+    // (graph_summary_completion_retriever.py:26-36 passes both through),
+    // whose narrowing projects the triplet-search fragment; the summary
+    // (document) leg has no node candidate set.
+    val tripletPart = insights(spark, dir, datasets = datasets,
+        nodeType = nodeType, nodeNames = nodeNames)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
       .select(lit("triplet").as("part"),

@@ -241,6 +241,18 @@ class FacadeSpec extends SparkSpecBase {
       Graft.search(spark, sf, Graft.GraphCompletionCot,
         SearchParams(nodeType = Some("nation"), nodeNames = Seq("NATION_0")))
     }.getMessage.contains("narrowing"))
+    // SUMMARY completion inherits narrowing like the reference
+    // (graph_summary_completion_retriever.py extends
+    // GraphCompletionRetriever): the triplet part narrows, the summary
+    // (document) part is untouched
+    val sumD = Graft.search(spark, sf, Graft.GraphSummaryCompletion)
+    val sumN = Graft.search(spark, sf, Graft.GraphSummaryCompletion,
+      SearchParams(nodeType = Some("nation"), nodeNames = Seq("NATION_0")))
+    assert(rows(sumD.filter(col("part") === "summary")) ===
+      rows(sumN.filter(col("part") === "summary")))
+    assert(rows(sumD.filter(col("part") === "triplet")) !==
+      rows(sumN.filter(col("part") === "triplet")),
+      "summary completion's triplet leg must narrow")
   }
 
   test("cypher override threads through the facade") {
