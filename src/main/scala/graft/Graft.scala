@@ -207,9 +207,12 @@ object Graft {
     * exactly like the event-table leg; no params runs the pinned
     * verification window. */
   def searchTemporalGraph(spark: SparkSession, dir: String,
-      p: SearchParams = SearchParams()): DataFrame =
-    p.interval match {
-      case Some((from, until)) => operators.Retrievers.temporalGraph(spark, dir, from, until)
-      case None => operators.Retrievers.temporalGraph(spark, dir)
-    }
+      p: SearchParams = SearchParams()): DataFrame = {
+    // temporal_retriever.py inherits node_type/node_name — the entity
+    // fragment the interval resolves through narrows like completion
+    val (from, until) = p.interval
+      .getOrElse((Some("2024-01-08 00:00:00"), Some("2024-01-22 00:00:00")))
+    operators.Retrievers.temporalGraph(spark, dir, from, until,
+      nodeType = p.nodeType, nodeNames = p.nodeNames)
+  }
 }

@@ -911,12 +911,27 @@ object Retrievers {
     * window. Every present bound is one pushed-down scan predicate. */
   def temporalGraph(spark: SparkSession, dir: String,
       from: Option[String] = Some("2024-01-08 00:00:00"),
-      until: Option[String] = Some("2024-01-22 00:00:00")): DataFrame = {
+      until: Option[String] = Some("2024-01-22 00:00:00"),
+      nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val bounds = from.map(f => col("ts") >= lit(f)).toSeq ++
       until.map(u => col("ts") < lit(u))
     val ev = bounds.foldLeft(graft.Tables.loadEvents(spark, dir))((df, p) => df.filter(p))
     val cust = load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
-    val nation = load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val nation0 = load(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    // node_type/node_name narrowing (temporal_retriever.py inherits both
+    // from GraphCompletionRetriever — the graph fragment the temporal
+    // events resolve through narrows to the nodeset subgraph): restrict
+    // the resolved entities to the keep set (seeds ∪ 1-hop), the same
+    // both-or-neither guard as every other narrowing consumer.
+    val nation = (nodeType, nodeNames) match {
+      case (Some(t), names) if names.nonEmpty =>
+        nation0.join(
+          nodesetKeepIds(spark, dir, t, names)
+            .select(col("id")).filter(col("id").startsWith("nation:"))
+            .select(expr("CAST(substring(id, 8) AS BIGINT)").as("n_nationkey")),
+          Seq("n_nationkey"), "left_semi")
+      case _ => nation0
+    }
     ev.join(cust, col("user_id") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
@@ -2133,21 +2148,29 @@ object Retrievers {
     * Seeds are a name-list filter (tiny — broadcast); the keep set is
     * seed-degree-bounded, so the semi-joins stay cheap at corpus
     * scale. */
+  /** The nodeset keep set: typed+named seed nodes ∪ their 1-hop
+    * neighborhood (CogneeGraph.project_graph_from_db:79's
+    * get_nodeset_subgraph membership). Seed-degree-bounded. */
+  private[graft] def nodesetKeepIds(spark: SparkSession, dir: String,
+      t: String, names: Seq[String]): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val seeds = g.nodes
+      .filter(col("ntype") === t && col("name").isin(names: _*))
+      .select(col("id"))
+    val bseeds = broadcast(seeds)
+    seeds
+      .union(g.edges.join(bseeds.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")))
+      .union(g.edges.join(bseeds.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id")))
+      .distinct()
+  }
+
   private[graft] def nodesetNarrow(spark: SparkSession, dir: String,
       nodeType: Option[String], nodeNames: Seq[String])(cand: DataFrame): DataFrame =
     (nodeType, nodeNames) match {
       case (Some(t), names) if names.nonEmpty =>
-        val g = TpchGraph(spark, dir)
-        val seeds = g.nodes
-          .filter(col("ntype") === t && col("name").isin(names: _*))
-          .select(col("id"))
-        val bseeds = broadcast(seeds)
-        val keep = seeds
-          .union(g.edges.join(bseeds.withColumnRenamed("id", "src"), Seq("src"))
-            .select(col("dst").as("id")))
-          .union(g.edges.join(bseeds.withColumnRenamed("id", "dst"), Seq("dst"))
-            .select(col("src").as("id")))
-          .distinct()
+        val keep = nodesetKeepIds(spark, dir, t, names)
         cand
           .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
@@ -2230,9 +2253,25 @@ object Retrievers {
        |SELECT src, rel, dst, score FROM scored
        |ORDER BY score DESC, src ASC, rel ASC, dst ASC LIMIT 10""".stripMargin
 
+  /** [[temporalGraph]] with the narrowing active — temporal_retriever.py
+    * inherits node_type/node_name, so the interval rollup restricts to
+    * the (nation, {NATION_3, NATION_7}) nodeset. */
+  val temporalGraphTypedSql: String =
+    s"""${graft.graph.TpchGraph.withGraph},
+       |${nodesetKeepSql("nation", Seq("NATION_3", "NATION_7"))}
+       |SELECT n_name AS nation, count(*) AS n_events, round(sum(value), 2) AS total_value
+       |FROM events
+       |JOIN customer ON user_id = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+       |  AND 'nation:' || CAST(n_nationkey AS VARCHAR) IN (SELECT id FROM keep)
+       |GROUP BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_triplets_typed" -> ((s: SparkSession, d: String) =>
       triplets(s, d, nodeType = Some("nation"), nodeNames = Seq("NATION_3", "NATION_7"))),
+    "search_temporal_graph_typed" -> ((s: SparkSession, d: String) =>
+      temporalGraph(s, d, nodeType = Some("nation"), nodeNames = Seq("NATION_3", "NATION_7"))),
     "search_context_triplets" -> ((s: SparkSession, d: String) => contextTriplets(s, d)),
     "search_triplets" -> ((s: SparkSession, d: String) => triplets(s, d)),
     "search_code" -> ((s: SparkSession, d: String) => code(s, d)),
@@ -2309,6 +2348,7 @@ object Retrievers {
     "search_completion_extension" -> completionContextExtensionSql,
     "search_summary_completion" -> summaryCompletionSql,
     "search_temporal_graph" -> temporalGraphSql,
+    "search_temporal_graph_typed" -> temporalGraphTypedSql,
     "search_feeling_lucky" -> feelingLuckySql,
     "search_cypher" -> cypherSql,
     "search_cypher_props" -> cypherPropsSql,

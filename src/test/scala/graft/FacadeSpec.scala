@@ -253,6 +253,21 @@ class FacadeSpec extends SparkSpecBase {
     assert(rows(sumD.filter(col("part") === "triplet")) !==
       rows(sumN.filter(col("part") === "triplet")),
       "summary completion's triplet leg must narrow")
+    // TEMPORAL-graph inherits narrowing too (temporal_retriever.py
+    // extends GraphCompletionRetriever): the interval rollup restricts
+    // to the nodeset's nations; one-half = full fragment
+    val tgD = Graft.searchTemporalGraph(spark, sf)
+    // narrow to two nations that actually have events in the window at
+    // this SF (the rollup's own output is the ground truth)
+    val present = tgD.select(col("nation")).collect().map(_.getString(0)).sorted.take(2)
+    assert(present.length === 2)
+    val tgN = Graft.searchTemporalGraph(spark, sf,
+      SearchParams(nodeType = Some("nation"), nodeNames = present.toSeq))
+    val tgNations = tgN.select(col("nation")).collect().map(_.getString(0)).toSet
+    assert(tgNations === present.toSet)
+    assert(rows(tgN) !== rows(tgD))
+    assert(rows(Graft.searchTemporalGraph(spark, sf,
+      SearchParams(nodeType = Some("nation")))) === rows(tgD))
   }
 
   test("cypher override threads through the facade") {
