@@ -587,7 +587,7 @@ object CurateOps {
     * knob the paper turns to keep within-cell pairs tractable.
     * Components run on the qualifying-pair graph only (O(true dups));
     * the ledger is one keyed aggregate. */
-  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  private def semDedupDropped(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val a = VectorOps.cellAssignments(spark, dir)
     val lhs = a.select(col("cell"), col("vec_id").as("d1"), col("v").as("v1"))
     val rhs = a.select(col("cell"), col("vec_id").as("d2"), col("v").as("v2"))
@@ -595,9 +595,26 @@ object CurateOps {
       .filter(col("d1") < col("d2"))
       .filter(round(VectorOps.cosine(col("v1"), col("v2")), 4) >= tau)
       .select(col("d1"), col("d2"))
-    val dropped = DedupOps.minLabelComponents(pairs)
+    DedupOps.minLabelComponents(pairs)
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("vec_id"), lit(1L).as("is_dropped"))
+  }
+
+  // The default-τ dedup DECISION SET is a derived corpus artifact —
+  // the SemDeDup ACTION's output that every downstream curation step
+  // (census here, a filtered-corpus writer in a real pipeline) reuses —
+  // so it follows the repo's stamped-session-artifact discipline like
+  // DedupOps' τ=0.5 text pair set: built once per (session, dir,
+  // corpus stamp), O(true dups) rows, executor-local blocks. A custom
+  // τ derives fresh.
+  private val semDedupDroppedCache = new graft.graph.SessionDirCache[DataFrame](
+    (spark, dir) => semDedupDropped(spark, dir, 0.4).localCheckpoint(true),
+    stamp = graft.graph.SessionDirCache.parquetStamp(Seq("embeddings")))
+
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val a = VectorOps.cellAssignments(spark, dir)
+    val dropped = if (tau == 0.4) semDedupDroppedCache(spark, dir)
+      else semDedupDropped(spark, dir, tau)
     a.select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left")
       .groupBy(col("label"))
