@@ -180,6 +180,13 @@ object Bench {
     val errsCompact = errors.map { case (k, v) => "\"" + k + "\":\"" + v.take(40) + "\"" }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
+    // The compact line always NAMES the queries whose reported time is
+    // the isolated re-check rather than the in-suite pass (the min
+    // substitution above): even when the budget ladder drops the full
+    // regressed audit triple, the substitution itself stays visible —
+    // a reader never mistakes an adjudicated number for an in-suite one.
+    val adjudicatedNames = regressed.collect {
+      case (k, v, _, re) if re < v => "\"" + k + "\"" }.mkString("[", ",", "]")
     def line(dec: Int, withErrs: Boolean, minSec: Double = 0.0,
              withRegressed: Boolean = true): String = {
       def f(d: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
@@ -191,7 +198,8 @@ object Bench {
         else s""","n_errors":${errors.size}"""
       val reg = if (withRegressed) s""","regressed":$regressedJson"""
         else s""","n_regressed":${regressed.size}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e$reg,"sf":"$sfShort"}"""
+      val adj = if (regressed.isEmpty) "" else s""","adjudicated":$adjudicatedNames"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs2$omitted$e$reg$adj,"sf":"$sfShort"}"""
     }
     // Adaptive degradation, mildest first: 2→0 decimals with every query
     // present; drop error messages to a count; keep only the slow

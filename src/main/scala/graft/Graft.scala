@@ -211,7 +211,7 @@ object Graft {
     // temporal_retriever.py inherits node_type/node_name — the entity
     // fragment the interval resolves through narrows like completion
     val (from, until) = p.interval
-      .getOrElse((Some("2024-01-08 00:00:00"), Some("2024-01-22 00:00:00")))
+      .getOrElse(operators.Retrievers.DefaultTemporalWindow)
     operators.Retrievers.temporalGraph(spark, dir, from, until,
       nodeType = p.nodeType, nodeNames = p.nodeNames)
   }

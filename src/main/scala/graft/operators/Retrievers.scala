@@ -903,6 +903,13 @@ object Retrievers {
        |UNION ALL SELECT round, src, rel, dst, score FROM r4""".stripMargin
   }
 
+  /** The pinned default verification window for the temporal surfaces —
+    * ONE definition shared by [[temporalGraph]]'s parameter defaults and
+    * the [[graft.Graft.searchTemporalGraph]] facade (previously two
+    * copies of the same literals that could drift silently). */
+  val DefaultTemporalWindow: (Option[String], Option[String]) =
+    (Some("2024-01-08 00:00:00"), Some("2024-01-22 00:00:00"))
+
   /** TEMPORAL over the graph (temporal_awareness/temporal_graph tasks):
     * events in a time window resolved through the entity graph
     * (event.user → customer → nation), aggregated per nation. The
@@ -910,8 +917,8 @@ object Retrievers {
     * either side optional); the defaults are the pinned verification
     * window. Every present bound is one pushed-down scan predicate. */
   def temporalGraph(spark: SparkSession, dir: String,
-      from: Option[String] = Some("2024-01-08 00:00:00"),
-      until: Option[String] = Some("2024-01-22 00:00:00"),
+      from: Option[String] = DefaultTemporalWindow._1,
+      until: Option[String] = DefaultTemporalWindow._2,
       nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
     val bounds = from.map(f => col("ts") >= lit(f)).toSeq ++
       until.map(u => col("ts") < lit(u))

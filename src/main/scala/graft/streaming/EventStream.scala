@@ -383,7 +383,11 @@ object EventStream {
           def cos4(a: Array[Double], b: Array[Double]): Double = {
             var s = 0.0; var i = 0
             while (i < a.length) { s += a(i) * b(i); i += 1 }
-            math.floor(s * 10000 + 0.5) / 10000 // round-half-up, the batch round(_, 4)
+            // Spark's round(_, 4) is BigDecimal HALF_UP (away from zero
+            // for NEGATIVE values too) — floor(s*1e4+0.5) diverged from
+            // the batch path at negative half-ulp boundaries, silently
+            // breaking the batch-parity contract for tau <= 0.
+            BigDecimal(s).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
           }
           // id-ordered processing (dedup replayed-in-batch ids first):
           // deterministic, and the order under which the containment
