@@ -555,7 +555,8 @@ object GraphAlgos {
     * @param pairs canonical undirected edges (x < y), e.g.
     *              [[coOccurrenceEdges]]
     */
-  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12,
+      broadcastFrontierLimit: Long = 4000000L): DataFrame = {
     // The undirected view stays a lazy union over the (persisted)
     // canonical pairs — an eager copy re-materialized 2×|E| rows per
     // invocation for no reuse benefit, since every consumer below
@@ -583,14 +584,17 @@ object GraphAlgos {
     // frontier against the 1-row-per-node adjacency, explodes only the
     // FRONTIER rows' neighbor bags, and partial-aggregates the loss —
     // work ∝ Σ deg(frontier), the Batagelj–Zaveršnik bound.
-    // CASCADE-REGIME CAVEAT: the frontier/loss broadcasts are
-    // node-bounded, which is the right trade at the registered k
-    // (frontiers are a sliver of the graph). Near a critical k where
-    // peeling cascades, a single round's frontier can approach |V| —
-    // past the broadcast threshold, swap the two broadcast() hints
-    // below for plain keyed joins (AQE still broadcasts small rounds
-    // on its own); semantics are identical, only the join strategy
-    // changes. Earlier
+    // CASCADE-REGIME HANDLING (adaptive, not a comment): the loop
+    // already counts frontierN every round, so the two broadcast()
+    // hints are GATED on it — broadcast while the frontier is small
+    // (the steady regime at the registered k, where the hint saves AQE
+    // a stats round-trip), plain keyed joins the moment a round's
+    // frontier exceeds `broadcastFrontierLimit` (the cascade regime
+    // near a critical k, where a hardcoded hint would build a
+    // near-|V| driver-side hash relation and melt the driver; AQE
+    // still broadcasts genuinely small rounds on its own from runtime
+    // stats). Semantics are identical either way — only the join
+    // strategy changes — which the cascade spec pins. Earlier
     // shapes measured at sf0.1/k=80: full recompute 10.0 s, per-round
     // edge-scanning delta 5.5 s, this 2.6 s (42 → 17 jobs; the loop
     // was scheduler-bound, 8.6 MB total shuffle). LAZY checkpoint +
@@ -603,19 +607,36 @@ object GraphAlgos {
     var frontierN = deg.filter(col("d") < k).count()
     var applied = 0
     while (applied < maxRounds && frontierN > 0) {
-      val frontier = deg.filter(col("d") < k).select(col("id").as("a"))
-      val loss = adj.join(broadcast(frontier), Seq("a"))
-        .select(explode(col("ns")).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("lost"))
-      deg = deg.filter(col("d") >= k)
-        .join(broadcast(loss), Seq("id"), "left")
-        .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
+      deg = kCoreRound(adj, deg, k, frontierN, broadcastFrontierLimit)
         .localCheckpoint(false)
       applied += 1
       frontierN = if (applied < maxRounds) deg.filter(col("d") < k).count() else 0
     }
     deg.filter(col("d") > 0)
       .select(col("id"), col("d").cast("long").as("core_degree"))
+  }
+
+  /** ONE delta-peel round: subtract the frontier's incident-edge loss
+    * from the survivors' in-core degrees. `frontierN` (this round's
+    * measured sub-k count — the loop already pays that count) gates the
+    * join strategy: ≤ `limit` keeps the explicit broadcast hints (the
+    * steady-regime sliver), above it the same joins run UNHINTED so the
+    * planner shuffles on the key instead of collecting a near-|V|
+    * relation to the driver (loss rows are bounded only by the
+    * frontier's distinct-neighbor count, which tracks the frontier in a
+    * cascade). Exposed for the cascade spec, which pins both the
+    * result equivalence and the hint-free plan above the limit. */
+  private[graft] def kCoreRound(adj: DataFrame, deg: DataFrame, k: Int,
+      frontierN: Long, limit: Long): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (frontierN <= limit) broadcast(_) else identity
+    val frontier = deg.filter(col("d") < k).select(col("id").as("a"))
+    val loss = adj.join(hint(frontier), Seq("a"))
+      .select(explode(col("ns")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("lost"))
+    deg.filter(col("d") >= k)
+      .join(hint(loss), Seq("id"), "left")
+      .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
   }
 
   /** Bipartite co-occurrence projection: items sharing a basket become

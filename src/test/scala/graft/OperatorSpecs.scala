@@ -1293,6 +1293,35 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(GraphAlgos.kCore(GraphQueries.coPurchase(spark, sf), 70).count() === 0L)
   }
 
+  test("k-core cascade regime: frontier-gated joins drop the broadcast hint and keep the result") {
+    import graph.{GraphAlgos, GraphQueries}
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // k=70 is past this corpus's collapse threshold: the whole graph
+    // cascade-peels to empty, with per-round frontiers far above a
+    // limit of 0 — every round must take the UNHINTED keyed-join path
+    // and still produce exactly the hinted (and replayed) result.
+    val pairs = GraphQueries.coPurchase(spark, sf)
+    for (k <- Seq(60, 70)) {
+      val hinted = GraphAlgos.kCore(pairs, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val keyed = GraphAlgos.kCore(pairs, k, broadcastFrontierLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(keyed === hinted, s"k=$k")
+    }
+    // Plan shape, directly on one round: above the limit the round's
+    // logical plan carries NO broadcast hint (join strategy is the
+    // planner's call, from real stats); at or below it both hints stay.
+    import TestSpark.spark.implicits._
+    val adj = Seq((1L, Seq(2L, 3L)), (2L, Seq(1L)), (3L, Seq(1L)))
+      .toDF("a", "ns")
+    val deg = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("id", "d")
+    def hintCount(limit: Long): Int =
+      GraphAlgos.kCoreRound(adj, deg, k = 2, frontierN = 2L, limit = limit)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hintCount(limit = 1L) === 0, "cascade round must not carry broadcast hints")
+    assert(hintCount(limit = 2L) === 2, "steady round keeps both broadcast hints")
+  }
+
   test("synchronous LPA converges a triangle and 2-cycles an isolated edge") {
     import TestSpark.spark.implicits._
     // triangle {1,2,3} plus the disjoint edge {10,11}
