@@ -51,9 +51,14 @@ object Graft {
   def memify(spark: SparkSession, dir: String): DataFrame =
     Pipeline.memify(spark, dir)
 
-  /** Delete a document slice with hard-mode cascade (cognee.delete). */
-  def delete(spark: SparkSession, dir: String, source: String = "src5"): DataFrame =
-    Pipeline.deleteDocs(spark, dir, source)
+  /** Delete a document slice (cognee.delete — api/v1/delete/delete.py:31).
+    * `mode = "soft"` (the reference's default) cascades the document,
+    * its mention edges, and the entities the deletion orphans;
+    * `mode = "hard"` additionally deletes the post-cascade degree-one
+    * entities (delete.py:249). */
+  def delete(spark: SparkSession, dir: String, source: String = "src5",
+      mode: String = "soft"): DataFrame =
+    Pipeline.deleteDocs(spark, dir, source, mode)
 
   /** Re-ingest changed revisions (cognee api/v1/update). */
   def update(spark: SparkSession, dir: String, source: String = "src7"): DataFrame =

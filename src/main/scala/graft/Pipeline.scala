@@ -70,13 +70,23 @@ object Pipeline {
   }
 
   /** Document deletion with cascade (reference: cognee/api/v1/delete/
-    * delete.py:28 — delete data by id; "hard" mode also deletes entity
-    * nodes left with no remaining connections). Deleting the src5
-    * slice: its mention edges go with it, and hard mode additionally
-    * drops entities whose every mention came from the deleted docs
-    * (the orphaned/degree-zero cascade). All anti-joins keyed on doc or
-    * entity — no driver-side state. Returns per-stage deletion counts. */
-  def deleteDocs(spark: SparkSession, dir: String, source: String = "src5"): DataFrame = {
+    * delete.py:31 — `mode: str = "soft"`, the reference's DEFAULT).
+    * BOTH modes delete the document, its mention edges, and the
+    * entities those deletions orphan (delete.py:227's unconditional
+    * `orphan_entities` deletion-order stage — entities whose every
+    * mention came from the deleted docs). `mode = "hard"`
+    * ADDITIONALLY deletes the graph-wide degree-one entities left
+    * after the cascade (delete.py:249-255 →
+    * kuzu/adapter.py:1670 get_degree_one_nodes: nodes with exactly one
+    * remaining connection; this projection has no EntityType nodes, so
+    * the reference's second degree-one leg has no counterpart here).
+    * All anti-joins keyed on doc or entity; the degree census is one
+    * entity-keyed partial-aggregated count over the surviving mention
+    * edges — no driver-side state. Returns per-stage deletion counts
+    * (hard mode adds the `entities_degree_one` stage). */
+  def deleteDocs(spark: SparkSession, dir: String, source: String = "src5",
+      mode: String = "soft"): DataFrame = {
+    require(mode == "soft" || mode == "hard", s"delete mode must be soft|hard: $mode")
     val r = cognify(spark, dir)
     val del = r.documents.filter(col("source") === source).select(col("doc_id"))
     val delMentions = r.mentions.join(broadcast(del), Seq("doc_id"))
@@ -85,11 +95,23 @@ object Pipeline {
       .join(remaining.select(col("entity")).distinct(), Seq("entity"), "left_anti")
     def c(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
-    c("docs_deleted", del)
+    val base = c("docs_deleted", del)
       .union(c("mentions_deleted", delMentions))
       .union(c("entities_orphaned", orphaned))
-      .union(c("entities_remaining",
+    if (mode == "soft")
+      base.union(c("entities_remaining",
         r.entities.join(orphaned.select(col("entity")), Seq("entity"), "left_anti")))
+    else {
+      // hard: the post-cascade degree-one census. An entity's degree in
+      // the cognify projection is its surviving mention-edge count.
+      val degreeOne = remaining.groupBy(col("entity")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") === 1).select(col("entity"))
+      base
+        .union(c("entities_degree_one", degreeOne))
+        .union(c("entities_remaining",
+          r.entities.join(orphaned.select(col("entity")), Seq("entity"), "left_anti")
+            .join(degreeOne, Seq("entity"), "left_anti")))
+    }
   }
 
   val deleteDocsSql: String =
@@ -112,6 +134,34 @@ object Pipeline {
       |SELECT 'entities_orphaned', count(*) FROM orphaned
       |UNION ALL
       |SELECT 'entities_remaining', count(*) FROM remaining""".stripMargin
+
+  val deleteDocsHardSql: String =
+    """WITH del AS (SELECT doc_id FROM documents WHERE source = 'src5'),
+      |mentions AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS entity
+      |  FROM documents
+      |),
+      |entities AS (SELECT DISTINCT entity FROM mentions),
+      |rem_edges AS (
+      |  SELECT entity FROM mentions WHERE doc_id NOT IN (SELECT doc_id FROM del)
+      |),
+      |remaining AS (SELECT DISTINCT entity FROM rem_edges),
+      |orphaned AS (
+      |  SELECT entity FROM entities WHERE entity NOT IN (SELECT entity FROM remaining)
+      |),
+      |degree_one AS (
+      |  SELECT entity FROM rem_edges GROUP BY entity HAVING count(*) = 1
+      |)
+      |SELECT 'docs_deleted' AS stage, count(*) AS n FROM del
+      |UNION ALL
+      |SELECT 'mentions_deleted', count(*) FROM mentions WHERE doc_id IN (SELECT doc_id FROM del)
+      |UNION ALL
+      |SELECT 'entities_orphaned', count(*) FROM orphaned
+      |UNION ALL
+      |SELECT 'entities_degree_one', count(*) FROM degree_one
+      |UNION ALL
+      |SELECT 'entities_remaining', count(*) FROM remaining
+      |  WHERE entity NOT IN (SELECT entity FROM degree_one)""".stripMargin
 
   /** Document update (reference: cognee/api/v1/update/update.py:10 —
     * update = delete old version + add new + re-cognify, with
@@ -619,6 +669,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_classify" -> ((s: SparkSession, d: String) => classifyChunks(s, d)),
     "pipeline_delete" -> ((s: SparkSession, d: String) => deleteDocs(s, d)),
+    "pipeline_delete_hard" -> ((s: SparkSession, d: String) => deleteDocs(s, d, mode = "hard")),
     "pipeline_update" -> ((s: SparkSession, d: String) => updateDocs(s, d)),
     "pipeline_memify" -> ((s: SparkSession, d: String) => memify(s, d)),
     "pipeline_metrics" -> ((s: SparkSession, d: String) => runMetrics(s, d)),
@@ -629,6 +680,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "pipeline_classify" -> classifyChunksSql,
     "pipeline_delete" -> deleteDocsSql,
+    "pipeline_delete_hard" -> deleteDocsHardSql,
     "pipeline_update" -> updateDocsSql,
     "pipeline_memify" -> memifySql,
     "pipeline_metrics" -> runMetricsSql,

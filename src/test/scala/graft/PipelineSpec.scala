@@ -135,6 +135,41 @@ class PipelineSpec extends SparkSpecBase {
       "task_completed:extract_mentions", "task_started:boom", "errored:boom"))
   }
 
+  test("delete modes diverge exactly by the post-cascade degree-one stage") {
+    // soft (the reference's default) = doc + mentions + orphan cascade;
+    // hard = soft + graph-wide degree-one entities. The synthetic SF
+    // corpora have no degree-one entities (every vocabulary token
+    // appears in hundreds of docs — the registered hard query's stage
+    // is legitimately 0 there), so the divergence is pinned on a
+    // crafted corpus: deleting src5's "alpha beta" orphans `beta` and
+    // leaves `alpha`/`delta` with exactly one mention each (hard
+    // deletes them) while `gamma` keeps two (both modes keep it).
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delmode").toString
+    Seq((0L, "alpha beta", "en", "src5", 10L),
+        (1L, "alpha gamma", "en", "src1", 11L),
+        (2L, "gamma delta", "en", "src1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def stages(mode: String): Map[String, Long] =
+      Pipeline.deleteDocs(spark, dir, mode = mode)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val soft = stages("soft")
+    val hard = stages("hard")
+    for (s <- Seq("docs_deleted", "mentions_deleted", "entities_orphaned"))
+      assert(soft(s) === hard(s), s)
+    assert(!soft.contains("entities_degree_one"))
+    assert(soft === Map("docs_deleted" -> 1L, "mentions_deleted" -> 2L,
+      "entities_orphaned" -> 1L, "entities_remaining" -> 3L))
+    assert(hard === Map("docs_deleted" -> 1L, "mentions_deleted" -> 2L,
+      "entities_orphaned" -> 1L, "entities_degree_one" -> 2L,
+      "entities_remaining" -> 1L))
+    assertThrows[IllegalArgumentException](Pipeline.deleteDocs(spark, dir, mode = "purge"))
+  }
+
   test("graph mutations: add is idempotent, delete removes incident edges") {
     import TestSpark.spark.implicits._
     val g = PropertyGraph(
