@@ -206,6 +206,18 @@ object Graft {
   def searchCypher(spark: SparkSession, dir: String, cypher: String): DataFrame =
     graph.CypherLite.run(graph.TpchGraph(spark, dir), cypher)
 
+  /** One user's query ledger, most recent first (modules/search/
+    * operations/get_queries.py:8). */
+  def getQueries(spark: SparkSession, dir: String, userId: Long,
+      limit: Int = 10): DataFrame =
+    operators.EventOps.userLedger(spark, dir, userId, "view", limit)
+
+  /** One user's result ledger, most recent first (modules/search/
+    * operations/get_results.py:7). */
+  def getResults(spark: SparkSession, dir: String, userId: Long,
+      limit: Int = 10): DataFrame =
+    operators.EventOps.userLedger(spark, dir, userId, "purchase", limit)
+
   /** TEMPORAL resolved through the entity graph (temporal_retriever.py's
     * graph leg: interval → events → entity resolution → aggregate). The
     * caller's [[SearchParams.interval]] threads into the scan filter

@@ -174,6 +174,35 @@ object EventOps {
       |)
       |WHERE pos <= 10""".stripMargin
 
+  /** ONE user's query-ledger rows, most recent first, LIMIT k
+    * (reference: modules/search/operations/get_queries.py:8 —
+    * `SELECT … FROM Query WHERE user_id = ? ORDER BY created_at DESC
+    * LIMIT ?`; get_results.py:7 is the same read over the Result
+    * table). The events ledger stands in for the reference's two
+    * relational log tables — log_query/log_result appends are event
+    * appends — with event_type as the table discriminator: 'view'
+    * rows are the user-issued queries, 'purchase' rows the
+    * system-returned results; `props` carries the payload the
+    * reference's `text`/`value` columns hold.
+    *
+    * Scale shape: both single-row predicates push to the parquet scan,
+    * and the recency LIMIT is a TakeOrderedAndProject (per-partition
+    * top-k, merged on the driver — k-bounded, never a global sort of
+    * the ledger). Total order via the event_id tiebreak. */
+  def userLedger(spark: SparkSession, dir: String, userId: Long,
+      eventType: String, k: Int = 10): DataFrame =
+    loadEvents(spark, dir)
+      .filter(col("user_id") === userId && col("event_type") === eventType)
+      .select(col("event_id").as("id"), col("props").as("payload"), col("ts_sec"))
+      .orderBy(col("ts_sec").desc, col("id").desc)
+      .limit(k)
+
+  private def userLedgerSql(eventType: String): String =
+    s"""SELECT event_id AS id, props AS payload,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |FROM events WHERE user_id = 7 AND event_type = '$eventType'
+       |ORDER BY ts_sec DESC, id DESC LIMIT 10""".stripMargin
+
   /** Sequential conversion funnel view → click → purchase: per user,
     * the earliest view, the earliest click strictly after it, the
     * earliest purchase strictly after that (whole-second ordering —
@@ -683,6 +712,8 @@ object EventOps {
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
     "events_transitions" -> ((s: SparkSession, d: String) => transitions(s, d)),
     "search_history" -> ((s: SparkSession, d: String) => history(s, d)),
+    "search_get_queries" -> ((s: SparkSession, d: String) => userLedger(s, d, 7L, "view")),
+    "search_get_results" -> ((s: SparkSession, d: String) => userLedger(s, d, 7L, "purchase")),
     "events_props_agg" -> ((s: SparkSession, d: String) => propsAgg(s, d)),
     "events_window_agg" -> ((s: SparkSession, d: String) => windowAgg(s, d)),
     "events_sessionize" -> ((s: SparkSession, d: String) => sessionize(s, d)),
@@ -700,6 +731,8 @@ object EventOps {
     "events_rfm" -> rfmSql,
     "events_transitions" -> transitionsSql,
     "search_history" -> historySql,
+    "search_get_queries" -> userLedgerSql("view"),
+    "search_get_results" -> userLedgerSql("purchase"),
     "events_props_agg" -> propsAggSql,
     "events_window_agg" -> windowAggSql,
     "events_sessionize" -> sessionizeSql,
