@@ -472,7 +472,12 @@ object CypherLite {
   //   CREATE (n:type {id: '…', name: '…', k: 'v', …})   → addNodes
   //   MERGE  (n:type {id: '…', …})                      → mergeNodes
   //   MERGE  (a {id: '…'})-[:rel [{…}]]->(b {id: '…'})  → mergeEdges
-  //   MATCH <pattern> [WHERE …] SET v.key = '…' [, …]   → setNodeProp
+  //   MERGE … ON CREATE SET v.k = '…' | v += {…}         → fold into the created row
+  //          … ON MATCH SET v.k = '…' | v += {…}         → prop sets on the pre-merge keys
+  //   MATCH (a:Node), (b:Node) WHERE a.id = '…' AND b.id = '…'
+  //     MERGE (a)-[r:EDGE {relationship_name: '…'}]->(b) [ON …]
+  //     → the adapters' own edge template, verbatim (kuzu/adapter.py:283)
+  //   MATCH <pattern> [WHERE …] SET v.key = '…' | v += {…} [, …] → setNodeProp
   //   MATCH <pattern> [WHERE …] DETACH DELETE v          → deleteNodes
   //
   // CREATE and MERGE share the adapters' upsert-keep-existing id
@@ -494,51 +499,180 @@ object CypherLite {
       """\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)$""").r
   private val setItemRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
   private val removeItemRe = """(\w+)\.(\w+)""".r
+  // ON CREATE SET / ON MATCH SET items (the adapters' MERGE templates,
+  // parameter-substituted — kuzu/adapter.py:285,289,373,431): a plain
+  // assignment, a `timestamp('…')`-wrapped assignment (stored as the
+  // raw string — props are MAP<STRING,STRING>), or the `v += {…}`
+  // map-merge form (neo4j's SET n += $props).
+  // Write-side inline map entry: 'str' | number | timestamp('…') —
+  // the timestamp alternative lets the adapters' parameter-substituted
+  // templates run verbatim (the raw string is what the bag stores).
+  private val writePairRe =
+    """(?i)(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)|timestamp\s*\(\s*'([^']*)'\s*\))""".r
+  private val onAssignRe =
+    """(?i)(\w+)\.(\w+)\s*=\s*(?:'([^']*)'|timestamp\s*\(\s*'([^']*)'\s*\)|(-?\d+(?:\.\d+)?))""".r
+  private val onPlusRe = """(\w+)\s*\+=\s*(\{.*\})""".r
+  // The adapters' edge-MERGE template shape (kuzu/adapter.py:283):
+  //   MATCH (from:Node), (to:Node) WHERE from.id = '…' AND to.id = '…'
+  //   MERGE (from)-[r:EDGE { relationship_name: '…' }]->(to) [ON …]
+  // `:Node` is the adapters' single-table universal label (kuzu keeps
+  // one Node table; type is a property), so the label is accepted on
+  // any node here; `relationship_name` in the inline map IS the rel in
+  // this engine's (src, dst, rel) model — exactly the mapping the
+  // TpchGraph projection uses for the reference's EDGE table.
+  private val matchMergeEdgeRe =
+    ("""(?i)^MATCH \(\s*(\w+)\s*(?::\s*\w+)?\s*\)\s*,\s*\(\s*(\w+)\s*(?::\s*\w+)?\s*\)""" +
+      """ WHERE (\w+)\.id = '([^']*)' AND (\w+)\.id = '([^']*)'""" +
+      """ MERGE \(\s*(\w+)\s*\)\s*-\s*\[\s*\w*\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*\(\s*(\w+)\s*\)$""").r
 
   /** Execute ONE write statement against the graph, returning the
     * mutated graph (PropertyGraph is immutable — the caller re-binds,
     * exactly like the mutation-plan API underneath). */
   def runWrite(g: PropertyGraph, cypher: String): PropertyGraph = {
-    val q = cypher.trim.replaceAll("\\s+", " ")
-    val up = maskedUpper(q)
+    val q0 = cypher.trim.replaceAll("\\s+", " ")
+    val up0 = maskedUpper(q0)
     val spark = g.nodes.sparkSession
 
     def mapEntries(mapText: String): Seq[(String, String)] =
       splitOutsideQuotes(mapText.stripPrefix("{").stripSuffix("}"), ",")
         .map(_.trim).filter(_.nonEmpty).map {
-          case mapPairRe(k, s, n) => k -> (if (s != null) s else n)
+          case writePairRe(k, s, n, ts) =>
+            k -> (if (s != null) s else if (n != null) n else ts)
           case other => throw new IllegalArgumentException(
             s"unsupported property entry in write: $other")
         }
 
+    // ON CREATE SET / ON MATCH SET tails (MERGE-only Cypher clauses,
+    // either order, each at most once). Parsed into flat (key, value)
+    // entry lists; all items of one statement must bind one variable —
+    // the merged element is the only bindable one in a single-element
+    // MERGE. `v += {…}` expands to its map's entries.
+    def clauseEntries(text: String): Seq[(String, String)] =
+      splitItems(text).flatMap {
+        case onPlusRe(_, mapText) => mapEntries(mapText)
+        case onAssignRe(_, key, s, ts, n) =>
+          Seq(key -> (if (s != null) s else if (ts != null) ts else n))
+        case other => throw new IllegalArgumentException(
+          s"unsupported ON CREATE/ON MATCH SET item: $other")
+      }
+    val onCreateIdx = up0.indexOf(" ON CREATE SET ")
+    val onMatchIdx = up0.indexOf(" ON MATCH SET ")
+    val clauseStarts = Seq(onCreateIdx, onMatchIdx).filter(_ >= 0).sorted
+    def clauseText(idx: Int, marker: String): Seq[(String, String)] =
+      if (idx < 0) Seq.empty
+      else {
+        val from = idx + marker.length
+        val until = clauseStarts.find(_ > idx).getOrElse(q0.length)
+        clauseEntries(q0.substring(from, until).trim)
+      }
+    val onCreate = clauseText(onCreateIdx, " ON CREATE SET ")
+    val onMatch = clauseText(onMatchIdx, " ON MATCH SET ")
+    val hasOn = clauseStarts.nonEmpty
+    val q = if (hasOn) q0.substring(0, clauseStarts.head).trim else q0
+    val up = maskedUpper(q)
+    if (hasOn) require(up.contains("MERGE "),
+      s"ON CREATE SET / ON MATCH SET apply to MERGE statements only: $q0")
+
+    // Upsert a node/edge increment with the ON semantics: the created
+    // row carries base ∪ onCreate entries (MERGE keeps an existing row,
+    // which IS the ON-CREATE-only effect); ON MATCH items then apply as
+    // prop sets against the PRE-merge key set — materialized before the
+    // merge, so a just-created element never sees them and a pre-
+    // existing one always does. No driver-side existence probe: an
+    // absent key set is an empty frame and the prop set a no-op.
+    def mergeNodeRow(ntypeRaw: String, baseEntries: Seq[(String, String)],
+        create: Boolean): PropertyGraph = {
+      val entries = baseEntries ++ onCreate
+      val id = entries.collectFirst { case ("id", v) => v }.getOrElse(
+        throw new IllegalArgumentException(s"node write requires an id property: $q0"))
+      // `:Node` is the adapters' universal single-table label — the
+      // node's type is its `type` PROPERTY there (kuzu/adapter.py:373's
+      // `n += {…, type: $param_type, …}`), so it maps to ntype here.
+      val ntype =
+        if (ntypeRaw.equalsIgnoreCase("Node"))
+          entries.collectFirst { case ("type", v) => v }.getOrElse("Node")
+        else ntypeRaw
+      val name = entries.collectFirst { case ("name", v) => v }.getOrElse(id)
+      val bag = entries.filterNot(e => e._1 == "id" || e._1 == "name" ||
+        (ntypeRaw.equalsIgnoreCase("Node") && e._1 == "type"))
+      val propsCol =
+        if (bag.isEmpty) map().cast("map<string,string>")
+        else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      // The increment is materialized as a stored 1-row scan BEFORE it
+      // meets the mutation plans: left as literal projections, the
+      // constant-aliased join key sends PushDownLeftSemiAntiJoin /
+      // CollapseProject / ColumnPruning into a rewrite cycle that caps
+      // the optimizer's iteration budget on every downstream action.
+      val row = org.apache.spark.sql.graft.Materialize.stored(
+        spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
+          lit(name).as("name"), propsCol.as("props")))
+      val preExisting =
+        if (onMatch.isEmpty) null
+        else org.apache.spark.sql.graft.Materialize.stored(
+          g.nodes.filter(col("id") === lit(id)).select(col("id")))
+      val merged = if (create) g.addNodes(row) else g.mergeNodes(row)
+      // setNodeProp routes 'name' to the fixed column and rejects the
+      // identity columns itself — same contract as plain MATCH … SET.
+      onMatch.foldLeft(merged) { case (acc, (k, v)) =>
+        acc.setNodeProp(preExisting, k, v)
+      }
+    }
+
+    def mergeEdgeRow(srcId: String, dstId: String, relRaw: String,
+        mapText: String, create: Boolean,
+        requireEndpoints: Boolean): PropertyGraph = {
+      val inline = Option(mapText).map(mapEntries).getOrElse(Seq.empty)
+      // `[r:EDGE {relationship_name: '…'}]` — the adapters' generic
+      // edge table: relationship_name IS the rel in this model.
+      val rel = if (relRaw.equalsIgnoreCase("EDGE"))
+        inline.collectFirst { case ("relationship_name", v) => v }.getOrElse(relRaw)
+      else relRaw
+      val bag = inline.filterNot(e =>
+        relRaw.equalsIgnoreCase("EDGE") && e._1 == "relationship_name") ++ onCreate
+      val propsCol =
+        if (bag.isEmpty) map().cast("map<string,string>")
+        else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val bare = spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
+        lit(rel).as("rel"), propsCol.as("props"))
+      // The template's MATCH clauses make the edge contract explicit:
+      // a missing endpoint matches nothing and the MERGE is a no-op —
+      // expressed as two ≤1-row existence gates (pushed id-equality
+      // scans), not a driver-side probe.
+      val gated =
+        if (!requireEndpoints) bare
+        else bare
+          .crossJoin(g.nodes.filter(col("id") === lit(srcId)).select(lit(1).as("src_ok")).limit(1))
+          .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
+          .select(col("src"), col("dst"), col("rel"), col("props"))
+      val row = org.apache.spark.sql.graft.Materialize.stored(gated) // see node case
+      val preExisting =
+        if (onMatch.isEmpty) null
+        else org.apache.spark.sql.graft.Materialize.stored(
+          g.edges.filter(col("src") === lit(srcId) && col("dst") === lit(dstId) &&
+            col("rel") === lit(rel)).select(col("src"), col("dst"), col("rel")))
+      val merged = if (create) g.addEdges(row) else g.mergeEdges(row)
+      onMatch.foldLeft(merged) { case (acc, (k, v)) =>
+        acc.setEdgeProp(preExisting, k, v)
+      }
+    }
+
     q match {
       case writeNodeRe(verb, ntype, mapText) =>
-        val entries = mapEntries(mapText)
-        val id = entries.collectFirst { case ("id", v) => v }.getOrElse(
-          throw new IllegalArgumentException(s"node write requires an id property: $q"))
-        val name = entries.collectFirst { case ("name", v) => v }.getOrElse(id)
-        val bag = entries.filterNot(e => e._1 == "id" || e._1 == "name")
-        val propsCol =
-          if (bag.isEmpty) map().cast("map<string,string>")
-          else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        // The increment is materialized as a stored 1-row scan BEFORE it
-        // meets the mutation plans: left as literal projections, the
-        // constant-aliased join key sends PushDownLeftSemiAntiJoin /
-        // CollapseProject / ColumnPruning into a rewrite cycle that caps
-        // the optimizer's iteration budget on every downstream action.
-        val row = org.apache.spark.sql.graft.Materialize.stored(
-          spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
-            lit(name).as("name"), propsCol.as("props")))
-        if (verb.equalsIgnoreCase("CREATE")) g.addNodes(row) else g.mergeNodes(row)
+        if (hasOn) require(!verb.equalsIgnoreCase("CREATE"),
+          s"ON CREATE/ON MATCH SET require MERGE, not CREATE: $q0")
+        mergeNodeRow(ntype, mapEntries(mapText), verb.equalsIgnoreCase("CREATE"))
       case writeEdgeRe(verb, srcId, rel, mapText, dstId) =>
-        val bag = Option(mapText).map(mapEntries).getOrElse(Seq.empty)
-        val propsCol =
-          if (bag.isEmpty) map().cast("map<string,string>")
-          else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-        val row = org.apache.spark.sql.graft.Materialize.stored( // see node case
-          spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
-            lit(rel).as("rel"), propsCol.as("props")))
-        if (verb.equalsIgnoreCase("CREATE")) g.addEdges(row) else g.mergeEdges(row)
+        if (hasOn) require(!verb.equalsIgnoreCase("CREATE"),
+          s"ON CREATE/ON MATCH SET require MERGE, not CREATE: $q0")
+        mergeEdgeRow(srcId, dstId, rel, mapText,
+          create = verb.equalsIgnoreCase("CREATE"), requireEndpoints = false)
+      case matchMergeEdgeRe(v1, v2, w1, id1, w2, id2, mSrc, relRaw, mapText, mDst) =>
+        val byVar = Map(w1 -> id1, w2 -> id2)
+        require(Set(v1, v2) == Set(w1, w2) && byVar.contains(mSrc) && byVar.contains(mDst)
+          && mSrc != mDst,
+          s"MATCH-MERGE edge template: WHERE/MERGE variables must bind the two matched nodes: $q0")
+        mergeEdgeRow(byVar(mSrc), byVar(mDst), relRaw, mapText,
+          create = false, requireEndpoints = true)
       case _ if up.startsWith("MATCH ") =>
         // MATCH-driven writes compile the read part through the READ
         // pipeline (one compiler, one semantics): the matched variable's
@@ -589,8 +723,14 @@ object CypherLite {
             run(g, q.substring(0, detachIdx) + s" RETURN $v.id AS id"))
           g.deleteNodes(ids)
         } else if (setIdx >= 0) {
-          val items = splitItems(q.substring(setIdx + " SET ".length)).map {
-            case setItemRe(v, key, value) => (v, key, value)
+          // A SET item is `v.key = <value>` or the `v += {…}` map-merge
+          // (neo4j adapter.py:373's `SET n += $properties`): per-key
+          // prop sets preserve the untouched bag keys, which IS the +=
+          // contract, so the map form expands to its entries.
+          val items = splitItems(q.substring(setIdx + " SET ".length)).flatMap {
+            case onPlusRe(v, mapText) => mapEntries(mapText).map { case (k, value) => (v, k, value) }
+            case onAssignRe(v, key, s, ts, n) =>
+              Seq((v, key, if (s != null) s else if (ts != null) ts else n))
             case other => throw new IllegalArgumentException(s"unsupported SET item: $other")
           }
           val vars = items.map(_._1).distinct

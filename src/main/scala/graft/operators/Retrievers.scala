@@ -1312,22 +1312,46 @@ object Retrievers {
       "MATCH (n:nation {id: 'nation:900'}) SET n.status = 'new'")
     g = CypherLite.runWrite(g,
       "MATCH (a:nation)-[r:in_region]->(b {id: 'region:0'}) SET r.weight = '2'")
+    // nation:900 exists → ON MATCH fires (revisited), ON CREATE doesn't (founded)
+    g = CypherLite.runWrite(g,
+      "MERGE (x:nation {id: 'nation:900'}) " +
+        "ON CREATE SET x.founded = '2024' ON MATCH SET x.revisited = '1'")
+    // nation:901 is new → ON CREATE's += map folds in, ON MATCH doesn't
+    g = CypherLite.runWrite(g,
+      "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
+        "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
+    // the kuzu adapter's edge-MERGE template (adapter.py:283), parameter-
+    // substituted: first run CREATEs the edge (created stamp), the
+    // verbatim re-run MATCHes it (rematched stamp updates, created kept)
+    val template =
+      "MATCH (from:Node), (to:Node) WHERE from.id = 'nation:901' AND to.id = 'region:1' " +
+        "MERGE (from)-[r:EDGE { relationship_name: 'in_region' }]->(to) " +
+        "ON CREATE SET r.created_at = timestamp('2024-01-01 00:00:00'), r.weight = '7' " +
+        "ON MATCH SET r.rematched = '1'"
+    g = CypherLite.runWrite(g, template)
+    g = CypherLite.runWrite(g, template)
     g = CypherLite.runWrite(g,
       "MATCH (n:nation {id: 'nation:3'}) DETACH DELETE n")
     CypherLite.run(g,
       "MATCH (n:nation)-[r:in_region]->(x:region) " +
         "RETURN x.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged, " +
-        "count(r.weight) AS n_weighted ORDER BY region")
+        "count(r.weight) AS n_weighted, count(n.founded) AS n_founded, " +
+        "count(n.revisited) AS n_revisited, count(r.rematched) AS n_rematched " +
+        "ORDER BY region")
   }
 
   val cypherWriteSql: String =
     """WITH n2 AS (
-      |  SELECT 'nation:'||n_nationkey AS nid, n_regionkey AS rk, NULL AS status
+      |  SELECT 'nation:'||n_nationkey AS nid, n_regionkey AS rk,
+      |    NULL AS status, NULL AS founded, NULL AS revisited
       |  FROM nation WHERE n_nationkey <> 3
-      |  UNION ALL SELECT 'nation:900', 0, 'new'
+      |  UNION ALL SELECT 'nation:900', 0, 'new', NULL, '1'
+      |  UNION ALL SELECT 'nation:901', 1, NULL, '2023', NULL
       |)
       |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged,
-      |  count(CASE WHEN rk = 0 THEN 1 END) AS n_weighted
+      |  count(CASE WHEN rk = 0 OR nid = 'nation:901' THEN 1 END) AS n_weighted,
+      |  count(founded) AS n_founded, count(revisited) AS n_revisited,
+      |  count(CASE WHEN nid = 'nation:901' THEN 1 END) AS n_rematched
       |FROM n2 JOIN region ON rk = r_regionkey
       |GROUP BY r_name ORDER BY region""".stripMargin
 

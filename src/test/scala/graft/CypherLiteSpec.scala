@@ -965,6 +965,90 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(e2.length === 1 && e2.head.getAs[Map[String, String]]("props") === Map("w" -> "2"))
   }
 
+  test("runWrite executes the kuzu adapter's node MERGE template verbatim (ON CREATE SET n += …)") {
+    // kuzu/adapter.py:371-375, parameter-substituted — including the
+    // template's own newlines/indentation and timestamp(...) values.
+    val template =
+      """MERGE (n:Node {id: 'd:1'})
+        |            ON CREATE SET n += {name: 'Doc One', type: 'doc', created_at: timestamp('2024-01-01 00:00:00.000000'), updated_at: timestamp('2024-01-01 00:00:00.000000')}""".stripMargin
+    val g1 = CypherLite.runWrite(g, template)
+    val row = g1.nodes.filter(col("id") === "d:1").collect()
+    assert(row.length === 1)
+    // :Node is the adapters' universal label; `type` in the map IS the type
+    assert(row.head.getAs[String]("ntype") === "doc")
+    assert(row.head.getAs[String]("name") === "Doc One")
+    assert(row.head.getAs[Map[String, String]]("props") ===
+      Map("created_at" -> "2024-01-01 00:00:00.000000",
+        "updated_at" -> "2024-01-01 00:00:00.000000"))
+    // re-running the template is a no-op: the id exists, ON CREATE skips
+    val g2 = CypherLite.runWrite(g1, template.replace("Doc One", "Doc Uno"))
+    assert(g2.nodes.filter(col("id") === "d:1").collect().head
+      .getAs[String]("name") === "Doc One")
+    // ON MATCH SET fires only against the pre-existing row: updated_at
+    // moves (and name via the fixed-column route), created_at stays
+    val g3 = CypherLite.runWrite(g2,
+      "MERGE (n:Node {id: 'd:1'}) ON CREATE SET n += {type: 'doc'} " +
+        "ON MATCH SET n.updated_at = timestamp('2024-06-01 00:00:00'), n.name = 'Doc One Revised'")
+    val r3 = g3.nodes.filter(col("id") === "d:1").collect().head
+    assert(r3.getAs[String]("name") === "Doc One Revised")
+    assert(r3.getAs[Map[String, String]]("props") ===
+      Map("created_at" -> "2024-01-01 00:00:00.000000",
+        "updated_at" -> "2024-06-01 00:00:00"))
+    // …and NOT against a just-created one
+    val g4 = CypherLite.runWrite(g,
+      "MERGE (n:Node {id: 'd:2'}) ON CREATE SET n += {type: 'doc'} ON MATCH SET n.seen = 'y'")
+    assert(g4.nodes.filter(col("id") === "d:2").collect().head
+      .getAs[Map[String, String]]("props") === Map.empty)
+  }
+
+  test("runWrite executes the kuzu adapter's edge MERGE template verbatim (MATCH-MATCH-MERGE + ON …)") {
+    // kuzu/adapter.py:280-292, parameter-substituted
+    def template(from: String, to: String, rematch: String = "r.updated_at = timestamp('2024-06-01 00:00:00')") =
+      s"""MATCH (from:Node), (to:Node)
+         |            WHERE from.id = '$from' AND to.id = '$to'
+         |            MERGE (from)-[r:EDGE {
+         |                relationship_name: 'likes'
+         |            }]->(to)
+         |            ON CREATE SET
+         |                r.created_at = timestamp('2024-01-01 00:00:00'),
+         |                r.properties = '{}'
+         |            ON MATCH SET
+         |                $rematch""".stripMargin
+    val g1 = CypherLite.runWrite(g, template("a:1", "c:1"))
+    val e1 = g1.edges.filter(col("rel") === "likes").collect()
+    assert(e1.length === 1 && e1.head.getAs[String]("src") === "a:1"
+      && e1.head.getAs[String]("dst") === "c:1")
+    assert(e1.head.getAs[Map[String, String]]("props") ===
+      Map("created_at" -> "2024-01-01 00:00:00", "properties" -> "{}"))
+    // re-run: MERGE matches → ON MATCH updates, ON CREATE props kept
+    val g2 = CypherLite.runWrite(g1, template("a:1", "c:1"))
+    val e2 = g2.edges.filter(col("rel") === "likes").collect()
+    assert(e2.length === 1)
+    assert(e2.head.getAs[Map[String, String]]("props") ===
+      Map("created_at" -> "2024-01-01 00:00:00", "properties" -> "{}",
+        "updated_at" -> "2024-06-01 00:00:00"))
+    // a missing endpoint MATCHes nothing → the MERGE is a no-op
+    val g5 = CypherLite.runWrite(g, template("a:1", "ghost:1"))
+    assert(g5.edges.filter(col("rel") === "likes").count() === 0L)
+  }
+
+  test("runWrite ON-clause guards and the SET += map-merge form") {
+    // ON CREATE/ON MATCH SET are MERGE-only clauses
+    intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "CREATE (x:a {id: 'a:9'}) ON CREATE SET x.k = 'v'")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MATCH (x:a) ON CREATE SET x.k = 'v'")
+    }
+    // SET += merges into the bag, preserving untouched keys
+    val g1 = CypherLite.runWrite(g, "MATCH (x:a) WHERE x.name = 'alpha' SET x.old = '1'")
+    val g2 = CypherLite.runWrite(g1,
+      "MATCH (x:a) WHERE x.name = 'alpha' SET x += {s1: 'v1', s2: 'v2'}")
+    val bag = g2.nodes.filter(col("id") === "a:1").collect().head
+      .getAs[Map[String, String]]("props")
+    assert(bag === Map("old" -> "1", "s1" -> "v1", "s2" -> "v2"))
+  }
+
   test("runWrite SET updates the bag and the fixed name column for matched nodes only") {
     val g1 = CypherLite.runWrite(g, "MATCH (x:a) WHERE x.name = 'alpha' SET x.seen = 'y'")
     val bags = g1.nodes.collect().map(r =>
