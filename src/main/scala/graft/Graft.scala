@@ -60,6 +60,15 @@ object Graft {
       mode: String = "soft"): DataFrame =
     Pipeline.deleteDocs(spark, dir, source, mode)
 
+  /** Row-level relational→graph migration (cognee
+    * tasks/ingestion/migrate_relational_database.py:18 with its default
+    * `migrate_column_data=True`): TableType/TableRow/ColumnValue nodes +
+    * is_part_of/column/FK edges over the TPC-H-ish tables, bulk-merged;
+    * the result is CypherLite-queryable. The `schema_only=True` half is
+    * the `graph_schema` query. */
+  def migrateRelational(spark: SparkSession, dir: String): graph.PropertyGraph =
+    graph.RelationalMigration.migratedGraph(spark, dir)
+
   /** Re-ingest changed revisions (cognee api/v1/update). */
   def update(spark: SparkSession, dir: String, source: String = "src7"): DataFrame =
     Pipeline.updateDocs(spark, dir, source)

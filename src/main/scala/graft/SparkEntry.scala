@@ -25,7 +25,8 @@ object SparkEntry {
       (operators.Retrievers.queries, operators.Retrievers.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (Pipeline.queries, Pipeline.oracles),
-      (graph.GraphQueries.queries, graph.GraphQueries.oracles))
+      (graph.GraphQueries.queries, graph.GraphQueries.oracles),
+      (graph.RelationalMigration.queries, graph.RelationalMigration.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Completion-context assembly exercises the vector engine

@@ -1,0 +1,205 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level relational→graph migration — the Spark-native
+  * re-expression of cognee's `migrate_relational_database` task with
+  * `migrate_column_data=True` (its default; reference:
+  * cognee/tasks/ingestion/migrate_relational_database.py:18 and
+  * complete_database_ingestion :154-309). The `schema_only=True` half
+  * is [[GraphQueries.schemaGraph]]; this is the full projection:
+  *
+  *   - one `TableType` node per migrated table (:164-171),
+  *   - one `TableRow` node per row, id `"<table>:<pk>"` (:193-204),
+  *     with the row's columns as its property bag (the reference
+  *     stores `properties=str(row_properties)` — a Python dict repr;
+  *     here the bag is a typed MAP<STRING,STRING>, the same contract
+  *     every other node in [[PropertyGraph]] carries),
+  *   - a `is_part_of` edge row→table (:211-222),
+  *   - one `ColumnValue` node per DISTINCT (table, column, value) of
+  *     every non-key column, shared across rows with equal values
+  *     (:238-245 — the reference dedups via its node_mapping dict;
+  *     here [[PropertyGraph.mergeNodes]]' id-keyed groupBy is that
+  *     dedup, distributed), with a row→value edge labelled by the
+  *     column name (:248-258),
+  *   - one row→row edge per foreign-key match, labelled by the FK
+  *     column (:260-308 — the reference runs a SQL join per FK; here
+  *     each FK is a keyed equi-join against the parent table's
+  *     distinct key projection).
+  *
+  * NULL column values produce no ColumnValue node (the reference would
+  * mint a `"table:col:None"` node from Python's str(None); the
+  * testdata has no NULLs and a typed engine should not invent "None"
+  * strings — documented divergence).
+  *
+  * Scale shape (100 TB): every node/edge family is a narrow projection
+  * over a table scan (the column-value family via one explode per
+  * table, not one scan per column); the only shuffles are the bulk
+  * merge dedups (id-keyed / triplet-keyed groupBy — exactly the
+  * reference's batched add_nodes/add_edges + _remove_duplicate_edges
+  * at :39-57, which it batches for the same reason) and the per-FK
+  * equi-joins. Nothing is driver-sized: this is the corpus-
+  * proportional path the bulk mergeNodes/mergeEdges contract exists
+  * for.
+  */
+object RelationalMigration {
+
+  /** (column, referenced table, referenced column) — the reference
+    * reads these from the source database's information schema
+    * (get_migration_relational_engine extracts `foreign_keys` per
+    * table); the testdata parquet has no catalog, so the TPC-H-ish
+    * key relationships are declared here. */
+  private final case class TableSpec(
+      table: String, pk: String, fks: Seq[(String, String, String)])
+
+  private val specs = Seq(
+    TableSpec("region", "r_regionkey", Nil),
+    TableSpec("nation", "n_nationkey", Seq(("n_regionkey", "region", "r_regionkey"))),
+    TableSpec("supplier", "s_suppkey", Seq(("s_nationkey", "nation", "n_nationkey"))),
+    TableSpec("customer", "c_custkey", Seq(("c_nationkey", "nation", "n_nationkey"))),
+    TableSpec("orders", "o_orderkey", Seq(("o_custkey", "customer", "c_custkey"))))
+
+  private val migratedTables = specs.map(_.table)
+
+  // The migrated graph feeds the census query, CypherLite reads, and
+  // repeat verify/bench passes in one process — cache per (session,
+  // dir) like TpchGraph, invalidated on parquet change.
+  private val cache = new SessionDirCache[PropertyGraph]((spark, dir) => {
+    val g = build(spark, dir)
+    PropertyGraph(
+      g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }, stamp = SessionDirCache.parquetStamp(migratedTables))
+
+  /** The migrated property graph (TableType/TableRow/ColumnValue
+    * nodes; is_part_of/column/FK edges) — CypherLite-queryable like
+    * any other [[PropertyGraph]]. */
+  def migratedGraph(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir)
+
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
+    import spark.implicits._
+    val emptyBag = map().cast("map<string,string>")
+
+    // TableType nodes (:164-171): one per table, id keyed by name like
+    // the reference's uuid5(NAMESPACE_OID, table_name).
+    val typeNodes = migratedTables.toDF("t").select(
+      concat(lit("tabletype:"), col("t")).as("id"),
+      lit("TableType").as("ntype"), col("t").as("name"), emptyBag.as("props"))
+
+    val parts = specs.map { sp =>
+      val df = graft.Tables.load(spark, dir, sp.table)
+      // Non-key columns migrate as ColumnValue nodes; the pk maps to
+      // the row id and FK columns become row→row edges below (:227-235
+      // skips exactly these two classes).
+      val dataCols = df.columns.filterNot(c => c == sp.pk || sp.fks.exists(_._1 == c))
+      val rowId = concat(lit("tablerow:" + sp.table + ":"), col(sp.pk).cast("string"))
+      val rowName = concat(lit(sp.table + ":"), col(sp.pk).cast("string"))
+      val rowProps = map_from_arrays(
+        array(df.columns.map(lit(_)): _*),
+        array(df.columns.map(c => col(c).cast("string")): _*))
+
+      val rowNodes = df.select(rowId.as("id"), lit("TableRow").as("ntype"),
+        rowName.as("name"), rowProps.as("props"))
+      val isPartOf = df.select(rowId.as("src"),
+        lit("tabletype:" + sp.table).as("dst"), lit("is_part_of").as("rel"),
+        emptyBag.as("props"))
+
+      // One explode per table covers every non-key column in a single
+      // scan; NULL values carry no node/edge.
+      val colEntries = df.select(rowId.as("src"),
+          explode(map(dataCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+            .as(Seq("ckey", "cval")))
+        .where(col("cval").isNotNull)
+      val colId = concat(lit("colval:" + sp.table + ":"), col("ckey"), lit(":"), col("cval"))
+      val colNodes = colEntries.select(colId.as("id"), lit("ColumnValue").as("ntype"),
+        concat(lit(sp.table + ":"), col("ckey"), lit(":"), col("cval")).as("name"),
+        map(lit("table"), lit(sp.table), lit("column"), col("ckey"),
+          lit("value"), col("cval")).as("props"))
+      val colEdges = colEntries.select(col("src"), colId.as("dst"),
+        col("ckey").as("rel"), emptyBag.as("props"))
+
+      // FK edges (:275-308): the reference joins child.fk = parent.ref
+      // and emits one edge per match; the parent side reduces to its
+      // distinct key projection (same edge set — the target id is the
+      // key — one narrow broadcast-able relation instead of the full
+      // parent row).
+      val fkEdges = sp.fks.map { case (fkCol, refTable, refCol) =>
+        val parentKeys = graft.Tables.load(spark, dir, refTable)
+          .select(col(refCol).cast("string").as("fkv")).distinct()
+        df.select(rowId.as("src"), col(fkCol).cast("string").as("fkv"))
+          .join(parentKeys, Seq("fkv"))
+          .select(col("src"),
+            concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
+            lit(fkCol).as("rel"), emptyBag.as("props"))
+      }
+      (rowNodes.unionByName(colNodes), (isPartOf +: fkEdges).reduce(_ unionByName _).unionByName(colEdges))
+    }
+
+    // Batched bulk merge (:66-67 — the reference adds all nodes, then
+    // all deduped edges, in one call each): mergeNodes' id-keyed
+    // groupBy is the node_mapping dedup (ColumnValue sharing),
+    // mergeEdges' triplet groupBy is _remove_duplicate_edges.
+    val noEdges = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
+    PropertyGraph(typeNodes, PropertyGraph.ensureProps(noEdges))
+      .mergeNodes(parts.map(_._1).reduce(_ unionByName _))
+      .mergeEdges(parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Node/edge census read back THROUGH the merged graph (so the
+    * bulk-merge dedup itself is oracle-checked): per (kind, label)
+    * counts where a node label is `ntype:table[:column]` and an edge
+    * label is `rel:source_table`. */
+  def migrateCensus(spark: SparkSession, dir: String): DataFrame = {
+    val g = migratedGraph(spark, dir)
+    // ids are "prefix:table:…" — bounded split (values may themselves
+    // contain ':', e.g. timestamp renderings).
+    def part(c: String, i: Int) = split(col(c), ":", 5).getItem(i)
+    val nodeLabel = when(col("ntype") === "TableType", concat(lit("TableType:"), col("name")))
+      .when(col("ntype") === "TableRow", concat(lit("TableRow:"), part("id", 1)))
+      .otherwise(concat(lit("ColumnValue:"), part("id", 1), lit(":"), part("id", 2)))
+    val nodes = g.nodes.select(lit("node").as("kind"), nodeLabel.as("label"))
+    val edges = g.edges.select(lit("edge").as("kind"),
+      concat(col("rel"), lit(":"), part("src", 1)).as("label"))
+    nodes.union(edges).groupBy(col("kind"), col("label")).agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB census oracle: every count re-derived from the raw tables
+    * (distinct values per column for ColumnValue nodes, FK join counts
+    * for FK edges) — string value rendering is injective per column
+    * type, so distinct-by-rendering ≡ distinct-by-value. */
+  val migrateCensusSql: String = {
+    val typeRows = migratedTables.map(t => s"SELECT 'node', 'TableType:$t', 1").mkString("\n  UNION ALL ")
+    // column lists mirror the testdata schema (TESTDATA.md); the Spark
+    // side derives them from the scanned schema, so drift breaks here
+    // visibly rather than silently.
+    val tableCols = Map(
+      "region" -> Seq("r_name"), "nation" -> Seq("n_name"),
+      "supplier" -> Seq("s_name", "s_acctbal"),
+      "customer" -> Seq("c_name", "c_acctbal", "c_mktsegment"),
+      "orders" -> Seq("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val rowRows = specs.map(sp =>
+      s"SELECT 'node', 'TableRow:${sp.table}', count(DISTINCT ${sp.pk}) FROM ${sp.table}")
+    val colNodeRows = specs.flatMap(sp => tableCols(sp.table).map(c =>
+      s"SELECT 'node', 'ColumnValue:${sp.table}:$c', count(DISTINCT $c) FROM ${sp.table}"))
+    val partOfRows = specs.map(sp =>
+      s"SELECT 'edge', 'is_part_of:${sp.table}', count(*) FROM ${sp.table}")
+    val colEdgeRows = specs.flatMap(sp => tableCols(sp.table).map(c =>
+      s"SELECT 'edge', '$c:${sp.table}', count($c) FROM ${sp.table}"))
+    val fkRows = specs.flatMap(sp => sp.fks.map { case (fkCol, refTable, refCol) =>
+      s"SELECT 'edge', '$fkCol:${sp.table}', (SELECT count(*) FROM ${sp.table} JOIN $refTable ON $fkCol = $refCol)"
+    })
+    val branches = (Seq(typeRows) ++ rowRows ++ colNodeRows ++ partOfRows ++ colEdgeRows ++ fkRows)
+      .mkString("\n  UNION ALL ")
+    s"""WITH census(kind, label, n) AS (
+       |  $branches
+       |)
+       |SELECT kind, label, CAST(n AS BIGINT) AS n FROM census""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_migrate" -> ((s: SparkSession, d: String) => migrateCensus(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "graph_migrate" -> migrateCensusSql)
+}
