@@ -39,6 +39,9 @@ class PlanLintSpec extends SparkSpecBase {
     "search_lexical_bm25",     // 1-row corpus-stats (N/avgdl/df) broadcast into the scan
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
+    "vec_knn_ivf_full", "vec_knn_ivfpq_full", "vec_knn_sq8_full", "vec_knn_trunc_full",
+    "vec_knn_lsh_full",        // exact-parity twins: the SAME reviewed ≤10-row query-set
+                               // broadcast shapes at full-recall parameters
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
     "curate_mix_temperature", // 1-row (total, Σn^α) aggregate cross into the language weight dim
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
@@ -69,11 +72,12 @@ class PlanLintSpec extends SparkSpecBase {
       c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualNullSafe])
   }
 
-  // Documented rows-only sketches: no cross-engine oracle exists (ANN
-  // shortlists, HLL, GK) — each carries an accuracy/recall spec instead.
-  private val rowsOnlyByDesign: Set[String] =
-    Set("vec_knn_ivf", "vec_knn_ivfpq", "vec_knn_lsh", "vec_knn_sq8", "vec_knn_trunc",
-      "q_approx_distinct", "q_approx_percentiles")
+  // Documented rows-only sketches — EMPTY since r13: the ANN/sketch
+  // entries graduated to hash-checked registrations (in-driver
+  // integrity/accuracy audits + `*_full` exact-parity twins against the
+  // exact knn oracle). The lint machinery stays so a future genuinely
+  // oracle-less operator must be listed here deliberately.
+  private val rowsOnlyByDesign: Set[String] = Set.empty
     // graph_betweenness graduated to hash-checked in r11: the σ/δ
     // recurrences unroll into staged MATERIALIZED CTEs (kcore precedent)
 
