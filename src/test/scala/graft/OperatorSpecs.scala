@@ -268,6 +268,37 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("dedupCosine exact-duplicate collapse: replicated corpus ≡ brute force, scored over reps only") {
+    import TestSpark.spark.implicits._
+    // 40 distinct vectors × 5 bitwise-identical copies each (the sf1
+    // soak shape): the pair set must equal brute force over all 200
+    // rows — in-group pairs at the rounded self-cosine included — while
+    // the cell machinery sees only the 40 representatives.
+    val rng = new scala.util.Random(11)
+    val distinctVecs = (0 until 40).map(i => Array.fill(16)(rng.nextGaussian()))
+    val rows = for (c <- 0 until 5; i <- 0 until 40)
+      yield ((c * 40 + i).toLong, distinctVecs(i).toSeq)
+    val vecs = rows.toDF("vec_id", "v")
+    val a = vecs.select(col("vec_id").as("p1"), col("v").as("va"))
+    val b = vecs.select(col("vec_id").as("p2"), col("v").as("vb"))
+    val brute = a.join(b, col("p1") < col("p2"))
+      .select(col("p1"), col("p2"), round(VectorOps.cosine(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = VectorOps.dedupCosineOf(spark, vecs, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed === brute)
+    // every in-group pair (10 per distinct vector × 40) is present
+    assert(brute.count(_._3 >= 0.9999) >= 400)
+    // the rep relation the cell joins consume is the distinct-vector set
+    val e = vecs.select(col("vec_id"), col("v"),
+      sqrt(org.apache.spark.sql.graft.VectorExpressions.dotNative(col("v"), col("v"))).as("nv"))
+    val reps = e.withColumn("rep",
+        min(col("vec_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("v"))))
+      .filter(col("vec_id") === col("rep"))
+    assert(reps.count() == 40)
+  }
 }
 
 class DedupOpsSpec extends SparkSpecBase {
