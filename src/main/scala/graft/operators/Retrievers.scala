@@ -1310,6 +1310,7 @@ object Retrievers {
       "MERGE (a {id: 'nation:900'})-[:in_region {note: 'synthetic'}]->(b {id: 'region:0'})")
     g = CypherLite.runWrite(g,
       "MATCH (n:nation {id: 'nation:900'}) SET n.status = 'new'")
+    g = g.compact
     g = CypherLite.runWrite(g,
       "MATCH (a:nation)-[r:in_region]->(b {id: 'region:0'}) SET r.weight = '2'")
     // nation:900 exists → ON MATCH fires (revisited), ON CREATE doesn't (founded)
@@ -1320,6 +1321,11 @@ object Retrievers {
     g = CypherLite.runWrite(g,
       "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
         "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
+    // Chain compaction between mutation batches (PropertyGraph.compact):
+    // without it the 9-layer chain re-derives every earlier rewrite on
+    // each downstream action — 8.9 s at sf0.1 / 21 s at sf1; compacted,
+    // the remaining writes and the read start from stored blocks.
+    g = g.compact
     // the kuzu adapter's edge-MERGE template (adapter.py:283), parameter-
     // substituted: first run CREATEs the edge (created stamp), the
     // verbatim re-run MATCHes it (rematched stamp updates, created kept)

@@ -1130,4 +1130,21 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(CypherLite.run(g,
       "MATCH (x:a) WHERE x.name = 'please CREATE and DELETE me' RETURN x.id AS id").count() === 0L)
   }
+
+  test("compact is the identity on a mutated graph (chain compaction)") {
+    var m = CypherLite.runWrite(g, "MERGE (x:a {id: 'a:77', name: 'new'})")
+    m = CypherLite.runWrite(m, "MATCH (x:a {id: 'a:77'}) SET x.k = 'v'")
+    val c = m.compact
+    def nodeSet(pg: graph.PropertyGraph) = pg.nodesP
+      .selectExpr("id", "ntype", "name", "array_sort(map_entries(props)) AS pe")
+      .collect().map(_.toString).toSet
+    def edgeSet(pg: graph.PropertyGraph) = pg.edgesP
+      .selectExpr("src", "dst", "rel", "array_sort(map_entries(props)) AS pe")
+      .collect().map(_.toString).toSet
+    assert(nodeSet(c) === nodeSet(m))
+    assert(edgeSet(c) === edgeSet(m))
+    // and the compacted plan is a bare scan — no residual mutation plan
+    assert(c.nodes.queryExecution.optimizedPlan.collectLeaves().size === 1)
+    assert(!c.nodes.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
 }
