@@ -492,12 +492,11 @@ object CypherLite {
   // never enumerates incident edges driver-side cannot honor — DETACH
   // DELETE (cascade incident edges) is the supported, and honest, form.
   private val writeNodeRe =
-    """(?i)^(CREATE|MERGE)\s+\(\s*\w*\s*:\s*(\w+)\s*(\{[^{}]*\})\s*\)$""".r
+    """(?i)^(CREATE|MERGE)\s+\(\s*(\w*)\s*:\s*(\w+)\s*(\{[^{}]*\})\s*\)$""".r
   private val writeEdgeRe =
     ("""(?i)^(CREATE|MERGE)\s+\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)\s*""" +
-      """-\s*\[\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*""" +
+      """-\s*\[\s*(\w*)\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*""" +
       """\(\s*\w*\s*\{\s*id\s*:\s*'([^']*)'\s*\}\s*\)$""").r
-  private val setItemRe = """(\w+)\.(\w+)\s*=\s*'([^']*)'""".r
   private val removeItemRe = """(\w+)\.(\w+)""".r
   // ON CREATE SET / ON MATCH SET items (the adapters' MERGE templates,
   // parameter-substituted — kuzu/adapter.py:285,289,373,431): a plain
@@ -523,7 +522,7 @@ object CypherLite {
   private val matchMergeEdgeRe =
     ("""(?i)^MATCH \(\s*(\w+)\s*(?::\s*\w+)?\s*\)\s*,\s*\(\s*(\w+)\s*(?::\s*\w+)?\s*\)""" +
       """ WHERE (\w+)\.id = '([^']*)' AND (\w+)\.id = '([^']*)'""" +
-      """ MERGE \(\s*(\w+)\s*\)\s*-\s*\[\s*\w*\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*\(\s*(\w+)\s*\)$""").r
+      """ MERGE \(\s*(\w+)\s*\)\s*-\s*\[\s*(\w*)\s*:\s*(\w+)\s*(\{[^{}]*\})?\s*\]\s*->\s*\(\s*(\w+)\s*\)$""").r
 
   /** Execute ONE write statement against the graph, returning the
     * mutated graph (PropertyGraph is immutable — the caller re-binds,
@@ -543,22 +542,24 @@ object CypherLite {
         }
 
     // ON CREATE SET / ON MATCH SET tails (MERGE-only Cypher clauses,
-    // either order, each at most once). Parsed into flat (key, value)
-    // entry lists; all items of one statement must bind one variable —
-    // the merged element is the only bindable one in a single-element
-    // MERGE. `v += {…}` expands to its map's entries.
-    def clauseEntries(text: String): Seq[(String, String)] =
+    // either order, each at most once). Parsed into (var, key, value)
+    // entry lists; the merge handler validates that every item binds
+    // the MERGED element's variable — an item binding any other
+    // variable (e.g. a matched endpoint in an edge template) is
+    // rejected loudly rather than silently applied to the wrong
+    // element. `v += {…}` expands to its map's entries.
+    def clauseEntries(text: String): Seq[(String, String, String)] =
       splitItems(text).flatMap {
-        case onPlusRe(_, mapText) => mapEntries(mapText)
-        case onAssignRe(_, key, s, ts, n) =>
-          Seq(key -> (if (s != null) s else if (ts != null) ts else n))
+        case onPlusRe(v, mapText) => mapEntries(mapText).map { case (k, x) => (v, k, x) }
+        case onAssignRe(v, key, s, ts, n) =>
+          Seq((v, key, if (s != null) s else if (ts != null) ts else n))
         case other => throw new IllegalArgumentException(
           s"unsupported ON CREATE/ON MATCH SET item: $other")
       }
     val onCreateIdx = up0.indexOf(" ON CREATE SET ")
     val onMatchIdx = up0.indexOf(" ON MATCH SET ")
     val clauseStarts = Seq(onCreateIdx, onMatchIdx).filter(_ >= 0).sorted
-    def clauseText(idx: Int, marker: String): Seq[(String, String)] =
+    def clauseText(idx: Int, marker: String): Seq[(String, String, String)] =
       if (idx < 0) Seq.empty
       else {
         val from = idx + marker.length
@@ -580,9 +581,30 @@ object CypherLite {
     // merge, so a just-created element never sees them and a pre-
     // existing one always does. No driver-side existence probe: an
     // absent key set is an empty frame and the prop set a no-op.
-    def mergeNodeRow(ntypeRaw: String, baseEntries: Seq[(String, String)],
-        create: Boolean): PropertyGraph = {
-      val entries = baseEntries ++ onCreate
+    // Every ON item must bind the merged element's own variable — and
+    // that variable must exist for the items to be bindable at all.
+    def validateOnVar(mergedVar: String, what: String): Unit = {
+      val bound = (onCreate ++ onMatch).map(_._1).distinct
+      if (bound.nonEmpty) {
+        require(mergedVar.nonEmpty,
+          s"ON CREATE/ON MATCH SET items bind '${bound.mkString(",")}' but the merged $what has no variable: $q0")
+        require(bound.forall(_ == mergedVar),
+          s"ON CREATE/ON MATCH SET may only bind the merged $what variable '$mergedVar' " +
+            s"(got '${bound.filterNot(_ == mergedVar).mkString(",")}'): $q0")
+      }
+    }
+    // Cypher's last-write-wins for a key set both in the pattern map
+    // and in ON CREATE SET (a duplicate-key CreateMap would otherwise
+    // crash under the default EXCEPTION dedup policy).
+    def lastWins(es: Seq[(String, String)]): Seq[(String, String)] = {
+      val last = es.toMap
+      es.map(_._1).distinct.map(k => k -> last(k))
+    }
+
+    def mergeNodeRow(nodeVar: String, ntypeRaw: String,
+        baseEntries: Seq[(String, String)], create: Boolean): PropertyGraph = {
+      validateOnVar(nodeVar, "node")
+      val entries = lastWins(baseEntries ++ onCreate.map(e => e._2 -> e._3))
       val id = entries.collectFirst { case ("id", v) => v }.getOrElse(
         throw new IllegalArgumentException(s"node write requires an id property: $q0"))
       // `:Node` is the adapters' universal single-table label — the
@@ -613,22 +635,31 @@ object CypherLite {
       val merged = if (create) g.addNodes(row) else g.mergeNodes(row)
       // setNodeProp routes 'name' to the fixed column and rejects the
       // identity columns itself — same contract as plain MATCH … SET.
-      onMatch.foldLeft(merged) { case (acc, (k, v)) =>
+      // On the adapters' universal :Node label the node's TYPE is the
+      // ntype identity column here, not a bag key — an ON MATCH update
+      // of it (only the UNWIND batch template does, which this surface
+      // doesn't claim) must fail loudly, not write a shadow bag entry.
+      onMatch.foldLeft(merged) { case (acc, (_, k, v)) =>
+        if (ntypeRaw.equalsIgnoreCase("Node") && k == "type")
+          throw new IllegalArgumentException(
+            s"ON MATCH SET of 'type' (the ntype identity under the :Node label) is unsupported: $q0")
         acc.setNodeProp(preExisting, k, v)
       }
     }
 
-    def mergeEdgeRow(srcId: String, dstId: String, relRaw: String,
+    def mergeEdgeRow(edgeVar: String, srcId: String, dstId: String, relRaw: String,
         mapText: String, create: Boolean,
         requireEndpoints: Boolean): PropertyGraph = {
+      validateOnVar(edgeVar, "edge")
       val inline = Option(mapText).map(mapEntries).getOrElse(Seq.empty)
       // `[r:EDGE {relationship_name: '…'}]` — the adapters' generic
       // edge table: relationship_name IS the rel in this model.
       val rel = if (relRaw.equalsIgnoreCase("EDGE"))
         inline.collectFirst { case ("relationship_name", v) => v }.getOrElse(relRaw)
       else relRaw
-      val bag = inline.filterNot(e =>
-        relRaw.equalsIgnoreCase("EDGE") && e._1 == "relationship_name") ++ onCreate
+      val bag = lastWins(inline.filterNot(e =>
+        relRaw.equalsIgnoreCase("EDGE") && e._1 == "relationship_name") ++
+        onCreate.map(e => e._2 -> e._3))
       val propsCol =
         if (bag.isEmpty) map().cast("map<string,string>")
         else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -645,33 +676,43 @@ object CypherLite {
           .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
           .select(col("src"), col("dst"), col("rel"), col("props"))
       val row = org.apache.spark.sql.graft.Materialize.stored(gated) // see node case
+      // ON MATCH keys on the PRE-merge edge, gated by the SAME endpoint
+      // existence contract as the merge itself: when the template's
+      // MATCH clauses bind nothing, Cypher's whole statement — ON MATCH
+      // included — is a no-op, even against a pre-existing (dangling)
+      // edge row.
+      val preBase = g.edges.filter(col("src") === lit(srcId) && col("dst") === lit(dstId) &&
+        col("rel") === lit(rel)).select(col("src"), col("dst"), col("rel"))
+      val preGated =
+        if (!requireEndpoints) preBase
+        else preBase
+          .crossJoin(g.nodes.filter(col("id") === lit(srcId)).select(lit(1).as("src_ok")).limit(1))
+          .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
+          .select(col("src"), col("dst"), col("rel"))
       val preExisting =
         if (onMatch.isEmpty) null
-        else org.apache.spark.sql.graft.Materialize.stored(
-          g.edges.filter(col("src") === lit(srcId) && col("dst") === lit(dstId) &&
-            col("rel") === lit(rel)).select(col("src"), col("dst"), col("rel")))
+        else org.apache.spark.sql.graft.Materialize.stored(preGated)
       val merged = if (create) g.addEdges(row) else g.mergeEdges(row)
-      onMatch.foldLeft(merged) { case (acc, (k, v)) =>
+      onMatch.foldLeft(merged) { case (acc, (_, k, v)) =>
         acc.setEdgeProp(preExisting, k, v)
       }
     }
 
+    // (A CREATE statement with ON clauses cannot reach these cases: the
+    // hasOn path already required an unmasked "MERGE " in the statement,
+    // which a single-element CREATE cannot contain.)
     q match {
-      case writeNodeRe(verb, ntype, mapText) =>
-        if (hasOn) require(!verb.equalsIgnoreCase("CREATE"),
-          s"ON CREATE/ON MATCH SET require MERGE, not CREATE: $q0")
-        mergeNodeRow(ntype, mapEntries(mapText), verb.equalsIgnoreCase("CREATE"))
-      case writeEdgeRe(verb, srcId, rel, mapText, dstId) =>
-        if (hasOn) require(!verb.equalsIgnoreCase("CREATE"),
-          s"ON CREATE/ON MATCH SET require MERGE, not CREATE: $q0")
-        mergeEdgeRow(srcId, dstId, rel, mapText,
+      case writeNodeRe(verb, nodeVar, ntype, mapText) =>
+        mergeNodeRow(nodeVar, ntype, mapEntries(mapText), verb.equalsIgnoreCase("CREATE"))
+      case writeEdgeRe(verb, srcId, edgeVar, rel, mapText, dstId) =>
+        mergeEdgeRow(edgeVar, srcId, dstId, rel, mapText,
           create = verb.equalsIgnoreCase("CREATE"), requireEndpoints = false)
-      case matchMergeEdgeRe(v1, v2, w1, id1, w2, id2, mSrc, relRaw, mapText, mDst) =>
+      case matchMergeEdgeRe(v1, v2, w1, id1, w2, id2, mSrc, edgeVar, relRaw, mapText, mDst) =>
         val byVar = Map(w1 -> id1, w2 -> id2)
         require(Set(v1, v2) == Set(w1, w2) && byVar.contains(mSrc) && byVar.contains(mDst)
           && mSrc != mDst,
           s"MATCH-MERGE edge template: WHERE/MERGE variables must bind the two matched nodes: $q0")
-        mergeEdgeRow(byVar(mSrc), byVar(mDst), relRaw, mapText,
+        mergeEdgeRow(edgeVar, byVar(mSrc), byVar(mDst), relRaw, mapText,
           create = false, requireEndpoints = true)
       case _ if up.startsWith("MATCH ") =>
         // MATCH-driven writes compile the read part through the READ

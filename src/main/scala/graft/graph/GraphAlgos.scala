@@ -585,8 +585,8 @@ object GraphAlgos {
     // FRONTIER rows' neighbor bags, and partial-aggregates the loss —
     // work ∝ Σ deg(frontier), the Batagelj–Zaveršnik bound.
     // CASCADE-REGIME HANDLING (adaptive, not a comment): the loop
-    // already counts frontierN every round, so the two broadcast()
-    // hints are GATED on it — broadcast while the frontier is small
+    // already counts frontierN every round, so the FRONTIER broadcast
+    // hint is GATED on it — broadcast while the frontier is small
     // (the steady regime at the registered k, where the hint saves AQE
     // a stats round-trip), plain keyed joins the moment a round's
     // frontier exceeds `broadcastFrontierLimit` (the cascade regime
@@ -619,13 +619,16 @@ object GraphAlgos {
   /** ONE delta-peel round: subtract the frontier's incident-edge loss
     * from the survivors' in-core degrees. `frontierN` (this round's
     * measured sub-k count — the loop already pays that count) gates the
-    * join strategy: ≤ `limit` keeps the explicit broadcast hints (the
-    * steady-regime sliver), above it the same joins run UNHINTED so the
-    * planner shuffles on the key instead of collecting a near-|V|
-    * relation to the driver (loss rows are bounded only by the
-    * frontier's distinct-neighbor count, which tracks the frontier in a
-    * cascade). Exposed for the cascade spec, which pins both the
-    * result equivalence and the hint-free plan above the limit. */
+    * FRONTIER hint only: ≤ `limit` keeps the explicit broadcast (the
+    * steady-regime sliver), above it the join runs unhinted so the
+    * planner shuffles on the key (the cascade regime near a critical
+    * k). The LOSS side is NEVER force-broadcast regardless of
+    * frontierN — its cardinality is the frontier's DISTINCT-NEIGHBOR
+    * count, which a few thousand sub-k hub nodes can push to ≈|V| while
+    * frontierN stays tiny; a measured-size hint on the frontier says
+    * nothing about it. AQE still broadcasts a genuinely small loss at
+    * runtime. Exposed for the cascade spec, which pins both the result
+    * equivalence and the hint-free plan above the limit. */
   private[graft] def kCoreRound(adj: DataFrame, deg: DataFrame, k: Int,
       frontierN: Long, limit: Long): DataFrame = {
     val hint: DataFrame => DataFrame =
@@ -635,7 +638,7 @@ object GraphAlgos {
       .select(explode(col("ns")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("lost"))
     deg.filter(col("d") >= k)
-      .join(hint(loss), Seq("id"), "left")
+      .join(loss, Seq("id"), "left")
       .select(col("id"), (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
   }
 

@@ -625,7 +625,7 @@ object VectorOps {
       .select(col("query_id"), col("qv"), col("vec_id"))
     // Exact refine: true cosine for the queries×refine survivors only.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    e0.join(broadcast(shortlist), Seq("vec_id"))
+    e0.join(hintShortlist(refine)(shortlist), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"))
@@ -700,7 +700,7 @@ object VectorOps {
       .withColumn("rn", row_number().over(sqW)).filter(col("rn") <= refine)
       .select(col("query_id"), col("qv"), col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    e0.join(broadcast(shortlist), Seq("vec_id"))
+    e0.join(hintShortlist(refine)(shortlist), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"))
@@ -730,7 +730,7 @@ object VectorOps {
       .withColumn("rn", row_number().over(tW)).filter(col("rn") <= refine)
       .select(col("query_id"), col("qv"), col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
-    e0.join(broadcast(shortlist), Seq("vec_id"))
+    e0.join(hintShortlist(refine)(shortlist), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cosine"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"))
@@ -1057,6 +1057,15 @@ object VectorOps {
        |FROM $kmeansFinalCentroids c LEFT JOIN
        |  (SELECT cell, count(*) AS n_members FROM fin GROUP BY 1) n ON n.cell = c.cell""".stripMargin
 
+  /** Refine-stage join hint: the shortlist is ≤ queries×refine rows —
+    * broadcast while `refine` keeps it verification-seed-sized, plain
+    * keyed join when a caller (the `*_full` exact-parity twins run at
+    * refine=∞) makes it corpus-proportional; a forced broadcast there
+    * would collect ~10×|corpus| rows of query-vector-carrying
+    * candidates to the driver. */
+  private def hintShortlist(refine: Int)(df: DataFrame): DataFrame =
+    if (refine <= 10000) broadcast(df) else df
+
   /** In-driver integrity audit over an ANN shortlist — the hash-
     * checkable projection of an approximate result (the judge-gate
     * companion to the spec-level recall pins): per registered query
@@ -1070,8 +1079,11 @@ object VectorOps {
     * exact-parity lives in the driver gate as the `*_full`
     * registrations (full-recall parameters ≡ brute force, hashed
     * against the exact [[knnSql]] oracle). A query point with an empty
-    * shortlist audits vacuously true (documented: LSH buckets can
-    * undershoot k). */
+    * shortlist audits vacuously true per-row (documented: LSH buckets
+    * can undershoot k) — `method_alive` closes the vacuous-all-true
+    * hole: it pins that the method returned SOMETHING across the query
+    * set, so a regression to zero results (a broken bucket/cell join)
+    * flips every audit row red instead of hashing green. */
   private[graft] def annAudit(spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("v"))
     val qd = e.filter(col("vec_id") < 10)
@@ -1081,13 +1093,17 @@ object VectorOps {
       .groupBy(col("query_id"))
       .agg(min(col("cosine") === round(cosine(col("qv"), col("v")), 4)).as("st"),
         (count(lit(1)) <= lit(5)).as("kb"))
+    val total = checked.agg(count(lit(1)).as("n_live")) // 1-row cross below
     qd.select(col("query_id")).join(checked, Seq("query_id"), "left")
+      .crossJoin(broadcast(total))
       .select(col("query_id"), coalesce(col("st"), lit(true)).as("scores_true"),
-        coalesce(col("kb"), lit(true)).as("k_bounded"))
+        coalesce(col("kb"), lit(true)).as("k_bounded"),
+        (col("n_live") > 0).as("method_alive"))
   }
 
   val annAuditSql: String =
-    """SELECT vec_id AS query_id, true AS scores_true, true AS k_bounded
+    """SELECT vec_id AS query_id, true AS scores_true, true AS k_bounded,
+      |  true AS method_alive
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

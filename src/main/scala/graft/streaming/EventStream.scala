@@ -386,8 +386,12 @@ object EventStream {
             // Spark's round(_, 4) is BigDecimal HALF_UP (away from zero
             // for NEGATIVE values too) — floor(s*1e4+0.5) diverged from
             // the batch path at negative half-ulp boundaries, silently
-            // breaking the batch-parity contract for tau <= 0.
-            BigDecimal(s).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            // breaking the batch-parity contract for tau <= 0. NaN/Inf
+            // pass through unrounded exactly like Spark's Round codegen
+            // (BigDecimal(NaN) throws — one poisoned vector must not
+            // kill the stream where the batch path yields NaN).
+            if (s.isNaN || s.isInfinite) s
+            else BigDecimal(s).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
           }
           // id-ordered processing (dedup replayed-in-batch ids first):
           // deterministic, and the order under which the containment

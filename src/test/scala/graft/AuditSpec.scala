@@ -27,6 +27,15 @@ class AuditSpec extends SparkSpecBase {
     assert(audited.exists(r => !r.getBoolean(2)))
   }
 
+  test("annAudit flags a method that regressed to zero results (no vacuous green)") {
+    val dead = operators.VectorOps.knnIvf(spark, sf).limit(0)
+    val audited = operators.VectorOps.annAudit(spark, sf, dead).collect()
+    // per-row checks are vacuously true, but method_alive is false on
+    // EVERY row — a total-result-loss regression cannot hash green
+    assert(audited.nonEmpty &&
+      audited.forall(r => !r.getBoolean(r.fieldIndex("method_alive"))))
+  }
+
   test("sketch audits are green on the real data and red under drift") {
     val d = operators.RelationalOps.approxDistinctAudit(spark, sf).collect()
     assert(d.nonEmpty && d.forall(r => r.getBoolean(r.fieldIndex("approx_ok"))))

@@ -1131,6 +1131,54 @@ class CypherLiteSpec extends SparkSpecBase {
       "MATCH (x:a) WHERE x.name = 'please CREATE and DELETE me' RETURN x.id AS id").count() === 0L)
   }
 
+  test("ON items must bind the merged element's variable — wrong/unbindable vars are rejected") {
+    // an ON MATCH item binding a matched ENDPOINT of an edge template
+    // must fail loudly, not silently write onto the edge
+    val e1 = intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g,
+        "MATCH (from:Node), (to:Node) WHERE from.id = 'a:1' AND to.id = 'b:1' " +
+          "MERGE (from)-[r:EDGE { relationship_name: 'knows' }]->(to) " +
+          "ON MATCH SET from.seen = '1'")
+    }
+    assert(e1.getMessage.contains("may only bind"))
+    // a var-less merged element cannot bind ON items at all
+    val e2 = intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MERGE (:a {id: 'a:9'}) ON CREATE SET x.k = 'v'")
+    }
+    assert(e2.getMessage.contains("no variable"))
+  }
+
+  test("a key in both the MERGE pattern map and ON CREATE SET resolves last-write-wins") {
+    val m = CypherLite.runWrite(g,
+      "MERGE (n:a {id: 'a:80', k: 'from-pattern'}) ON CREATE SET n.k = 'from-on-create'")
+    val row = m.nodesP.filter(org.apache.spark.sql.functions.col("id") === "a:80").head()
+    val props = row.getMap[String, String](row.fieldIndex("props"))
+    assert(props("k") == "from-on-create")
+  }
+
+  test("ON MATCH on the edge template is gated by the endpoint MATCH (dangling edge untouched)") {
+    // plant a dangling edge whose endpoints are NOT nodes
+    val dangling = CypherLite.runWrite(g,
+      "MERGE (x {id: 'ghost:1'})-[:haunts]->(y {id: 'ghost:2'})")
+    // the adapters' template MATCHes both endpoints as nodes — nothing
+    // matches, so the whole statement (ON MATCH included) is a no-op
+    val after = CypherLite.runWrite(dangling,
+      "MATCH (from:Node), (to:Node) WHERE from.id = 'ghost:1' AND to.id = 'ghost:2' " +
+        "MERGE (from)-[r:EDGE { relationship_name: 'haunts' }]->(to) " +
+        "ON MATCH SET r.seen = '1'")
+    val edge = after.edgesP.filter(org.apache.spark.sql.functions.col("src") === "ghost:1").head()
+    val props = edge.getMap[String, String](edge.fieldIndex("props"))
+    assert(!props.contains("seen"))
+  }
+
+  test("ON MATCH SET of 'type' under the :Node universal label is rejected, not shadow-written") {
+    CypherLite.runWrite(g, "MERGE (n:Node {id: 'd:9', type: 'doc'})") // create
+    val e = intercept[IllegalArgumentException] {
+      CypherLite.runWrite(g, "MERGE (n:Node {id: 'a:1'}) ON MATCH SET n.type = 'chunk'")
+    }
+    assert(e.getMessage.contains("ntype identity"))
+  }
+
   test("compact is the identity on a mutated graph (chain compaction)") {
     var m = CypherLite.runWrite(g, "MERGE (x:a {id: 'a:77', name: 'new'})")
     m = CypherLite.runWrite(m, "MATCH (x:a {id: 'a:77'}) SET x.k = 'v'")

@@ -1350,7 +1350,11 @@ class GraphAlgosSpec extends SparkSpecBase {
       GraphAlgos.kCoreRound(adj, deg, k = 2, frontierN = 2L, limit = limit)
         .queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
     assert(hintCount(limit = 1L) === 0, "cascade round must not carry broadcast hints")
-    assert(hintCount(limit = 2L) === 2, "steady round keeps both broadcast hints")
+    // Steady round: exactly ONE hint — the measured FRONTIER side. The
+    // loss side is never force-broadcast: its cardinality is the
+    // frontier's distinct-neighbor count, which a small hub frontier
+    // can push to ≈|V| while frontierN stays under any limit.
+    assert(hintCount(limit = 2L) === 1, "steady round hints the frontier only")
   }
 
   test("synchronous LPA converges a triangle and 2-cycles an isolated edge") {

@@ -40,8 +40,12 @@ class PlanLintSpec extends SparkSpecBase {
     "vec_knn_sq8",             // 10-row query set broadcast across the code-table scan (the vec_knn shape)
     "vec_knn_trunc",           // same 10-row query-set broadcast over the prefix scan
     "vec_knn_ivf_full", "vec_knn_ivfpq_full", "vec_knn_sq8_full", "vec_knn_trunc_full",
-    "vec_knn_lsh_full",        // exact-parity twins: the SAME reviewed ≤10-row query-set
-                               // broadcast shapes at full-recall parameters
+    "vec_knn_lsh_full",        // exact-parity twins: ≤10-row query-set / bounded probe-set
+                               // broadcasts only — the refine-stage shortlist join is
+                               // refine-gated to a KEYED join at full recall (corpus-
+                               // proportional shortlists are never force-broadcast)
+    "vec_knn_ivfpq",           // audit cross of the 1-row liveness aggregate (all five
+                               // ANN audits carry it; the other four are listed above)
     "curate_pack", "curate_budget", // 1-row (min,max) id-bounds broadcast (shared prefix-sum helper)
     "curate_mix_temperature", // 1-row (total, Σn^α) aggregate cross into the language weight dim
     "events_rfm",       // 1-row quartile-cutoff aggregate broadcast across the per-user rollup
