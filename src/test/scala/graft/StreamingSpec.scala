@@ -666,4 +666,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(aggN === aggM)
     assert(daysN === daysM)
   }
+
+  test("semDedupStream survives a NaN-poisoned vector (cos4 NaN passthrough, like batch round)") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = operators.VectorOps.trainedQuantizer(spark, sf)
+    val dim = cents.head.length
+    val stream = MemoryStream[(Long, Seq[Double])]
+    stream.addData(Seq(
+      (1L, Seq.fill(dim)(0.5)),
+      (2L, Seq.tabulate(dim)(i => if (i == 0) Double.NaN else 0.5)),
+      (3L, Seq.fill(dim)(0.5))))
+    val q = EventStream.semDedupStream(stream.toDF().toDF("vecId", "v"), cents)
+      .writeStream.format("memory").queryName("semdedup_nan")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("semdedup_nan").collect()
+    // every arrival is decided — one poisoned vector must not kill the
+    // stream (BigDecimal(NaN) in the rounding path used to throw inside
+    // flatMapGroupsWithState)
+    assert(rows.length === 3)
+    // NaN cosines compare false against tau → the poisoned vector keeps
+    assert(rows.find(_.getLong(0) == 2L).exists(_.getBoolean(2)))
+  }
 }
