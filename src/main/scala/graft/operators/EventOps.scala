@@ -34,7 +34,10 @@ object EventOps {
     * twin uses mapGroupsWithState). Single shuffle on user_id; both
     * window functions reuse the same sort. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // ORDER BY whole seconds + event_id (never raw ts): Spark holds the
+    // parquet timestamp at us, DuckDB at ns — a sub-us tie would break
+    // by event_id on one engine and by the ns delta on the other.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_sec").asc, col("event_id").asc)
     loadEvents(spark, dir)
       .withColumn("sec", col("ts_sec"))
       .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
@@ -59,10 +62,10 @@ object EventOps {
       |         THEN 1 ELSE 0 END AS new_sess,
       |    ts, event_id
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
       |), sessed AS (
       |  SELECT user_id, value, sec,
-      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM flagged
       |)
@@ -237,7 +240,12 @@ object EventOps {
     counts
       .withColumn("prev", lag(col("n"), 1).over(w))
       .select(col("stage"), col("event_type"), col("n").as("n_users"),
-        (floor(coalesce(col("n").cast("double") / col("prev"), lit(1.0)) * 10000) / 10000)
+        // stage 1 (no predecessor) converts at 1.0 by definition; an
+        // EMPTY predecessor stage leaves conversion undefined (NULL) —
+        // coalescing the 0-divisor NULL to 1.0 read as "100% conversion
+        // out of an empty stage" and silently diverged from the oracle.
+        when(col("prev").isNull, lit(1.0))
+          .otherwise(floor(try_divide(col("n").cast("double"), col("prev")) * 10000) / 10000)
           .as("conversion"))
   }
 
@@ -260,7 +268,9 @@ object EventOps {
       |  UNION ALL SELECT 3, 'purchase', count(*) FROM p
       |)
       |SELECT stage, event_type, CAST(n AS BIGINT) AS n_users,
-      |  floor(coalesce(n * 1.0 / lag(n) OVER (ORDER BY stage), 1.0) * 10000) / 10000 AS conversion
+      |  CASE WHEN lag(n) OVER (ORDER BY stage) IS NULL THEN 1.0
+      |       WHEN lag(n) OVER (ORDER BY stage) = 0 THEN NULL
+      |       ELSE floor(n * 1.0 / lag(n) OVER (ORDER BY stage) * 10000) / 10000 END AS conversion
       |FROM counts""".stripMargin
 
   /** Weekly cohort retention: users cohorted by their first active
@@ -295,7 +305,10 @@ object EventOps {
     * single integer-over-integer division (engine-exact doubles),
     * floor-truncated at 4dp. */
   def transitions(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    // ORDER BY whole seconds + event_id (never raw ts): Spark holds the
+    // parquet timestamp at us, DuckDB at ns — a sub-us tie would break
+    // by event_id on one engine and by the ns delta on the other.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_sec").asc, col("event_id").asc)
     val bigrams = loadEvents(spark, dir)
       .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("from_type").isNotNull)
@@ -308,7 +321,7 @@ object EventOps {
 
   val transitionsSql: String =
     """WITH bi AS (
-      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type,
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS from_type,
       |    event_type AS to_type
       |  FROM events
       |), c AS (
@@ -454,23 +467,33 @@ object EventOps {
     import spark.implicits._
     val ev = loadEvents(spark, dir).select(col("user_id"))
     val k = math.ceil(1.0 / phi).toInt
-    val cands = ev.as[Long].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[Long, Long]
-      it.foreach { x =>
-        if (counters.contains(x)) counters(x) += 1L
-        else if (counters.size < k) counters(x) = 1L
-        else {
-          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-          counters.keysIterator.foreach { key =>
-            val c = counters(key) - 1L
-            if (c == 0L) dead += key else counters(key) = c
+    // ONE sketch pass emits each partition's ≤ k candidates AND its row
+    // count from the same iterator (a separate total-count pass was a
+    // third full corpus read for a number this pass already sees); the
+    // ≤ (k+1)·P-row result is materialized once and feeds both the
+    // candidate set and the global total.
+    val pass1 = org.apache.spark.sql.graft.Materialize.stored(
+      ev.as[Long].mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[Long, Long]
+        var n = 0L
+        it.foreach { x =>
+          n += 1L
+          if (counters.contains(x)) counters(x) += 1L
+          else if (counters.size < k) counters(x) = 1L
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1L
+              if (c == 0L) dead += key else counters(key) = c
+            }
+            dead.foreach(counters.remove)
           }
-          dead.foreach(counters.remove)
         }
-      }
-      counters.keysIterator
-    }.toDF("user_id").distinct()
-    val total = ev.agg(count(lit(1)).as("total"))
+        counters.keysIterator.map(uid => (uid, 0L, false)) ++ Iterator((0L, n, true))
+      }.toDF("user_id", "cnt", "is_total"))
+    val cands = pass1.filter(!col("is_total")).select(col("user_id")).distinct()
+    val total = pass1.filter(col("is_total"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
     ev.join(broadcast(cands), Seq("user_id"), "left_semi")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
       .crossJoin(broadcast(total))

@@ -97,10 +97,7 @@ object Retrievers {
     val (q, candidate) = resolveQuery(e, qv)
     // A dataset/ACL scope prunes candidates BEFORE scoring: equi-semi-
     // join on the scoped doc ids (AQE broadcasts when the scope is small).
-    val cand =
-      if (!scoped) e.filter(candidate)
-      else e.filter(candidate)
-        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cand = embScoped(e.filter(candidate), docs, scoped)
     // Top-k BEFORE the snippet join: the corpus-wide work is the scored
     // scan (TakeOrdered over it), and only the k winners join documents
     // for their snippet text — not every scored row.
@@ -442,7 +439,11 @@ object Retrievers {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("centroid"))
-    val (q, _) = resolveQuery(e, qv) // centroids never self-match: no exclusion
+    // The stored query id resolves against the UNSCOPED relation (the
+    // repo-wide convention — chunksOver/summaries/feedback/completionCot
+    // all do; the query document being outside the caller's scope must
+    // not silently empty the result; only CANDIDATES are scope-pruned).
+    val (q, _) = resolveQuery(e0, qv) // centroids never self-match: no exclusion
     cent.crossJoin(broadcast(q))
       .select(col("label"), VectorOps.cosine(col("qv"), col("centroid")).as("ccos"))
   }
@@ -531,10 +532,7 @@ object Retrievers {
     val e = embD(spark, dir)
     val (q, candidate) = resolveQuery(e, qv)
     val docs = docsScoped(spark, dir, datasets)
-    val cand =
-      if (datasets.isEmpty) e.filter(candidate)
-      else e.filter(candidate)
-        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val cand = embScoped(e.filter(candidate), docs, datasets.nonEmpty)
     val top = cand.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
@@ -568,7 +566,7 @@ object Retrievers {
       qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
       datasets: Seq[String] = Nil,
       nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
-    val chunkPart = chunks(spark, dir, qv, k, datasets).limit(k)
+    val chunkPart = chunks(spark, dir, qv, k, datasets)
       .select(lit("chunk").as("part"),
         rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))
@@ -650,7 +648,11 @@ object Retrievers {
     // (graph_summary_completion_retriever.py:26-36 passes both through),
     // whose narrowing projects the triplet-search fragment; the summary
     // (document) leg has no node candidate set.
-    val tripletPart = insights(spark, dir, datasets = datasets,
+    // Same query for both legs (the reference's summary retriever
+    // extends GraphCompletionRetriever and forwards ONE query) — the
+    // triplet leg previously fell back to the Id(0) default while the
+    // summary leg scored the caller's vector.
+    val tripletPart = insights(spark, dir, qv, datasets = datasets,
         nodeType = nodeType, nodeNames = nodeNames)
       .select(concat(col("src"), lit("-"), col("rel"), lit("->"), col("dst")).as("ref"))
       .orderBy(col("ref").asc).limit(3)
@@ -677,7 +679,7 @@ object Retrievers {
        |    doc_id::VARCHAR || ': ' || array_to_string((string_split(d.text, ' '))[1:16], ' ') AS ref
        |  FROM ranked JOIN documents d USING (doc_id)
        |),
-       |qi AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qi AS (SELECT v AS qv FROM e WHERE vec_id = 2),
        |dims AS (SELECT label, i AS pos, v[i + 1] AS x FROM e, unnest(range(len(v))) AS u(i)),
        |cent AS (
        |  SELECT label, list(cx ORDER BY pos) AS centroid
@@ -1724,6 +1726,15 @@ object Retrievers {
     val most = """which (\w+) has the most (\w+)""".r.unanchored
     val total = """how many (\w+) are there""".r.unanchored
     q match {
+      // perGroup FIRST: the unanchored `total` pattern also matches
+      // "how many X are there in each Y" and would silently compile the
+      // per-group question to a global count.
+      case perGroup(t1w, t2w) =>
+        val (t1, t2) = (nlSingular(t1w), nlSingular(t2w)) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => throw new IllegalArgumentException(s"unknown entity in: $question")
+        }
+        s"MATCH ${nlPattern(t1, t2)} RETURN b.name AS $t2, count(*) AS n_$t1w ORDER BY $t2"
       case total(t1w) =>
         val t1 = nlSingular(t1w).getOrElse(
           throw new IllegalArgumentException(s"unknown entity '$t1w' in: $question"))
@@ -1735,12 +1746,6 @@ object Retrievers {
         }
         s"MATCH ${nlPattern(t1, t2)} RETURN b.name AS $t2, count(*) AS n_$t1w " +
           s"ORDER BY n_$t1w DESC, $t2 LIMIT 1"
-      case perGroup(t1w, t2w) =>
-        val (t1, t2) = (nlSingular(t1w), nlSingular(t2w)) match {
-          case (Some(a), Some(b)) => (a, b)
-          case _ => throw new IllegalArgumentException(s"unknown entity in: $question")
-        }
-        s"MATCH ${nlPattern(t1, t2)} RETURN b.name AS $t2, count(*) AS n_$t1w ORDER BY $t2"
       case _ => throw new IllegalArgumentException(
         s"unsupported question shape (supported: 'how many X ... each Y', " +
           s"'which Y has the most X', 'how many X are there'): $question")

@@ -36,6 +36,36 @@ class AuditSpec extends SparkSpecBase {
       audited.forall(r => !r.getBoolean(r.fieldIndex("method_alive"))))
   }
 
+  test("scoped insights resolve the stored query id against the UNSCOPED relation") {
+    // the default query doc (vec 0) lives outside this scope: scoping
+    // used to empty the query frame and silently return zero insights
+    val scoped = operators.Retrievers.insights(spark, sf,
+      datasets = operators.Retrievers.scopedDatasets)
+    assert(scoped.count() > 0)
+  }
+
+  test("summaryCompletion's triplet leg scores the CALLER's query, like completionContext") {
+    val qv = QueryVec.Id(7)
+    def tripletRefs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("part") === "triplet").select(col("ref"))
+      .collect().map(_.getString(0)).toSet
+    val viaSummary = tripletRefs(operators.Retrievers.summaryCompletion(spark, sf, qv))
+    val viaContext = tripletRefs(operators.Retrievers.completionContext(spark, sf, qv))
+    assert(viaSummary === viaContext && viaSummary.nonEmpty)
+  }
+
+  test("funnel: an empty predecessor stage leaves conversion NULL, not a fabricated 100%") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    Tables.load(spark, sf, "events").filter(col("event_type") === "view").limit(50)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.EventOps.funnel(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(1L) === Some(1.0))  // first stage converts by definition
+    assert(rows(2L) === Some(0.0))  // no clicks out of >0 views
+    assert(rows(3L) === None)       // 0 purchases / 0 clicks: undefined
+  }
+
   test("sketch audits are green on the real data and red under drift") {
     val d = operators.RelationalOps.approxDistinctAudit(spark, sf).collect()
     assert(d.nonEmpty && d.forall(r => r.getBoolean(r.fieldIndex("approx_ok"))))

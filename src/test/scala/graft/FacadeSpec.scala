@@ -307,6 +307,11 @@ class FacadeSpec extends SparkSpecBase {
     assert(Retrievers.naturalLanguage(spark, sf, "how many regions are there?")
       .collect().head.getLong(0) ===
       Tables.load(spark, sf, "region").count())
+    // 'how many X are there in each Y' routes to the PER-GROUP shape —
+    // the unanchored total pattern also matches this prefix and used to
+    // win, silently collapsing the grouping to a global count
+    assert(Retrievers.nlToCypher("how many suppliers are there in each region")
+      .contains("ORDER BY region"))
     // out-of-schema entities and shapes fail fast with the contract
     assert(intercept[IllegalArgumentException] {
       Retrievers.nlToCypher("how many dragons are located in each realm")
