@@ -77,6 +77,64 @@ object RelationalMigration {
     * any other [[PropertyGraph]]. */
   def migratedGraph(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir)
 
+  /** Per-table node/edge increment projection — shared verbatim between
+    * the batch [[build]] and the streaming CDC twin
+    * ([[graft.streaming.EventStream.migrateStream]]), so the stream
+    * emits exactly the increments a batch run over its new rows would.
+    * `fks` carries (fk column, referenced table, that table's DISTINCT
+    * key projection as a single string column `fkv`) — static in the
+    * CDC case, where arriving child rows join the already-migrated
+    * parent key set. Pure stateless projection + per-FK equi-joins:
+    * works identically on a batch table scan and on one micro-batch. */
+  private[graft] def tablePart(df: DataFrame, table: String, pk: String,
+      fks: Seq[(String, String, DataFrame)]): (DataFrame, DataFrame) = {
+    val emptyBag = map().cast("map<string,string>")
+    // Non-key columns migrate as ColumnValue nodes; the pk maps to
+    // the row id and FK columns become row→row edges below (:227-235
+    // skips exactly these two classes).
+    val dataCols = df.columns.filterNot(c => c == pk || fks.exists(_._1 == c))
+    val rowId = concat(lit("tablerow:" + table + ":"), col(pk).cast("string"))
+    val rowName = concat(lit(table + ":"), col(pk).cast("string"))
+    val rowProps = map_from_arrays(
+      array(df.columns.map(lit(_)): _*),
+      array(df.columns.map(c => col(c).cast("string")): _*))
+
+    val rowNodes = df.select(rowId.as("id"), lit("TableRow").as("ntype"),
+      rowName.as("name"), rowProps.as("props"))
+    val isPartOf = df.select(rowId.as("src"),
+      lit("tabletype:" + table).as("dst"), lit("is_part_of").as("rel"),
+      emptyBag.as("props"))
+
+    // One explode per table covers every non-key column in a single
+    // scan; NULL values carry no node/edge.
+    val colEntries = df.select(rowId.as("src"),
+        explode(map(dataCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+          .as(Seq("ckey", "cval")))
+      .where(col("cval").isNotNull)
+    val colId = concat(lit("colval:" + table + ":"), col("ckey"), lit(":"), col("cval"))
+    val colNodes = colEntries.select(colId.as("id"), lit("ColumnValue").as("ntype"),
+      concat(lit(table + ":"), col("ckey"), lit(":"), col("cval")).as("name"),
+      map(lit("table"), lit(table), lit("column"), col("ckey"),
+        lit("value"), col("cval")).as("props"))
+    val colEdges = colEntries.select(col("src"), colId.as("dst"),
+      col("ckey").as("rel"), emptyBag.as("props"))
+
+    // FK edges (:275-308): the reference joins child.fk = parent.ref
+    // and emits one edge per match; the parent side reduces to its
+    // distinct key projection (same edge set — the target id is the
+    // key — one narrow broadcast-able relation instead of the full
+    // parent row).
+    val fkEdges = fks.map { case (fkCol, refTable, parentKeys) =>
+      df.select(rowId.as("src"), col(fkCol).cast("string").as("fkv"))
+        .join(parentKeys, Seq("fkv"))
+        .select(col("src"),
+          concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
+          lit(fkCol).as("rel"), emptyBag.as("props"))
+    }
+    (rowNodes.unionByName(colNodes),
+      (isPartOf +: fkEdges).reduce(_ unionByName _).unionByName(colEdges))
+  }
+
   private def build(spark: SparkSession, dir: String): PropertyGraph = {
     import spark.implicits._
     val emptyBag = map().cast("map<string,string>")
@@ -88,52 +146,11 @@ object RelationalMigration {
       lit("TableType").as("ntype"), col("t").as("name"), emptyBag.as("props"))
 
     val parts = specs.map { sp =>
-      val df = graft.Tables.load(spark, dir, sp.table)
-      // Non-key columns migrate as ColumnValue nodes; the pk maps to
-      // the row id and FK columns become row→row edges below (:227-235
-      // skips exactly these two classes).
-      val dataCols = df.columns.filterNot(c => c == sp.pk || sp.fks.exists(_._1 == c))
-      val rowId = concat(lit("tablerow:" + sp.table + ":"), col(sp.pk).cast("string"))
-      val rowName = concat(lit(sp.table + ":"), col(sp.pk).cast("string"))
-      val rowProps = map_from_arrays(
-        array(df.columns.map(lit(_)): _*),
-        array(df.columns.map(c => col(c).cast("string")): _*))
-
-      val rowNodes = df.select(rowId.as("id"), lit("TableRow").as("ntype"),
-        rowName.as("name"), rowProps.as("props"))
-      val isPartOf = df.select(rowId.as("src"),
-        lit("tabletype:" + sp.table).as("dst"), lit("is_part_of").as("rel"),
-        emptyBag.as("props"))
-
-      // One explode per table covers every non-key column in a single
-      // scan; NULL values carry no node/edge.
-      val colEntries = df.select(rowId.as("src"),
-          explode(map(dataCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
-            .as(Seq("ckey", "cval")))
-        .where(col("cval").isNotNull)
-      val colId = concat(lit("colval:" + sp.table + ":"), col("ckey"), lit(":"), col("cval"))
-      val colNodes = colEntries.select(colId.as("id"), lit("ColumnValue").as("ntype"),
-        concat(lit(sp.table + ":"), col("ckey"), lit(":"), col("cval")).as("name"),
-        map(lit("table"), lit(sp.table), lit("column"), col("ckey"),
-          lit("value"), col("cval")).as("props"))
-      val colEdges = colEntries.select(col("src"), colId.as("dst"),
-        col("ckey").as("rel"), emptyBag.as("props"))
-
-      // FK edges (:275-308): the reference joins child.fk = parent.ref
-      // and emits one edge per match; the parent side reduces to its
-      // distinct key projection (same edge set — the target id is the
-      // key — one narrow broadcast-able relation instead of the full
-      // parent row).
-      val fkEdges = sp.fks.map { case (fkCol, refTable, refCol) =>
-        val parentKeys = graft.Tables.load(spark, dir, refTable)
-          .select(col(refCol).cast("string").as("fkv")).distinct()
-        df.select(rowId.as("src"), col(fkCol).cast("string").as("fkv"))
-          .join(parentKeys, Seq("fkv"))
-          .select(col("src"),
-            concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
-            lit(fkCol).as("rel"), emptyBag.as("props"))
+      val fks = sp.fks.map { case (fkCol, refTable, refCol) =>
+        (fkCol, refTable, graft.Tables.load(spark, dir, refTable)
+          .select(col(refCol).cast("string").as("fkv")).distinct())
       }
-      (rowNodes.unionByName(colNodes), (isPartOf +: fkEdges).reduce(_ unionByName _).unionByName(colEdges))
+      tablePart(graft.Tables.load(spark, dir, sp.table), sp.table, sp.pk, fks)
     }
 
     // Batched bulk merge (:66-67 — the reference adds all nodes, then

@@ -566,7 +566,13 @@ object Retrievers {
       qv: graft.QueryVec = graft.QueryVec.Id(0), k: Int = 3,
       datasets: Seq[String] = Nil,
       nodeType: Option[String] = None, nodeNames: Seq[String] = Nil): DataFrame = {
-    val chunkPart = chunks(spark, dir, qv, k, datasets)
+    // The limit(k) is value-wise redundant (chunks already bounds to k
+    // before its snippet join) but STRUCTURALLY load-bearing: it is the
+    // bound directly above the constant-partition rank below, which is
+    // only legitimate over a structurally-limited subtree (the snippet
+    // equi-join alone can't prove ≤k to the plan lint or to a reader of
+    // the optimized plan). Removed once as "dead" — it is not.
+    val chunkPart = chunks(spark, dir, qv, k, datasets).limit(k)
       .select(lit("chunk").as("part"),
         rankOver(col("doc_id"), col("cosine").desc, col("doc_id").asc).cast("long").as("rank"),
         col("doc_id").cast("string").as("ref"))

@@ -335,6 +335,55 @@ object EventStream {
         ()
       }.start()
 
+  /** CDC relational→graph ingest — the streaming twin of
+    * [[graft.graph.RelationalMigration]] (row-level
+    * migrate_relational_database), because at production scale the
+    * source tables don't arrive as a one-shot bulk load: rows stream in
+    * as change capture, and each micro-batch must land exactly the
+    * node/edge increments the batch migration derives for those rows.
+    * The increment projection is SHARED VERBATIM
+    * ([[graft.graph.RelationalMigration.tablePart]] — TableRow node +
+    * row props bag, is_part_of edge, ColumnValue nodes/edges from one
+    * explode, per-FK equi-joins against the already-migrated parent key
+    * projections, which are the static side here), applied per
+    * micro-batch inside foreachBatch and landed through the same bulk
+    * mergeNodes/mergeEdges contract as batch — whose id-keyed /
+    * triplet-keyed dedup makes cross-batch ColumnValue collisions (two
+    * rows in different micro-batches sharing a value) converge to the
+    * one shared node, exactly the reference's node_mapping dedup.
+    *
+    * The ONE stateful op dedups replayed rows on (pk, content hash)
+    * within the watermark horizon — the idempotent re-add contract
+    * every ingest twin carries. Scope honesty: this covers INSERT CDC
+    * and replay; an UPDATE (same pk, new content) re-emits increments
+    * but merge's keep-first upsert will not overwrite the stored row
+    * node — updates route through the mutation API, like every other
+    * in-place rewrite in this engine.
+    *
+    * `merge` receives each micro-batch's (node, edge) increments,
+    * eagerly pinned so they never escape their micro-batch scope (the
+    * [[indexStream]] precedent); a deployment folds them into its
+    * graph store, the spec accumulates a [[graft.graph.PropertyGraph]].
+    * An empty batch (all rows replayed) still calls `merge` with empty
+    * increments — merge of nothing is the identity. */
+  def migrateStream(rows: DataFrame, table: String, pk: String,
+      fks: Seq[(String, String, DataFrame)],
+      merge: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tableCols = rows.columns.filterNot(_ == "tsSec").toSeq
+    rows
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withColumn("content_hash", md5(to_json(struct(tableCols.map(col): _*))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(pk, "content_hash")
+      .select(tableCols.map(col): _*)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (n, e) = graft.graph.RelationalMigration.tablePart(batch, table, pk, fks)
+        merge(n.localCheckpoint(true), e.localCheckpoint(true))
+        ()
+      }.start()
+  }
+
   /** At-ingest SemDeDup — the streaming twin of
     * [[graft.operators.CurateOps.semDedup]] (Abbas et al. 2023): each
     * arriving embedding is assigned a cell under the PERSISTED

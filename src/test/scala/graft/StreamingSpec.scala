@@ -690,4 +690,58 @@ class StreamingSpec extends SparkSpecBase {
     // NaN cosines compare false against tau → the poisoned vector keeps
     assert(rows.find(_.getLong(0) == 2L).exists(_.getBoolean(2)))
   }
+
+  test("streaming CDC migration equals the batch increment projection, replay-idempotent") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.{PropertyGraph, RelationalMigration}
+
+    // already-migrated parent key projection (the static side of the
+    // CDC FK joins): customers 1 and 2 exist, 7 does not
+    val parentKeys = Seq("1", "2").toDF("fkv")
+    val fks = Seq(("o_custkey", "customer", parentKeys))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+
+    var g = emptyGraph
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStream.migrateStream(
+      stream.toDF().toDF("tsSec", "o_orderkey", "o_custkey", "o_orderstatus"),
+      "orders", "o_orderkey", fks,
+      (n, e) => { g = g.mergeNodes(n).mergeEdges(e) })
+    stream.addData(Seq((1000L, 10L, 1L, "O"), (1000L, 11L, 2L, "F"), (1000L, 12L, 7L, "O")))
+    q.processAllAvailable()
+    // micro-batch 2: one row replayed verbatim (dropped by the stateful
+    // (pk, content_hash) dedup) + one new row sharing a status value
+    // with batch 1 (cross-batch ColumnValue convergence under merge)
+    stream.addData(Seq((1000L, 10L, 1L, "O"), (1000L, 13L, 1L, "F")))
+    q.processAllAvailable()
+    q.stop()
+
+    def nodeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+    // batch parity: the accumulated graph IS the batch increment
+    // projection over the distinct rows, merged once
+    val staticRows = Seq((10L, 1L, "O"), (11L, 2L, "F"), (12L, 7L, "O"), (13L, 1L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val (en, ee) = RelationalMigration.tablePart(staticRows, "orders", "o_orderkey", fks)
+    val expected = emptyGraph.mergeNodes(en).mergeEdges(ee)
+    assert(nodeSet(g.nodes) === nodeSet(expected.nodes))
+    assert(edgeSet(g.edges) === edgeSet(expected.edges))
+
+    // replay deduped: exactly the 4 distinct rows became TableRow nodes
+    assert(g.nodes.filter(col("ntype") === "TableRow").count() === 4L)
+    // cross-batch value sharing: orders 11 (batch 1) and 13 (batch 2)
+    // converge on ONE shared ColumnValue node
+    assert(g.nodes.filter(col("id") === "colval:orders:o_orderstatus:F").count() === 1L)
+    // FK edges exist exactly for rows whose parent is migrated (not 12)
+    val fkSrcs = g.edges.filter(col("rel") === "o_custkey")
+      .select(col("src")).collect().map(_.getString(0)).toSet
+    assert(fkSrcs === Set("tablerow:orders:10", "tablerow:orders:11", "tablerow:orders:13"))
+  }
 }
