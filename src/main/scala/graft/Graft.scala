@@ -158,7 +158,16 @@ object Graft {
     }
     tpe match {
       case Chunks => p.user match {
-        case Some(u) => R.chunksAcl(spark, dir, u, vec(0), p.topK.getOrElse(5), p.datasets)
+        // in-code verification dim: the registered semi-join plan
+        case Some(u) if p.aclRoot.isEmpty =>
+          R.chunksAcl(spark, dir, u, vec(0), p.topK.getOrElse(5), p.datasets)
+        // durable principal store: the scope already resolved above
+        // (direct ∪ role ∪ tenant, ∩ explicit datasets) — previously
+        // this case fell through to the in-code dim and silently
+        // IGNORED the caller's aclRoot, so a store-granted user
+        // searched an empty (or wrong) scope
+        case Some(_) =>
+          scoped(R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), scope))
         case None => R.chunks(spark, dir, vec(0), p.topK.getOrElse(5), p.datasets)
       }
       case ChunksLexical =>

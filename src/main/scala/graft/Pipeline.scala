@@ -88,9 +88,14 @@ object Pipeline {
       mode: String = "soft"): DataFrame = {
     require(mode == "soft" || mode == "hard", s"delete mode must be soft|hard: $mode")
     val r = cognify(spark, dir)
+    // `del` is every doc of the deleted SOURCE — corpus-proportional
+    // (a dataset delete at 100 TB is millions of ids), so the joins are
+    // plain keyed joins: AQE still broadcasts when the source turns out
+    // small, but nothing forces a near-corpus driver hash relation (the
+    // kCore cascade lesson).
     val del = r.documents.filter(col("source") === source).select(col("doc_id"))
-    val delMentions = r.mentions.join(broadcast(del), Seq("doc_id"))
-    val remaining = r.mentions.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val delMentions = r.mentions.join(del, Seq("doc_id"))
+    val remaining = r.mentions.join(del, Seq("doc_id"), "left_anti")
     val orphaned = r.entities
       .join(remaining.select(col("entity")).distinct(), Seq("entity"), "left_anti")
     def c(name: String, df: DataFrame) =
@@ -181,10 +186,13 @@ object Pipeline {
       .select(col("doc_id"), col("new_text"))
     def mentionsOf(df: DataFrame, text: org.apache.spark.sql.Column) =
       df.select(col("doc_id"), explode(array_distinct(split(text, " "))).as("entity"))
-    val oldM = mentionsOf(docs.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id")), col("text"))
+    // `changed` is the source's whole changed slice — corpus-
+    // proportional under a bulk revision, so keyed joins (AQE
+    // broadcasts when the changeset is actually small).
+    val oldM = mentionsOf(docs.join(changed.select(col("doc_id")), Seq("doc_id")), col("text"))
     val newM = mentionsOf(changed, col("new_text")).filter(col("entity") =!= "")
     val untouchedM = mentionsOf(
-      docs.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id"), "left_anti"), col("text"))
+      docs.join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti"), col("text"))
     def c(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
     c("docs_updated", changed)

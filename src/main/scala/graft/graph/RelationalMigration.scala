@@ -53,11 +53,17 @@ object RelationalMigration {
   private final case class TableSpec(
       table: String, pk: String, fks: Seq[(String, String, String)])
 
+  // Every testdata table with a SINGLE-column primary key — the
+  // reference's scheme (migrate_relational_database.py:184-194 keys the
+  // node id on ONE pk column, falling back to the first column).
+  // lineitem's key is composite (l_orderkey, l_linenumber), which that
+  // scheme would collapse to colliding node ids — excluded, documented.
   private val specs = Seq(
     TableSpec("region", "r_regionkey", Nil),
     TableSpec("nation", "n_nationkey", Seq(("n_regionkey", "region", "r_regionkey"))),
     TableSpec("supplier", "s_suppkey", Seq(("s_nationkey", "nation", "n_nationkey"))),
     TableSpec("customer", "c_custkey", Seq(("c_nationkey", "nation", "n_nationkey"))),
+    TableSpec("part", "p_partkey", Nil),
     TableSpec("orders", "o_orderkey", Seq(("o_custkey", "customer", "c_custkey"))))
 
   private val migratedTables = specs.map(_.table)
@@ -194,6 +200,7 @@ object RelationalMigration {
       "region" -> Seq("r_name"), "nation" -> Seq("n_name"),
       "supplier" -> Seq("s_name", "s_acctbal"),
       "customer" -> Seq("c_name", "c_acctbal", "c_mktsegment"),
+      "part" -> Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
       "orders" -> Seq("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
     val rowRows = specs.map(sp =>
       s"SELECT 'node', 'TableRow:${sp.table}', count(DISTINCT ${sp.pk}) FROM ${sp.table}")

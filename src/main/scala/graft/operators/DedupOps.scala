@@ -367,9 +367,13 @@ object DedupOps {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       .persist()
     // Exact verification restricted to candidate docs (collision-free:
-    // raw shingle sets, not their hashes).
+    // raw shingle sets, not their hashes). The candidate doc set is
+    // DUP-PROPORTIONAL — on the operator's real workload (dup-heavy
+    // corpora) it approaches the corpus — so the restriction is a keyed
+    // semi-join, never a forced broadcast (AQE broadcasts when the
+    // candidate set is actually small).
     val candDocs = cand.select(col("d1").as("doc_id")).union(cand.select(col("d2"))).distinct()
-    val sets = sh.join(broadcast(candDocs), Seq("doc_id"))
+    val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
     val inter = size(array_intersect(col("ss1"), col("ss2"))).cast("double")
     val j = inter / (size(col("ss1")) + size(col("ss2")) - inter)

@@ -42,15 +42,19 @@ object RelationalOps {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** TPC-H Q3-style shipping-priority revenue top-N. customer is small
-    * → broadcast to the orders side; lineitem join shuffles on orderkey
-    * once; top-10 via rounded-revenue total order (ties → orderkey). */
+  /** TPC-H Q3-style shipping-priority revenue top-N. The customer side
+    * is SF-PROPORTIONAL (150k×SF rows — not a fixed-vocab dim like
+    * nation/region), so it joins keyed: the planner broadcasts it when
+    * the scan statistics say it fits, and at 100 TB the plan degrades
+    * to a shuffle join instead of a forced multi-TB driver build.
+    * lineitem join shuffles on orderkey once; top-10 via
+    * rounded-revenue total order (ties → orderkey). */
   def q3JoinTopN(spark: SparkSession, dir: String): DataFrame = {
     val c = load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = load(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
     val l = load(spark, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("orderkey").asc)
@@ -114,8 +118,11 @@ object RelationalOps {
       |FROM orders""".stripMargin
 
   /** TPC-H Q5-style: revenue by nation within one region and year —
-    * the full dimension-chain join (region→nation→customer/supplier),
-    * with both dims broadcast and the fact scans filter-pushed. */
+    * the full dimension-chain join (region→nation→customer/supplier)
+    * with the fact scans filter-pushed. Only the FIXED-VOCAB dims
+    * (nation 25 rows, region 5) carry broadcast hints; customer and
+    * supplier are SF-proportional, so they join keyed and the planner
+    * broadcasts them only while they actually fit. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = load(spark, dir, "region").filter(col("r_name") === "ASIA")
     val n = load(spark, dir, "nation")
@@ -125,8 +132,8 @@ object RelationalOps {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val l = load(spark, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -158,7 +165,7 @@ object RelationalOps {
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
       .filter(col("total_qty") > 220.0)
     big.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey")) // SF-proportional: keyed, planner decides
       .select(col("c_name").as("customer"), col("o_orderkey").as("orderkey"),
         col("o_totalprice").as("totalprice"), col("total_qty"))
       .orderBy(col("total_qty").desc, col("orderkey").asc)
@@ -184,7 +191,7 @@ object RelationalOps {
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val l = load(spark, dir, "lineitem")
     val p = load(spark, dir, "part")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey")) // part is SF-proportional: keyed, planner decides
       .select(col("p_brand").as("brand"),
         substring(col("p_type"), 1, 6).as("type_prefix"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
@@ -262,7 +269,7 @@ object RelationalOps {
     val c = load(spark, dir, "customer")
     val w = Window.partitionBy(col("mktsegment"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val joined = o.join(c, col("o_custkey") === col("c_custkey")) // SF-proportional: keyed
       .select(col("c_mktsegment").as("mktsegment"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("mktsegment"))))
@@ -306,7 +313,7 @@ object RelationalOps {
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val o = load(spark, dir, "orders")
     val c = load(spark, dir, "customer")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey")) // SF-proportional: keyed
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .agg(
         round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("approx_median"),
@@ -347,7 +354,7 @@ object RelationalOps {
   def approxPercentilesAudit(spark: SparkSession, dir: String): DataFrame = {
     val o = load(spark, dir, "orders")
     val c = load(spark, dir, "customer")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey")) // SF-proportional: keyed
       .groupBy(col("c_mktsegment").as("mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
@@ -373,7 +380,7 @@ object RelationalOps {
     val c = load(spark, dir, "customer")
     val n = load(spark, dir, "nation")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey")) // SF-proportional: keyed
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey").as("custkey"), col("c_name").as("customer"), col("n_name").as("nation"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("lost_revenue"))

@@ -55,6 +55,23 @@ class FacadeSpec extends SparkSpecBase {
       SearchParams(user = Some("mallory"))).count() === 0L)
   }
 
+  test("CHUNKS honors a caller aclRoot: store-granted users resolve through the durable store") {
+    // dave exists ONLY in the durable principal store (direct src0 ∪
+    // role src4-7 ∪ tenant src12), not in the in-code dim — before the
+    // fix the Chunks dispatch ignored aclRoot and denied him.
+    val root = java.nio.file.Files.createTempDirectory("graft_facade_acl").toString
+    val as = sources.AclStore(spark, root)
+    sources.AclStore.seed(as)
+    val got = rows(Graft.search(spark, sf, Graft.Chunks,
+      SearchParams(user = Some("dave"), aclRoot = Some(root))))
+    assert(got.nonEmpty, "a store-granted user must see their scope, not be denied")
+    assert(got === rows(Retrievers.chunksAclRole(spark, sf)),
+      "the facade's store path must equal the registered principal-store operator")
+    // without the store, dave stays unknown to the in-code dim: denied
+    assert(Graft.search(spark, sf, Graft.Chunks,
+      SearchParams(user = Some("dave"))).count() === 0L)
+  }
+
   /** Every search type that reads dataset-partitioned data (documents /
     * embeddings) — the set the user scope must narrow. */
   private val scopedTypes: Seq[Graft.SearchType] = Seq(
