@@ -617,17 +617,19 @@ object CypherLite {
       val name = entries.collectFirst { case ("name", v) => v }.getOrElse(id)
       val bag = entries.filterNot(e => e._1 == "id" || e._1 == "name" ||
         (ntypeRaw.equalsIgnoreCase("Node") && e._1 == "type"))
-      val propsCol =
-        if (bag.isEmpty) map().cast("map<string,string>")
-        else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      // The increment is materialized as a stored 1-row scan BEFORE it
-      // meets the mutation plans: left as literal projections, the
-      // constant-aliased join key sends PushDownLeftSemiAntiJoin /
-      // CollapseProject / ColumnPruning into a rewrite cycle that caps
-      // the optimizer's iteration budget on every downstream action.
-      val row = org.apache.spark.sql.graft.Materialize.stored(
-        spark.range(1).select(lit(id).as("id"), lit(ntype).as("ntype"),
-          lit(name).as("name"), propsCol.as("props")))
+      // The increment is a LocalRelation of CONCRETE rows, not literal
+      // projections: a constant-aliased join key sends
+      // PushDownLeftSemiAntiJoin / CollapseProject / ColumnPruning into
+      // a rewrite cycle that caps the optimizer's iteration budget on
+      // every downstream action — a LocalRelation has plain attributes
+      // and no such cycle, and unlike an eager Materialize.stored it
+      // costs ZERO Spark jobs per write (a chain of writes used to pay
+      // one materialization job per layer just to mint its 1-row
+      // increment).
+      val row = {
+        import spark.implicits._
+        Seq((id, ntype, name, bag.toMap)).toDF("id", "ntype", "name", "props")
+      }
       val preExisting =
         if (onMatch.isEmpty) null
         else org.apache.spark.sql.graft.Materialize.stored(
@@ -660,22 +662,23 @@ object CypherLite {
       val bag = lastWins(inline.filterNot(e =>
         relRaw.equalsIgnoreCase("EDGE") && e._1 == "relationship_name") ++
         onCreate.map(e => e._2 -> e._3))
-      val propsCol =
-        if (bag.isEmpty) map().cast("map<string,string>")
-        else map(bag.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      val bare = spark.range(1).select(lit(srcId).as("src"), lit(dstId).as("dst"),
-        lit(rel).as("rel"), propsCol.as("props"))
+      // LocalRelation of concrete rows — zero jobs, no optimizer-cycle
+      // hazard (see the node case).
+      val bare = {
+        import spark.implicits._
+        Seq((srcId, dstId, rel, bag.toMap)).toDF("src", "dst", "rel", "props")
+      }
       // The template's MATCH clauses make the edge contract explicit:
       // a missing endpoint matches nothing and the MERGE is a no-op —
       // expressed as two ≤1-row existence gates (pushed id-equality
-      // scans), not a driver-side probe.
-      val gated =
+      // scans), not a driver-side probe. Only the GATED form (a real
+      // query over the graph) needs the eager stored scan.
+      val row =
         if (!requireEndpoints) bare
-        else bare
+        else org.apache.spark.sql.graft.Materialize.stored(bare
           .crossJoin(g.nodes.filter(col("id") === lit(srcId)).select(lit(1).as("src_ok")).limit(1))
           .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
-          .select(col("src"), col("dst"), col("rel"), col("props"))
-      val row = org.apache.spark.sql.graft.Materialize.stored(gated) // see node case
+          .select(col("src"), col("dst"), col("rel"), col("props")))
       // ON MATCH keys on the PRE-merge edge, gated by the SAME endpoint
       // existence contract as the merge itself: when the template's
       // MATCH clauses bind nothing, Cypher's whole statement — ON MATCH

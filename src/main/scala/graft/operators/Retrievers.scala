@@ -1318,25 +1318,52 @@ object Retrievers {
       "MERGE (a {id: 'nation:900'})-[:in_region {note: 'synthetic'}]->(b {id: 'region:0'})")
     g = CypherLite.runWrite(g,
       "MATCH (n:nation {id: 'nation:900'}) SET n.status = 'new'")
-    g = g.compact
     g = CypherLite.runWrite(g,
       "MATCH (a:nation)-[r:in_region]->(b {id: 'region:0'}) SET r.weight = '2'")
-    // nation:900 exists → ON MATCH fires (revisited), ON CREATE doesn't (founded)
     g = CypherLite.runWrite(g,
-      "MERGE (x:nation {id: 'nation:900'}) " +
-        "ON CREATE SET x.founded = '2024' ON MATCH SET x.revisited = '1'")
+      "MATCH (n:nation {id: 'nation:3'}) DETACH DELETE n")
+    CypherLite.run(g,
+      "MATCH (n:nation)-[r:in_region]->(x:region) " +
+        "RETURN x.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged, " +
+        "count(r.weight) AS n_weighted ORDER BY region")
+  }
+
+  val cypherWriteSql: String =
+    """WITH n2 AS (
+      |  SELECT 'nation:'||n_nationkey AS nid, n_regionkey AS rk, NULL AS status
+      |  FROM nation WHERE n_nationkey <> 3
+      |  UNION ALL SELECT 'nation:900', 0, 'new'
+      |)
+      |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged,
+      |  count(CASE WHEN rk = 0 THEN 1 END) AS n_weighted
+      |FROM n2 JOIN region ON rk = r_regionkey
+      |GROUP BY r_name ORDER BY region""".stripMargin
+
+  /** The ON CREATE SET / ON MATCH SET write surface as its OWN chain
+    * (the r13 additions briefly rode inside [[cypherWrite]], growing it
+    * to 9 layers + 2 compacts — 7-8 s at sf0.1 vs its 1.4 s record; a
+    * registered query is a per-feature gate, so each chain stays
+    * shallow and record-comparable). Four layers, independent of
+    * [[cypherWrite]]'s mutations: MERGE-create with the `+=` map fold
+    * (ON CREATE fires), a verbatim re-MERGE (ON MATCH fires, the
+    * created props survive), then the kuzu adapter's MATCH-MATCH-MERGE
+    * edge template (adapter.py:283) run twice — first run CREATEs the
+    * edge (created_at/weight stamps), the re-run MATCHes it (rematched
+    * stamp lands, created stamps kept). The read walks the synthetic
+    * EDGE back through the read compiler; the oracle declares the
+    * intended post-state (the write-ledger style of [[cypherWriteSql]]),
+    * so a lost ON CREATE, a mis-fired ON MATCH, or a duplicated
+    * template edge breaks the hash. */
+  def cypherWriteOnMatch(spark: SparkSession, dir: String): DataFrame = {
+    var g = TpchGraph(spark, dir)
     // nation:901 is new → ON CREATE's += map folds in, ON MATCH doesn't
     g = CypherLite.runWrite(g,
       "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
         "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
-    // Chain compaction between mutation batches (PropertyGraph.compact):
-    // without it the 9-layer chain re-derives every earlier rewrite on
-    // each downstream action — 8.9 s at sf0.1 / 21 s at sf1; compacted,
-    // the remaining writes and the read start from stored blocks.
-    g = g.compact
-    // the kuzu adapter's edge-MERGE template (adapter.py:283), parameter-
-    // substituted: first run CREATEs the edge (created stamp), the
-    // verbatim re-run MATCHes it (rematched stamp updates, created kept)
+    // verbatim re-run: ON MATCH fires (revisited), founded stays 2023
+    g = CypherLite.runWrite(g,
+      "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
+        "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
     val template =
       "MATCH (from:Node), (to:Node) WHERE from.id = 'nation:901' AND to.id = 'region:1' " +
         "MERGE (from)-[r:EDGE { relationship_name: 'in_region' }]->(to) " +
@@ -1344,27 +1371,29 @@ object Retrievers {
         "ON MATCH SET r.rematched = '1'"
     g = CypherLite.runWrite(g, template)
     g = CypherLite.runWrite(g, template)
-    g = CypherLite.runWrite(g,
-      "MATCH (n:nation {id: 'nation:3'}) DETACH DELETE n")
+    // The template's `[r:EDGE {relationship_name: 'in_region'}]` lands
+    // as rel = in_region (the adapters' generic edge table maps
+    // relationship_name to the rel) — so the read walks the WHOLE
+    // in_region census: region 1 gains one nation edge (901), the
+    // founded/revisited props exist only on 901, weight/rematched only
+    // on the template edge.
     CypherLite.run(g,
       "MATCH (n:nation)-[r:in_region]->(x:region) " +
-        "RETURN x.name AS region, count(*) AS n_nations, count(n.status) AS n_flagged, " +
-        "count(r.weight) AS n_weighted, count(n.founded) AS n_founded, " +
-        "count(n.revisited) AS n_revisited, count(r.rematched) AS n_rematched " +
-        "ORDER BY region")
+        "RETURN x.name AS region, count(*) AS n_edges, count(n.founded) AS n_founded, " +
+        "count(n.revisited) AS n_revisited, count(r.weight) AS n_weighted, " +
+        "count(r.rematched) AS n_rematched ORDER BY region")
   }
 
-  val cypherWriteSql: String =
+  val cypherWriteOnMatchSql: String =
     """WITH n2 AS (
       |  SELECT 'nation:'||n_nationkey AS nid, n_regionkey AS rk,
-      |    NULL AS status, NULL AS founded, NULL AS revisited
-      |  FROM nation WHERE n_nationkey <> 3
-      |  UNION ALL SELECT 'nation:900', 0, 'new', NULL, '1'
-      |  UNION ALL SELECT 'nation:901', 1, NULL, '2023', NULL
+      |    NULL AS founded, NULL AS revisited
+      |  FROM nation
+      |  UNION ALL SELECT 'nation:901', 1, '2023', '1'
       |)
-      |SELECT r_name AS region, count(*) AS n_nations, count(status) AS n_flagged,
-      |  count(CASE WHEN rk = 0 OR nid = 'nation:901' THEN 1 END) AS n_weighted,
-      |  count(founded) AS n_founded, count(revisited) AS n_revisited,
+      |SELECT r_name AS region, count(*) AS n_edges, count(founded) AS n_founded,
+      |  count(revisited) AS n_revisited,
+      |  count(CASE WHEN nid = 'nation:901' THEN 1 END) AS n_weighted,
       |  count(CASE WHEN nid = 'nation:901' THEN 1 END) AS n_rematched
       |FROM n2 JOIN region ON rk = r_regionkey
       |GROUP BY r_name ORDER BY region""".stripMargin
@@ -2360,6 +2389,7 @@ object Retrievers {
     "search_cypher_rels" -> ((s: SparkSession, d: String) => cypherRels(s, d)),
     "search_cypher_shortest" -> ((s: SparkSession, d: String) => cypherShortest(s, d)),
     "search_cypher_write" -> ((s: SparkSession, d: String) => cypherWrite(s, d)),
+    "search_cypher_write_onmatch" -> ((s: SparkSession, d: String) => cypherWriteOnMatch(s, d)),
     "search_cypher_unwind" -> ((s: SparkSession, d: String) => cypherUnwind(s, d)),
     "search_context_render" -> ((s: SparkSession, d: String) => contextRender(s, d)),
     "search_cypher_or" -> ((s: SparkSession, d: String) => cypherOr(s, d)),
@@ -2413,6 +2443,7 @@ object Retrievers {
     "search_cypher_rels" -> cypherRelsSql,
     "search_cypher_shortest" -> cypherShortestSql,
     "search_cypher_write" -> cypherWriteSql,
+    "search_cypher_write_onmatch" -> cypherWriteOnMatchSql,
     "search_cypher_unwind" -> cypherUnwindSql,
     "search_context_render" -> contextRenderSql,
     "search_cypher_or" -> cypherOrSql,

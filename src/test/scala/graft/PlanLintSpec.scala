@@ -58,6 +58,8 @@ class PlanLintSpec extends SparkSpecBase {
     "search_cypher_write", // 1-row write increment ⋈ the id-matched base row: both sides
                            // filter to the same literal id, so constant propagation
                            // rewrites the equi-join condition away — ≤1 row × ≤1 row
+    "search_cypher_write_onmatch", // same shape: the template's endpoint gates and the
+                                   // ON MATCH prop-set key on literal-id 1-row scans
     "curate_dsir") // two 1-row total-aggregate crossJoins (tt = Σ target counts,
                    // rt = Σ raw counts) broadcast into the ≤256-row log-ratio table
 
