@@ -194,4 +194,52 @@ class PropertySpecs extends SparkSpecBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(admitted === Set(4L))
   }
+
+  test("streaming CDC migration equals batch tablePart on a random table with random replays") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.{PropertyGraph, RelationalMigration}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // random table: unique pks, fk domain larger than the migrated
+    // parent set (dangling FKs must be suppressed), values drawn from a
+    // tiny vocab so ColumnValue nodes SHARE across rows and batches
+    val rows = (0 until 30).map(i =>
+      (i.toLong, rng.nextInt(10).toLong, s"v${rng.nextInt(5)}"))
+    val parentKeys = (0 until 7).map(_.toString).toDF("fkv")
+    val fks = Seq(("fk", "parent", parentKeys))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+
+    // three random micro-batches partitioning the rows + one pure-replay batch
+    val shuffled = rng.shuffle(rows)
+    val batches = Seq(shuffled.take(10), shuffled.slice(10, 20), shuffled.drop(20),
+      rng.shuffle(rows).take(12))
+    var g = emptyGraph
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.EventStream.migrateStream(
+      stream.toDF().toDF("tsSec", "pk", "fk", "v"), "t", "pk", fks,
+      (n, e) => { g = g.mergeNodes(n).mergeEdges(e) })
+    batches.foreach { b =>
+      stream.addData(b.map(r => (100L, r._1, r._2, r._3)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val (en, ee) = RelationalMigration.tablePart(
+      rows.toDF("pk", "fk", "v"), "t", "pk", fks)
+    val expected = emptyGraph.mergeNodes(en).mergeEdges(ee)
+    def nodeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nodeSet(g.nodes) === nodeSet(expected.nodes))
+    assert(edgeSet(g.edges) === edgeSet(expected.edges))
+    // replay batch landed nothing new; dangling FKs suppressed
+    assert(g.nodes.filter(col("ntype") === "TableRow").count() === 30L)
+    val fkEdges = g.edges.filter(col("rel") === "fk").count()
+    assert(fkEdges === rows.count(_._2 < 7).toLong)
+  }
 }
