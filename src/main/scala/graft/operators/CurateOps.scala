@@ -869,7 +869,70 @@ object CurateOps {
       |SELECT doc_id, lang, source, logw FROM scored
       |ORDER BY logw DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Cross-dataset vocabulary overlap via MERGEABLE DataSketches HLL —
+    * the domain-mixing analytic (how much does src_a's vocabulary
+    * overlap src_b's?) computed the 100 TB way: one sketch per source
+    * (a map-side-combined aggregate over the token scan), then the
+    * pairwise union estimated by MERGING the already-built sketches
+    * (`hll_union` — register-max, lossless at equal lgK), never a
+    * cross-dataset distinct join. Overlap follows by inclusion-
+    * exclusion: |A∩B| = |A| + |B| − |A∪B|. At petabyte scale the
+    * sketches are the only thing that moves between datasets — each is
+    * ≤ 2^12 registers — and k dataset pairs cost ZERO additional corpus
+    * passes beyond the one sketch build.
+    *
+    * Driver-gate projection (the r13 sketch-graduation pattern): the
+    * EXACT per-source and per-pair-union censuses (DuckDB-checkable;
+    * the union is two keyed equi-joins — no OR-join) plus an in-plan
+    * tolerance audit binding the sketch estimate to the exact union
+    * (≤ 5% relative; lgK = 12 ⇒ rsd ≈ 1.6%). A sketch regression flips
+    * `sketch_ok` red in the hash gate. The source list is a FIXED
+    * 5-element vocabulary, so the pair table is bounded at any scale —
+    * the inequality self-pair join is a reviewed tiny-broadcast. */
+  def overlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = (0 until 5).map(i => s"src$i")
+    val toks = load(spark, dir, "documents").filter(col("source").isInCollection(srcs))
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sk = toks.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("w"), 12).as("sk"), count_distinct(col("w")).as("n"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("est_union"))
+    val p = pairs.select(col("src_a"), col("src_b"))
+    val ta = p.join(toks.withColumnRenamed("source", "src_a"), Seq("src_a"))
+    val tb = p.join(toks.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("w"))
+    val exact = ta.select(col("src_a"), col("src_b"), col("w")).union(tb)
+      .groupBy(col("src_a"), col("src_b")).agg(count_distinct(col("w")).as("n_union"))
+    pairs.join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_overlap"),
+        (abs(col("est_union") - col("n_union")) <= col("n_union") * lit(0.05)).as("sketch_ok"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val overlapSketchSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+      |),
+      |n AS (SELECT source, count(DISTINCT w) AS n FROM t GROUP BY 1),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b FROM n a JOIN n b ON a.source < b.source),
+      |u AS (
+      |  SELECT p.src_a, p.src_b, count(DISTINCT t.w) AS n_union
+      |  FROM p JOIN t ON t.source = p.src_a OR t.source = p.src_b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT u.src_a, u.src_b, na.n AS n_a, nb.n AS n_b, u.n_union,
+      |  na.n + nb.n - u.n_union AS n_overlap, true AS sketch_ok
+      |FROM u
+      |JOIN n na ON na.source = u.src_a
+      |JOIN n nb ON nb.source = u.src_b
+      |ORDER BY u.src_a, u.src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_overlap_sketch" -> ((s: SparkSession, d: String) => overlapSketch(s, d)),
     "curate_dsir" -> ((s: SparkSession, d: String) => dsir(s, d)),
     "curate_cluster_balance" -> ((s: SparkSession, d: String) => clusterBalance(s, d)),
     "curate_shuffle" -> ((s: SparkSession, d: String) => shuffle(s, d)),
@@ -888,6 +951,7 @@ object CurateOps {
     "curate_budget" -> ((s: SparkSession, d: String) => budget(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "curate_overlap_sketch" -> overlapSketchSql,
     "curate_dsir" -> dsirSql,
     "curate_cluster_balance" -> clusterBalanceSql,
     "curate_shuffle" -> shuffleSql,

@@ -449,6 +449,28 @@ class DedupOpsSpec extends SparkSpecBase {
 
 class CurateOpsSpec extends SparkSpecBase {
 
+  test("HLL overlap sketch: merged-union estimate == re-sketching the union; audit in tolerance") {
+    val rows = CurateOps.overlapSketch(spark, sf).collect()
+    assert(rows.length === 10) // C(5,2) source pairs
+    assert(rows.forall(_.getBoolean(6)), "every pair's union estimate within 5% of exact")
+    rows.foreach { r =>
+      val (na, nb, nu, ov) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ov >= 0L && ov <= math.min(na, nb) && nu <= na + nb,
+        s"inclusion-exclusion violated: n_a=$na n_b=$nb n_union=$nu overlap=$ov")
+    }
+    // Mergeability — the property the 100 TB story rests on: unioning
+    // the two PREBUILT sketches (register max) yields the identical
+    // estimate to sketching the unioned token stream directly.
+    val toks = Tables.load(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val merged = toks.groupBy(col("source")).agg(hll_sketch_agg(col("w"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
+    val direct = toks.agg(hll_sketch_estimate(hll_sketch_agg(col("w"), 12)).as("est"))
+      .head().getLong(0)
+    assert(merged === direct)
+  }
+
   test("bloom-prefiltered decontamination is byte-identical to the exact path") {
     val exact = CurateOps.decontaminate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -60,8 +60,10 @@ class PlanLintSpec extends SparkSpecBase {
                            // rewrites the equi-join condition away — ≤1 row × ≤1 row
     "search_cypher_write_onmatch", // same shape: the template's endpoint gates and the
                                    // ON MATCH prop-set key on literal-id 1-row scans
-    "curate_dsir") // two 1-row total-aggregate crossJoins (tt = Σ target counts,
+    "curate_dsir", // two 1-row total-aggregate crossJoins (tt = Σ target counts,
                    // rt = Σ raw counts) broadcast into the ≤256-row log-ratio table
+    "curate_overlap_sketch") // inequality self-pair of the 5-row per-source sketch
+                             // aggregate (the source list is a fixed vocabulary)
 
   // A join "has equality" ONLY when some TOP-LEVEL conjunct is an
   // EqualTo — a shuffle/broadcast HASH join key Catalyst can actually
