@@ -691,6 +691,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.find(_.getLong(0) == 2L).exists(_.getBoolean(2)))
   }
 
+  test("streaming HLL sketch state equals the batch sketch (replays absorbed by register max)") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = EventStream.sketchStream(stream.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("sksink")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(docs.take(docs.length / 2))
+    q.processAllAvailable()
+    stream.addData(docs.drop(docs.length / 2))
+    q.processAllAvailable()
+    stream.addData(docs.take(20)) // replay: a register can never move down
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sksink")
+      .select(col("source"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Tables.load(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("w"), 12)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect) // identical register state — the mergeability contract
+    assert(got.keySet === Set("src0", "src1"))
+  }
+
   test("streaming CDC migration equals the batch increment projection, replay-idempotent") {
     import TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
