@@ -113,16 +113,18 @@ object EventStream {
   /** Continuously-maintained per-source HLL vocabulary sketches — the
     * at-ingest twin of [[graft.operators.CurateOps.overlapSketch]]'s
     * build stage. Each arriving document folds its distinct tokens into
-    * its source's DataSketches HLL (a streaming aggregation in Update
-    * mode: register-max folds are commutative/idempotent state, exactly
-    * what HLL is FOR at ingest — a replayed token can never move a
-    * register down, so replays are absorbed by construction, no dedup
-    * state needed). Downstream, any micro-batch's emitted sketches
-    * answer every pairwise overlap by `hll_union` + inclusion-exclusion
-    * without touching the corpus — the batch operator's merge stage,
-    * unchanged. Emits (source, sk, n_docs); the spec pins that the
-    * streamed sketch estimate equals the batch estimate over the same
-    * corpus (identical register state — the mergeability contract). */
+    * its source's DataSketches HLL (a streaming aggregation,
+    * Update/Complete mode: register-max folds are commutative/
+    * idempotent state, exactly what HLL is FOR at ingest — a replayed
+    * token can never move a register down, so replays are absorbed by
+    * construction, no dedup state needed). Downstream, any
+    * micro-batch's emitted sketches answer every pairwise overlap by
+    * `hll_union` + inclusion-exclusion without touching the corpus —
+    * the batch operator's merge stage, unchanged. Emits (source, sk,
+    * n_approx — the HLL++ running distinct estimate); the spec pins
+    * that the streamed sketch estimate equals the batch estimate over
+    * the same corpus (identical register state — the mergeability
+    * contract). */
   def sketchStream(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
