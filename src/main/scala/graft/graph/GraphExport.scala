@@ -165,15 +165,20 @@ object GraphExport {
     nodes.union(edges)
   }
 
-  /** Graphviz DOT body lines (wrap with digraph { ... } when saving). */
+  /** Graphviz DOT body lines (wrap with digraph { ... } when saving).
+    * Quoted-string contents are DOT-escaped (`\\` then `"`) — the
+    * GraphML/HTML exports already escape; an id or name carrying a
+    * quote must not silently emit broken DOT. */
   def toDotLines(g: PropertyGraph): DataFrame = {
     val q = "\""
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     val nodes = g.nodes.select(
-      concat(lit("  "), lit(q), col("id"), lit(q),
-        lit(" [label="), lit(q), col("name"), lit(q), lit("];")).as("line"))
+      concat(lit("  "), lit(q), esc(col("id")), lit(q),
+        lit(" [label="), lit(q), esc(col("name")), lit(q), lit("];")).as("line"))
     val edges = g.edges.select(
-      concat(lit("  "), lit(q), col("src"), lit(q), lit(" -> "), lit(q), col("dst"), lit(q),
-        lit(" [label="), lit(q), col("rel"), lit(q), lit("];")).as("line"))
+      concat(lit("  "), lit(q), esc(col("src")), lit(q), lit(" -> "), lit(q), esc(col("dst")), lit(q),
+        lit(" [label="), lit(q), esc(col("rel")), lit(q), lit("];")).as("line"))
     nodes.union(edges)
   }
 }

@@ -84,6 +84,13 @@ class ScaleAndExportSpec extends SparkSpecBase {
     val lines = GraphExport.toDotLines(g).as[String].collect()
     assert(lines.contains("  \"a:1\" [label=\"alpha\"];"))
     assert(lines.contains("  \"a:1\" -> \"a:1\" [label=\"self\"];"))
+    // a quote or backslash in the name must be DOT-escaped, not emit
+    // broken syntax (the GraphML/HTML exports already escape theirs)
+    val gq = PropertyGraph(
+      Seq(("b:1", "b", "be\"ta\\")).toDF("id", "ntype", "name"),
+      Seq.empty[(String, String, String)].toDF("src", "dst", "rel"))
+    val ql = GraphExport.toDotLines(gq).as[String].collect()
+    assert(ql.contains("  \"b:1\" [label=\"be\\\"ta\\\\\"];"))
   }
 
   test("graphml export lines are well-formed and XML-escaped") {
