@@ -32,10 +32,33 @@ final case class GraphStore(spark: SparkSession, root: String) {
   def hasGraph(name: String): Boolean = fs.exists(path(name, "nodes"))
 
   /** Persist (commit) a graph — props normalized so every stored graph
-    * carries the full NodeData/EdgeData schema. */
+    * carries the full NodeData/EdgeData schema.
+    *
+    * Self-overwrite-safe: the committed graph usually DERIVES from the
+    * same stored graph (load → mutate → commit), and a plain overwrite
+    * deletes the input directory before the lazy mutation plan reads
+    * it. Both relations land durably in `.tmp` FIRST (materializing
+    * every plan against the old state — edge plans may cross-reference
+    * the nodes directory, so neither swap may fire before both writes
+    * finish), then each promotes by rename — the AclStore/VectorStore
+    * swap discipline. */
   def save(name: String, g: PropertyGraph): Unit = {
-    PropertyGraph.ensureProps(g.nodes).write.mode("overwrite").parquet(path(name, "nodes").toString)
-    PropertyGraph.ensureProps(g.edges).write.mode("overwrite").parquet(path(name, "edges").toString)
+    val subs = Seq(
+      "nodes" -> PropertyGraph.ensureProps(g.nodes),
+      "edges" -> PropertyGraph.ensureProps(g.edges))
+    val staged = subs.map { case (sub, df) =>
+      val tmp = new org.apache.hadoop.fs.Path(path(name, sub).toString + ".tmp")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      sub -> tmp
+    }
+    staged.foreach { case (sub, tmp) =>
+      val dir = path(name, sub)
+      val old = new org.apache.hadoop.fs.Path(dir.toString + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(dir)) require(fs.rename(dir, old), s"swap failed: could not park $dir")
+      require(fs.rename(tmp, dir), s"swap failed: could not promote $tmp")
+      if (fs.exists(old)) fs.delete(old, true)
+    }
   }
 
   def load(name: String): PropertyGraph =

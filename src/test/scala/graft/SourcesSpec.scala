@@ -277,6 +277,21 @@ class SourcesSpec extends SparkSpecBase {
     // the reloaded graph is a full PropertyGraph: mutations keep composing
     assert(back.deleteNodes(Seq("custom:1").toDF("id"))
       .edges.filter(col("rel") === "linked").count() === 0L)
+    // SELF-OVERWRITE: load → mutate → commit to the SAME name. The
+    // mutation plan reads the stored directories lazily; a plain
+    // overwrite would delete them before the job ran (the swap
+    // discipline this pins). deleteNodes cascades into edges, so the
+    // edge plan cross-references the nodes dir too.
+    val mutated = back.deleteNodes(Seq("custom:1").toDF("id"))
+      .addNodes(Seq(("custom:2", "custom", "two", Map("k2" -> "v2")))
+        .toDF("id", "ntype", "name", "props"))
+    val (expN, expE) = (mutated.nodes.count(), mutated.edges.count())
+    store.save("g", mutated)
+    val back2 = store.load("g")
+    assert(back2.nodes.count() === expN && back2.edges.count() === expE)
+    assert(back2.nodes.filter(col("id") === "custom:2").count() === 1L)
+    assert(back2.nodes.filter(col("id") === "custom:1").count() === 0L)
+    assert(back2.edges.filter(col("rel") === "linked").count() === 0L)
     store.deleteGraph("g")
     assert(!store.hasGraph("g"))
   }
