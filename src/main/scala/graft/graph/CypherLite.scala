@@ -671,30 +671,43 @@ object CypherLite {
       // The template's MATCH clauses make the edge contract explicit:
       // a missing endpoint matches nothing and the MERGE is a no-op —
       // expressed as two ≤1-row existence gates (pushed id-equality
-      // scans), not a driver-side probe. Only the GATED form (a real
-      // query over the graph) needs the eager stored scan.
-      val row =
-        if (!requireEndpoints) bare
-        else org.apache.spark.sql.graft.Materialize.stored(bare
-          .crossJoin(g.nodes.filter(col("id") === lit(srcId)).select(lit(1).as("src_ok")).limit(1))
-          .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
-          .select(col("src"), col("dst"), col("rel"), col("props")))
-      // ON MATCH keys on the PRE-merge edge, gated by the SAME endpoint
-      // existence contract as the merge itself: when the template's
-      // MATCH clauses bind nothing, Cypher's whole statement — ON MATCH
-      // included — is a no-op, even against a pre-existing (dangling)
-      // edge row.
+      // scans), not a driver-side probe. ON MATCH keys on the PRE-merge
+      // edge under the SAME gates: when the template's MATCH binds
+      // nothing, Cypher's whole statement — ON MATCH included — is a
+      // no-op, even against a pre-existing (dangling) edge row.
+      //
+      // Job economy: every eager stored scan costs a handful of
+      // local-mode jobs (localCheckpoint + its AQE stages), and the
+      // write path's latency IS its job count (Profile: 58 jobs for a
+      // 4-write chain when the template paid TWO materializations per
+      // layer). The increment row and the pre-merge key set therefore
+      // materialize as ONE kind-tagged frame under one shared pair of
+      // gates — same semantics, one snapshot, half the jobs.
       val preBase = g.edges.filter(col("src") === lit(srcId) && col("dst") === lit(dstId) &&
         col("rel") === lit(rel)).select(col("src"), col("dst"), col("rel"))
-      val preGated =
-        if (!requireEndpoints) preBase
-        else preBase
+      val outCols = Seq(col("kind"), col("src"), col("dst"), col("rel"), col("props"))
+      val legs =
+        bare.select((lit("inc").as("kind") +: outCols.tail): _*)
+          .unionByName(preBase.select(lit("pre").as("kind"), col("src"), col("dst"),
+            col("rel"), map().cast("map<string,string>").as("props")))
+      val gated =
+        if (!requireEndpoints) legs
+        else legs
           .crossJoin(g.nodes.filter(col("id") === lit(srcId)).select(lit(1).as("src_ok")).limit(1))
           .crossJoin(g.nodes.filter(col("id") === lit(dstId)).select(lit(1).as("dst_ok")).limit(1))
-          .select(col("src"), col("dst"), col("rel"))
+          .select(outCols: _*)
+      // Nothing to materialize when the whole probe is increment-local
+      // (no gates, no ON MATCH): the LocalRelation is already inert —
+      // and the row must BE the LocalRelation, not a filtered union
+      // that would drag g.edges into the increment plan.
+      val probe: Option[DataFrame] =
+        if (!requireEndpoints && onMatch.isEmpty) None
+        else Some(org.apache.spark.sql.graft.Materialize.stored(gated))
+      val row = probe.fold(bare)(_.filter(col("kind") === "inc")
+        .select(col("src"), col("dst"), col("rel"), col("props")))
       val preExisting =
         if (onMatch.isEmpty) null
-        else org.apache.spark.sql.graft.Materialize.stored(preGated)
+        else probe.get.filter(col("kind") === "pre").select(col("src"), col("dst"), col("rel"))
       val merged = if (create) g.addEdges(row) else g.mergeEdges(row)
       onMatch.foldLeft(merged) { case (acc, (_, k, v)) =>
         acc.setEdgeProp(preExisting, k, v)
