@@ -1915,7 +1915,11 @@ object Retrievers {
       .select(col("vec_id").as("doc_id"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("doc_id").asc).limit(4 * k)
-    cand.join(broadcast(fb), Seq("doc_id"), "left")
+    // fb is the feedback LEDGER — corpus-proportional (every 4th doc),
+    // so the attach is a plain keyed left join (≤4k-row cand side;
+    // AQE broadcasts fb only while it actually fits — a forced
+    // broadcast of a ledger dies at scale, the kCore lesson).
+    cand.join(fb, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cosine"), coalesce(col("fb_score"), lit(0.0)).as("fb_score"),
         (floor((col("cosine") + coalesce(col("fb_score"), lit(0.0)) * 0.05) * 10000) / 10000).as("combined"))
       .orderBy(col("combined").desc, col("doc_id").asc).limit(k)
