@@ -26,9 +26,24 @@ final case class VectorStore(spark: SparkSession, root: String) {
 
   def hasCollection(name: String): Boolean = fs.exists(path(name))
 
-  /** Create (or replace) a collection from a DataFrame. */
+  /** Create (or replace) a collection from a DataFrame. The REPLACE
+    * branch lands in `.tmp` then rename-swaps ([[deleteDataPoints]]'
+    * discipline): the replacement plan may derive from the collection
+    * being replaced, and a plain overwrite deletes the input files
+    * before the lazy plan reads them (the GraphStore.save lesson). */
   def createCollection(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path(name).toString)
+    if (!hasCollection(name)) df.write.mode("overwrite").parquet(path(name).toString)
+    else {
+      val dir = path(name)
+      val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")
+      val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val f = fs
+      f.delete(old, true)
+      require(f.rename(dir, old), s"swap failed: could not park $dir")
+      require(f.rename(tmp, dir), s"swap failed: could not promote $tmp")
+      f.delete(old, true)
+    }
 
   def collection(name: String): DataFrame = spark.read.parquet(path(name).toString)
 

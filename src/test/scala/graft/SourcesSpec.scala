@@ -101,6 +101,20 @@ class SourcesSpec extends SparkSpecBase {
     store.prune()
   }
 
+  test("createCollection replace-from-self swaps instead of truncating its own input") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vself").toString
+    val store = sources.VectorStore(spark, root)
+    store.createCollection("c",
+      Seq((1L, Seq(1.0, 0.0), "a"), (2L, Seq(0.0, 1.0), "b")).toDF("vec_id", "embedding", "label"))
+    // the replacement plan DERIVES from the collection being replaced —
+    // a plain overwrite would delete its own input (or throw) before
+    // the lazy plan ran
+    store.createCollection("c", store.collection("c").filter(col("vec_id") =!= 1L))
+    assert(store.collection("c").collect().map(_.getLong(0)).toSet === Set(2L))
+    store.prune()
+  }
+
   test("delete_data_points swaps atomically and leaves no scratch dirs") {
     val root = java.nio.file.Files.createTempDirectory("graft_vdelete").toString
     val store = sources.VectorStore(spark, root)
