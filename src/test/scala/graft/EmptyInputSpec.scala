@@ -52,7 +52,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "search_chunks_acl_role", "dedup_cluster", "curate_dedup_apply",
     "vec_kmeans", "vec_knn_graph", "curate_dsir", "curate_dedup_spans",
     "text_dup_fraction", "text_token_entropy", "pipeline_run_tasks",
-    "curate_semdedup")
+    "curate_semdedup", "curate_overlap_sketch")
 
   test("corpus-processing operators return empty results on an empty corpus") {
     val failures = corpusOps.flatMap { name =>
