@@ -615,6 +615,11 @@ object CypherLite {
           entries.collectFirst { case ("type", v) => v }.getOrElse("Node")
         else ntypeRaw
       val name = entries.collectFirst { case ("name", v) => v }.getOrElse(id)
+      // Duplicate inline keys resolved LAST-WRITE-WINS by the lastWins
+      // pass on `entries` above (Cypher map-literal semantics) — the
+      // `.toMap` below therefore sees unique keys and never depends on
+      // Spark's spark.sql.mapKeyDedupPolicy (default EXCEPTION). Same
+      // deliberate policy as the edge bag; spec-pinned.
       val bag = entries.filterNot(e => e._1 == "id" || e._1 == "name" ||
         (ntypeRaw.equalsIgnoreCase("Node") && e._1 == "type"))
       // The increment is a LocalRelation of CONCRETE rows, not literal

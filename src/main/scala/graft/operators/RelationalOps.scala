@@ -13,30 +13,48 @@ import org.apache.spark.sql.functions._
 object RelationalOps {
 
   /** TPC-H Q1-style pricing summary. Single hash-aggregate: map-side
-    * partial agg → one shuffle on (returnflag, linestatus). */
+    * partial agg → one shuffle on (returnflag, linestatus).
+    *
+    * Money arithmetic runs in DECIMAL end-to-end: the generated money
+    * columns are exact 2-decimal values, so the double→decimal cast is
+    * lossless in BOTH engines, every product stays exact (scales add,
+    * precision never hits 38), and the decimal SUM is
+    * associativity-free. The previous double-sum version lost the last
+    * cent at sf1 (6M-row ~1e11 totals, partial-sum ordering differs
+    * between Spark and DuckDB); this hashes exactly at ANY scale
+    * factor. Averages divide the exact decimal sum (cast to double,
+    * deterministic nearest) by the count — one IEEE division, no
+    * order dependence. SURVEY §4 rounding contract. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val l = load(spark, dir, "lineitem")
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val one   = lit(1).cast("decimal(3,2)")
+    val qty   = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc  = col("l_discount").cast("decimal(4,2)")
+    val tax   = col("l_tax").cast("decimal(4,2)")
+    val discPrice = price * (one - disc)   // decimal(24,4), exact
+    val charge    = discPrice * (one + tax) // decimal(30,6), exact
+    val n = count(lit(1))
     l.filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(disc), 2).as("sum_disc_price"),
-        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(qty), 2).cast("double").as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / n, 4).as("avg_qty"),
+        round(sum(disc).cast("double") / n, 4).as("avg_disc"),
+        n.as("count_order"))
   }
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -187,16 +205,22 @@ object RelationalOps {
       |LIMIT 20""".stripMargin
 
   /** Multidimensional rollup: revenue by (brand, type-prefix) with
-    * subtotal grouping sets — one shuffle, Catalyst expands the sets. */
+    * subtotal grouping sets — one shuffle, Catalyst expands the sets.
+    * Revenue in exact DECIMAL (same rationale as [[q1Agg]]): the ALL
+    * margin sums every lineitem row, which is exactly the 6M-row sf1
+    * shape where double partial-sum ordering lost the last cent. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val l = load(spark, dir, "lineitem")
     val p = load(spark, dir, "part")
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
     l.join(p, col("l_partkey") === col("p_partkey")) // part is SF-proportional: keyed, planner decides
       .select(col("p_brand").as("brand"),
         substring(col("p_type"), 1, 6).as("type_prefix"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        rev.as("rev"))
       .rollup(col("brand"), col("type_prefix"))
-      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .select(coalesce(col("brand"), lit("ALL")).as("brand"),
         coalesce(col("type_prefix"), lit("ALL")).as("type_prefix"),
         col("revenue"), col("n_items"))
@@ -205,18 +229,19 @@ object RelationalOps {
   val qRollupSql: String =
     """SELECT coalesce(p_brand, 'ALL') AS brand,
       |  coalesce(substr(p_type, 1, 6), 'ALL') AS type_prefix,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY ROLLUP (p_brand, substr(p_type, 1, 6))""".stripMargin
 
   /** CUBE grouping sets — all four (status, priority) margins in one
     * pass (ROLLUP's sibling; one shuffle, Catalyst expands to
-    * grouping-set aggregation). */
+    * grouping-set aggregation). Revenue in exact DECIMAL ([[q1Agg]]). */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("revenue"))
@@ -225,7 +250,7 @@ object RelationalOps {
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 

