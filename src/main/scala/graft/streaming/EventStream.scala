@@ -380,8 +380,18 @@ object EventStream {
     * every ingest twin carries. Scope honesty: this covers INSERT CDC
     * and replay; an UPDATE (same pk, new content) re-emits increments
     * but merge's keep-first upsert will not overwrite the stored row
-    * node — updates route through the mutation API, like every other
-    * in-place rewrite in this engine.
+    * node — updates route through the mutation API or
+    * [[migrateCdcStream]], the full-contract twin.
+    *
+    * ORDERING REQUIREMENT (insert-only contract): parents must be
+    * migrated before their children stream. The FK joins run against
+    * the `fks` parent-key plans as of each batch, and a child whose
+    * parent key matches nothing drops its edge PERMANENTLY — a later
+    * replay of the child inside the watermark is removed by the
+    * (pk, content_hash) dedup, so the edge cannot heal. Feeds that
+    * cannot guarantee parent-before-child ordering (or that carry
+    * updates/deletes) should use [[migrateCdcStream]], whose pending
+    * buffer heals out-of-order FK arrivals.
     *
     * `merge` receives each micro-batch's (node, edge) increments,
     * eagerly pinned so they never escape their micro-batch scope (the
@@ -403,6 +413,179 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (n, e) = graft.graph.RelationalMigration.tablePart(batch, table, pk, fks)
         merge(n.localCheckpoint(true), e.localCheckpoint(true))
+        ()
+      }.start()
+  }
+
+  /** Full-contract CDC relational→graph ingest: [[migrateStream]]'s
+    * INSERT-only twin extended to UPDATE and DELETE, converging to the
+    * batch migration of the FINAL table state. The reference's one-shot
+    * migration (tasks/ingestion/migrate_relational_database.py:18)
+    * defines no update semantics, so this is a documented extension
+    * with the contract a real CDC feed (Debezium-shaped) needs.
+    *
+    * Input rows carry `op` (I/U/D — I and U are both full-row-image
+    * upserts; D needs only the pk, other columns may be NULL) and
+    * `seq` (the CDC log sequence number: strictly increasing per pk —
+    * the versioned-row key). The ONE stateful op keeps max applied seq
+    * per pk and emits only records that advance it: replays and
+    * out-of-order stale records (an UPDATE arriving after the DELETE
+    * that superseded it) are dropped exactly once, forever — not just
+    * within a watermark horizon. State is one long per pk (the same
+    * bounded-state honesty note as the other ingest twins).
+    *
+    * Each micro-batch then applies, inside ONE `transact` callback
+    * (invoke the function exactly once per batch; a deployment wraps
+    * load→f→save on its graph store, a spec accumulates):
+    *   - prop-bag rewrite as delete+reinsert: every changed row node is
+    *     deleted (cascading its is_part_of/column/FK edges) and, for
+    *     upserts, re-derived through the SAME shared increment
+    *     projection as batch ([[graft.graph.RelationalMigration.tablePart]]);
+    *   - incoming FK edges (children → a changed row) survive an UPDATE
+    *     (the pk still names the same row) and move to the pending
+    *     buffer on a DELETE, healing if the pk is later re-inserted;
+    *   - a bounded orphan sweep: ColumnValue nodes the changed rows
+    *     referenced that no longer have ANY referencing edge are
+    *     removed (batch-of-final-state parity — candidates are the
+    *     changed rows' pre-image values, a batch-proportional set, not
+    *     a graph-wide scan);
+    *   - FK healing for out-of-order arrival (the r13 insert-ordering
+    *     gap): a child row whose parent key matches nothing joins the
+    *     pending buffer instead of silently dropping its edge, and
+    *     every batch re-validates pending edges against the live row
+    *     nodes AND the parent key plans (the plans re-EXECUTE per
+    *     batch; whether they see new parents depends on the source —
+    *     JDBC/catalog tables do, a plain parquet frame pins its file
+    *     listing at creation) — a parent arriving later (same stream,
+    *     a sibling CDC stream into the same store, or a re-insert
+    *     after DELETE) materializes the edge then. Pending entries retire
+    *     when their child row is deleted or re-imaged. The buffer is
+    *     bounded by the number of unhealed dangling children (eagerly
+    *     pinned per batch).
+    *
+    * For a self-referential table pass an empty parent-key frame for
+    * that FK — row-node presence in the live graph is the truth there.
+    * Scale shape: every per-batch join keys on the batch's changed-row
+    * set or the pending buffer; nothing is graph-proportional except
+    * the keyed merges the bulk mutation contract already owns. */
+  def migrateCdcStream(rows: DataFrame, table: String, pk: String,
+      fks: Seq[(String, String, DataFrame)],
+      transact: (graft.graph.PropertyGraph => graft.graph.PropertyGraph) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val tableCols = rows.columns.filterNot(c => c == "op" || c == "seq" || c == "tsSec").toSeq
+    val rowSchema = rows.select(tableCols.map(col): _*).schema
+    val rowIdPrefix = "tablerow:" + table + ":"
+    val emptyBag = map().cast("map<string,string>")
+    // pending dangling-FK edges: (src, dst, rel) plus (refTable, fkv)
+    // for re-validation against the parent key plans
+    var pending = Seq.empty[(String, String, String, String, String)]
+      .toDF("src", "dst", "rel", "refTable", "fkv")
+
+    val changes = rows
+      .select(col(pk).cast("string").as("k"), upper(col("op")).as("op"),
+        col("seq").cast("long").as("seq"),
+        to_json(struct(tableCols.map(col): _*)).as("row"))
+      .as[(String, String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[(String, String, Long, String)], state: GroupState[Long]) =>
+          val applied = state.getOption.getOrElse(Long.MinValue)
+          // only the newest record per pk per batch matters: intermediate
+          // images are invisible in the final state both sides converge to
+          val newest = it.maxBy(_._3)
+          if (newest._3 > applied) { state.update(newest._3); Iterator.single(newest) }
+          else Iterator.empty
+      }
+
+    changes.toDF("k", "op", "seq", "row")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val batch = rawBatch.localCheckpoint(true) // never escape micro-batch scope
+        if (!batch.isEmpty) transact { g =>
+          val changedIds = batch
+            .select(concat(lit(rowIdPrefix), col("k")).as("id")).distinct()
+          val upsertIds = batch.filter(col("op") =!= "D")
+            .select(concat(lit(rowIdPrefix), col("k")).as("id")).distinct()
+          val deletedIds = batch.filter(col("op") === "D")
+            .select(concat(lit(rowIdPrefix), col("k")).as("id")).distinct()
+          val upsertRows = batch.filter(col("op") =!= "D")
+            .select(from_json(col("row"), rowSchema).as("r")).select(col("r.*"))
+
+          // pre-image captures (against g BEFORE the delete):
+          // ColumnValue ids the changed rows referenced — the orphan-sweep
+          // candidate set — and FK edges arriving INTO the changed rows.
+          val preCand = g.edges
+            .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .filter(col("dst").startsWith("colval:" + table + ":"))
+            .select(col("dst")).distinct().localCheckpoint(true)
+          val incoming = g.edges
+            .join(changedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+            .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .select(col("src"), col("dst"), col("rel"), col("props"))
+            .localCheckpoint(true)
+
+          // prop-bag rewrite: delete the changed rows (cascades their
+          // edges both directions), re-derive the upserted images through
+          // the shared batch projection, restore incoming edges whose
+          // target row still exists (UPDATE keeps its children).
+          val (n, e) = graft.graph.RelationalMigration.tablePart(upsertRows, table, pk, fks)
+          val keptIncoming = incoming
+            .join(upsertIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          val merged = g.deleteNodes(changedIds)
+            .mergeNodes(n.localCheckpoint(true)).mergeEdges(e.localCheckpoint(true))
+            .mergeEdges(keptIncoming)
+
+          // bounded orphan sweep: candidates with no remaining reference
+          val orphans = preCand
+            .join(merged.edges.select(col("dst")), Seq("dst"), "left_anti")
+            .withColumnRenamed("dst", "id")
+          val swept = merged.deleteNodes(orphans)
+
+          // pending-FK maintenance: retire entries whose child was
+          // re-imaged or deleted, enqueue the batch's new dangling
+          // children and the edges orphaned by parent deletes, then heal
+          // everything whose target is now valid.
+          val fkvOfDst = expr(s"substring(dst, ${rowIdPrefix.length + 1})")
+          val newUnmatched = fks.map { case (fkCol, refTable, parentKeys) =>
+            upsertRows
+              .select(concat(lit(rowIdPrefix), col(pk).cast("string")).as("src"),
+                col(fkCol).cast("string").as("fkv"))
+              .where(col("fkv").isNotNull)
+              .join(parentKeys, Seq("fkv"), "left_anti")
+              .select(col("src"),
+                concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
+                lit(fkCol).as("rel"), lit(refTable).as("refTable"), col("fkv"))
+          }.reduceOption(_ unionByName _)
+            .getOrElse(pending.limit(0))
+          val orphanedIncoming = incoming
+            .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"), col("rel"),
+              lit(table).as("refTable"), fkvOfDst.as("fkv"))
+          val pending1 = pending
+            .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .unionByName(newUnmatched).unionByName(orphanedIncoming)
+            .dropDuplicates("src", "dst", "rel")
+          // validity: the target row node exists in the live graph (CDC-
+          // managed tables, incl. self-FK), OR the per-batch re-evaluated
+          // parent key plan carries the value (externally-owned parents)
+          val viaGraph = pending1
+            .join(swept.nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          val viaParents = fks.map { case (fkCol, refTable, parentKeys) =>
+            pending1.filter(col("refTable") === refTable && col("rel") === fkCol)
+              .join(parentKeys, Seq("fkv"), "left_semi")
+          }.reduceOption(_ unionByName _).getOrElse(pending1.limit(0))
+          val healable = viaGraph.unionByName(viaParents)
+            .dropDuplicates("src", "dst", "rel").localCheckpoint(true)
+          pending = pending1
+            .join(healable.select(col("src"), col("dst"), col("rel")),
+              Seq("src", "dst", "rel"), "left_anti")
+            .localCheckpoint(true)
+          swept.mergeEdges(
+            healable.select(col("src"), col("dst"), col("rel"), emptyBag.as("props")))
+        }
         ()
       }.start()
   }

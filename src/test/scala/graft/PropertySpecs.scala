@@ -242,4 +242,78 @@ class PropertySpecs extends SparkSpecBase {
     val fkEdges = g.edges.filter(col("rel") === "fk").count()
     assert(fkEdges === rows.count(_._2 < 7).toLong)
   }
+
+  test("CDC migration with updates/deletes/replays converges to the batch migration of the final state") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.{PropertyGraph, RelationalMigration}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // SELF-REFERENTIAL table (fk → its own pk domain): parent truth is
+    // the live row-node set, so the script naturally produces every
+    // hard case — child-before-parent arrival, FK edges orphaned by a
+    // parent DELETE and healed by its re-insert, dangling fks that
+    // never resolve, updates that re-point a child's fk.
+    val nPk = 14
+    var seqNo = 0L
+    // model: pk → latest row image (None = deleted); ops applied in seq order
+    val model = scala.collection.mutable.Map.empty[Long, Option[(Long, String)]]
+    def op(o: String, k: Long, fk: Long, v: String): (String, Long, Long, Long, String) = {
+      seqNo += 1
+      model(k) = if (o == "D") None else Some((fk, v))
+      (o, seqNo, k, fk, v)
+    }
+    val script = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+    // phase 1: inserts in RANDOM pk order (children often precede parents)
+    rng.shuffle((0L until nPk).toList).foreach { k =>
+      script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+    }
+    // phase 2: random updates / deletes / re-inserts
+    (0 until 3 * nPk).foreach { _ =>
+      val k = rng.nextInt(nPk).toLong
+      rng.nextInt(3) match {
+        case 0 => script += op("U", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+        case 1 => script += op("D", k, 0L, null)
+        case 2 => script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+      }
+    }
+    // stale replays sprinkled in AFTER their successors (latest-wins must drop them)
+    val replays = rng.shuffle(script.toList).take(script.length / 3)
+    val feed = rng.shuffle(script.toList ::: replays)
+
+    // self-FK: empty external parent frame — row-node presence is the truth
+    val fks = Seq(("fk", "t", Seq.empty[String].toDF("fkv")))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+    var g = emptyGraph
+    val stream = MemoryStream[(String, Long, Long, Long, String)]
+    val q = graft.streaming.EventStream.migrateCdcStream(
+      stream.toDF().toDF("op", "seq", "pk", "fk", "v"), "t", "pk", fks,
+      f => { g = f(g).compact })
+    feed.grouped(1 + feed.length / 6).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    // batch migration of the FINAL state, with the final pk set as the
+    // parent-key truth (what a batch run over the final table sees)
+    val finalRows = model.toSeq.collect { case (k, Some((fk, v))) => (k, fk, v) }.sortBy(_._1)
+    assert(finalRows.nonEmpty && finalRows.length < nPk) // script really deleted some
+    val finalKeys = finalRows.map(_._1.toString).toDF("fkv")
+    val (en, ee) = RelationalMigration.tablePart(
+      finalRows.toDF("pk", "fk", "v"), "t", "pk", Seq(("fk", "t", finalKeys)))
+    val expected = emptyGraph.mergeNodes(en).mergeEdges(ee)
+    def nodeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nodeSet(g.nodes) === nodeSet(expected.nodes))
+    assert(edgeSet(g.edges) === edgeSet(expected.edges))
+    // the orphan sweep left no unreferenced ColumnValue nodes
+    val colvalIds = g.nodes.filter(col("ntype") === "ColumnValue").select(col("id"))
+    assert(colvalIds.join(g.edges.select(col("dst").as("id")), Seq("id"), "left_anti")
+      .count() === 0L)
+  }
 }

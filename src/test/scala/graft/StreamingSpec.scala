@@ -775,4 +775,58 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("src")).collect().map(_.getString(0)).toSet
     assert(fkSrcs === Set("tablerow:orders:10", "tablerow:orders:11", "tablerow:orders:13"))
   }
+
+  test("CDC update/delete contract: prop rewrite, child-edge preservation, delete+reinsert heal, stale replay") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.PropertyGraph
+
+    // self-referential table: fk points at this table's own pk domain
+    val fks = Seq(("fk", "t", Seq.empty[String].toDF("fkv")))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+    var g = emptyGraph
+    val stream = MemoryStream[(String, Long, Long, Long, String)]
+    val q = EventStream.migrateCdcStream(
+      stream.toDF().toDF("op", "seq", "pk", "fk", "v"), "t", "pk", fks,
+      f => { g = f(g).compact })
+    def rowProps(k: Long) = {
+      val r = g.nodes.filter(col("id") === s"tablerow:t:$k").head()
+      r.getMap[String, String](r.fieldIndex("props")).toMap
+    }
+    def fkEdges() = g.edges.filter(col("rel") === "fk")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    // batch 1: child 2 arrives BEFORE its parent 1 (fk dangling for now)
+    stream.addData(Seq(("I", 1L, 2L, 1L, "a")))
+    q.processAllAvailable()
+    assert(fkEdges() === Set.empty)
+    // batch 2: parent 1 lands → the pending buffer heals the child edge
+    stream.addData(Seq(("I", 2L, 1L, 1L, "b"))) // parent 1 (self-fk 1→1)
+    q.processAllAvailable()
+    assert(fkEdges() === Set(("tablerow:t:2", "tablerow:t:1"), ("tablerow:t:1", "tablerow:t:1")))
+    // batch 3: UPDATE parent 1 — prop bag rewritten, incoming child edge survives,
+    // the old ColumnValue "b" (now unreferenced) is swept
+    stream.addData(Seq(("U", 3L, 1L, 1L, "c")))
+    q.processAllAvailable()
+    assert(rowProps(1L)("v") === "c")
+    assert(fkEdges().contains(("tablerow:t:2", "tablerow:t:1")))
+    assert(g.nodes.filter(col("id") === "colval:t:v:b").count() === 0L)
+    // batch 4: DELETE parent 1 — row gone, incoming child edge dropped
+    stream.addData(Seq(("D", 4L, 1L, 0L, null)))
+    q.processAllAvailable()
+    assert(g.nodes.filter(col("id") === "tablerow:t:1").count() === 0L)
+    assert(fkEdges() === Set.empty)
+    // batch 5: a STALE replay of the update (seq 3 < applied 4) must not resurrect
+    stream.addData(Seq(("U", 3L, 1L, 1L, "c")))
+    q.processAllAvailable()
+    assert(g.nodes.filter(col("id") === "tablerow:t:1").count() === 0L)
+    // batch 6: re-INSERT parent 1 — the orphaned child edge heals back
+    stream.addData(Seq(("I", 5L, 1L, 1L, "d")))
+    q.processAllAvailable()
+    assert(rowProps(1L)("v") === "d")
+    assert(fkEdges() === Set(("tablerow:t:2", "tablerow:t:1"), ("tablerow:t:1", "tablerow:t:1")))
+    q.stop()
+  }
 }
