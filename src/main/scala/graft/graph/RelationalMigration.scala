@@ -93,14 +93,28 @@ object RelationalMigration {
     * parent key set. Pure stateless projection + per-FK equi-joins:
     * works identically on a batch table scan and on one micro-batch. */
   private[graft] def tablePart(df: DataFrame, table: String, pk: String,
+      fks: Seq[(String, String, DataFrame)]): (DataFrame, DataFrame) =
+    tablePartK(df, table, Seq(pk), fks)
+
+  /** Composite-key generalization of [[tablePart]]: the row node id is
+    * `tablerow:<table>:<pk1>|<pk2>|…` — a DOCUMENTED EXTENSION of the
+    * reference's scheme, which keys node ids on ONE pk column
+    * (migrate_relational_database.py:184-194; an unspecified pk falls
+    * back to the first column) and would collapse a composite-keyed
+    * table's rows onto colliding ids. Rows that still collide on the
+    * full composite key collapse keep-first under the bulk merge, like
+    * any id collision in this engine. */
+  private[graft] def tablePartK(df: DataFrame, table: String, pkCols: Seq[String],
       fks: Seq[(String, String, DataFrame)]): (DataFrame, DataFrame) = {
     val emptyBag = map().cast("map<string,string>")
-    // Non-key columns migrate as ColumnValue nodes; the pk maps to
-    // the row id and FK columns become row→row edges below (:227-235
-    // skips exactly these two classes).
-    val dataCols = df.columns.filterNot(c => c == pk || fks.exists(_._1 == c))
-    val rowId = concat(lit("tablerow:" + table + ":"), col(pk).cast("string"))
-    val rowName = concat(lit(table + ":"), col(pk).cast("string"))
+    // Non-key columns migrate as ColumnValue nodes; the pk columns map
+    // to the row id and FK columns become row→row edges below
+    // (:227-235 skips exactly these two classes — a column that is both
+    // a pk component and an FK, like l_orderkey, is skipped too).
+    val dataCols = df.columns.filterNot(c => pkCols.contains(c) || fks.exists(_._1 == c))
+    val pkRender = concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)
+    val rowId = concat(lit("tablerow:" + table + ":"), pkRender)
+    val rowName = concat(lit(table + ":"), pkRender)
     val rowProps = map_from_arrays(
       array(df.columns.map(lit(_)): _*),
       array(df.columns.map(c => col(c).cast("string")): _*))
@@ -173,8 +187,10 @@ object RelationalMigration {
     * bulk-merge dedup itself is oracle-checked): per (kind, label)
     * counts where a node label is `ntype:table[:column]` and an edge
     * label is `rel:source_table`. */
-  def migrateCensus(spark: SparkSession, dir: String): DataFrame = {
-    val g = migratedGraph(spark, dir)
+  def migrateCensus(spark: SparkSession, dir: String): DataFrame =
+    census(migratedGraph(spark, dir))
+
+  private def census(g: PropertyGraph): DataFrame = {
     // ids are "prefix:table:…" — bounded split (values may themselves
     // contain ':', e.g. timestamp renderings).
     def part(c: String, i: Int) = split(col(c), ":", 5).getItem(i)
@@ -185,6 +201,79 @@ object RelationalMigration {
     val edges = g.edges.select(lit("edge").as("kind"),
       concat(col("rel"), lit(":"), part("src", 1)).as("label"))
     nodes.union(edges).groupBy(col("kind"), col("label")).agg(count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Composite-pk extension: lineitem, the one testdata table the
+  // reference's single-pk scheme excludes. Its node ids key on
+  // (l_orderkey, l_linenumber) rendered `pk1|pk2`; its three FK
+  // families (l_orderkey→orders, l_partkey→part, l_suppkey→supplier)
+  // migrate as row→row edges. Registered as its OWN census so the
+  // reference-faithful graph_migrate census (and its perf record) stays
+  // byte-stable.
+  // ---------------------------------------------------------------------
+
+  private val compositePk = Seq("l_orderkey", "l_linenumber")
+  private val compositeFks = Seq(
+    ("l_orderkey", "orders", "o_orderkey"),
+    ("l_partkey", "part", "p_partkey"),
+    ("l_suppkey", "supplier", "s_suppkey"))
+  private val compositeDataCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private val compositeCache = new SessionDirCache[PropertyGraph]((spark, dir) => {
+    import spark.implicits._
+    val fks = compositeFks.map { case (fkCol, refTable, refCol) =>
+      (fkCol, refTable, graft.Tables.load(spark, dir, refTable)
+        .select(col(refCol).cast("string").as("fkv")).distinct())
+    }
+    val (n, e) = tablePartK(graft.Tables.load(spark, dir, "lineitem"),
+      "lineitem", compositePk, fks)
+    val typeNodes = Seq("lineitem").toDF("t").select(
+      concat(lit("tabletype:"), col("t")).as("id"),
+      lit("TableType").as("ntype"), col("t").as("name"),
+      map().cast("map<string,string>").as("props"))
+    val g = PropertyGraph(typeNodes,
+        PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+      .mergeNodes(n).mergeEdges(e)
+    PropertyGraph(
+      g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }, stamp = SessionDirCache.parquetStamp(Seq("lineitem", "orders", "part", "supplier")))
+
+  /** Census of the composite-pk lineitem migration, through the merged
+    * graph like [[migrateCensus]]. The testdata generator emits
+    * DUPLICATE composite keys (≈23% of lineitem rows share a
+    * (l_orderkey, l_linenumber) pair), so this census also
+    * oracle-checks the id-collision collapse: row nodes and is_part_of
+    * edges count DISTINCT key pairs, column/FK edges count distinct
+    * (key pair, value) combinations. */
+  def migrateCompositeCensus(spark: SparkSession, dir: String): DataFrame =
+    census(compositeCache(spark, dir))
+
+  /** DuckDB oracle: every count re-derived from lineitem with the
+    * composite-key dedup made explicit (DISTINCT over the pk pair plus
+    * the value for edge families — the merge dedups on the id/triplet,
+    * and the string rendering is injective per column type). */
+  val migrateCompositeCensusSql: String = {
+    val pkList = compositePk.mkString(", ")
+    val rowCount = s"(SELECT count(*) FROM (SELECT DISTINCT $pkList FROM lineitem))"
+    val colNodeRows = compositeDataCols.map(c =>
+      s"SELECT 'node', 'ColumnValue:lineitem:$c', count(DISTINCT $c) FROM lineitem")
+    val colEdgeRows = compositeDataCols.map(c =>
+      s"SELECT 'edge', '$c:lineitem', (SELECT count(*) FROM (SELECT DISTINCT $pkList, $c FROM lineitem WHERE $c IS NOT NULL))")
+    val fkRows = compositeFks.map { case (fkCol, refTable, refCol) =>
+      s"SELECT 'edge', '$fkCol:lineitem', (SELECT count(*) FROM (SELECT DISTINCT $pkList, $fkCol FROM lineitem JOIN $refTable ON $fkCol = $refCol))"
+    }
+    val branches = (Seq(
+      "SELECT 'node', 'TableType:lineitem', 1",
+      s"SELECT 'node', 'TableRow:lineitem', $rowCount") ++ colNodeRows ++
+      Seq(s"SELECT 'edge', 'is_part_of:lineitem', $rowCount") ++ colEdgeRows ++ fkRows)
+      .mkString("\n  UNION ALL ")
+    s"""WITH census(kind, label, n) AS (
+       |  $branches
+       |)
+       |SELECT kind, label, CAST(n AS BIGINT) AS n FROM census""".stripMargin
   }
 
   /** DuckDB census oracle: every count re-derived from the raw tables
@@ -222,8 +311,10 @@ object RelationalMigration {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_migrate" -> ((s: SparkSession, d: String) => migrateCensus(s, d)))
+    "graph_migrate" -> ((s: SparkSession, d: String) => migrateCensus(s, d)),
+    "graph_migrate_composite" -> ((s: SparkSession, d: String) => migrateCompositeCensus(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "graph_migrate" -> migrateCensusSql)
+    "graph_migrate" -> migrateCensusSql,
+    "graph_migrate_composite" -> migrateCompositeCensusSql)
 }

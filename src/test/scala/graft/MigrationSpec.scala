@@ -63,4 +63,40 @@ class MigrationSpec extends SparkSpecBase {
     assert(census(("edge", "is_part_of:orders")) == orders.count())
     assert(census(("node", "TableType:region")) == 1L)
   }
+
+  test("composite-pk extension: pk1|pk2 row ids, id-collision collapse, all three FK families") {
+    import TestSpark.spark.implicits._
+    // tiny table keyed (a, b) with a DELIBERATE composite collision
+    // (rows 3 and 4 share (2, 1)) and one dangling fk (9)
+    val rows = Seq((1L, 1L, 10L, "x"), (1L, 2L, 10L, "y"),
+      (2L, 1L, 20L, "x"), (2L, 1L, 9L, "z")).toDF("a", "b", "fk", "v")
+    val parents = Seq("10", "20").toDF("fkv")
+    val (n, e) = graph.RelationalMigration.tablePartK(
+      rows, "tt", Seq("a", "b"), Seq(("fk", "p", parents)))
+    val ids = n.filter(col("ntype") === "TableRow").select(col("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(ids === Set("tablerow:tt:1|1", "tablerow:tt:1|2", "tablerow:tt:2|1"))
+    // the collision emits two row-node candidates for 2|1; merge collapses
+    assert(n.filter(col("id") === "tablerow:tt:2|1").count() === 2L)
+    // fk edges: dangling 9 suppressed; both values of the collided key kept
+    val fkE = e.filter(col("rel") === "fk")
+      .select(col("src"), col("dst")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fkE === Set(("tablerow:tt:1|1", "tablerow:p:10"),
+      ("tablerow:tt:1|2", "tablerow:p:10"), ("tablerow:tt:2|1", "tablerow:p:20")))
+
+    // lineitem census on the real testdata: row nodes count DISTINCT
+    // composite keys (the generator emits duplicate pairs), FK families
+    // cover orders/part/supplier
+    val census = graph.RelationalMigration.migrateCompositeCensus(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val l = Tables.load(spark, sf, "lineitem")
+    val distinctPk = l.select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(distinctPk < l.count(), "testdata precondition: composite keys collide")
+    assert(census(("node", "TableRow:lineitem")) == distinctPk)
+    assert(census(("edge", "is_part_of:lineitem")) == distinctPk)
+    assert(census(("edge", "l_suppkey:lineitem")) ==
+      l.select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")).distinct()
+        .join(Tables.load(spark, sf, "supplier"),
+          col("l_suppkey") === col("s_suppkey"), "left_semi").count())
+  }
 }
