@@ -17,6 +17,26 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("cosine of an all-zero vector FAILS LOUDLY (ANSI divide-by-zero) — the pinned boundary") {
+    // SURVEY §degenerate-data boundary: an undefined cosine (zero norm)
+    // fails loudly under Spark 4's default ANSI mode (DIVIDE_BY_ZERO
+    // applies to double division too), while the DuckDB oracles would
+    // yield NaN and sort it first. The generator cannot emit zero
+    // vectors and loud failure is the chosen posture for an undefined
+    // cosine; this spec pins it so a Spark upgrade (or someone flipping
+    // spark.sql.ansi.enabled) can't silently change the shape — if this
+    // starts returning NaN instead, re-audit every cosine call site and
+    // the SURVEY boundary note before accepting the new behavior.
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 0.0))).toDF("z", "a")
+    val e = intercept[Exception](
+      df.select(VectorOps.cosine(col("z"), col("a")).as("c")).head())
+    def isDivByZero(t: Throwable): Boolean = t != null &&
+      (t.getClass.getSimpleName == "SparkArithmeticException" ||
+        Option(t.getMessage).exists(_.contains("DIVIDE_BY_ZERO")) ||
+        isDivByZero(t.getCause))
+    assert(isDivByZero(e), s"zero-norm cosine changed failure class: ${e.getClass.getName}")
+  }
+
   test("IVF shortlist is a subset of scored corpus with full per-query results") {
     val ivf = VectorOps.knnIvf(spark, sf).collect()
     assert(ivf.map(_.getLong(0)).distinct.length === 10)

@@ -39,6 +39,18 @@ def main(out_dir, sf_dir, only=()):
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Optional oracle overlay (CHECK_ORACLE_OVERLAY=path.json): substitute
+    # large-SF-tractable oracle variants for named queries. The canonical
+    # registered oracles stay the driver-gate truth at sf0.01/sf0.1; the
+    # overlay exists so the quadratic/recursive ones can still be
+    # cross-checked at sf1 (each variant documents its derivation inline
+    # via an "__comment_<name>" key, which is ignored here).
+    overlay_path = os.environ.get("CHECK_ORACLE_OVERLAY")
+    if overlay_path:
+        overlay = json.load(open(overlay_path))
+        for k, v in overlay.items():
+            if not k.startswith("__") and k in oracle:
+                oracle[k] = v
     if only:
         unknown = set(only) - set(oracle)
         if unknown:
@@ -58,6 +70,24 @@ def main(out_dir, sf_dir, only=()):
         print(f"FAIL {name}: query threw during Verify: {msg}")
         n_fail += 1
         oracle.pop(name, None)
+    # Optional per-query oracle budget (CHECK_TIMEOUT_S env): a DuckDB
+    # interrupt thread cancels quadratic/recursive oracle SQL at large SF
+    # instead of hanging the sweep; timed-out queries report TIMEOUT.
+    timeout_s = float(os.environ.get("CHECK_TIMEOUT_S", "0") or 0)
+    def run_oracle(sql):
+        if not timeout_s:
+            return con.execute(sql).df()
+        import threading
+        done = threading.Event()
+        def interrupt():
+            if not done.wait(timeout_s):
+                con.interrupt()
+        t = threading.Thread(target=interrupt, daemon=True)
+        t.start()
+        try:
+            return con.execute(sql).df()
+        finally:
+            done.set()
     for name, sql in sorted(oracle.items()):
         if os.path.exists(os.path.join(out_dir, name, "_ERROR")):
             marker = open(os.path.join(out_dir, name, "_ERROR")).read().strip()
@@ -65,7 +95,13 @@ def main(out_dir, sf_dir, only=()):
             n_fail += 1
             continue
         try:
-            expect = canon(con.execute(sql).df())
+            try:
+                raw = run_oracle(sql)
+            except duckdb.InterruptException:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
+                n_fail += 1
+                continue
+            expect = canon(raw)
             got = canon(load_result(os.path.join(out_dir, name)))
             if list(expect.columns) != list(got.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(expect.columns)}")
