@@ -37,7 +37,12 @@ def canon(df):
 def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # Driver testdata is one file per table; Spark-written corpora
+        # (graft.ScaleUp output) are directories of part files.
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # Optional oracle overlay (CHECK_ORACLE_OVERLAY=path.json): substitute
     # large-SF-tractable oracle variants for named queries. The canonical
