@@ -149,6 +149,12 @@ object RelationalOps {
     val o = load(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val l = load(spark, dir, "lineitem")
+    // Per-nation groups aggregate an SF-proportional slice of lineitem,
+    // so revenue runs in exact DECIMAL like q1Agg (the sf1 sweep caught
+    // a one-cent double-associativity miss on exactly one nation).
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(s,
@@ -156,12 +162,12 @@ object RelationalOps {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }
 
   val q5Sql: String =
     """SELECT n_name AS nation,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -451,16 +457,22 @@ object RelationalOps {
       graft.sources.BucketedStore.write(
         load(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         oT, "o_orderkey", 8, s"$root/orders")
+    // Five priority groups each aggregate an SF-proportional slice of
+    // lineitem — exact DECIMAL revenue like q1Agg/q5 (the sf1 sweep
+    // caught cent-level double-associativity misses on 3 of 5 groups).
+    val one = lit(1).cast("decimal(3,2)")
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
     graft.sources.BucketedStore.read(spark, liT)
       .join(graft.sources.BucketedStore.read(spark, oT),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority").as("priority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(rev), 2).cast("double").as("revenue"))
   }
 
   val storeBucketedJoinSql: String =
     """SELECT o_orderpriority AS priority,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
