@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.{Edge, Graph, TripletFields, VertexId}
 import org.apache.spark.graphx.lib.ShortestPaths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,15 +71,55 @@ object GraphAlgos {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK).cache()
   }
 
-  /** PageRank via GraphX staticPageRank (Pregel, in-memory iteration) —
-    * the scale path. Same recurrence as [[pageRank]]: fixed iterations,
-    * resetProb 0.15, rank/outDeg contributions, no dangling
-    * redistribution — so it hash-matches the same unrolled-CTE oracle. */
+  /** Fixed-point rank unit: ranks iterate as LONGS in units of 1e-8
+    * (init 1.0 = 1e8). Integer arithmetic is associativity-free, so the
+    * engine and the DuckDB oracle agree BYTE-EXACTLY at any scale — the
+    * double recurrence this replaces lost the 9th significant digit of
+    * a 60k-term hub sum at sf1, where the 4-dp rounding contract still
+    * demands it (the same boundary the money aggregates hit, fixed the
+    * same way: exact arithmetic, not tolerance). Overflow headroom:
+    * the damping step computes 85 × (per-dst contribution ≤ total rank
+    * mass ≈ nodes × 1e8), safe through ~10⁹ nodes — beyond that, drop
+    * the unit a decade. Truncation (1e-8 per edge term) perturbs ranks
+    * ≲1e-3 on the hottest hubs vs the real-valued recurrence — identical
+    * on both sides of the parity check by construction. */
+  private[graft] val RankUnit = 100000000L
+
+  /** PageRank via GraphX aggregateMessages (Pregel-shaped, in-memory
+    * iteration) — the scale path. Same FIXED-POINT recurrence as
+    * [[pageRank]]: fixed iterations, resetProb 0.15, rank div outDeg
+    * contributions in [[RankUnit]] longs, no dangling redistribution —
+    * so it matches the unrolled integer-CTE oracle exactly. Returns the
+    * scaled long rank per node id. */
   def pageRankGraphX(g: PropertyGraph, iters: Int): DataFrame = {
     val (graph, idx) = toGraphX(g, directed = true)
     val spark = g.nodes.sparkSession
-    val ranks = graph.staticPageRank(iters).vertices
-    spark.createDataFrame(ranks).toDF("vid", "r").join(idx, Seq("vid")).select(col("id"), col("r"))
+    // The GraphX PageRank loop shape: the per-source divisor lives on
+    // the EDGE (out-degree as edge attr, set once), the vertex attr is
+    // only the rank long, messages ship src attrs only, and each round
+    // materializes through the EDGE view (what the next round's
+    // aggregateMessages actually reads) before the previous generation
+    // unpersists.
+    var rankGraph: Graph[Long, Long] = graph
+      .outerJoinVertices(graph.outDegrees)((_, _, d) => d.getOrElse(0))
+      .mapTriplets(e => e.srcAttr.toLong)
+      .mapVertices((_, _) => RankUnit)
+    for (_ <- 1 to iters) {
+      rankGraph.persist(StorageLevel.MEMORY_AND_DISK)
+      val msgs = rankGraph.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr / ctx.attr), _ + _, TripletFields.Src)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(msgs)((_, _, m) =>
+        15L * RankUnit / 100L + 85L * m.getOrElse(0L) / 100L)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rankGraph.edges.foreachPartition(_ => ()) // materialize the triplet view
+      prev.unpersist(blocking = false)
+    }
+    val out = spark.createDataFrame(rankGraph.vertices)
+      .toDF("vid", "r").join(idx, Seq("vid")).select(col("id"), col("r"))
+      .localCheckpoint(true)
+    rankGraph.unpersist(blocking = false)
+    out
   }
 
   /** Connected components via GraphX; label = lexicographically smallest
@@ -393,10 +433,13 @@ object GraphAlgos {
 
   /** PageRank by DataFrame power iteration: fixed iteration count,
     * damping 0.85, init 1.0, no dangling redistribution — the exact
-    * recurrence the unrolled-CTE oracle evaluates. Directed edges.
-    * Each iteration is one shuffle (groupBy dst) + broadcast-eligible
-    * join back to nodes; ranks are eagerly localCheckpointed per
-    * iteration so the logical plan stays constant-size. */
+    * FIXED-POINT recurrence ([[RankUnit]] longs, integral division) the
+    * unrolled integer-CTE oracle evaluates, and the same recurrence as
+    * [[pageRankGraphX]] (the spec pins them EQUAL, not merely close).
+    * Directed edges. Each iteration is one shuffle (groupBy dst) +
+    * broadcast-eligible join back to nodes; ranks are eagerly
+    * localCheckpointed per iteration so the logical plan stays
+    * constant-size. Returns the scaled long rank per node id. */
   def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
     val edges = g.edges.select(col("src"), col("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -406,7 +449,7 @@ object GraphAlgos {
     val edgesW = edges.join(deg, Seq("src"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodeIds = g.nodes.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodeIds.withColumn("r", lit(1.0))
+    var ranks = nodeIds.withColumn("r", lit(RankUnit))
     for (_ <- 1 to iters) {
       // shuffle_hash: checkpointed ranks have unknown stats → the
       // planner's sort-merge default would re-sort the hoisted edge
@@ -414,22 +457,20 @@ object GraphAlgos {
       val contrib = edgesW
         .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("r") / col("od")).as("contrib"))
+        .agg(sum(expr("r div od")).as("contrib")) // integral div: exact, order-free
       // Eager localCheckpoint per round — constant-size plan (see the
       // [[personalizedPageRank]] loop note).
       ranks = nodeIds.join(contrib, Seq("id"), "left")
-        .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .select(col("id"),
+          (lit(15L * RankUnit / 100L) +
+            expr(s"(85 * coalesce(contrib, 0L)) div 100")).as("r"))
         .localCheckpoint(true)
     }
-    // Match GraphX staticPageRank's final normalization (ranks sum to N).
-    val row = ranks.agg(count(lit(1)).cast("double"), sum(col("r"))).head()
     // Hand the caller a checkpointed result (RDD blocks, released by the
     // ContextCleaner once unreferenced) and release EVERY loop cache —
     // a persisted `ranks` would be a CacheManager entry nobody could
     // ever unpersist through the returned derived plan.
-    val out = ranks
-      .select(col("id"), (col("r") * lit(row.getDouble(0)) / lit(row.getDouble(1))).as("r"))
-      .localCheckpoint(true)
+    val out = ranks.localCheckpoint(true)
     edgesW.unpersist(false)
     nodeIds.unpersist(false)
     out

@@ -145,10 +145,19 @@ object GraphQueries {
     snrSubgraph(spark, dir).connectedComponentsDf
 
   /** Top-100 PageRank (10 fixed iterations, damping 0.85) via GraphX
-    * Pregel; GraphAlgos.pageRank is the DataFrame twin (same oracle). */
+    * aggregateMessages in fixed-point longs (GraphAlgos.RankUnit);
+    * GraphAlgos.pageRank is the DataFrame twin (spec-pinned EQUAL, not
+    * merely close — integer recurrence, no float drift). Final
+    * normalization matches GraphX staticPageRank (ranks sum to N):
+    * one double multiply + divide over exact integer inputs, the same
+    * association the oracle uses. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val ranks = GraphAlgos.pageRankGraphX(TpchGraph(spark, dir), 10)
-    ranks.select(col("id"), round(col("r"), 4).as("rank"))
+    val row = ranks.agg(count(lit(1)), sum(col("r"))).head()
+    val (n, s) = (row.getLong(0), row.getLong(1))
+    ranks
+      .select(col("id"),
+        round(col("r").cast("double") * lit(n.toDouble) / lit(s.toDouble), 4).as("rank"))
       .orderBy(col("rank").desc, col("id").asc).limit(100)
   }
 
@@ -216,11 +225,16 @@ object GraphQueries {
        |)
        |SELECT a AS id, min(b) AS component FROM reach GROUP BY a""".stripMargin
 
+  // Fixed-point iteration in GraphAlgos.RankUnit longs (1.0 = 1e8):
+  // integral division per edge term and in the damping step — exact,
+  // associativity-free, so the engine matches byte-exactly at ANY scale
+  // (the double recurrence lost the 9th significant digit of a 60k-term
+  // hub sum at sf1, inside the 4-dp rounding contract).
   private def prIter(i: Int): String =
     s"""r$i AS (
-       |  SELECT n.id, 0.15 + 0.85 * coalesce(c.contrib, 0.0) AS r
+       |  SELECT n.id, 15000000 + (85 * coalesce(c.contrib, 0)) // 100 AS r
        |  FROM nodes n LEFT JOIN (
-       |    SELECT e.dst AS id, sum(p.r / d.od) AS contrib
+       |    SELECT e.dst AS id, sum(p.r // d.od) AS contrib
        |    FROM edges e JOIN deg d ON d.src = e.src JOIN r${i - 1} p ON p.id = e.src
        |    GROUP BY e.dst) c ON c.id = n.id
        |)""".stripMargin
@@ -228,10 +242,14 @@ object GraphQueries {
   val pageRankSql: String =
     s"""$withGraph,
        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
-       |r0 AS (SELECT id, 1.0 AS r FROM nodes),
+       |r0 AS (SELECT id, CAST(100000000 AS BIGINT) AS r FROM nodes),
        |${(1 to 10).map(prIter).mkString(",\n")}
-       |-- GraphX staticPageRank normalizes final ranks to sum to numVertices
-       |SELECT id, round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r10), 4) AS rank
+       |-- GraphX staticPageRank normalizes final ranks to sum to numVertices;
+       |-- one double multiply + divide over exact integer inputs, same
+       |-- association as the engine (cast(r) * n / s).
+       |SELECT id, round(CAST(r AS DOUBLE)
+       |    * CAST((SELECT count(*) FROM nodes) AS DOUBLE)
+       |    / CAST((SELECT sum(r) FROM r10) AS DOUBLE), 4) AS rank
        |FROM r10
        |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
 

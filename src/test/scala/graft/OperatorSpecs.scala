@@ -1412,13 +1412,18 @@ class GraphAlgosSpec extends SparkSpecBase {
     assert(out(10L) === 10L && out(11L) === 11L)
   }
 
-  test("DataFrame PageRank matches GraphX staticPageRank to 1e-6") {
+  test("DataFrame PageRank equals the GraphX fixed-point loop EXACTLY") {
+    // Integer recurrence (RankUnit longs, integral division) — the two
+    // execution paths must agree to the last bit, not to a tolerance;
+    // any float sneaking back into either loop breaks this.
     val g = TpchGraph(spark, sf)
     val df = GraphAlgos.pageRank(g, 5).withColumnRenamed("r", "r_df")
     val gx = GraphAlgos.pageRankGraphX(g, 5).withColumnRenamed("r", "r_gx")
-    val worst = df.join(gx, Seq("id"))
-      .select(max(abs(col("r_df") - col("r_gx"))).as("d")).head().getDouble(0)
-    assert(worst < 1e-6)
+    val joined = df.join(gx, Seq("id"))
+    assert(joined.count() === df.count())
+    assert(joined.filter(col("r_df") =!= col("r_gx")).count() === 0L)
+    // and the ranks are real fixed-point values, not all the init mass
+    assert(df.filter(col("r_df") =!= lit(GraphAlgos.RankUnit)).count() > 0L)
   }
 
   test("DataFrame personalized PageRank matches the GraphX loop to 1e-9") {
