@@ -103,7 +103,17 @@ object RelationalMigration {
     * back to the first column) and would collapse a composite-keyed
     * table's rows onto colliding ids. Rows that still collide on the
     * full composite key collapse keep-first under the bulk merge, like
-    * any id collision in this engine. */
+    * any id collision in this engine.
+    *
+    * The multi-column rendering is INJECTIVE: each component escapes
+    * backslash then pipe (`\` → `\\`, `|` → `\|`) and renders NULL as
+    * the unescaped marker `\N` (a literal "\N" value escapes to `\\N`,
+    * so the marker cannot be forged) — otherwise concat_ws would drop
+    * NULL components and a `|` inside a string key would alias the
+    * separator, silently collapsing distinct rows ((1,NULL) vs (NULL,1),
+    * ("1|2","3") vs ("1","2|3")). A SINGLE-column key keeps the
+    * reference's raw `str(pk)` rendering — ids stay byte-compatible
+    * with the faithful migration. */
   private[graft] def tablePartK(df: DataFrame, table: String, pkCols: Seq[String],
       fks: Seq[(String, String, DataFrame)]): (DataFrame, DataFrame) = {
     val emptyBag = map().cast("map<string,string>")
@@ -112,7 +122,14 @@ object RelationalMigration {
     // (:227-235 skips exactly these two classes — a column that is both
     // a pk component and an FK, like l_orderkey, is skipped too).
     val dataCols = df.columns.filterNot(c => pkCols.contains(c) || fks.exists(_._1 == c))
-    val pkRender = concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)
+    def pkComponent(c: String): org.apache.spark.sql.Column = {
+      val escaped = regexp_replace(
+        regexp_replace(col(c).cast("string"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+      coalesce(escaped, lit("\\N"))
+    }
+    val pkRender =
+      if (pkCols.sizeIs == 1) col(pkCols.head).cast("string")
+      else concat_ws("|", pkCols.map(pkComponent): _*)
     val rowId = concat(lit("tablerow:" + table + ":"), pkRender)
     val rowName = concat(lit(table + ":"), pkRender)
     val rowProps = map_from_arrays(

@@ -12,27 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  // --- Exact-DECIMAL money terms, shared by every revenue aggregate
+  // whose groups sum an SF-PROPORTIONAL lineitem slice (q1, q5, rollup,
+  // the bucketed-store join). The generated money columns are exact
+  // 2-decimal values, so the double→decimal cast is lossless in BOTH
+  // engines, every product stays exact (scales add, precision never
+  // hits 38), and the decimal SUM is associativity-free — double sums
+  // lost the last cent at sf1's 6M-row totals, where Spark's and
+  // DuckDB's partial-sum orders diverge. One definition per engine
+  // side: a precision tweak that touched only one would silently
+  // desync the oracle pairs. SURVEY §4 rounding contract.
+  private val moneyOne  = lit(1).cast("decimal(3,2)")
+  private def extPrice  = col("l_extendedprice").cast("decimal(18,2)")
+  private def discountD = col("l_discount").cast("decimal(4,2)")
+  /** l_extendedprice × (1 − l_discount) — decimal(24,4), exact. */
+  private def revenueExact: org.apache.spark.sql.Column = extPrice * (moneyOne - discountD)
+  /** The identical expression as DuckDB SQL. */
+  private val revenueExactSql: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
   /** TPC-H Q1-style pricing summary. Single hash-aggregate: map-side
-    * partial agg → one shuffle on (returnflag, linestatus).
-    *
-    * Money arithmetic runs in DECIMAL end-to-end: the generated money
-    * columns are exact 2-decimal values, so the double→decimal cast is
-    * lossless in BOTH engines, every product stays exact (scales add,
-    * precision never hits 38), and the decimal SUM is
-    * associativity-free. The previous double-sum version lost the last
-    * cent at sf1 (6M-row ~1e11 totals, partial-sum ordering differs
-    * between Spark and DuckDB); this hashes exactly at ANY scale
-    * factor. Averages divide the exact decimal sum (cast to double,
-    * deterministic nearest) by the count — one IEEE division, no
-    * order dependence. SURVEY §4 rounding contract. */
+    * partial agg → one shuffle on (returnflag, linestatus). Money in
+    * exact DECIMAL (see [[revenueExact]]); averages divide the exact
+    * decimal sum (cast to double, deterministic nearest) by the count —
+    * one IEEE division, no order dependence. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val l = load(spark, dir, "lineitem")
-    val one   = lit(1).cast("decimal(3,2)")
+    val one   = moneyOne
     val qty   = col("l_quantity").cast("decimal(18,2)")
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val disc  = col("l_discount").cast("decimal(4,2)")
+    val price = extPrice
+    val disc  = discountD
     val tax   = col("l_tax").cast("decimal(4,2)")
-    val discPrice = price * (one - disc)   // decimal(24,4), exact
+    val discPrice = revenueExact           // decimal(24,4), exact
     val charge    = discPrice * (one + tax) // decimal(30,6), exact
     val n = count(lit(1))
     l.filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -48,11 +59,11 @@ object RelationalOps {
   }
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(round(sum($revenueExactSql), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum($revenueExactSql * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
       |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
       |  count(*) AS count_order
@@ -150,11 +161,9 @@ object RelationalOps {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val l = load(spark, dir, "lineitem")
     // Per-nation groups aggregate an SF-proportional slice of lineitem,
-    // so revenue runs in exact DECIMAL like q1Agg (the sf1 sweep caught
-    // a one-cent double-associativity miss on exactly one nation).
-    val one = lit(1).cast("decimal(3,2)")
-    val rev = col("l_extendedprice").cast("decimal(18,2)") *
-      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
+    // so revenue runs in exact DECIMAL (the sf1 sweep caught a one-cent
+    // double-associativity miss on exactly one nation).
+    val rev = revenueExact
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(s,
@@ -166,8 +175,8 @@ object RelationalOps {
   }
 
   val q5Sql: String =
-    """SELECT n_name AS nation,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    s"""SELECT n_name AS nation,
+      |  CAST(round(sum($revenueExactSql), 2) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -218,9 +227,7 @@ object RelationalOps {
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     val l = load(spark, dir, "lineitem")
     val p = load(spark, dir, "part")
-    val one = lit(1).cast("decimal(3,2)")
-    val rev = col("l_extendedprice").cast("decimal(18,2)") *
-      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
+    val rev = revenueExact
     l.join(p, col("l_partkey") === col("p_partkey")) // part is SF-proportional: keyed, planner decides
       .select(col("p_brand").as("brand"),
         substring(col("p_type"), 1, 6).as("type_prefix"),
@@ -233,9 +240,9 @@ object RelationalOps {
   }
 
   val qRollupSql: String =
-    """SELECT coalesce(p_brand, 'ALL') AS brand,
+    s"""SELECT coalesce(p_brand, 'ALL') AS brand,
       |  coalesce(substr(p_type, 1, 6), 'ALL') AS type_prefix,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+      |  CAST(round(sum($revenueExactSql), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY ROLLUP (p_brand, substr(p_type, 1, 6))""".stripMargin
@@ -460,9 +467,7 @@ object RelationalOps {
     // Five priority groups each aggregate an SF-proportional slice of
     // lineitem — exact DECIMAL revenue like q1Agg/q5 (the sf1 sweep
     // caught cent-level double-associativity misses on 3 of 5 groups).
-    val one = lit(1).cast("decimal(3,2)")
-    val rev = col("l_extendedprice").cast("decimal(18,2)") *
-      (one - col("l_discount").cast("decimal(4,2)")) // decimal(24,4), exact
+    val rev = revenueExact
     graft.sources.BucketedStore.read(spark, liT)
       .join(graft.sources.BucketedStore.read(spark, oT),
         col("l_orderkey") === col("o_orderkey"))
@@ -471,8 +476,8 @@ object RelationalOps {
   }
 
   val storeBucketedJoinSql: String =
-    """SELECT o_orderpriority AS priority,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    s"""SELECT o_orderpriority AS priority,
+      |  CAST(round(sum($revenueExactSql), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 

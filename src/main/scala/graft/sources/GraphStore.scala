@@ -74,9 +74,12 @@ final case class GraphStore(spark: SparkSession, root: String) {
   }
 
   /** The committed generation, healing crash states: a missing or
-    * dangling pointer adopts (and re-commits) the newest generation
-    * whose both relations carry _SUCCESS. None → not versioned (legacy
-    * layout or absent). */
+    * dangling pointer adopts the newest generation whose both relations
+    * carry _SUCCESS. Adoption is READ-ONLY — the pointer is re-written
+    * only by the next save's commit, so concurrent readers after
+    * pointer loss don't race each other's recovery writes and a
+    * read-only filesystem can still load (the gen scan is one
+    * listStatus). None → not versioned (legacy layout or absent). */
   private def currentGen(name: String): Option[String] = {
     val f = fs
     val pointed: Option[String] =
@@ -86,16 +89,18 @@ final case class GraphStore(spark: SparkSession, root: String) {
         val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
         Some(gen).filter(g => f.exists(path(name, g, "nodes")))
       }
-    pointed.orElse {
-      val adopted = listGenNums(name).sorted.reverse.map("v" + _)
-        .find(genComplete(name, _))
-      adopted.foreach(commitPointer(name, _))
-      adopted
-    }
+    pointed.orElse(
+      listGenNums(name).sorted.reverse.map("v" + _).find(genComplete(name, _)))
   }
 
+  /** True when ANY recoverable copy exists — committed generation,
+    * legacy live dir, or a legacy crash-parked `.old` whose live dir is
+    * gone (load() rolls that one back). A create-if-absent caller must
+    * see the parked copy, or its save() would GC the only copy of a
+    * graph that load() could still restore. */
   def hasGraph(name: String): Boolean =
-    currentGen(name).isDefined || fs.exists(path(name, "nodes"))
+    currentGen(name).isDefined || fs.exists(path(name, "nodes")) ||
+      fs.exists(path(name, "nodes.old"))
 
   /** Persist (commit) a graph — props normalized so every stored graph
     * carries the full NodeData/EdgeData schema. Both relations

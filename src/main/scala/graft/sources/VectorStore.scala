@@ -116,6 +116,11 @@ final case class VectorStore(spark: SparkSession, root: String) {
     * the recovery breadcrumb; it never truncates. */
   def deleteDataPoints(name: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
+    // Restore a crash-parked collection before reading it — this entry
+    // point reads the live dir directly, so it must run the same
+    // recovery probe as every existence check (a parked-only copy would
+    // otherwise throw path-not-found and never be restored).
+    recoverSwap(path(name))
     val idDf = ids.toDF("vec_id")
     def writeTmp(dir: org.apache.hadoop.fs.Path, partitioned: Boolean): org.apache.hadoop.fs.Path = {
       val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")

@@ -467,7 +467,17 @@ object EventStream {
     * that FK — row-node presence in the live graph is the truth there.
     * Scale shape: every per-batch join keys on the batch's changed-row
     * set or the pending buffer; nothing is graph-proportional except
-    * the keyed merges the bulk mutation contract already owns. */
+    * the keyed merges the bulk mutation contract already owns.
+    *
+    * RESTART SCOPE: the latest-wins (pk, seq) gate is the stream's
+    * durable state (checkpoint-recovered), but the pending-FK buffer is
+    * SESSION-LIFETIME — it lives beside the driver like the graph the
+    * `transact` callbacks accumulate. A redeploy that recovers the seq
+    * state from a checkpoint but starts a fresh graph/buffer must
+    * either replay the feed against an empty checkpoint or run the
+    * one-shot batch migration ([[graft.graph.RelationalMigration]]) to
+    * reconcile; recovering the seq gate alone would drop the replays
+    * that could re-heal dangling edges. */
   def migrateCdcStream(rows: DataFrame, table: String, pk: String,
       fks: Seq[(String, String, DataFrame)],
       transact: (graft.graph.PropertyGraph => graft.graph.PropertyGraph) => Unit)
@@ -478,10 +488,13 @@ object EventStream {
     val rowSchema = rows.select(tableCols.map(col): _*).schema
     val rowIdPrefix = "tablerow:" + table + ":"
     val emptyBag = map().cast("map<string,string>")
-    // pending dangling-FK edges: (src, dst, rel) plus (refTable, fkv)
-    // for re-validation against the parent key plans
+    // pending dangling-FK edges: (src, dst, rel, props) plus
+    // (refTable, fkv) for re-validation against the parent key plans —
+    // props ride along so an edge parked by a parent DELETE heals with
+    // its original bag, like an edge surviving an UPDATE does
     var pending = Seq.empty[(String, String, String, String, String)]
       .toDF("src", "dst", "rel", "refTable", "fkv")
+      .withColumn("props", map().cast("map<string,string>"))
 
     val changes = rows
       .select(col(pk).cast("string").as("k"), upper(col("op")).as("op"),
@@ -557,13 +570,14 @@ object EventStream {
               .join(parentKeys, Seq("fkv"), "left_anti")
               .select(col("src"),
                 concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
-                lit(fkCol).as("rel"), lit(refTable).as("refTable"), col("fkv"))
+                lit(fkCol).as("rel"), lit(refTable).as("refTable"), col("fkv"),
+                emptyBag.as("props"))
           }.reduceOption(_ unionByName _)
             .getOrElse(pending.limit(0))
           val orphanedIncoming = incoming
             .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
             .select(col("src"), col("dst"), col("rel"),
-              lit(table).as("refTable"), fkvOfDst.as("fkv"))
+              lit(table).as("refTable"), fkvOfDst.as("fkv"), col("props"))
           val pending1 = pending
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
             .unionByName(newUnmatched).unionByName(orphanedIncoming)
@@ -583,8 +597,10 @@ object EventStream {
             .join(healable.select(col("src"), col("dst"), col("rel")),
               Seq("src", "dst", "rel"), "left_anti")
             .localCheckpoint(true)
+          // heal with the ORIGINAL props bag (empty for fresh FK edges,
+          // the parked bag for edges orphaned by a parent delete)
           swept.mergeEdges(
-            healable.select(col("src"), col("dst"), col("rel"), emptyBag.as("props")))
+            healable.select(col("src"), col("dst"), col("rel"), col("props")))
         }
         ()
       }.start()

@@ -99,4 +99,25 @@ class MigrationSpec extends SparkSpecBase {
         .join(Tables.load(spark, sf, "supplier"),
           col("l_suppkey") === col("s_suppkey"), "left_semi").count())
   }
+
+  test("composite-pk rendering is injective: NULL components and '|' in values never alias") {
+    import TestSpark.spark.implicits._
+    // (1,NULL) vs (NULL,1): concat_ws would drop the NULLs and render
+    // both as "1"; ("1|2","3") vs ("1","2|3") would both render "1|2|3".
+    // The escaped rendering keeps all four rows distinct.
+    val rows = Seq(
+      (Option("1"), Option.empty[String], "a"),
+      (Option.empty[String], Option("1"), "b"),
+      (Option("1|2"), Option("3"), "c"),
+      (Option("1"), Option("2|3"), "d")).toDF("x", "y", "v")
+    val (n, _) = graph.RelationalMigration.tablePartK(rows, "tt", Seq("x", "y"), Nil)
+    val ids = n.filter(col("ntype") === "TableRow").select(col("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(ids.size === 4, s"rendering collapsed distinct keys: $ids")
+    // and a literal "\N" value cannot forge the NULL marker
+    val forged = Seq((Option("\\N"), Option("1"), "e"),
+      (Option.empty[String], Option("1"), "f")).toDF("x", "y", "v")
+    val (fn, _) = graph.RelationalMigration.tablePartK(forged, "tt", Seq("x", "y"), Nil)
+    assert(fn.filter(col("ntype") === "TableRow").select(col("id")).distinct().count() === 2L)
+  }
 }

@@ -469,11 +469,17 @@ class SourcesSpec extends SparkSpecBase {
       Seq(("n:2", "t", "two", Map.empty[String, String])).toDF("id", "ntype", "name", "props"))
     store.save("g", g2) // second generation; v1 GC'd
     // crash window: pointer file lost AFTER both relations committed —
-    // recovery adopts the newest complete generation and heals the pointer
+    // recovery adopts the newest complete generation READ-ONLY (no
+    // pointer write on a load path: concurrent readers must not race
+    // each other's recovery, and read-only storage must still load);
+    // the pointer is re-written by the next save's commit
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT"), false)
     assert(store.hasGraph("g"))
     assert(store.load("g").nodes.count() === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT")))
+    store.save("g", store.load("g"))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/g/_CURRENT")))
+    assert(store.load("g").nodes.count() === 2L)
     // crash window: a save that died mid-parquet-write leaves a partial
     // HIGHER generation with no _SUCCESS — it is never adopted over the
     // committed one, and the next save GCs it
@@ -492,6 +498,10 @@ class SourcesSpec extends SparkSpecBase {
     assert(legacy.load("h").nodes.count() === 1L)
     fs.rename(new org.apache.hadoop.fs.Path(s"$legacyRoot/h/nodes"),
       new org.apache.hadoop.fs.Path(s"$legacyRoot/h/nodes.old"))
+    // the parked copy COUNTS as present — a create-if-absent caller
+    // keyed on hasGraph must not take the create branch here, or its
+    // save() would GC the only copy load() could still restore
+    assert(legacy.hasGraph("h"))
     assert(legacy.load("h").nodes.count() === 1L) // restored, not lost
     // and a later save migrates the legacy graph to the versioned layout
     legacy.save("h", legacy.load("h"))
@@ -521,5 +531,12 @@ class SourcesSpec extends SparkSpecBase {
     assert(store.hasCollection("c"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/c.deleting")))
     assert(store.collection("c").count() === 2L)
+    // deleteDataPoints reads the live dir directly — it must run the
+    // same recovery probe, not throw path-not-found on a parked copy
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/c"),
+      new org.apache.hadoop.fs.Path(s"$root/c.deleting"))
+    store.deleteDataPoints("c", Seq(1L))
+    assert(store.collection("c").count() === 1L)
+    assert(store.collection("c").select(col("vec_id")).head().getLong(0) === 2L)
   }
 }

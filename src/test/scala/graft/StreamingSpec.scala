@@ -813,11 +813,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(rowProps(1L)("v") === "c")
     assert(fkEdges().contains(("tablerow:t:2", "tablerow:t:1")))
     assert(g.nodes.filter(col("id") === "colval:t:v:b").count() === 0L)
+    // an OUT-OF-BAND incoming edge (mutation-API shape) carrying props —
+    // the delete must park it WITH its bag, and the heal restore it intact
+    g = g.mergeEdges(Seq(("extra:9", "tablerow:t:1", "likes"))
+      .toDF("src", "dst", "rel").withColumn("props", map(lit("w"), lit("0.7"))))
     // batch 4: DELETE parent 1 — row gone, incoming child edge dropped
     stream.addData(Seq(("D", 4L, 1L, 0L, null)))
     q.processAllAvailable()
     assert(g.nodes.filter(col("id") === "tablerow:t:1").count() === 0L)
     assert(fkEdges() === Set.empty)
+    assert(g.edges.filter(col("rel") === "likes").count() === 0L)
     // batch 5: a STALE replay of the update (seq 3 < applied 4) must not resurrect
     stream.addData(Seq(("U", 3L, 1L, 1L, "c")))
     q.processAllAvailable()
@@ -827,6 +832,10 @@ class StreamingSpec extends SparkSpecBase {
     q.processAllAvailable()
     assert(rowProps(1L)("v") === "d")
     assert(fkEdges() === Set(("tablerow:t:2", "tablerow:t:1"), ("tablerow:t:1", "tablerow:t:1")))
+    // the parked edge returned with its ORIGINAL props, not a stripped bag
+    val healed = g.edges.filter(col("rel") === "likes").head()
+    assert(healed.getString(0) === "extra:9")
+    assert(healed.getMap[String, String](healed.fieldIndex("props")).toMap === Map("w" -> "0.7"))
     q.stop()
   }
 }

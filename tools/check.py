@@ -35,14 +35,17 @@ def canon(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def main(out_dir, sf_dir, only=()):
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        # Driver testdata is one file per table; Spark-written corpora
-        # (graft.ScaleUp output) are directories of part files.
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+            # Driver testdata is one file per table; Spark-written corpora
+            # (graft.ScaleUp output) are directories of part files.
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+    con = fresh_con()
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # Optional oracle overlay (CHECK_ORACLE_OVERLAY=path.json): substitute
     # large-SF-tractable oracle variants for named queries. The canonical
@@ -80,17 +83,36 @@ def main(out_dir, sf_dir, only=()):
     # instead of hanging the sweep; timed-out queries report TIMEOUT.
     timeout_s = float(os.environ.get("CHECK_TIMEOUT_S", "0") or 0)
     def run_oracle(sql):
+        # Returns (df, timed_out). The watchdog can race a query that
+        # finishes right at the budget: con.interrupt() then lands on an
+        # idle connection and poisons the NEXT execute. So (a) the
+        # watchdog records that it fired, (b) an InterruptException
+        # without a fired watchdog is retried on a fresh connection, and
+        # (c) after any fired watchdog the connection is rebuilt so no
+        # pending interrupt flag leaks into the next query.
+        nonlocal con
         if not timeout_s:
-            return con.execute(sql).df()
+            return con.execute(sql).df(), False
         import threading
         done = threading.Event()
+        fired = threading.Event()
         def interrupt():
             if not done.wait(timeout_s):
+                fired.set()
                 con.interrupt()
         t = threading.Thread(target=interrupt, daemon=True)
         t.start()
         try:
-            return con.execute(sql).df()
+            df = con.execute(sql).df()
+            if fired.is_set():  # completed anyway — drop the poisoned con
+                con = fresh_con()
+            return df, False
+        except duckdb.InterruptException:
+            con = fresh_con()
+            if fired.is_set():
+                return None, True
+            # stray interrupt from a PREVIOUS query's watchdog: retry once
+            return run_oracle(sql)
         finally:
             done.set()
     for name, sql in sorted(oracle.items()):
@@ -100,9 +122,8 @@ def main(out_dir, sf_dir, only=()):
             n_fail += 1
             continue
         try:
-            try:
-                raw = run_oracle(sql)
-            except duckdb.InterruptException:
+            raw, timed_out = run_oracle(sql)
+            if timed_out:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
                 n_fail += 1
                 continue
