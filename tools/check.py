@@ -84,37 +84,45 @@ def main(out_dir, sf_dir, only=()):
     timeout_s = float(os.environ.get("CHECK_TIMEOUT_S", "0") or 0)
     def run_oracle(sql):
         # Returns (df, timed_out). The watchdog can race a query that
-        # finishes right at the budget: con.interrupt() then lands on an
-        # idle connection and poisons the NEXT execute. So (a) the
-        # watchdog records that it fired, (b) an InterruptException
-        # without a fired watchdog is retried on a fresh connection, and
-        # (c) after any fired watchdog the connection is rebuilt so no
-        # pending interrupt flag leaks into the next query.
+        # finishes right at the budget: interrupt() then lands on an
+        # idle connection and poisons the NEXT execute. So (a) each
+        # watchdog captures its OWN attempt's connection as a local —
+        # a still-armed timer from a prior attempt can never interrupt
+        # a fresh connection; (b) an InterruptException without a fired
+        # watchdog (the stray from a previous query's racing timer) is
+        # retried on a fresh connection via a BOUNDED loop, each attempt
+        # with its own connection and watchdog — never recursion, so no
+        # stack of armed timers accumulates; (c) after any fired
+        # watchdog the shared connection is rebuilt so no pending
+        # interrupt flag leaks into the next query.
         nonlocal con
         if not timeout_s:
             return con.execute(sql).df(), False
         import threading
-        done = threading.Event()
-        fired = threading.Event()
-        def interrupt():
-            if not done.wait(timeout_s):
-                fired.set()
-                con.interrupt()
-        t = threading.Thread(target=interrupt, daemon=True)
-        t.start()
-        try:
-            df = con.execute(sql).df()
-            if fired.is_set():  # completed anyway — drop the poisoned con
+        for _attempt in range(3):
+            attempt_con = con
+            done = threading.Event()
+            fired = threading.Event()
+            def interrupt(c=attempt_con, done=done, fired=fired):
+                if not done.wait(timeout_s):
+                    fired.set()
+                    c.interrupt()
+            t = threading.Thread(target=interrupt, daemon=True)
+            t.start()
+            try:
+                df = attempt_con.execute(sql).df()
+                if fired.is_set():  # completed anyway — drop the poisoned con
+                    con = fresh_con()
+                return df, False
+            except duckdb.InterruptException:
                 con = fresh_con()
-            return df, False
-        except duckdb.InterruptException:
-            con = fresh_con()
-            if fired.is_set():
-                return None, True
-            # stray interrupt from a PREVIOUS query's watchdog: retry once
-            return run_oracle(sql)
-        finally:
-            done.set()
+                if fired.is_set():
+                    return None, True
+                # stray interrupt from a PREVIOUS query's watchdog landed
+                # on this attempt's connection: loop with the fresh one
+            finally:
+                done.set()
+        raise RuntimeError("3 stray interrupts in a row without a fired watchdog")
     for name, sql in sorted(oracle.items()):
         if os.path.exists(os.path.join(out_dir, name, "_ERROR")):
             marker = open(os.path.join(out_dir, name, "_ERROR")).read().strip()
