@@ -26,7 +26,8 @@ object SparkEntry {
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
       (Pipeline.queries, Pipeline.oracles),
       (graph.GraphQueries.queries, graph.GraphQueries.oracles),
-      (graph.RelationalMigration.queries, graph.RelationalMigration.oracles))
+      (graph.RelationalMigration.queries, graph.RelationalMigration.oracles),
+      (streaming.StreamQueries.queries, streaming.StreamQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Completion-context assembly exercises the vector engine

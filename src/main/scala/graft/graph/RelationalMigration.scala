@@ -207,7 +207,7 @@ object RelationalMigration {
   def migrateCensus(spark: SparkSession, dir: String): DataFrame =
     census(migratedGraph(spark, dir))
 
-  private def census(g: PropertyGraph): DataFrame = {
+  private[graft] def census(g: PropertyGraph): DataFrame = {
     // ids are "prefix:table:…" — bounded split (values may themselves
     // contain ':', e.g. timestamp renderings).
     def part(c: String, i: Int) = split(col(c), ":", 5).getItem(i)

@@ -470,17 +470,26 @@ object EventStream {
     * the keyed merges the bulk mutation contract already owns.
     *
     * RESTART SCOPE: the latest-wins (pk, seq) gate is the stream's
-    * durable state (checkpoint-recovered), but the pending-FK buffer is
+    * durable state (checkpoint-recovered). The pending-FK buffer is
+    * durable too WHEN `checkpointDir` is given: the stream checkpoints
+    * under `<dir>/spark` and the buffer persists as a parquet sidecar
+    * under `<dir>/pending` — one snapshot per micro-batch, committed by
+    * an atomic `_CURRENT` pointer after the batch's `transact` returns
+    * (the [[graft.sources.GraphStore]] generation discipline), with the
+    * predecessor snapshot retained so a batch that re-runs after a
+    * crash-between-foreachBatch-and-epoch-commit re-adopts the state
+    * its FIRST run started from. A restart therefore cannot silently
+    * lose parked edge heals. Without `checkpointDir` the buffer is
     * SESSION-LIFETIME — it lives beside the driver like the graph the
-    * `transact` callbacks accumulate. A redeploy that recovers the seq
-    * state from a checkpoint but starts a fresh graph/buffer must
-    * either replay the feed against an empty checkpoint or run the
-    * one-shot batch migration ([[graft.graph.RelationalMigration]]) to
-    * reconcile; recovering the seq gate alone would drop the replays
-    * that could re-heal dangling edges. */
+    * `transact` callbacks accumulate, and a redeploy must either replay
+    * the feed against an empty checkpoint or run the one-shot batch
+    * migration ([[graft.graph.RelationalMigration]]) to reconcile.
+    * (The GRAPH's durability stays the deployment's job either way —
+    * the transact contract wraps load→f→save on its store.) */
   def migrateCdcStream(rows: DataFrame, table: String, pk: String,
       fks: Seq[(String, String, DataFrame)],
-      transact: (graft.graph.PropertyGraph => graft.graph.PropertyGraph) => Unit)
+      transact: (graft.graph.PropertyGraph => graft.graph.PropertyGraph) => Unit,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -492,9 +501,17 @@ object EventStream {
     // (refTable, fkv) for re-validation against the parent key plans —
     // props ride along so an edge parked by a parent DELETE heals with
     // its original bag, like an edge surviving an UPDATE does
-    var pending = Seq.empty[(String, String, String, String, String)]
+    val emptyPending = Seq.empty[(String, String, String, String, String)]
       .toDF("src", "dst", "rel", "refTable", "fkv")
       .withColumn("props", map().cast("map<string,string>"))
+    val pendingStore = checkpointDir.map(d => new CdcPendingStore(spark, d + "/pending"))
+    // restart recovery: adopt the committed sidecar snapshot (its batch
+    // id rides along so a re-run of an already-snapshotted batch can be
+    // detected and rolled back to the predecessor below)
+    var pendingBatch = -1L
+    var pending: DataFrame = pendingStore.flatMap(st => st.committed.map { id =>
+      pendingBatch = id; st.read(id)
+    }).getOrElse(emptyPending)
 
     val changes = rows
       .select(col(pk).cast("string").as("k"), upper(col("op")).as("op"),
@@ -513,9 +530,22 @@ object EventStream {
           else Iterator.empty
       }
 
-    changes.toDF("k", "op", "seq", "row")
+    val writer = changes.toDF("k", "op", "seq", "row")
       .writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d + "/spark"))
+    writer
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // replayed batch (foreachBatch ran and committed its sidecar
+        // snapshot, but the crash landed before the stream's epoch
+        // commit): re-adopt the PREDECESSOR snapshot so the re-run
+        // starts from the exact state its first run started from.
+        pendingStore.foreach { st =>
+          if (pendingBatch >= batchId) {
+            val prev = st.snapshotIds.filter(_ < batchId).maxOption
+            pending = prev.map(st.read).getOrElse(emptyPending)
+            pendingBatch = prev.getOrElse(-1L)
+          }
+        }
         val batch = rawBatch.localCheckpoint(true) // never escape micro-batch scope
         if (!batch.isEmpty) transact { g =>
           val changedIds = batch
@@ -578,10 +608,25 @@ object EventStream {
             .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
             .select(col("src"), col("dst"), col("rel"),
               lit(table).as("refTable"), fkvOfDst.as("fkv"), col("props"))
+          // Deterministic collision rule for a triple arriving from more
+          // than one source this batch: orphanedIncoming (an edge the
+          // live graph held until this batch's parent DELETE — the
+          // newest props truth) beats the parked old-pending entry.
+          // plain dropDuplicates would keep an ARBITRARY row, so which
+          // props bag healed later could differ across runs/replays.
+          // Within one priority class triples are unique (mergeEdges
+          // keys the graph on (src,dst,rel); newUnmatched and surviving
+          // old pending have disjoint src sets — an upserted src retires
+          // its old entries), so the window is a total order.
+          val triple = org.apache.spark.sql.expressions.Window
+            .partitionBy("src", "dst", "rel").orderBy(col("prio").desc)
           val pending1 = pending
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .unionByName(newUnmatched).unionByName(orphanedIncoming)
-            .dropDuplicates("src", "dst", "rel")
+            .withColumn("prio", lit(0))
+            .unionByName(newUnmatched.withColumn("prio", lit(1)))
+            .unionByName(orphanedIncoming.withColumn("prio", lit(2)))
+            .withColumn("rn", row_number().over(triple))
+            .filter(col("rn") === 1).drop("prio", "rn")
           // validity: the target row node exists in the live graph (CDC-
           // managed tables, incl. self-FK), OR the per-batch re-evaluated
           // parent key plan carries the value (externally-owned parents)
@@ -602,8 +647,80 @@ object EventStream {
           swept.mergeEdges(
             healable.select(col("src"), col("dst"), col("rel"), col("props")))
         }
+        // durable mode: snapshot the post-batch buffer AFTER transact
+        // returned (the graph mutation and its buffer state commit in
+        // batch order; a crash before this line re-runs the batch from
+        // the predecessor snapshot — the replay guard above). pending
+        // then reads FROM the committed snapshot, releasing the
+        // localCheckpoint lineage.
+        pendingStore.foreach { st =>
+          if (!batch.isEmpty) {
+            st.commit(batchId, pending)
+            pending = st.read(batchId)
+            pendingBatch = batchId
+          }
+        }
         ()
       }.start()
+  }
+
+  /** Parquet sidecar persisting [[migrateCdcStream]]'s pending-FK
+    * buffer across restarts — the [[graft.sources.GraphStore]]
+    * generation discipline at micro-batch granularity: one snapshot
+    * directory `b<batchId>` per committed batch, promoted by an atomic
+    * one-line `_CURRENT` pointer, predecessor retained (a replayed
+    * batch rolls back to it), older snapshots GC'd. Recovery adopts the
+    * pointed snapshot, else the newest one whose job commit finished
+    * (`_SUCCESS`). The buffer is bounded by the number of unhealed
+    * dangling children, so each snapshot is a single small parquet
+    * file (coalesce(1)). */
+  private[graft] final class CdcPendingStore(
+      spark: org.apache.spark.sql.SparkSession, root: String) {
+    private def path(parts: String*) =
+      new org.apache.hadoop.fs.Path((root +: parts).mkString("/"))
+    private def fs =
+      path().getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def pointer = path("_CURRENT")
+
+    def snapshotIds: Seq[Long] = {
+      val f = fs
+      if (!f.exists(path())) Seq.empty
+      else f.listStatus(path()).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).collect { case s if s.matches("b\\d+") => s.drop(1).toLong }
+        .filter(id => f.exists(path("b" + id, "_SUCCESS")))
+    }
+
+    /** The committed snapshot's batch id: the pointed one, else (crash
+      * inside the pointer replace) the newest complete snapshot. */
+    def committed: Option[Long] = {
+      val f = fs
+      val pointed: Option[Long] =
+        if (!f.exists(pointer)) None
+        else {
+          val in = f.open(pointer)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          s.toLongOption.filter(id => f.exists(path("b" + id, "_SUCCESS")))
+        }
+      pointed.orElse(snapshotIds.maxOption)
+    }
+
+    def read(id: Long): DataFrame = spark.read.parquet(path("b" + id).toString)
+
+    def commit(id: Long, df: DataFrame): Unit = {
+      val f = fs
+      df.coalesce(1).write.mode("overwrite").parquet(path("b" + id).toString)
+      val tmp = new org.apache.hadoop.fs.Path(pointer.toString + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.delete(pointer, false)
+      require(f.rename(tmp, pointer), s"commit failed: could not promote $pointer")
+      // keep the committed snapshot and its immediate predecessor
+      val older = snapshotIds.filter(_ < id)
+      older.filterNot(older.maxOption.contains)
+        .foreach(old => f.delete(path("b" + old), true))
+    }
   }
 
   /** At-ingest SemDeDup — the streaming twin of

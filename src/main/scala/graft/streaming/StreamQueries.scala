@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.graph.{PropertyGraph, RelationalMigration}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gated streaming queries — the registered (oracle-checked)
+  * face of the streaming twins. Every other ingest twin is spec-gated
+  * (batch-parity + replay specs in StreamingSpec/PropertySpecs); this
+  * module closes the verification-channel asymmetry the r14 verdict
+  * named by putting at least one full streaming contract through the
+  * SAME hard CORRECTNESS channel as the batch operators: a
+  * MemoryStream-driven, replay-deterministic run whose DuckDB oracle
+  * is the batch semantics of the stream's FINAL state.
+  *
+  * MemoryStream is driver-resident by design (it is Spark's in-process
+  * streaming source); the gate feeds the smallest SF-scaling fact
+  * table (supplier) through it, so the feed stays bounded at every
+  * gate scale. At 100 TB the feed arrives via Kafka/files and the
+  * operator under test ([[EventStream.migrateCdcStream]]) is unchanged
+  * — only the source differs.
+  */
+object StreamQueries {
+
+  /** Full CDC contract (INSERT/UPDATE/DELETE + stale replays) over the
+    * supplier table, driver-gated: a fixed four-micro-batch script —
+    *   b1: INSERT every supplier row (seq 1);
+    *   b2: UPDATE rows with s_suppkey % 5 = 2 to s_acctbal = -1.0
+    *       (full-row image, seq 2) + a stale replay of 30 inserts
+    *       (seq 1 — the latest-wins gate must drop them);
+    *   b3: DELETE rows with s_suppkey % 7 = 3 (seq 3 — deletes win
+    *       over b2's updates on the overlap);
+    *   b4: stale UPDATE images for the deleted keys (seq 2, arriving
+    *       AFTER the delete that superseded them) + another insert
+    *       replay — the gate drops the whole batch (the empty-batch
+    *       path of the foreachBatch contract).
+    * The accumulated graph (seeded with the TableType node exactly as
+    * the one-shot batch migration seeds it) is read back as the
+    * [[RelationalMigration.census]] — so the prop-bag rewrite, the
+    * orphan sweep (b2's acctbal rewrites orphan old ColumnValues, b3's
+    * deletes orphan more), the FK suppression against the nation
+    * parent plan, and the latest-wins gate are ALL under the hash.
+    * Oracle: the census of the script's final state in SQL. */
+  def cdcMigrate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // (op, seq, s_suppkey, s_name, s_acctbal, s_nationkey)
+    type Rec = (String, Long, Long, String, Double, Long)
+    val base = graft.Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_acctbal").cast("double"), col("s_nationkey").cast("long"))
+      .orderBy(col("s_suppkey"))
+      .as[(Long, String, Double, Long)].collect().toSeq
+
+    val inserts: Seq[Rec] = base.map { case (k, n, a, nk) => ("I", 1L, k, n, a, nk) }
+    val updates: Seq[Rec] = base.collect {
+      case (k, n, _, nk) if k % 5 == 2 => ("U", 2L, k, n, -1.0, nk)
+    }
+    val deletes: Seq[Rec] = base.collect {
+      case (k, _, _, _) if k % 7 == 3 => ("D", 3L, k, null, 0.0, 0L)
+    }
+    val staleForDeleted: Seq[Rec] = base.collect {
+      case (k, n, _, nk) if k % 7 == 3 => ("U", 2L, k, n, -1.0, nk)
+    }
+    val batches = Seq(
+      inserts,
+      updates ++ inserts.take(30),
+      deletes,
+      staleForDeleted ++ inserts.take(20))
+
+    val nationKeys = graft.Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("string").as("fkv")).distinct()
+    val typeNodes = Seq(("tabletype:supplier", "TableType", "supplier")).toDF("id", "ntype", "name")
+    var g = PropertyGraph(
+      PropertyGraph.ensureProps(typeNodes),
+      PropertyGraph.ensureProps(
+        Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+
+    val stream = MemoryStream[(String, Long, Long, String, Double, Long)]
+    val q = EventStream.migrateCdcStream(
+      stream.toDF().toDF("op", "seq", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+      "supplier", "s_suppkey", Seq(("s_nationkey", "nation", nationKeys)),
+      f => { g = f(g).compact })
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    RelationalMigration.census(g)
+  }
+
+  /** Census of the script's FINAL state: rows surviving b3's delete,
+    * with b2's acctbal rewrite applied. Value-rendering injectivity per
+    * column type is the same contract migrateCensusSql documents. */
+  val cdcMigrateSql: String =
+    """WITH final AS (
+      |  SELECT s_suppkey, s_name,
+      |    CASE WHEN s_suppkey % 5 = 2 THEN -1.0 ELSE s_acctbal END AS s_acctbal,
+      |    s_nationkey
+      |  FROM supplier WHERE s_suppkey % 7 <> 3
+      |),
+      |census(kind, label, n) AS (
+      |  SELECT 'node', 'TableType:supplier', 1
+      |  UNION ALL SELECT 'node', 'TableRow:supplier', count(DISTINCT s_suppkey) FROM final
+      |  UNION ALL SELECT 'node', 'ColumnValue:supplier:s_name', count(DISTINCT s_name) FROM final
+      |  UNION ALL SELECT 'node', 'ColumnValue:supplier:s_acctbal', count(DISTINCT s_acctbal) FROM final
+      |  UNION ALL SELECT 'edge', 'is_part_of:supplier', count(*) FROM final
+      |  UNION ALL SELECT 'edge', 's_name:supplier', count(s_name) FROM final
+      |  UNION ALL SELECT 'edge', 's_acctbal:supplier', count(s_acctbal) FROM final
+      |  UNION ALL SELECT 'edge', 's_nationkey:supplier',
+      |    (SELECT count(*) FROM final JOIN nation ON s_nationkey = n_nationkey)
+      |)
+      |SELECT kind, label, CAST(n AS BIGINT) AS n FROM census""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_migrate" -> ((s: SparkSession, d: String) => cdcMigrate(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "stream_cdc_migrate" -> cdcMigrateSql)
+}
