@@ -330,7 +330,16 @@ object CypherLite {
             // shortestPath) as an anti-join prune source — and a lazy
             // join-chain lineage would re-execute the whole walk per use.
             // (level 1 of an unseeded walk IS hopD — already stored)
-            if ((hi > 1 || wantProj) && (len > 1 || pathVar.isDefined))
+            // The LAST level of a projection-free shortestPath is the
+            // one frontier read exactly ONCE (as a reach level into the
+            // min-aggregate — no next expansion, no prune source, no
+            // fwLevels retention): storing it would pay a whole eager
+            // materialization pass to save a single keyed join that the
+            // one consuming action re-derives from the stored level
+            // below it. Skip it — the write path's local-mode latency
+            // is its job count.
+            val lastUseIsSingle = shortest && !wantProj && len == hi
+            if ((hi > 1 || wantProj) && (len > 1 || pathVar.isDefined) && !lastUseIsSingle)
               cur = org.apache.spark.sql.graft.Materialize.stored(cur)
             if (wantProj) fwLevels += cur
             if (len >= lo) {
@@ -527,7 +536,53 @@ object CypherLite {
   /** Execute ONE write statement against the graph, returning the
     * mutated graph (PropertyGraph is immutable — the caller re-binds,
     * exactly like the mutation-plan API underneath). */
-  def runWrite(g: PropertyGraph, cypher: String): PropertyGraph = {
+  def runWrite(g: PropertyGraph, cypher: String): PropertyGraph =
+    runWrite(g, cypher, DirectProbes)
+
+  /** How a write statement learns pre-state truths (endpoint existence
+    * gates, pre-merge ON MATCH key sets):
+    *   - [[DirectProbes]] — per-statement eager probe against the
+    *     current graph (one Materialize.stored pass each), today's
+    *     single-statement semantics;
+    *   - [[CollectProbes]] — dry pass that only RECORDS which node ids /
+    *     edge triples a statement would probe (statement parsing and
+    *     validation run; the graph is not touched);
+    *   - [[AnswerProbes]] — probe questions answered driver-side from
+    *     ONE batched probe of the chain-segment's initial snapshot plus
+    *     the concrete increments of the segment's earlier statements
+    *     (template-write ids are driver-known literals, so the
+    *     adjustment is exact set arithmetic, not approximation).
+    * The three modes exist for [[runWriteChain]]; semantics are pinned
+    * identical by CypherLiteSpec's chain-parity tests. */
+  private[graph] sealed trait WriteProbeMode
+  private[graph] case object DirectProbes extends WriteProbeMode
+  private[graph] final class CollectProbes extends WriteProbeMode {
+    val nodeIds = scala.collection.mutable.LinkedHashSet.empty[String]
+    val edgeKeys = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
+  }
+  private[graph] final class AnswerProbes(
+      probedNodes: Set[String], presentNodes: Set[String],
+      probedEdges: Set[(String, String, String)],
+      presentEdges: Set[(String, String, String)]) extends WriteProbeMode {
+    private var writtenNodes = Set.empty[String]
+    private var writtenEdges = Set.empty[(String, String, String)]
+    def nodeExists(id: String): Boolean = {
+      require(probedNodes.contains(id) || writtenNodes.contains(id),
+        s"write-chain probe drift: node '$id' was never collected — " +
+          "CollectProbes and AnswerProbes asked different questions")
+      writtenNodes.contains(id) || presentNodes.contains(id)
+    }
+    def edgeExists(key: (String, String, String)): Boolean = {
+      require(probedEdges.contains(key) || writtenEdges.contains(key),
+        s"write-chain probe drift: edge '$key' was never collected")
+      writtenEdges.contains(key) || presentEdges.contains(key)
+    }
+    def noteNode(id: String): Unit = writtenNodes += id
+    def noteEdge(key: (String, String, String)): Unit = writtenEdges += key
+  }
+
+  private[graph] def runWrite(g: PropertyGraph, cypher: String,
+      mode: WriteProbeMode): PropertyGraph = {
     val q0 = cypher.trim.replaceAll("\\s+", " ")
     val up0 = maskedUpper(q0)
     val spark = g.nodes.sparkSession
@@ -631,14 +686,27 @@ object CypherLite {
       // costs ZERO Spark jobs per write (a chain of writes used to pay
       // one materialization job per layer just to mint its 1-row
       // increment).
+      mode match {
+        case c: CollectProbes =>
+          // dry pass: record what this statement would ask, mutate nothing
+          if (onMatch.nonEmpty) c.nodeIds += id
+          return g
+        case _ => ()
+      }
       val row = {
         import spark.implicits._
         Seq((id, ntype, name, bag.toMap)).toDF("id", "ntype", "name", "props")
       }
-      val preExisting =
-        if (onMatch.isEmpty) null
-        else org.apache.spark.sql.graft.Materialize.stored(
+      val preExisting = (onMatch.isEmpty, mode) match {
+        case (true, _) => null
+        case (false, a: AnswerProbes) =>
+          // driver-known truth → a LocalRelation key set, zero probe jobs
+          import spark.implicits._
+          (if (a.nodeExists(id)) Seq(id) else Seq.empty[String]).toDF("id")
+        case (false, _) => org.apache.spark.sql.graft.Materialize.stored(
           g.nodes.filter(col("id") === lit(id)).select(col("id")))
+      }
+      mode match { case a: AnswerProbes => a.noteNode(id); case _ => () }
       val merged = if (create) g.addNodes(row) else g.mergeNodes(row)
       // setNodeProp routes 'name' to the fixed column and rejects the
       // identity columns itself — same contract as plain MATCH … SET.
@@ -667,6 +735,37 @@ object CypherLite {
       val bag = lastWins(inline.filterNot(e =>
         relRaw.equalsIgnoreCase("EDGE") && e._1 == "relationship_name") ++
         onCreate.map(e => e._2 -> e._3))
+      mode match {
+        case c: CollectProbes =>
+          // dry pass: record the endpoint gates and the ON MATCH key
+          if (requireEndpoints) { c.nodeIds += srcId; c.nodeIds += dstId }
+          if (onMatch.nonEmpty) c.edgeKeys += ((srcId, dstId, rel))
+          return g
+        case a: AnswerProbes =>
+          // driver-side gate truth: a missing endpoint makes the WHOLE
+          // statement (ON MATCH included) a no-op — return the graph
+          // untouched instead of threading an empty gated frame through
+          // the merge (same semantics, zero plan growth, zero jobs).
+          if (requireEndpoints && !(a.nodeExists(srcId) && a.nodeExists(dstId)))
+            return g
+          val bare = {
+            import spark.implicits._
+            Seq((srcId, dstId, rel, bag.toMap)).toDF("src", "dst", "rel", "props")
+          }
+          val preExisting =
+            if (onMatch.isEmpty) null
+            else {
+              import spark.implicits._
+              (if (a.edgeExists((srcId, dstId, rel))) Seq((srcId, dstId, rel))
+               else Seq.empty[(String, String, String)]).toDF("src", "dst", "rel")
+            }
+          a.noteEdge((srcId, dstId, rel))
+          val merged = if (create) g.addEdges(bare) else g.mergeEdges(bare)
+          return onMatch.foldLeft(merged) { case (acc, (_, k, v)) =>
+            acc.setEdgeProp(preExisting, k, v)
+          }
+        case DirectProbes => ()
+      }
       // LocalRelation of concrete rows — zero jobs, no optimizer-cycle
       // hazard (see the node case).
       val bare = {
@@ -821,6 +920,83 @@ object CypherLite {
         } else throw new IllegalArgumentException(s"unsupported write statement: $q")
       case _ => throw new IllegalArgumentException(s"unsupported write statement: $q")
     }
+  }
+
+  /** True when the statement is one of the three TEMPLATE write shapes
+    * (node CREATE/MERGE, edge CREATE/MERGE by endpoint ids, the
+    * adapters' MATCH-MATCH-MERGE edge template) — the shapes whose
+    * element ids are driver-known literals, making their pre-state
+    * probes batchable. Mirrors runWrite's ON-clause stripping. */
+  private def templateShape(cypher: String): Boolean = {
+    val q0 = cypher.trim.replaceAll("\\s+", " ")
+    val up0 = maskedUpper(q0)
+    val cut = Seq(up0.indexOf(" ON CREATE SET "), up0.indexOf(" ON MATCH SET "))
+      .filter(_ >= 0).minOption
+    val q = cut.fold(q0)(i => q0.substring(0, i).trim)
+    q match {
+      case writeNodeRe(_*) => true
+      case writeEdgeRe(_*) => true
+      case matchMergeEdgeRe(_*) => true
+      case _ => false
+    }
+  }
+
+  /** Execute a CHAIN of write statements — semantically identical to
+    * `statements.foldLeft(g)(runWrite)` (spec-pinned), but each maximal
+    * run of TEMPLATE writes pays ONE probe action instead of one
+    * Materialize.stored pass per statement. The write path's local-mode
+    * latency IS its job count (the r13/r14 Profile analyses), and a
+    * 4-statement ON-clause chain paid 4 eager probe passes for
+    * pre-state truths that are all answerable from the SEGMENT-START
+    * snapshot: template ids are driver-known string literals, so a
+    * later statement's pre-state = initial truth ∪ the earlier
+    * statements' concrete increments — exact set arithmetic, evaluated
+    * driver-side ([[AnswerProbes]]; a drift between the collect and
+    * answer passes fails loudly, never silently guesses).
+    *
+    * One batched probe = one kind-tagged filter-union over the node ids
+    * and edge triples the segment's dry pass collected — pushed
+    * id-equality scans, collected to the driver (bounded by the chain
+    * length, not the graph). Non-template statements (MATCH-driven
+    * SET/REMOVE/DETACH DELETE — data-dependent key sets) break the
+    * segment and run through the per-statement path unchanged. */
+  def runWriteChain(g: PropertyGraph, statements: Seq[String]): PropertyGraph = {
+    var cur = g
+    var i = 0
+    while (i < statements.length) {
+      if (!templateShape(statements(i))) {
+        cur = runWrite(cur, statements(i))
+        i += 1
+      } else {
+        val seg = statements.drop(i).takeWhile(templateShape)
+        val collect = new CollectProbes
+        seg.foreach(s => runWrite(cur, s, collect))
+        val nIds = collect.nodeIds.toSeq
+        val eKeys = collect.edgeKeys.toSeq
+        val (presentN, presentE) =
+          if (nIds.isEmpty && eKeys.isEmpty) (Set.empty[String], Set.empty[(String, String, String)])
+          else {
+            val nLeg = if (nIds.isEmpty) None else Some(
+              cur.nodes.filter(col("id").isin(nIds: _*))
+                .select(lit("n").as("kind"), col("id").as("a"),
+                  lit("").as("b"), lit("").as("c")))
+            val eLeg = if (eKeys.isEmpty) None else Some(
+              cur.edges.filter(eKeys.map(t =>
+                  col("src") === lit(t._1) && col("dst") === lit(t._2) &&
+                    col("rel") === lit(t._3)).reduce(_ || _))
+                .select(lit("e").as("kind"), col("src").as("a"),
+                  col("dst").as("b"), col("rel").as("c")))
+            val rows = (nLeg.toSeq ++ eLeg.toSeq).reduce(_ unionByName _).collect()
+            (rows.filter(_.getString(0) == "n").map(_.getString(1)).toSet,
+              rows.filter(_.getString(0) == "e")
+                .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet)
+          }
+        val answers = new AnswerProbes(nIds.toSet, presentN, eKeys.toSet, presentE)
+        seg.foreach(s => cur = runWrite(cur, s, answers))
+        i += seg.length
+      }
+    }
+    cur
   }
 
   /** BOUNDED PATH ENUMERATION — the explicit opt-OUT of the

@@ -1355,22 +1355,25 @@ object Retrievers {
     * so a lost ON CREATE, a mis-fired ON MATCH, or a duplicated
     * template edge breaks the hash. */
   def cypherWriteOnMatch(spark: SparkSession, dir: String): DataFrame = {
-    var g = TpchGraph(spark, dir)
-    // nation:901 is new → ON CREATE's += map folds in, ON MATCH doesn't
-    g = CypherLite.runWrite(g,
+    val g0 = TpchGraph(spark, dir)
+    // One CHAIN, one batched probe pass (CypherLite.runWriteChain —
+    // all four statements' gates and ON MATCH keys probe driver-known
+    // ids, so the chain pays ONE probe action instead of four):
+    // nation:901 is new → statement 1's ON CREATE `+=` map folds in,
+    // ON MATCH doesn't; statement 2 is the verbatim re-run → ON MATCH
+    // fires (revisited), founded stays 2023; then the kuzu adapter's
+    // MATCH-MATCH-MERGE edge template twice — the first run CREATEs
+    // the edge (created_at/weight stamps), the re-run MATCHes it
+    // (rematched lands, created stamps kept).
+    val merge901 =
       "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
-        "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
-    // verbatim re-run: ON MATCH fires (revisited), founded stays 2023
-    g = CypherLite.runWrite(g,
-      "MERGE (x:nation {id: 'nation:901', name: 'LEMURIA'}) " +
-        "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'")
+        "ON CREATE SET x += {founded: '2023', regionkey: '1'} ON MATCH SET x.revisited = '1'"
     val template =
       "MATCH (from:Node), (to:Node) WHERE from.id = 'nation:901' AND to.id = 'region:1' " +
         "MERGE (from)-[r:EDGE { relationship_name: 'in_region' }]->(to) " +
         "ON CREATE SET r.created_at = timestamp('2024-01-01 00:00:00'), r.weight = '7' " +
         "ON MATCH SET r.rematched = '1'"
-    g = CypherLite.runWrite(g, template)
-    g = CypherLite.runWrite(g, template)
+    val g = CypherLite.runWriteChain(g0, Seq(merge901, merge901, template, template))
     // The template's `[r:EDGE {relationship_name: 'in_region'}]` lands
     // as rel = in_region (the adapters' generic edge table maps
     // relationship_name to the rel) — so the read walks the WHOLE

@@ -1207,4 +1207,69 @@ class CypherLiteSpec extends SparkSpecBase {
     assert(c.nodes.queryExecution.optimizedPlan.collectLeaves().size === 1)
     assert(!c.nodes.queryExecution.optimizedPlan.toString.contains("Join"))
   }
+
+  private def graphSets(pg: graph.PropertyGraph) = (
+    pg.nodesP.selectExpr("id", "ntype", "name", "array_sort(map_entries(props)) AS pe")
+      .collect().map(_.toString).toSet,
+    pg.edgesP.selectExpr("src", "dst", "rel", "array_sort(map_entries(props)) AS pe")
+      .collect().map(_.toString).toSet)
+
+  test("runWriteChain ≡ foldLeft(runWrite) — batched probes answer identically") {
+    // the hard cases the batched probe pass must get right:
+    //   1. statement 2 re-merges the node statement 1 created → its ON
+    //      MATCH must FIRE even though the segment-start snapshot says
+    //      the node is absent (the driver-side increment adjustment);
+    //   2. statement 4 gates on the node statement 3 never created
+    //      (ghost endpoint) → whole statement no-op, ON MATCH included,
+    //      even against the pre-existing dangling ghost edge;
+    //   3. statement 5 re-merges the template edge statement 4 skipped
+    //      but statement 6 created → ON MATCH keys on the PRE-state;
+    //   4. a MATCH-driven SET splits the chain (data-dependent keys) —
+    //      segments probe against the then-current graph.
+    val withGhostEdge = graph.PropertyGraph(g.nodesP, g.edgesP.unionByName(
+      CypherLite.runWrite(g, "MERGE (a {id: 'ghost:1'})-[:knows {old: '1'}]->(b {id: 'a:1'})")
+        .edgesP.filter(col("src") === "ghost:1")))
+    val stmts = Seq(
+      "MERGE (x:a {id: 'a:50', name: 'fresh'}) ON CREATE SET x.born = '1' ON MATCH SET x.seen = '1'",
+      "MERGE (x:a {id: 'a:50', name: 'fresh'}) ON CREATE SET x.born = '2' ON MATCH SET x.seen = '1'",
+      "MATCH (x:a {id: 'a:50'}) SET x.mid = '1'",
+      "MATCH (from:Node), (to:Node) WHERE from.id = 'ghost:1' AND to.id = 'a:1' " +
+        "MERGE (from)-[r:knows {w: '9'}]->(to) ON MATCH SET r.seen = '1'",
+      "MATCH (from:Node), (to:Node) WHERE from.id = 'a:50' AND to.id = 'a:1' " +
+        "MERGE (from)-[r:knows {w: '3'}]->(to) ON CREATE SET r.made = '1' ON MATCH SET r.re = '1'",
+      "MATCH (from:Node), (to:Node) WHERE from.id = 'a:50' AND to.id = 'a:1' " +
+        "MERGE (from)-[r:knows {w: '5'}]->(to) ON CREATE SET r.made = '2' ON MATCH SET r.re = '1'")
+    val sequential = stmts.foldLeft(withGhostEdge)(CypherLite.runWrite)
+    val chained = CypherLite.runWriteChain(withGhostEdge, stmts)
+    assert(graphSets(chained) === graphSets(sequential))
+    // the behaviors themselves (not just parity): in-segment ON MATCH
+    // fired on the re-merge, the ghost gate no-op'd, the edge re-merge
+    // kept created props and added the matched stamp
+    def bag(r: org.apache.spark.sql.Row): scala.collection.Map[String, String] =
+      r.getMap[String, String](r.fieldIndex("props"))
+    val n50 = bag(chained.nodesP.filter(col("id") === "a:50").head())
+    assert(n50.get("born").contains("1") && n50.get("seen").contains("1")
+      && n50.get("mid").contains("1"))
+    val ghost = bag(chained.edgesP.filter(col("src") === "ghost:1").head())
+    assert(!ghost.contains("seen") && ghost.get("old").contains("1"))
+    val e50 = bag(chained.edgesP
+      .filter(col("src") === "a:50" && col("dst") === "a:1").head())
+    assert(e50.get("made").contains("1") && e50.get("re").contains("1")
+      && e50.get("w").contains("3"))
+  }
+
+  test("runWriteChain: a probe-free template segment pays zero probe jobs") {
+    // CREATE/MERGE without gates or ON clauses collect no probe keys —
+    // the chain must not spend an action on an empty probe set. Job
+    // groups are thread-local, so the count is isolated from any other
+    // suite running on the shared session.
+    spark.sparkContext.setJobGroup("chain-zero-probe", "probe-free segment")
+    val out = CypherLite.runWriteChain(g, Seq(
+      "MERGE (x:a {id: 'a:60', name: 'n60'})",
+      "MERGE (a {id: 'a:60'})-[:likes {w: '1'}]->(b {id: 'c:1'})"))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("chain-zero-probe").length
+    spark.sparkContext.clearJobGroup()
+    assert(jobs === 0, "empty probe set must not launch a probe action")
+    assert(out.nodesP.filter(col("id") === "a:60").count() === 1L)
+  }
 }
