@@ -67,10 +67,14 @@ final case class GraphStore(spark: SparkSession, root: String) {
   private def commitPointer(name: String, gen: String): Unit = {
     val f = fs
     val tmp = new org.apache.hadoop.fs.Path(pointer(name).toString + ".tmp")
+    FaultPoints.hit("graphstore.commit.begin")
     val out = f.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    FaultPoints.hit("graphstore.commit.tmp-written")
     f.delete(pointer(name), false)
+    FaultPoints.hit("graphstore.commit.old-pointer-deleted")
     require(f.rename(tmp, pointer(name)), s"commit failed: could not promote pointer for $name")
+    FaultPoints.hit("graphstore.commit.done")
   }
 
   /** The committed generation, healing crash states: a missing or
@@ -114,8 +118,12 @@ final case class GraphStore(spark: SparkSession, root: String) {
     Seq("nodes" -> PropertyGraph.ensureProps(g.nodes),
         "edges" -> PropertyGraph.ensureProps(g.edges))
       .foreach { case (sub, df) =>
-        df.write.mode("overwrite").parquet(path(name, next, sub).toString) }
+        FaultPoints.hit(s"graphstore.save.before-$sub")
+        df.write.mode("overwrite").parquet(path(name, next, sub).toString)
+        FaultPoints.hit(s"graphstore.save.$sub-written")
+      }
     commitPointer(name, next)
+    FaultPoints.hit("graphstore.save.before-gc")
     listGenNums(name).map("v" + _).filterNot(_ == next)
       .foreach(gen => f.delete(path(name, gen), true))
     Seq("nodes", "edges", "nodes.old", "edges.old", "nodes.tmp", "edges.tmp")

@@ -60,11 +60,15 @@ final case class VectorStore(spark: SparkSession, root: String) {
       val dir = path(name)
       val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")
       val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
+      FaultPoints.hit("vectorstore.replace.begin")
       df.write.mode("overwrite").parquet(tmp.toString)
+      FaultPoints.hit("vectorstore.replace.tmp-written")
       val f = fs
       f.delete(old, true)
       require(f.rename(dir, old), s"swap failed: could not park $dir")
+      FaultPoints.hit("vectorstore.replace.parked")
       require(f.rename(tmp, dir), s"swap failed: could not promote $tmp")
+      FaultPoints.hit("vectorstore.replace.promoted")
       f.delete(old, true)
     }
 
@@ -123,6 +127,7 @@ final case class VectorStore(spark: SparkSession, root: String) {
     recoverSwap(path(name))
     val idDf = ids.toDF("vec_id")
     def writeTmp(dir: org.apache.hadoop.fs.Path, partitioned: Boolean): org.apache.hadoop.fs.Path = {
+      FaultPoints.hit("vectorstore.delete.tmp-begin")
       val tmp = new org.apache.hadoop.fs.Path(dir.toString + ".tmp")
       val survivors = spark.read.parquet(dir.toString)
         .join(broadcast(idDf), Seq("vec_id"), "left_anti")
@@ -133,9 +138,12 @@ final case class VectorStore(spark: SparkSession, root: String) {
     def swap(dir: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
       val old = new org.apache.hadoop.fs.Path(dir.toString + ".deleting")
       val f = fs
+      FaultPoints.hit("vectorstore.delete.swap-begin")
       f.delete(old, true) // stale leftover from a previous crash
       require(f.rename(dir, old), s"swap failed: could not park $dir")
+      FaultPoints.hit("vectorstore.delete.parked")
       require(f.rename(tmp, dir), s"swap failed: could not promote $tmp")
+      FaultPoints.hit("vectorstore.delete.promoted")
       f.delete(old, true)
     }
     // index first in the swap order; collection first in the write

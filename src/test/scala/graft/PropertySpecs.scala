@@ -316,4 +316,179 @@ class PropertySpecs extends SparkSpecBase {
     assert(colvalIds.join(g.edges.select(col("dst").as("id")), Seq("id"), "left_anti")
       .count() === 0L)
   }
+
+  test("CDC stream restart: durable pending buffer survives a kill between micro-batches") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.{PropertyGraph, RelationalMigration}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // Same randomized self-FK script as the convergence test above —
+    // child-before-parent arrival, deletes orphaning incoming edges,
+    // re-inserts healing them — but the stream is KILLED between
+    // micro-batches and reopened from its checkpoint: the seq gate
+    // recovers from Spark's state store and the pending-FK buffer from
+    // the parquet sidecar. Before the fix the buffer was session-local,
+    // so a parked heal whose parent only arrives post-restart was lost
+    // silently; convergence to the batch migration of the final state
+    // now proves the sidecar carries it across.
+    val nPk = 14
+    var seqNo = 0L
+    val model = scala.collection.mutable.Map.empty[Long, Option[(Long, String)]]
+    def op(o: String, k: Long, fk: Long, v: String): (String, Long, Long, Long, String) = {
+      seqNo += 1
+      model(k) = if (o == "D") None else Some((fk, v))
+      (o, seqNo, k, fk, v)
+    }
+    val script = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+    rng.shuffle((0L until nPk).toList).foreach { k =>
+      script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+    }
+    (0 until 3 * nPk).foreach { _ =>
+      val k = rng.nextInt(nPk).toLong
+      rng.nextInt(3) match {
+        case 0 => script += op("U", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+        case 1 => script += op("D", k, 0L, null)
+        case 2 => script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+      }
+    }
+    val replays = rng.shuffle(script.toList).take(script.length / 3)
+    val feed = rng.shuffle(script.toList ::: replays)
+
+    val fks = Seq(("fk", "t", Seq.empty[String].toDF("fkv")))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+    var g = emptyGraph
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_restart").toString
+    val stream = MemoryStream[(String, Long, Long, Long, String)]
+    def open() = graft.streaming.EventStream.migrateCdcStream(
+      stream.toDF().toDF("op", "seq", "pk", "fk", "v"), "t", "pk", fks,
+      f => { g = f(g).compact }, checkpointDir = Some(ckpt))
+
+    val groups = feed.grouped(1 + feed.length / 6).toSeq
+    val (before, after) = groups.splitAt(groups.length / 2)
+    var q = open()
+    before.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop() // the kill, between micro-batches
+    // the sidecar must exist and actually be carrying parked heals at
+    // the kill point (a trivially-empty buffer would test nothing) —
+    // the fixed-seed script parks dangling self-FK children here
+    val sidecar = new org.apache.hadoop.fs.Path(ckpt + "/pending/_CURRENT")
+    val fsys = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(sidecar), "pending sidecar pointer missing at kill point")
+    val store = new graft.streaming.EventStream.CdcPendingStore(spark, ckpt + "/pending")
+    val parkedAtKill = store.committed.map(store.read(_).count()).getOrElse(0L)
+    assert(parkedAtKill > 0L, "script parked nothing before the kill — weaken seed")
+
+    q = open() // reopen from the same checkpoint + sidecar
+    after.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val finalRows = model.toSeq.collect { case (k, Some((fk, v))) => (k, fk, v) }.sortBy(_._1)
+    assert(finalRows.nonEmpty && finalRows.length < nPk)
+    val finalKeys = finalRows.map(_._1.toString).toDF("fkv")
+    val (en, ee) = RelationalMigration.tablePart(
+      finalRows.toDF("pk", "fk", "v"), "t", "pk", Seq(("fk", "t", finalKeys)))
+    val expected = emptyGraph.mergeNodes(en).mergeEdges(ee)
+    def nodeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nodeSet(g.nodes) === nodeSet(expected.nodes))
+    assert(edgeSet(g.edges) === edgeSet(expected.edges))
+  }
+
+  test("randomized crash-point sweep: GraphStore save always leaves a loadable complete generation") {
+    import TestSpark.spark.implicits._
+    import graft.graph.PropertyGraph
+    import graft.sources.{FaultPoints, GraphStore}
+    // The generation-commit design (fresh gen dir → atomic pointer →
+    // GC) was argued window-by-window; this sweep actually DIES at ≥60
+    // random steps of save and asserts the recovery contract: load()
+    // adopts a COMPLETE generation — the committed one, or the
+    // attempted one iff the kill landed after the pointer commit —
+    // and never mixes relations across generations.
+    val root = java.nio.file.Files.createTempDirectory("graft_gstore_crash").toString
+    val store = GraphStore(spark, root)
+    def mkGraph(tag: Int) = PropertyGraph(
+      PropertyGraph.ensureProps(
+        Seq((s"n:$tag", "t", s"g$tag"), ("n:shared", "t", s"g$tag")).toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq((s"n:$tag", "n:shared", "r")).toDF("src", "dst", "rel")))
+    def tagOf(g: PropertyGraph): Int =
+      g.nodes.filter(col("id") === "n:shared").head().getString(2).drop(1).toInt
+    store.save("g", mkGraph(0))
+    var committed = 0
+    var kills = 0
+    var trial = 1
+    while (kills < 60 && trial <= 250) {
+      val attempted = trial
+      val killAt = rng.nextInt(12) + 1 // beyond the step count → op completes
+      var n = 0
+      try FaultPoints.withHandler { p =>
+        n += 1; if (n == killAt) throw new FaultPoints.SimulatedCrash(p)
+      } { store.save("g", mkGraph(attempted)) }
+      catch { case _: FaultPoints.SimulatedCrash => kills += 1 }
+      val loaded = store.load("g")
+      val t = tagOf(loaded)
+      assert(t == committed || t == attempted,
+        s"trial $trial (kill $killAt): loaded g$t, expected g$committed or g$attempted")
+      val e = loaded.edges.head()
+      assert(e.getString(0) === s"n:$t",
+        s"trial $trial: MIXED generation — edge of ${e.getString(0)} under nodes of g$t")
+      committed = t
+      trial += 1
+    }
+    assert(kills >= 60, s"sweep exercised only $kills kills in $trial trials")
+  }
+
+  test("randomized crash-point sweep: VectorStore replace/delete always leaves a recoverable collection") {
+    import TestSpark.spark.implicits._
+    import graft.sources.{FaultPoints, VectorStore}
+    val root = java.nio.file.Files.createTempDirectory("graft_vstore_crash").toString
+    val vs = VectorStore(spark, root)
+    def df(tag: Int, ids: Set[Long]) =
+      ids.toSeq.sorted.map(i => (i, Array(0.5f), tag)).toDF("vec_id", "embedding", "tag")
+    def observe(): (Int, Set[Long]) = {
+      val rows = vs.collection("c").collect()
+      val tags = rows.map(_.getInt(2)).toSet
+      assert(tags.size === 1, s"TORN collection: mixed tags $tags")
+      (tags.head, rows.map(_.getLong(0)).toSet)
+    }
+    vs.createCollection("c", df(0, (0L until 6L).toSet))
+    var (cTag, cIds) = (0, (0L until 6L).toSet)
+    var kills = 0
+    var trial = 1
+    while (kills < 40 && trial <= 200) {
+      val killAt = rng.nextInt(6) + 1
+      var n = 0
+      def crashy(body: => Unit): Unit =
+        try FaultPoints.withHandler { p =>
+          n += 1; if (n == killAt) throw new FaultPoints.SimulatedCrash(p)
+        }(body)
+        catch { case _: FaultPoints.SimulatedCrash => kills += 1 }
+      if (cIds.size < 3 || trial % 2 == 0) {
+        // REPLACE with a fresh 6-id set under a new tag
+        val aTag = trial
+        val aIds = (trial * 100L until trial * 100L + 6L).toSet
+        crashy(vs.createCollection("c", df(aTag, aIds)))
+        val (t, ids) = observe()
+        assert((t, ids) == ((cTag, cIds)) || (t, ids) == ((aTag, aIds)),
+          s"trial $trial (kill $killAt): got tag $t ids $ids")
+        cTag = t; cIds = ids
+      } else {
+        // DELETE one random id
+        val del = cIds.toSeq(rng.nextInt(cIds.size))
+        crashy(vs.deleteDataPoints("c", Seq(del)))
+        val (t, ids) = observe()
+        assert(t === cTag)
+        assert(ids == cIds || ids == cIds - del,
+          s"trial $trial (kill $killAt): ids $ids from $cIds minus $del")
+        cIds = ids
+      }
+      trial += 1
+    }
+    assert(kills >= 40, s"sweep exercised only $kills kills in $trial trials")
+  }
 }
