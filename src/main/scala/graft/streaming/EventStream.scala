@@ -560,25 +560,45 @@ object EventStream {
           // pre-image captures (against g BEFORE the delete):
           // ColumnValue ids the changed rows referenced — the orphan-sweep
           // candidate set — and FK edges arriving INTO the changed rows.
-          val preCand = g.edges
+          // ONE kind-tagged eager pin for both legs: the per-batch cost
+          // of this operator in local mode is its eager-action count
+          // (each localCheckpoint is a full job round), so sibling
+          // captures share a checkpoint and split lazily after.
+          val candLeg = g.edges
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
             .filter(col("dst").startsWith("colval:" + table + ":"))
-            .select(col("dst")).distinct().localCheckpoint(true)
-          val incoming = g.edges
+            .select(col("dst")).distinct()
+            .select(lit("cand").as("leg"), lit(null).cast("string").as("src"),
+              col("dst"), lit(null).cast("string").as("rel"), emptyBag.as("props"))
+          val inLeg = g.edges
             .join(changedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .select(lit("in").as("leg"), col("src"), col("dst"), col("rel"), col("props"))
+          val preImage = candLeg.unionByName(inLeg).localCheckpoint(true)
+          val preCand = preImage.filter(col("leg") === "cand").select(col("dst"))
+          val incoming = preImage.filter(col("leg") === "in")
             .select(col("src"), col("dst"), col("rel"), col("props"))
-            .localCheckpoint(true)
 
           // prop-bag rewrite: delete the changed rows (cascades their
           // edges both directions), re-derive the upserted images through
           // the shared batch projection, restore incoming edges whose
           // target row still exists (UPDATE keeps its children).
+          // node + edge increments pinned in ONE kind-tagged checkpoint
+          // (the preImage discipline: one eager pass, lazy split after)
           val (n, e) = graft.graph.RelationalMigration.tablePart(upsertRows, table, pk, fks)
+          val inc = n.select(lit("n").as("leg"), col("id").as("a"), col("ntype").as("b"),
+              col("name").as("c"), col("props"))
+            .unionByName(e.select(lit("e").as("leg"), col("src"), col("dst"),
+              col("rel"), col("props")).toDF("leg", "a", "b", "c", "props"))
+            .localCheckpoint(true)
+          val nInc = inc.filter(col("leg") === "n")
+            .select(col("a").as("id"), col("b").as("ntype"), col("c").as("name"), col("props"))
+          val eInc = inc.filter(col("leg") === "e")
+            .select(col("a").as("src"), col("b").as("dst"), col("c").as("rel"), col("props"))
           val keptIncoming = incoming
             .join(upsertIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
           val merged = g.deleteNodes(changedIds)
-            .mergeNodes(n.localCheckpoint(true)).mergeEdges(e.localCheckpoint(true))
+            .mergeNodes(nInc).mergeEdges(eInc)
             .mergeEdges(keptIncoming)
 
           // bounded orphan sweep: candidates with no remaining reference
@@ -636,12 +656,19 @@ object EventStream {
             pending1.filter(col("refTable") === refTable && col("rel") === fkCol)
               .join(parentKeys, Seq("fkv"), "left_semi")
           }.reduceOption(_ unionByName _).getOrElse(pending1.limit(0))
-          val healable = viaGraph.unionByName(viaParents)
-            .dropDuplicates("src", "dst", "rel").localCheckpoint(true)
-          pending = pending1
-            .join(healable.select(col("src"), col("dst"), col("rel")),
-              Seq("src", "dst", "rel"), "left_anti")
+          // ONE eager pass resolves the whole buffer: every pending1 row
+          // tagged healable-or-not (pending1's triples are unique after
+          // the priority dedup, so the left join cannot fan out), then
+          // the heal set and the surviving buffer split lazily — the
+          // preImage/inc checkpoint-sharing discipline.
+          val healKeys = viaGraph.unionByName(viaParents)
+            .select(col("src"), col("dst"), col("rel")).distinct()
+            .withColumn("__heal", lit(1))
+          val resolved = pending1
+            .join(healKeys, Seq("src", "dst", "rel"), "left")
             .localCheckpoint(true)
+          val healable = resolved.filter(col("__heal").isNotNull).drop("__heal")
+          pending = resolved.filter(col("__heal").isNull).drop("__heal")
           // heal with the ORIGINAL props bag (empty for fresh FK edges,
           // the parked bag for edges orphaned by a parent delete)
           swept.mergeEdges(

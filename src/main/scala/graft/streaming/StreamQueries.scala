@@ -48,7 +48,14 @@ object StreamQueries {
 
     // (op, seq, s_suppkey, s_name, s_acctbal, s_nationkey)
     type Rec = (String, Long, Long, String, Double, Long)
+    // Deterministic BOUNDED feed (s_suppkey < 400): a MemoryStream gate
+    // is driver-resident by design, and a gate query's cost should not
+    // scale with SF — the CONTRACT under test (latest-wins, delete-vs-
+    // update overlap, orphan sweep, empty-batch path) is id-arithmetic,
+    // identical on any key subset. sf0.01 feeds all 100 suppliers,
+    // sf0.1+ exactly 400.
     val base = graft.Tables.load(spark, dir, "supplier")
+      .filter(col("s_suppkey") < 400)
       .select(col("s_suppkey").cast("long"), col("s_name"),
         col("s_acctbal").cast("double"), col("s_nationkey").cast("long"))
       .orderBy(col("s_suppkey"))
@@ -79,12 +86,28 @@ object StreamQueries {
         Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
 
     val stream = MemoryStream[(String, Long, Long, String, Double, Long)]
-    val q = EventStream.migrateCdcStream(
-      stream.toDF().toDF("op", "seq", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
-      "supplier", "s_suppkey", Seq(("s_nationkey", "nation", nationKeys)),
-      f => { g = f(g).compact })
-    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    // A driver-resident gate stream over a bounded feed does not need
+    // the session's full state-store width: every micro-batch of a
+    // stateful query pays per-partition state commits + task rounds, so
+    // 32 shuffle partitions × 4 batches is pure fixed overhead here.
+    // Scoped to the stream and restored — production migrateCdcStream
+    // deployments keep their session's width.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val q = EventStream.migrateCdcStream(
+        stream.toDF().toDF("op", "seq", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+        "supplier", "s_suppkey", Seq(("s_nationkey", "nation", nationKeys)),
+        // per-batch compact, like every accumulating transact consumer:
+        // the mutation layers stack self-referentially (each batch's
+        // pre-image captures read the previous batches' rewrites), and
+        // an uncompacted 3-deep stack already sends Catalyst into a
+        // multi-minute optimization blowup — compaction is the
+        // documented chain-depth contract (PropertyGraph.compact)
+        f => { g = f(g).compact })
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     RelationalMigration.census(g)
   }
 
@@ -96,7 +119,7 @@ object StreamQueries {
       |  SELECT s_suppkey, s_name,
       |    CASE WHEN s_suppkey % 5 = 2 THEN -1.0 ELSE s_acctbal END AS s_acctbal,
       |    s_nationkey
-      |  FROM supplier WHERE s_suppkey % 7 <> 3
+      |  FROM supplier WHERE s_suppkey % 7 <> 3 AND s_suppkey < 400
       |),
       |census(kind, label, n) AS (
       |  SELECT 'node', 'TableType:supplier', 1
