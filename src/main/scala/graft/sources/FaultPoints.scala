@@ -22,8 +22,10 @@ object FaultPoints {
 
   @volatile private var handler: String => Unit = null
 
-  /** Called by store code at each named crash window. */
-  private[sources] def hit(point: String): Unit = {
+  /** Called by store code at each named crash window (the stores here
+    * and streaming's CdcPendingStore sidecar, which shares the
+    * generation-commit discipline). */
+  private[graft] def hit(point: String): Unit = {
     val h = handler
     if (h != null) h(point)
   }

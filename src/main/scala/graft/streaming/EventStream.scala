@@ -736,13 +736,17 @@ object EventStream {
 
     def commit(id: Long, df: DataFrame): Unit = {
       val f = fs
+      graft.sources.FaultPoints.hit("cdcpending.commit.begin")
       df.coalesce(1).write.mode("overwrite").parquet(path("b" + id).toString)
+      graft.sources.FaultPoints.hit("cdcpending.commit.snapshot-written")
       val tmp = new org.apache.hadoop.fs.Path(pointer.toString + ".tmp")
       val out = f.create(tmp, true)
       try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       f.delete(pointer, false)
+      graft.sources.FaultPoints.hit("cdcpending.commit.old-pointer-deleted")
       require(f.rename(tmp, pointer), s"commit failed: could not promote $pointer")
+      graft.sources.FaultPoints.hit("cdcpending.commit.done")
       // keep the committed snapshot and its immediate predecessor
       val older = snapshotIds.filter(_ < id)
       older.filterNot(older.maxOption.contains)

@@ -443,6 +443,42 @@ class PropertySpecs extends SparkSpecBase {
     assert(kills >= 60, s"sweep exercised only $kills kills in $trial trials")
   }
 
+  test("randomized crash-point sweep: CdcPendingStore commit always recovers a complete snapshot") {
+    import TestSpark.spark.implicits._
+    import graft.sources.FaultPoints
+    // The pending-buffer sidecar shares GraphStore's discipline
+    // (snapshot dir → atomic pointer → prune); this sweep kills commit()
+    // at random steps and asserts `committed` always names a COMPLETE
+    // snapshot whose content is either the prior state or the attempted
+    // one — the exact invariant migrateCdcStream's replay guard needs.
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcpend_crash").toString
+    val store = new graft.streaming.EventStream.CdcPendingStore(spark, root)
+    def df(tag: Long) = Seq(("s" + tag, "d" + tag, "r", "t", tag.toString))
+      .toDF("src", "dst", "rel", "refTable", "fkv")
+      .withColumn("props", map().cast("map<string,string>"))
+    def observed(): Option[Long] =
+      store.committed.map(id => store.read(id).head().getString(4).toLong)
+    store.commit(0L, df(0))
+    var committed = 0L
+    var kills = 0
+    var batch = 1L
+    while (kills < 25 && batch <= 120) {
+      val killAt = rng.nextInt(6) + 1
+      var n = 0
+      try FaultPoints.withHandler { p =>
+        n += 1; if (n == killAt) throw new FaultPoints.SimulatedCrash(p)
+      } { store.commit(batch, df(batch)) }
+      catch { case _: FaultPoints.SimulatedCrash => kills += 1 }
+      val got = observed()
+      assert(got.contains(committed) || got.contains(batch),
+        s"batch $batch (kill $killAt): committed snapshot holds $got, " +
+          s"expected $committed or $batch")
+      committed = got.get
+      batch += 1
+    }
+    assert(kills >= 25, s"sweep exercised only $kills kills in $batch batches")
+  }
+
   test("randomized crash-point sweep: VectorStore replace/delete always leaves a recoverable collection") {
     import TestSpark.spark.implicits._
     import graft.sources.{FaultPoints, VectorStore}
