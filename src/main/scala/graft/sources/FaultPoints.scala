@@ -38,3 +38,43 @@ object FaultPoints {
     try body finally handler = prev
   }
 }
+
+/** The ONE atomic pointer-file protocol shared by the generation
+  * stores (GraphStore's `_CURRENT`, streaming's CdcPendingStore
+  * sidecar): commit = write `<pointer>.tmp`, delete the old pointer,
+  * rename the tmp over it (a one-line file rename — atomic on every
+  * Hadoop FileSystem that matters). The delete→rename gap is the
+  * callers' documented crash window; both recover by adopting the
+  * newest COMPLETE artifact when the pointer is absent. Extracted so
+  * a future protocol fix (fsync discipline, rename-over semantics on
+  * a new filesystem) lands in one place — the two stores previously
+  * hand-rolled identical copies. */
+private[graft] object AtomicPointer {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Crash-safely point `pointer` at `value`. `faultPrefix` names this
+    * caller's crash windows for the randomized kill sweeps
+    * (`<prefix>.tmp-written` / `.old-pointer-deleted` / `.done`). */
+  def commit(fs: FileSystem, pointer: Path, value: String, faultPrefix: String): Unit = {
+    val tmp = new Path(pointer.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    FaultPoints.hit(faultPrefix + ".tmp-written")
+    fs.delete(pointer, false)
+    FaultPoints.hit(faultPrefix + ".old-pointer-deleted")
+    require(fs.rename(tmp, pointer), s"commit failed: could not promote $pointer")
+    FaultPoints.hit(faultPrefix + ".done")
+  }
+
+  /** The pointed value, or None when the pointer is absent (the
+    * crash-window state the caller's adopt-newest-complete recovery
+    * handles). */
+  def read(fs: FileSystem, pointer: Path): Option[String] =
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+}

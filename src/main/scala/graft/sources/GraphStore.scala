@@ -61,20 +61,12 @@ final case class GraphStore(spark: SparkSession, root: String) {
     fs.exists(path(name, gen, "nodes", "_SUCCESS")) &&
       fs.exists(path(name, gen, "edges", "_SUCCESS"))
 
-  /** Atomically (delete + rename of a one-line file) point `_CURRENT`
-    * at `gen`. A crash between the delete and the rename is covered by
-    * [[currentGen]]'s adopt-newest-complete recovery. */
+  /** Atomically point `_CURRENT` at `gen` — the shared
+    * [[AtomicPointer]] protocol; a crash between its delete and rename
+    * is covered by [[currentGen]]'s adopt-newest-complete recovery. */
   private def commitPointer(name: String, gen: String): Unit = {
-    val f = fs
-    val tmp = new org.apache.hadoop.fs.Path(pointer(name).toString + ".tmp")
     FaultPoints.hit("graphstore.commit.begin")
-    val out = f.create(tmp, true)
-    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    FaultPoints.hit("graphstore.commit.tmp-written")
-    f.delete(pointer(name), false)
-    FaultPoints.hit("graphstore.commit.old-pointer-deleted")
-    require(f.rename(tmp, pointer(name)), s"commit failed: could not promote pointer for $name")
-    FaultPoints.hit("graphstore.commit.done")
+    AtomicPointer.commit(fs, pointer(name), gen, "graphstore.commit")
   }
 
   /** The committed generation, healing crash states: a missing or
@@ -86,13 +78,8 @@ final case class GraphStore(spark: SparkSession, root: String) {
     * listStatus). None → not versioned (legacy layout or absent). */
   private def currentGen(name: String): Option[String] = {
     val f = fs
-    val pointed: Option[String] =
-      if (!f.exists(pointer(name))) None
-      else {
-        val in = f.open(pointer(name))
-        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        Some(gen).filter(g => f.exists(path(name, g, "nodes")))
-      }
+    val pointed = AtomicPointer.read(f, pointer(name))
+      .filter(g => f.exists(path(name, g, "nodes")))
     pointed.orElse(
       listGenNums(name).sorted.reverse.map("v" + _).find(genComplete(name, _)))
   }

@@ -720,15 +720,8 @@ object EventStream {
     /** The committed snapshot's batch id: the pointed one, else (crash
       * inside the pointer replace) the newest complete snapshot. */
     def committed: Option[Long] = {
-      val f = fs
-      val pointed: Option[Long] =
-        if (!f.exists(pointer)) None
-        else {
-          val in = f.open(pointer)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-          s.toLongOption.filter(id => f.exists(path("b" + id, "_SUCCESS")))
-        }
+      val pointed = graft.sources.AtomicPointer.read(fs, pointer)
+        .flatMap(_.toLongOption).filter(id => fs.exists(path("b" + id, "_SUCCESS")))
       pointed.orElse(snapshotIds.maxOption)
     }
 
@@ -739,14 +732,7 @@ object EventStream {
       graft.sources.FaultPoints.hit("cdcpending.commit.begin")
       df.coalesce(1).write.mode("overwrite").parquet(path("b" + id).toString)
       graft.sources.FaultPoints.hit("cdcpending.commit.snapshot-written")
-      val tmp = new org.apache.hadoop.fs.Path(pointer.toString + ".tmp")
-      val out = f.create(tmp, true)
-      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      f.delete(pointer, false)
-      graft.sources.FaultPoints.hit("cdcpending.commit.old-pointer-deleted")
-      require(f.rename(tmp, pointer), s"commit failed: could not promote $pointer")
-      graft.sources.FaultPoints.hit("cdcpending.commit.done")
+      graft.sources.AtomicPointer.commit(f, pointer, id.toString, "cdcpending.commit")
       // keep the committed snapshot and its immediate predecessor
       val older = snapshotIds.filter(_ < id)
       older.filterNot(older.maxOption.contains)

@@ -52,8 +52,8 @@ object StreamQueries {
     // is driver-resident by design, and a gate query's cost should not
     // scale with SF — the CONTRACT under test (latest-wins, delete-vs-
     // update overlap, orphan sweep, empty-batch path) is id-arithmetic,
-    // identical on any key subset. sf0.01 feeds all 100 suppliers,
-    // sf0.1+ exactly 400.
+    // identical on any key subset. sf0.01 feeds all 100 suppliers
+    // (keys 1..100), sf0.1+ the 399 keys 1..399.
     val base = graft.Tables.load(spark, dir, "supplier")
       .filter(col("s_suppkey") < 400)
       .select(col("s_suppkey").cast("long"), col("s_name"),

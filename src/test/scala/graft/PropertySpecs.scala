@@ -443,6 +443,89 @@ class PropertySpecs extends SparkSpecBase {
     assert(kills >= 60, s"sweep exercised only $kills kills in $trial trials")
   }
 
+  test("CDC crash between sidecar commit and epoch commit: the replayed batch rolls back to the predecessor snapshot") {
+    import TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.graph.{PropertyGraph, RelationalMigration}
+    import graft.sources.FaultPoints
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // The subtlest window of the durable buffer: foreachBatch committed
+    // its sidecar snapshot but the process died before the stream's
+    // epoch commit — Spark re-runs the batch, and the replay guard must
+    // re-adopt the PREDECESSOR snapshot (pendingBatch >= batchId), not
+    // the already-post-batch one, or the batch's pending maintenance
+    // runs on double-applied state. Forced for real here: a one-shot
+    // FaultPoints handler throws at `cdcpending.commit.done`, killing
+    // the query in exactly that window; the reopened stream re-runs the
+    // batch and the feed continues to convergence.
+    val nPk = 12
+    var seqNo = 0L
+    val model = scala.collection.mutable.Map.empty[Long, Option[(Long, String)]]
+    def op(o: String, k: Long, fk: Long, v: String): (String, Long, Long, Long, String) = {
+      seqNo += 1
+      model(k) = if (o == "D") None else Some((fk, v))
+      (o, seqNo, k, fk, v)
+    }
+    val script = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+    rng.shuffle((0L until nPk).toList).foreach { k =>
+      script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+    }
+    (0 until 3 * nPk).foreach { _ =>
+      val k = rng.nextInt(nPk).toLong
+      rng.nextInt(3) match {
+        case 0 => script += op("U", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+        case 1 => script += op("D", k, 0L, null)
+        case 2 => script += op("I", k, rng.nextInt(nPk + 4).toLong, s"v${rng.nextInt(4)}")
+      }
+    }
+    val feed = script.toList
+
+    val fks = Seq(("fk", "t", Seq.empty[String].toDF("fkv")))
+    def emptyGraph = PropertyGraph(
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("id", "ntype", "name")),
+      PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
+    var g = emptyGraph
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_epochcrash").toString
+    val stream = MemoryStream[(String, Long, Long, Long, String)]
+    def open() = graft.streaming.EventStream.migrateCdcStream(
+      stream.toDF().toDF("op", "seq", "pk", "fk", "v"), "t", "pk", fks,
+      f => { g = f(g).compact }, checkpointDir = Some(ckpt))
+
+    val groups = feed.grouped(1 + feed.length / 5).toSeq
+    var q = open()
+    groups.take(2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    // one-shot kill at the exact window (sidecar committed, epoch not)
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    stream.addData(groups(2))
+    try FaultPoints.withHandler { p =>
+      if (p == "cdcpending.commit.done" && killed.compareAndSet(false, true))
+        throw new FaultPoints.SimulatedCrash(p)
+    } { q.processAllAvailable() }
+    catch { case _: Exception => () } // the dying query surfaces as a wrapped exception
+    assert(killed.get, "the sidecar-committed/epoch-uncommitted window was never reached")
+    assert(q.exception.isDefined, "the query should have died in the crash window")
+
+    q = open() // Spark re-runs groups(2); the replay guard must fire
+    q.processAllAvailable()
+    groups.drop(3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val finalRows = model.toSeq.collect { case (k, Some((fk, v))) => (k, fk, v) }.sortBy(_._1)
+    assert(finalRows.nonEmpty)
+    val finalKeys = finalRows.map(_._1.toString).toDF("fkv")
+    val (en, ee) = RelationalMigration.tablePart(
+      finalRows.toDF("pk", "fk", "v"), "t", "pk", Seq(("fk", "t", finalKeys)))
+    val expected = emptyGraph.mergeNodes(en).mergeEdges(ee)
+    def nodeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(nodeSet(g.nodes) === nodeSet(expected.nodes))
+    assert(edgeSet(g.edges) === edgeSet(expected.edges))
+  }
+
   test("randomized crash-point sweep: CdcPendingStore commit always recovers a complete snapshot") {
     import TestSpark.spark.implicits._
     import graft.sources.FaultPoints

@@ -24,10 +24,38 @@ MATERIALIZED_KEYS = [
 # A CTE header is `<name> AS (` at the start of a WITH list entry —
 # always preceded by `WITH [RECURSIVE] ` or `,\n` in our generated SQL,
 # and never inside a SELECT (no column is aliased `AS (`).
-CTE_HEADER = re.compile(r"(^|,\s*\n|WITH\s+(?:RECURSIVE\s+)?)(\s*[A-Za-z_][A-Za-z0-9_]*(?:\([^)]*\))?\s+AS)\s*\(", re.M)
+CTE_HEADER = re.compile(r"(^|,\s*\n|WITH\s+(?:RECURSIVE\s+)?)(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\([^)]*\))?\s+AS)\s*\(", re.M)
+
+def _body_span(sql: str, open_paren: int):
+    """(start, end) of the parenthesized CTE body starting at sql[open_paren]."""
+    depth = 0
+    for i in range(open_paren, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return open_paren + 1, i
+    return open_paren + 1, len(sql)
 
 def materialize(sql: str) -> str:
-    return CTE_HEADER.sub(lambda m: f"{m.group(1)}{m.group(2)} MATERIALIZED (", sql)
+    """Mark every NON-recursive CTE MATERIALIZED. A recursive CTE (its
+    own name appears in its body) keeps DuckDB's default treatment —
+    the deliberate original-overlay choice: materialization is only
+    needed to stop DuckDB re-inlining the big base relations into each
+    unrolled iteration, and recursive CTEs are a distinct planner path
+    we leave untouched."""
+    out, last = [], 0
+    for m in CTE_HEADER.finditer(sql):
+        name = m.group(3)
+        body_start, body_end = _body_span(sql, m.end() - 1)
+        recursive = re.search(rf"\b{re.escape(name)}\b",
+                              sql[body_start:body_end]) is not None
+        out.append(sql[last:m.end() - 1])
+        out.append("(" if recursive else "MATERIALIZED (")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 def main(oracle_path: str) -> int:
     overlay_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -25,8 +25,12 @@ cd "$(dirname "$0")/.."
 SF1=${1:-/tmp/testdata/sf1}
 shift || true
 
-# Standing focus set: slowest-by-record as of r15 (regenerate with the
-# snippet in SURVEY §"standing scale gate" when the slow set shifts).
+# Standing focus set: the ~20 slowest by cross-round record as of r15
+# (regenerate when the slow set shifts) PLUS every query that has an
+# oracle_overlay_sf1.json variant — the overlay entries only earn their
+# keep if the standing gate actually exercises them at sf1 every round
+# (an overlay that silently stops parsing or times out must show up
+# here, not in an ad-hoc sweep).
 DEFAULT_FOCUS=(
   text_langid graph_build search_cypher_write_onmatch graph_paths
   graph_lpa graph_triangles search_cypher_shortest graph_ppr graph_kcore
@@ -34,6 +38,9 @@ DEFAULT_FOCUS=(
   pipeline_update graph_mutations search_temporal_graph
   dedup_ngram_jaccard graph_khop search_context_triplets graph_formatted
   graph_pagerank search_cypher_write
+  graph_metrics_full search_completion_extension text_chunk_paragraph
+  mm_ahash_dedup vec_knn_graph dedup_cluster curate_dedup_apply
+  curate_semdedup curate_decontaminate_fuzzy
 )
 FOCUS=("${@:-${DEFAULT_FOCUS[@]}}")
 
@@ -52,8 +59,11 @@ CHECK_ORACLE_OVERLAY=tools/oracle_overlay_sf1.json CHECK_TIMEOUT_S=900 \
   python3 tools/check.py "$OUT" "$SF1" "${FOCUS[@]}" | tee "$OUT/check.txt"
 
 echo "[scale_gate] bench the focus set isolated at sf1"
+# sbt writes to a file first: a `sbt | grep | head -1` pipeline under
+# pipefail dies with a spurious SIGPIPE (141) as soon as head closes the
+# pipe after the first JSON line — a false red on a green gate.
 SPARK_GRAFT_SF_DIR=$SF1 SPARK_GRAFT_ONLY=$(IFS=,; echo "${FOCUS[*]}") \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep -E '^\{' | head -1 \
-  | tee "$OUT/bench.json"
+  sbt -batch "runMain graft.Bench" > "$OUT/bench_raw.log" 2>&1
+grep -E '^\{' "$OUT/bench_raw.log" | head -1 | tee "$OUT/bench.json"
 
 echo "[scale_gate] done — record $OUT/check.txt + $OUT/bench.json in SURVEY's round state"
