@@ -277,31 +277,57 @@ object CypherLite {
           // instead of collapsing across levels, tagging each with its
           // depth as `${p}_len`.
           //
-          // UNSEEDED walks (no path variable: every node is a source)
-          // dedup the whole view once and materialize it
-          // ([[Materialize.stored]] — executor-local blocks, no
-          // CacheManager entry, reclaimed when unreferenced) so the
-          // expansion loop joins a stored relation per level instead of
-          // re-deriving the union+distinct lineage per join.
+          // Multi-level walks store the oriented hop view ONCE,
+          // hash-partitioned on src ([[Materialize.stored]] — executor-
+          // local blocks, no CacheManager entry, reclaimed when
+          // unreferenced). Every consumer — the seeded semi-join and each
+          // frontier⋈hop expansion — requires hash(src) on the edge side,
+          // so the raw union lineage (which carries no partitioning)
+          // would re-scan AND re-exchange the whole edge set at every
+          // level; that exchange was the dominant shuffle of the chain
+          // family (~100 MB/pass for search_cypher_shortest at sf0.1,
+          // against a KB-sized frontier side). The stored scan keeps
+          // HashPartitioning(src), so EnsureRequirements plans every
+          // later join with NO exchange on the big side — the adjacency-
+          // list discipline a distributed BFS runs at any scale. The
+          // unseeded variant dedups to (src,dst) PAIR granularity first;
+          // repartition-then-distinct costs ONE exchange because
+          // hash(src) already co-locates equal (src,dst) rows.
+          val nPart = g.edges.sparkSession.sessionState.conf.numShufflePartitions
+          // Granularity differs by walk kind: seeded walks keep per-EDGE
+          // rows (the per-level distinct works at frontier size);
+          // unseeded walks dedup to (src,dst) PAIRs once up front —
+          // repartition-then-distinct costs ONE exchange, because
+          // hash(src) already co-locates equal (src,dst) rows, so the
+          // aggregate dedups in place and the layout claim holds.
           val hopD =
-            if (pathVar.isDefined) hopRaw // seeded: never build the global view
-            else {
-              val d0 = if (dir == Undir || hi > 1) hopRaw.distinct() else hopRaw
-              if (hi > 1) org.apache.spark.sql.graft.Materialize.stored(d0) else d0
-            }
+            if (hi > 1) {
+              val gran = if (pathVar.isDefined) "edge" else "pair"
+              // Dir objects are method-local (a fresh instance set per
+              // parse), so the key needs a stable tag, not toString.
+              val dirTag = dir match { case Fwd => "fwd"; case Rev => "rev"; case _ => "undir" }
+              g.hopView(s"${rels.sorted.mkString("|")}#$dirTag#$gran#$nPart") {
+                val d0 =
+                  if (pathVar.isDefined) hopRaw.repartition(nPart, col("src"))
+                  else hopRaw.repartition(nPart, col("src")).distinct()
+                org.apache.spark.sql.graft.Materialize.storedHashed(d0, nPart, "src")
+              }
+            } else if (pathVar.isEmpty && dir == Undir) hopRaw.distinct()
+            else hopRaw // single level: one join, storing buys nothing
           // Path-bound expansions are SEEDED from the (already
           // type/map-filtered) left node set: the walk starts at the
           // pattern's own sources instead of computing the full-graph
           // transitive closure and pruning at the terminal join — the
           // difference between a frontier BFS and |V|² work when the
-          // left pattern anchors on one node. The global traversal view
-          // is never deduped or stored for a seeded walk: each level is
-          // one frontier⋈(raw edge scan) join + a frontier-sized
-          // distinct — the per-level work scales with the frontier, not
-          // the graph.
+          // left pattern anchors on one node. A seeded walk keeps the
+          // hop view at per-EDGE granularity (never pair-deduped — the
+          // per-level distinct below works at frontier size instead),
+          // and each level is one frontier⋈(stored hop scan) join + a
+          // frontier-sized distinct: per-level work scales with the
+          // frontier, not the graph.
           val seedSrc = df.select(col(s"${pv}_id").as("src")).distinct()
           val seeded = pathVar.fold(hopD) { _ =>
-            hopRaw.join(seedSrc, Seq("src"), "left_semi").distinct()
+            hopD.join(seedSrc, Seq("src"), "left_semi").distinct()
           }
           // nodes(p) support: per-level forward frontiers are retained so
           // the interior-node projection below can split each (src, dst,
@@ -321,6 +347,48 @@ object CypherLite {
           require(!shortest || lo == 1,
             s"shortestPath supports a minimal length of 1 only in: $chain")
           var reach: DataFrame = null
+          if (shortest && !wantProj) {
+            // Projection-free shortestPath: ONE stored relation per
+            // level serves every frontier read. `acc` holds all visited
+            // (src,dst) pairs tagged with their min depth — its top
+            // stratum IS the next expansion's frontier, the whole
+            // relation IS the anti-join prune source (which must be a
+            // stored relation, not a lazy union lineage: Catalyst's
+            // Union constraint rewrite chokes on unions of checkpointed
+            // scans), and at the end `acc ∪ last level` IS the reach
+            // set. The unfused loop paid TWO eager materialization
+            // passes per level (frontier store + visited-union store)
+            // for the same reads — on the bench channel the write
+            // path's local-mode latency is its job count. The last
+            // level stays lazy: it is read exactly once, by the
+            // min-aggregate's one consuming action.
+            var acc: DataFrame = null
+            var cur = seeded
+            for (len <- 1 to hi) {
+              val tagged = cur.withColumn("len", lit(len.toLong))
+              if (len < hi) {
+                acc = org.apache.spark.sql.graft.Materialize.stored(
+                  if (acc == null) tagged else acc.union(tagged))
+                val frontier = acc.filter(col("len") === len.toLong).drop("len")
+                // shuffle_hash on the frontier side: hash the (small)
+                // frontier and stream the stored src-partitioned hop
+                // scan with no exchange and no sort on the big side
+                // (the kHop discipline). A pair reached at a shallower
+                // depth can never win the min — prune it, so frontiers
+                // shrink to the genuinely-new pairs and the BFS
+                // converges instead of re-walking the reached closure
+                // at every deeper level.
+                val next = frontier.as("a").hint("shuffle_hash")
+                  .join(hopD.as("b"), col("a.dst") === col("b.src"))
+                  .select(col("a.src").as("src"), col("b.dst").as("dst"))
+                  .distinct()
+                cur = next.join(acc.select(col("src"), col("dst")).hint("shuffle_hash"),
+                  Seq("src", "dst"), "left_anti")
+              } else {
+                reach = if (acc == null) tagged else acc.union(tagged)
+              }
+            }
+          } else {
           var visited: DataFrame = null // shortest only: all reached pairs
           var cur = seeded
           for (len <- 1 to hi) {
@@ -330,16 +398,7 @@ object CypherLite {
             // shortestPath) as an anti-join prune source — and a lazy
             // join-chain lineage would re-execute the whole walk per use.
             // (level 1 of an unseeded walk IS hopD — already stored)
-            // The LAST level of a projection-free shortestPath is the
-            // one frontier read exactly ONCE (as a reach level into the
-            // min-aggregate — no next expansion, no prune source, no
-            // fwLevels retention): storing it would pay a whole eager
-            // materialization pass to save a single keyed join that the
-            // one consuming action re-derives from the stored level
-            // below it. Skip it — the write path's local-mode latency
-            // is its job count.
-            val lastUseIsSingle = shortest && !wantProj && len == hi
-            if ((hi > 1 || wantProj) && (len > 1 || pathVar.isDefined) && !lastUseIsSingle)
+            if ((hi > 1 || wantProj) && (len > 1 || pathVar.isDefined))
               cur = org.apache.spark.sql.graft.Materialize.stored(cur)
             if (wantProj) fwLevels += cur
             if (len >= lo) {
@@ -370,6 +429,7 @@ object CypherLite {
               cur = next
             }
           }
+          }
           pathVar match {
             case Some(p) =>
               val tagged =
@@ -397,9 +457,14 @@ object CypherLite {
                   org.apache.spark.sql.graft.Materialize.stored(
                     reach.select(col("dst")).distinct()
                       .select(col("dst").as("mid"), col("dst"))))
+                // hopD, not hopRaw: a wantProj chain is always seeded
+                // (the projections require the bound path variable), so
+                // hopD holds the identical per-edge rows — read from
+                // stored blocks instead of re-deriving the union lineage
+                // per backward level.
                 for (j <- 1 to hi)
                   bk += org.apache.spark.sql.graft.Materialize.stored(
-                    hopRaw.as("e").join(bk(j - 1).as("b"), col("e.dst") === col("b.mid"))
+                    hopD.as("e").join(bk(j - 1).as("b"), col("e.dst") === col("b.mid"))
                       .select(col("e.src").as("mid"), col("b.dst").as("dst")).distinct())
                 if (wantNodes) {
                   val splits = for { len <- math.max(lo, 1) to hi; i <- 0 to len } yield
@@ -418,7 +483,7 @@ object CypherLite {
                 if (wantRels) {
                   val splits = for { len <- math.max(lo, 1) to hi; i <- 0 until len } yield
                     fwLevels(i).as("f")
-                      .join(hopRaw.as("e"), col("f.dst") === col("e.src"))
+                      .join(hopD.as("e"), col("f.dst") === col("e.src"))
                       .join(bk(len - 1 - i).as("b"), col("e.dst") === col("b.mid"))
                       .select(col("f.src").as("src"), col("b.dst").as("dst"),
                         lit(len.toLong).as("len"),

@@ -48,6 +48,25 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Per-(relation set, direction, granularity) oriented hop views —
+    * the adjacency structures CypherLite's variable-length chain
+    * expansions traverse, stored hash-partitioned on src
+    * ([[org.apache.spark.sql.graft.Materialize.storedHashed]]) so every
+    * per-level frontier⋈hop join runs with NO exchange and no sort on
+    * the edge side. Instance-keyed like [[undirectedEdges]]: repeat
+    * chain queries over one graph instance (the session-cached
+    * projection) share one materialization instead of re-shuffling the
+    * oriented edge set per call; a mutated graph is a NEW instance and
+    * builds fresh views. Blocks are executor-local checkpoints — when
+    * the graph instance is released (session-cache eviction) they
+    * become unreachable and the ContextCleaner reclaims them.
+    * Double-build under a concurrent miss is benign: the loser's
+    * checkpoint is simply unreferenced and reclaimed. */
+  private val hopViews =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graph] def hopView(key: String)(build: => DataFrame): DataFrame =
+    hopViews.getOrElseUpdate(key, build)
+
   /** Dense vertex index (id → long) for GraphX algorithms, built once
     * per graph instance. Instance-lazy (like [[undirectedEdges]]):
     * the index is RDD-derived, so every rebuild would register a NEW
