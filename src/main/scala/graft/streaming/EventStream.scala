@@ -546,8 +546,14 @@ object EventStream {
             pendingBatch = prev.getOrElse(-1L)
           }
         }
-        val batch = rawBatch.localCheckpoint(true) // never escape micro-batch scope
-        if (!batch.isEmpty) transact { g =>
+        // LAZY checkpoint + count: materializes the blocks (the batch
+        // must never escape micro-batch scope) AND answers the
+        // emptiness probe in the SAME job — the BFS-loop lesson; the
+        // eager-checkpoint + isEmpty idiom paid two scheduler rounds
+        // per batch.
+        val batch = rawBatch.localCheckpoint(false)
+        val batchRows = batch.count()
+        if (batchRows > 0L) transact { g =>
           val changedIds = batch
             .select(concat(lit(rowIdPrefix), col("k")).as("id")).distinct()
           val upsertIds = batch.filter(col("op") =!= "D")
@@ -681,7 +687,7 @@ object EventStream {
         // then reads FROM the committed snapshot, releasing the
         // localCheckpoint lineage.
         pendingStore.foreach { st =>
-          if (!batch.isEmpty) {
+          if (batchRows > 0L) {
             st.commit(batchId, pending)
             pending = st.read(batchId)
             pendingBatch = batchId

@@ -94,6 +94,12 @@ object StreamQueries {
     // deployments keep their session's width.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // NOTE: an AQE-off scope was MEASURED here and rejected (12 s →
+    // 30 s): the gate is job-count-bound (213 jobs, 0.8 MB shuffle),
+    // but the mutation layers are stats-less checkpointed scans whose
+    // joins only become broadcasts through AQE's runtime sizes — the
+    // static planner sort-merges everything at width 1 and loses far
+    // more than the per-stage job rounds cost.
     try {
       val q = EventStream.migrateCdcStream(
         stream.toDF().toDF("op", "seq", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
