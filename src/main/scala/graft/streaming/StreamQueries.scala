@@ -140,9 +140,98 @@ object StreamQueries {
       |)
       |SELECT kind, label, CAST(n AS BIGINT) AS n FROM census""".stripMargin
 
+  /** 30-minute-gap sessionization driver-gated THROUGH THE STREAMING
+    * ENGINE: the [[EventStream.sessionize]] mapGroupsWithState operator
+    * fed a deterministic bounded cohort — the first 2500 events of
+    * users < 40 in (sec, event_id) order (a fixed slice at every SF;
+    * the contract under test is gap arithmetic, identical on any
+    * subset) — in four fixed time-ordered micro-batches, then one
+    * sentinel event per user at maxSec + 7200 s. The sentinel's >30 min
+    * gap CLOSES every open session through the normal gap path (the
+    * same rounding applied to every mid-stream close), so the
+    * timeout-flush path — whose wall-clock trigger would not be
+    * replay-deterministic — never fires (`flushOnTimeout = false`).
+    * Sessions the sentinels themselves open are dropped by their
+    * start_s. Output rows are collected per micro-batch into a driver
+    * buffer (bounded by the cohort's session count) — no catalog-
+    * registered memory sink to collide across repeat gate runs.
+    * Oracle: the batch window-function sessionization
+    * ([[graft.operators.EventOps.sessionizeSql]] shape) over the same
+    * ordered cohort slice. Session ids match by construction: the
+    * stream numbers per user in arrival order, the batch by cumulative
+    * new-session count in the identical (sec, event_id) order. */
+  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val cohort = graft.Tables.loadEvents(spark, dir)
+      .select(col("event_id").cast("long"), col("ts_sec").cast("long"),
+        col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
+      .filter(col("user_id") < 40)
+      .orderBy(col("ts_sec"), col("event_id"))
+      .limit(2500)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+      .map { case (id, sec, uid, et, v) => Event(id, sec, uid, et, v) }
+    val sentinelSec = cohort.map(_.tsSec).max + 7200L
+    val sentinels = cohort.map(_.userId).distinct.sorted.zipWithIndex.map {
+      case (u, i) => Event(-1L - i, sentinelSec, u, "sentinel", 0.0)
+    }
+    val n = cohort.size
+    val feed = Seq(cohort.slice(0, n / 4), cohort.slice(n / 4, n / 2),
+      cohort.slice(n / 2, 3 * n / 4), cohort.slice(3 * n / 4, n), sentinels)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    val stream = MemoryStream[Event]
+    // Width-1 scope, the cdcMigrate discipline: a driver-resident gate
+    // stream over a bounded feed pays per-partition state commits ×
+    // batches as pure fixed overhead at the session's full width.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val q = EventStream.sessionize(stream.toDS(), flushOnTimeout = false)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          out.synchronized { out ++= b.collect() }; ()
+        }
+        .start()
+      try feed.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    out.toSeq.toDF()
+      .filter(col("startS") < sentinelSec) // sentinel-opened sessions
+      .select(col("userId").as("user_id"), col("sessId").as("sess_id"),
+        col("nEvents").as("n_events"), col("totalValue").as("total_value"),
+        col("startS").as("start_s"), col("endS").as("end_s"))
+  }
+
+  /** Batch sessionization of the same ordered cohort slice. */
+  val sessionizeGateSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      |  FROM events WHERE user_id < 40
+      |  ORDER BY sec, event_id LIMIT 2500
+      |), flagged AS (
+      |  SELECT user_id, value, sec, event_id,
+      |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM cohort
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
+      |), sessed AS (
+      |  SELECT user_id, value, sec,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, sess_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  min(sec) AS start_s, max(sec) AS end_s
+      |FROM sessed GROUP BY user_id, sess_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_cdc_migrate" -> ((s: SparkSession, d: String) => cdcMigrate(s, d)))
+    "stream_cdc_migrate" -> ((s: SparkSession, d: String) => cdcMigrate(s, d)),
+    "stream_sessionize" -> ((s: SparkSession, d: String) => sessionizeGate(s, d)))
 
   def oracles: Map[String, String] = Map(
-    "stream_cdc_migrate" -> cdcMigrateSql)
+    "stream_cdc_migrate" -> cdcMigrateSql,
+    "stream_sessionize" -> sessionizeGateSql)
 }
