@@ -304,9 +304,11 @@ object CypherLite {
             if (hi > 1) {
               val gran = if (pathVar.isDefined) "edge" else "pair"
               // Dir objects are method-local (a fresh instance set per
-              // parse), so the key needs a stable tag, not toString.
+              // parse), so the key needs a stable tag, not toString; the
+              // key is a typed tuple, not a delimited string, so a rel
+              // name containing a delimiter can never collide views.
               val dirTag = dir match { case Fwd => "fwd"; case Rev => "rev"; case _ => "undir" }
-              g.hopView(s"${rels.sorted.mkString("|")}#$dirTag#$gran#$nPart") {
+              g.hopView((rels.sorted, dirTag, gran, nPart)) {
                 val d0 =
                   if (pathVar.isDefined) hopRaw.repartition(nPart, col("src"))
                   else hopRaw.repartition(nPart, col("src")).distinct()

@@ -63,8 +63,9 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * Double-build under a concurrent miss is benign: the loser's
     * checkpoint is simply unreferenced and reclaimed. */
   private val hopViews =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private[graph] def hopView(key: String)(build: => DataFrame): DataFrame =
+    scala.collection.concurrent.TrieMap.empty[(Seq[String], String, String, Int), DataFrame]
+  private[graph] def hopView(key: (Seq[String], String, String, Int))(
+      build: => DataFrame): DataFrame =
     hopViews.getOrElseUpdate(key, build)
 
   /** Dense vertex index (id → long) for GraphX algorithms, built once

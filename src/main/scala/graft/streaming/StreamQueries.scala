@@ -173,6 +173,9 @@ object StreamQueries {
       .limit(2500)
       .as[(Long, Long, Long, String, Double)].collect().toSeq
       .map { case (id, sec, uid, et, v) => Event(id, sec, uid, et, v) }
+    if (cohort.isEmpty) // degenerate corpus: no cohort events, no sessions
+      return Seq.empty[(Long, Long, Long, Double, Long, Long)]
+        .toDF("user_id", "sess_id", "n_events", "total_value", "start_s", "end_s")
     val sentinelSec = cohort.map(_.tsSec).max + 7200L
     val sentinels = cohort.map(_.userId).distinct.sorted.zipWithIndex.map {
       case (u, i) => Event(-1L - i, sentinelSec, u, "sentinel", 0.0)
