@@ -1137,11 +1137,32 @@ object CypherLite {
     val base = g.edges.filter(col("rel").isin(rels: _*))
       .select(col("src"), col("dst"),
         concat_ws("|", col("src"), col("rel"), col("dst")).as("ekey"))
-    val hop =
+    val hopLazy =
       if (revHead) base.select(col("dst").as("src"), col("src").as("dst"), col("ekey"))
       else if (fwdHead) base
       else base.union(
         base.select(col("dst").as("src"), col("src").as("dst"), col("ekey"))).distinct()
+    // Multi-level enumerations store the oriented (src, dst, ekey) view
+    // once, hash-partitioned on src — the chain-expansion discipline:
+    // every per-level partial-path⋈hop join then exchanges only the
+    // partial-path side. Cached per graph instance under its own
+    // granularity tag (ekey rows, not pairs); repartition-then-distinct
+    // keeps the layout claim (agg keys ⊇ src, rows never move).
+    val hop =
+      if (hi > 1) {
+        val nPart = g.edges.sparkSession.sessionState.conf.numShufflePartitions
+        val dirTag = if (revHead) "rev" else if (fwdHead) "fwd" else "undir"
+        g.hopView((rels.sorted, dirTag, "ekey", nPart)) {
+          val oriented =
+            if (revHead) base.select(col("dst").as("src"), col("src").as("dst"), col("ekey"))
+            else if (fwdHead) base
+            else base.union(
+              base.select(col("dst").as("src"), col("src").as("dst"), col("ekey")))
+          val r = oriented.repartition(nPart, col("src"))
+          val d0 = if (revHead || fwdHead) r else r.distinct()
+          org.apache.spark.sql.graft.Materialize.storedHashed(d0, nPart, "src")
+        }
+      } else hopLazy
 
     def capped(df: DataFrame, level: Int): DataFrame = {
       val stored = org.apache.spark.sql.graft.Materialize.stored(df)
