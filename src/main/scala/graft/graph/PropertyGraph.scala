@@ -242,6 +242,28 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     PropertyGraph(org.apache.spark.sql.graft.Materialize.stored(nodesP),
       org.apache.spark.sql.graft.Materialize.stored(edgesP))
 
+  /** [[compact]] in ONE kind-tagged eager pass: nodes and edges union
+    * into a single stored relation and split lazily after (the CDC
+    * gate's capture-sharing discipline). Every later action over the
+    * compacted graph scans BOTH legs' blocks and filters — the right
+    * trade for the per-micro-batch compacts of a driver-resident
+    * accumulator graph, where the fixed cost is the eager-action count
+    * and the graph is small. For large graphs whose downstream reads
+    * are node-only or edge-only, [[compact]]'s separate stores scan
+    * less; keep using it there. */
+  def compactOnePass: PropertyGraph = {
+    val tagged = nodesP.select(lit("n").as("leg"), col("id").as("a"),
+        col("ntype").as("b"), col("name").as("c"), col("props"))
+      .unionByName(edgesP.select(lit("e").as("leg"), col("src"), col("dst"),
+        col("rel"), col("props")).toDF("leg", "a", "b", "c", "props"))
+    val stored = org.apache.spark.sql.graft.Materialize.stored(tagged)
+    PropertyGraph(
+      stored.filter(col("leg") === "n")
+        .select(col("a").as("id"), col("b").as("ntype"), col("c").as("name"), col("props")),
+      stored.filter(col("leg") === "e")
+        .select(col("a").as("src"), col("b").as("dst"), col("c").as("rel"), col("props")))
+  }
+
   /** Increment the `feedback_weight` edge prop (reference:
     * graph_db_interface apply_feedback_weight, kuzu/adapter.py:1724 —
     * edges of `rel` whose SOURCE node is in the weight set get their

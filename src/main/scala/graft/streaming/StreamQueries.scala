@@ -110,7 +110,7 @@ object StreamQueries {
         // an uncompacted 3-deep stack already sends Catalyst into a
         // multi-minute optimization blowup — compaction is the
         // documented chain-depth contract (PropertyGraph.compact)
-        f => { g = f(g).compact })
+        f => { g = f(g).compactOnePass })
       try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
