@@ -1206,6 +1206,13 @@ class CypherLiteSpec extends SparkSpecBase {
     // and the compacted plan is a bare scan — no residual mutation plan
     assert(c.nodes.queryExecution.optimizedPlan.collectLeaves().size === 1)
     assert(!c.nodes.queryExecution.optimizedPlan.toString.contains("Join"))
+    // the one-pass kind-tagged variant is the same identity, and its
+    // two legs read the SAME single stored relation (one eager pass)
+    val c1 = m.compactOnePass
+    assert(nodeSet(c1) === nodeSet(m))
+    assert(edgeSet(c1) === edgeSet(m))
+    assert(c1.nodes.queryExecution.optimizedPlan.collectLeaves().size === 1)
+    assert(!c1.nodes.queryExecution.optimizedPlan.toString.contains("Join"))
   }
 
   private def graphSets(pg: graph.PropertyGraph) = (
