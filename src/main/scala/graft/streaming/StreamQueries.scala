@@ -160,12 +160,12 @@ object StreamQueries {
     * ordered cohort slice. Session ids match by construction: the
     * stream numbers per user in arrival order, the batch by cumulative
     * new-session count in the identical (sec, event_id) order. */
-  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared deterministic event cohort (first 2500 events of users
+    * < 40 in (sec, event_id) order — bounded at every SF) split into
+    * four fixed time-ordered micro-batches. Both event gates feed it. */
+  private def eventCohort(spark: SparkSession, dir: String): Seq[Event] = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-
-    val cohort = graft.Tables.loadEvents(spark, dir)
+    graft.Tables.loadEvents(spark, dir)
       .select(col("event_id").cast("long"), col("ts_sec").cast("long"),
         col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
       .filter(col("user_id") < 40)
@@ -173,6 +173,47 @@ object StreamQueries {
       .limit(2500)
       .as[(Long, Long, Long, String, Double)].collect().toSeq
       .map { case (id, sec, uid, et, v) => Event(id, sec, uid, et, v) }
+  }
+
+  private def cohortBatches(cohort: Seq[Event]): Seq[Seq[Event]] = {
+    val n = cohort.size
+    Seq(cohort.slice(0, n / 4), cohort.slice(n / 4, n / 2),
+      cohort.slice(n / 2, 3 * n / 4), cohort.slice(3 * n / 4, n))
+  }
+
+  /** Drive `plan` over a MemoryStream[Event] fed `batches` in order
+    * (processAllAvailable between batches), collecting every appended
+    * micro-batch output into a driver buffer — bounded by the gate
+    * cohort's output size; no catalog-registered memory sink to collide
+    * across repeat gate runs. Width-1 scope, the cdcMigrate discipline:
+    * a driver-resident gate stream over a bounded feed pays
+    * per-partition state commits × batches as pure fixed overhead at
+    * the session's full width. */
+  private def driveEventGate(spark: SparkSession, batches: Seq[Seq[Event]])(
+      plan: org.apache.spark.sql.Dataset[Event] => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val stream = MemoryStream[Event]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val q = plan(stream.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          out.synchronized { out ++= b.collect() }; ()
+        }
+        .start()
+      try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    out.toSeq
+  }
+
+  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohort = eventCohort(spark, dir)
     if (cohort.isEmpty) // degenerate corpus: no cohort events, no sessions
       return Seq.empty[(Long, Long, Long, Double, Long, Long)]
         .toDF("user_id", "sess_id", "n_events", "total_value", "start_s", "end_s")
@@ -180,32 +221,12 @@ object StreamQueries {
     val sentinels = cohort.map(_.userId).distinct.sorted.zipWithIndex.map {
       case (u, i) => Event(-1L - i, sentinelSec, u, "sentinel", 0.0)
     }
-    val n = cohort.size
-    val feed = Seq(cohort.slice(0, n / 4), cohort.slice(n / 4, n / 2),
-      cohort.slice(n / 2, 3 * n / 4), cohort.slice(3 * n / 4, n), sentinels)
-
-    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-    val stream = MemoryStream[Event]
-    // Width-1 scope, the cdcMigrate discipline: a driver-resident gate
-    // stream over a bounded feed pays per-partition state commits ×
-    // batches as pure fixed overhead at the session's full width.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try {
-      val q = EventStream.sessionize(stream.toDS(), flushOnTimeout = false)
-        .writeStream.outputMode("append")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
-          out.synchronized { out ++= b.collect() }; ()
-        }
-        .start()
-      try feed.foreach { b => stream.addData(b); q.processAllAvailable() }
-      finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    out.toSeq.toDF()
-      .filter(col("startS") < sentinelSec) // sentinel-opened sessions
-      .select(col("userId").as("user_id"), col("sessId").as("sess_id"),
-        col("nEvents").as("n_events"), col("totalValue").as("total_value"),
-        col("startS").as("start_s"), col("endS").as("end_s"))
+    val rows = driveEventGate(spark, cohortBatches(cohort) :+ sentinels)(
+      ds => EventStream.sessionize(ds, flushOnTimeout = false).toDF())
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+      .toDF("user_id", "sess_id", "n_events", "total_value", "start_s", "end_s")
+      .filter(col("start_s") < sentinelSec) // sentinel-opened sessions
   }
 
   /** Batch sessionization of the same ordered cohort slice. */
@@ -230,11 +251,59 @@ object StreamQueries {
       |  min(sec) AS start_s, max(sec) AS end_s
       |FROM sessed GROUP BY user_id, sess_id""".stripMargin
 
+  /** Tumbling-window watermark aggregation driver-gated — the third
+    * streaming machinery on the hash channel (readStream → watermark →
+    * windowed agg, beside the two stateful-API gates): the shared event
+    * cohort through [[EventStream.windowedAgg]] (1-hour tumbling
+    * windows, 2-hour watermark, append mode). Window rows only emit
+    * once the watermark passes their end, so the feed appends TWO
+    * sentinel batches at maxSec + 4 h/+ 4 h 1 s: the first advances the
+    * max event time past every real window end + the 2-hour delay, the
+    * second forces one more micro-batch so the engine applies that
+    * watermark and flushes (watermarks take effect one batch late —
+    * without a next batch the final windows would sit unemitted in
+    * state). The sentinels' own window never closes (nothing later) and
+    * is filtered by its hour anyway. Oracle: the batch hour-bucket
+    * aggregation of the same cohort slice — window(ts, '1 hour') on
+    * whole-second timestamps IS date_trunc('hour', ts) bucketing
+    * (sub-second parts cannot cross an hour boundary). */
+  def windowAggGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohort = eventCohort(spark, dir)
+    if (cohort.isEmpty)
+      return Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+        .toDF("hour", "event_type", "n_events", "total_value")
+    val sentinelSec = cohort.map(_.tsSec).max + 4L * 3600L
+    val sentinels = Seq(
+      Seq(Event(-1L, sentinelSec, 0L, "sentinel", 0.0)),
+      Seq(Event(-2L, sentinelSec + 1L, 0L, "sentinel", 0.0)))
+    val rows = driveEventGate(spark, cohortBatches(cohort) ++ sentinels)(
+      ds => EventStream.windowedAgg(ds.toDF()))
+    val sentinelHourStart = new java.sql.Timestamp((sentinelSec - sentinelSec % 3600L) * 1000L)
+    rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toDF("hour", "event_type", "n_events", "total_value")
+      .filter(col("hour") < lit(sentinelHourStart))
+  }
+
+  /** Batch hour-bucket aggregation of the same ordered cohort slice. */
+  val windowAggGateSql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, event_type, value, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      |  FROM events WHERE user_id < 40
+      |  ORDER BY sec, event_id LIMIT 2500
+      |)
+      |SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM cohort GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdc_migrate" -> ((s: SparkSession, d: String) => cdcMigrate(s, d)),
-    "stream_sessionize" -> ((s: SparkSession, d: String) => sessionizeGate(s, d)))
+    "stream_sessionize" -> ((s: SparkSession, d: String) => sessionizeGate(s, d)),
+    "stream_window_agg" -> ((s: SparkSession, d: String) => windowAggGate(s, d)))
 
   def oracles: Map[String, String] = Map(
     "stream_cdc_migrate" -> cdcMigrateSql,
-    "stream_sessionize" -> sessionizeGateSql)
+    "stream_sessionize" -> sessionizeGateSql,
+    "stream_window_agg" -> windowAggGateSql)
 }
