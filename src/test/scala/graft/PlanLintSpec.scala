@@ -243,4 +243,35 @@ class PlanLintSpec extends SparkSpecBase {
       }
     }
   }
+
+  // The chain-family shuffle elimination rests on Materialize.storedHashed's
+  // CLAIMED partitioning being honored by EnsureRequirements: a join keyed
+  // on the claim must plan with NO exchange on the stored side (only the
+  // probe side moves). A Spark upgrade or a Materialize edit that drops the
+  // claim would regress silently — the only symptom would be bench shuffle
+  // volume — so the mechanism is pinned here at the physical-plan level.
+  test("storedHashed's claimed layout elides the stored side's exchange in a keyed join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val n = spark.sessionState.conf.numShufflePartitions
+    val big = spark.range(0, 10000)
+      .select((col("id") % 997).cast("string").as("src"), col("id").cast("string").as("dst"))
+    val stored = org.apache.spark.sql.graft.Materialize.storedHashed(
+      big.repartition(n, col("src")), n, "src")
+    val probe = spark.range(0, 50).select(col("id").cast("string").as("src"))
+    val joined = probe.hint("shuffle_hash").join(stored, Seq("src"))
+    joined.count() // materialize so AQE finalizes the adaptive plan
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = finalPlan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size === 1,
+      s"expected exactly ONE exchange (the probe side); got ${exchanges.size}:\n$finalPlan")
+    // and the result is correct — the claimed layout matches the rows:
+    // keys 0..29 appear 11 times (the 10000 % 997 = 30 remainder), keys
+    // 30..49 ten times → 30×11 + 20×10
+    assert(joined.count() === 530L)
+  }
 }

@@ -41,6 +41,7 @@ DEFAULT_FOCUS=(
   graph_metrics_full search_completion_extension text_chunk_paragraph
   mm_ahash_dedup vec_knn_graph dedup_cluster curate_dedup_apply
   curate_semdedup curate_decontaminate_fuzzy
+  stream_cdc_migrate stream_sessionize stream_window_agg
 )
 FOCUS=("${@:-${DEFAULT_FOCUS[@]}}")
 
