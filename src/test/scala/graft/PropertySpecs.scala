@@ -9,6 +9,70 @@ class PropertySpecs extends SparkSpecBase {
 
   private val rng = new scala.util.Random(1234)
 
+  test("randomized var-length chain expansion equals a driver-side BFS reference") {
+    // The chain family was rewired onto per-graph stored hop views with
+    // a claimed hash layout (r15): this pins the SEMANTICS of the whole
+    // surface — fwd/rev/undirected orientation, rel-subset filters,
+    // hop bounds 1..3, pair-per-level multiplicity, and shortestPath's
+    // min-depth collapse (min over ALL reached pairs, terminal type
+    // filter applied after) — against an independent driver-side
+    // reference on random graphs.
+    import graft.graph.{CypherLite, PropertyGraph}
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 8) {
+      val nNodes = 12 + rnd.nextInt(9)
+      val nodes = (1 to nNodes).map(i =>
+        (s"n:$i", if (rnd.nextBoolean()) "t1" else "t2", s"name$i"))
+      val nEdges = 15 + rnd.nextInt(20)
+      val edges = (1 to nEdges).map { _ =>
+        (s"n:${1 + rnd.nextInt(nNodes)}", s"n:${1 + rnd.nextInt(nNodes)}",
+          if (rnd.nextBoolean()) "r1" else "r2")
+      }.distinct
+      val g = PropertyGraph(nodes.toDF("id", "ntype", "name"),
+        edges.toDF("src", "dst", "rel"))
+      val hi = 1 + rnd.nextInt(3)
+      val dirSym = rnd.nextInt(3) // 0 fwd, 1 rev, 2 undir
+      val relSubset = if (rnd.nextBoolean()) Seq("r1") else Seq("r1", "r2")
+      val shortest = rnd.nextBoolean()
+      val relPart = s"[:${relSubset.mkString("|")}*1..$hi]"
+      val arrow = dirSym match {
+        case 0 => s"-$relPart->"; case 1 => s"<-$relPart-"; case _ => s"-$relPart-"
+      }
+      val inner = s"(x:t1)$arrow(y:t2)"
+      val q = (if (shortest) s"MATCH p = shortestPath($inner) " else s"MATCH p = $inner ") +
+        "RETURN x.id AS src, y.id AS dst, length(p) AS len"
+      val got = CypherLite.run(g, q).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+      val orient: Set[(String, String)] = edges
+        .filter(e => relSubset.contains(e._3))
+        .flatMap { case (s, d, _) => dirSym match {
+          case 0 => Seq((s, d)); case 1 => Seq((d, s)); case _ => Seq((s, d), (d, s))
+        } }.toSet
+      val t1 = nodes.filter(_._2 == "t1").map(_._1).toSet
+      val t2 = nodes.filter(_._2 == "t2").map(_._1).toSet
+      // pairs reachable in EXACTLY k hops (pair-per-level semantics)
+      var levels = Map.empty[Int, Set[(String, String)]]
+      var cur: Set[(String, String)] =
+        t1.flatMap(s => orient.collect { case (`s`, d) => (s, d) })
+      levels += 1 -> cur
+      for (k <- 2 to hi) {
+        cur = cur.flatMap { case (s, m) => orient.collect { case (`m`, d) => (s, d) } }
+        levels += k -> cur
+      }
+      val expect: Set[(String, String, Long)] =
+        if (shortest)
+          (1 to hi).flatMap(k => levels(k).map(p => (p, k))).groupBy(_._1)
+            .map { case (p, xs) => (p._1, p._2, xs.map(_._2).min.toLong) }
+            .filter(t => t2.contains(t._2)).toSet
+        else
+          (1 to hi).flatMap(k => levels(k).filter(p => t2.contains(p._2))
+            .map(p => (p._1, p._2, k.toLong))).toSet
+      assert(got === expect, s"trial $trial: $q over ${edges.size} edges")
+    }
+  }
+
   test("SessionDirCache rebuilds when the corpus stamp changes, not otherwise") {
     var stampVal = "s1"
     var builds = 0
