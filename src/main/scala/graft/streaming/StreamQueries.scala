@@ -297,13 +297,56 @@ object StreamQueries {
       |  count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM cohort GROUP BY 1, 2""".stripMargin
 
+  /** Watermarked streaming dedup driver-gated — the fourth streaming
+    * machinery on the hash channel (dropDuplicatesWithinWatermark state
+    * eviction): the shared cohort in four time-ordered micro-batches,
+    * then a fifth batch REPLAYING the cohort's final quarter. Every
+    * replayed row lands deterministically in one of two drop paths —
+    * its key state is still live (event time + 2 h horizon ≥ the
+    * watermark set by batch 4) so it is dropped as a duplicate, or its
+    * event time is already below the watermark so it is dropped as
+    * late input — and in both cases emits nothing, so the survivors
+    * are EXACTLY the distinct cohort events. Census by event type (the
+    * gate's value is the state machinery, not the row identity the
+    * other gates already cover). Oracle: the same census over the
+    * cohort slice — event_id is the source's primary key, so the
+    * planted replays are the only duplicates. */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohort = eventCohort(spark, dir)
+    if (cohort.isEmpty)
+      return Seq.empty[(String, Long, Double)]
+        .toDF("event_type", "n_events", "total_value")
+    val replay = cohort.drop(cohort.size - cohort.size / 4)
+    val rows = driveEventGate(spark, cohortBatches(cohort) :+ replay)(
+      ds => EventStream.dedupStream(ds.toDF()))
+    rows.map(r => (r.getString(3), r.getDouble(4)))
+      .toDF("event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Census of the distinct cohort events (event_id is unique there). */
+  val dedupGateSql: String =
+    """WITH cohort AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      |  FROM events WHERE user_id < 40
+      |  ORDER BY sec, event_id LIMIT 2500
+      |)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM cohort GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cdc_migrate" -> ((s: SparkSession, d: String) => cdcMigrate(s, d)),
     "stream_sessionize" -> ((s: SparkSession, d: String) => sessionizeGate(s, d)),
-    "stream_window_agg" -> ((s: SparkSession, d: String) => windowAggGate(s, d)))
+    "stream_window_agg" -> ((s: SparkSession, d: String) => windowAggGate(s, d)),
+    "stream_dedup" -> ((s: SparkSession, d: String) => dedupGate(s, d)))
 
   def oracles: Map[String, String] = Map(
     "stream_cdc_migrate" -> cdcMigrateSql,
     "stream_sessionize" -> sessionizeGateSql,
-    "stream_window_agg" -> windowAggGateSql)
+    "stream_window_agg" -> windowAggGateSql,
+    "stream_dedup" -> dedupGateSql)
 }
