@@ -70,18 +70,19 @@ object RelationalMigration {
 
   // The migrated graph feeds the census query, CypherLite reads, and
   // repeat verify/bench passes in one process — cache per (session,
-  // dir) like TpchGraph, invalidated on parquet change.
-  private val cache = new SessionDirCache[PropertyGraph]((spark, dir) => {
-    val g = build(spark, dir)
-    PropertyGraph(
-      g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }, stamp = SessionDirCache.parquetStamp(migratedTables))
+  // dir) like TpchGraph, invalidated on parquet change. The cached
+  // storage is the narrow string bases of [[tableBasesK]] (the Pinned
+  // wrapper releases them on eviction); nodes/edges are lazy rendering
+  // projections over them, so a consumer that never reads the props
+  // bag (the census) never pays for rendering it.
+  private val cache = new SessionDirCache[Pinned[PropertyGraph]](
+    (spark, dir) => build(spark, dir),
+    stamp = SessionDirCache.parquetStamp(migratedTables))
 
   /** The migrated property graph (TableType/TableRow/ColumnValue
     * nodes; is_part_of/column/FK edges) — CypherLite-queryable like
     * any other [[PropertyGraph]]. */
-  def migratedGraph(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir)
+  def migratedGraph(spark: SparkSession, dir: String): PropertyGraph = cache(spark, dir).value
 
   /** Per-table node/edge increment projection — shared verbatim between
     * the batch [[build]] and the streaming CDC twin
@@ -172,7 +173,153 @@ object RelationalMigration {
       (isPartOf +: fkEdges).reduce(_ unionByName _).unionByName(colEdges))
   }
 
-  private def build(spark: SparkSession, dir: String): PropertyGraph = {
+  /** Narrow-first batch build of one table's migration families — the
+    * r15 optimization-round restructure of the BATCH build path only
+    * (the streaming CDC twin keeps using [[tablePartK]] +
+    * mergeNodes/mergeEdges verbatim; this produces the IDENTICAL graph,
+    * proven by the oracle census at sf0.01/sf0.1 and MigrationSpec).
+    *
+    * Why: the bulk-merge dedup aggregates `min(struct(ntype, name,
+    * array_sort(map_entries(props))))` — a complex-typed buffer, which
+    * Catalyst can only plan as a SortAggregate, so the old build SORTED
+    * millions of map-carrying rendered rows twice (partial + final) per
+    * family, then paid the in-memory COLUMNAR cache builder on MAP
+    * columns (generic per-value writes, the slowest path the cache
+    * builder has) for the full fat relation. Measured at sf0.1:
+    * lineitem build 54-107 s cold, and the persisted footprint evicted
+    * neighboring artifacts mid-suite (graph_migrate_composite "warm"
+    * 8.96 s in-suite vs 0.62 s isolated).
+    *
+    * Shape (guide §2.3 "shuffle fewer bytes" / §8 "decide with small
+    * rows, attach payload once"): every dedup runs FIRST, over narrow
+    * string columns (codegen HashAggregates), the persisted bases carry
+    * only those narrow columns, and id/name/props rendering happens
+    * lazily on read — so the census's column pruning never evaluates
+    * the props bag at all, and the cached footprint shrinks by the
+    * repeated id prefixes and per-row map overhead.
+    *
+    * EQUIVALENCE with tablePartK + mergeNodes/mergeEdges:
+    *  - id rendering is injective per family (the composite-pk escape
+    *    spec pins it), so distinct-on-raw-strings ≡ distinct-on-ids;
+    *  - id families are disjoint across kinds and tables (tabletype:/
+    *    tablerow:<t>:/colval:<t>:), so the global id-keyed merge dedup
+    *    decomposes into these per-family dedups;
+    *  - a TableRow id collision (duplicate pk) resolves keep-min by
+    *    (ntype, name, key-sorted prop entries); ntype/name are equal
+    *    within an id and entry KEYS are the same sorted column names at
+    *    every position, so the order reduces to the column-value
+    *    strings in sorted-column-name order — exactly the min(struct)
+    *    below;
+    *  - every edge in this projection carries an empty props bag, so
+    *    the triplet merge is a plain distinct.
+    * Returns (pins to persist, lazy nodes, lazy edges).
+    *
+    * `nParts` sizes every persisted base (size-derived from the source
+    * table's parquet bytes — [[basePartitions]]): the session default
+    * leaves each base at the full shuffle width (AQE's
+    * parallelismFirst coalescing keeps 32 post-shuffle partitions for
+    * KB-sized relations), and the census union across tables × families
+    * then schedules ~900 near-empty tasks PER PASS (measured 3.9-4.8 s
+    * warm at sf0.1, pure scheduling). Edge bases store the RENDERED
+    * `src` (dedup keys are unchanged — rendering is injective), so warm
+    * passes skip the per-row escape regexes too. */
+  private def tableBasesK(df: DataFrame, table: String, pkCols: Seq[String],
+      fks: Seq[(String, String, DataFrame)], nParts: Int): (Seq[DataFrame], DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val emptyBag = map().cast("map<string,string>")
+    val dataCols = df.columns.filterNot(c => pkCols.contains(c) || fks.exists(_._1 == c))
+    // Everything below compares/renders the CAST-TO-STRING image of the
+    // row — the same casts tablePartK applies — so dedups on these
+    // columns are dedups on the rendered ids.
+    val asStrings = df.select(df.columns.map(c => col(c).cast("string").as(c)).toIndexedSeq: _*)
+    // Winner row per pk: min over the non-pk value strings in
+    // sorted-column-name order (pk components are constant within a
+    // group, so skipping them preserves the keep-min order).
+    val nonPk = df.columns.sorted.filterNot(pkCols.contains)
+    val rowBase = (if (nonPk.isEmpty) asStrings.distinct()
+      else asStrings.groupBy(pkCols.map(col).toIndexedSeq: _*)
+        .agg(min(struct(nonPk.map(col).toIndexedSeq: _*)).as("s"))
+        .select(df.columns.map(c =>
+          if (pkCols.contains(c)) col(c) else col("s." + c).as(c)).toIndexedSeq: _*))
+      .coalesce(nParts).persist(lvl)
+    // Identical pk rendering to tablePartK, over the already-cast strings.
+    def pkComponentS(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val escaped = regexp_replace(
+        regexp_replace(c, "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+      coalesce(escaped, lit("\\N"))
+    }
+    def pkRenderOf(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cols.sizeIs == 1) cols.head
+      else concat_ws("|", cols.map(pkComponentS): _*)
+    val pkRender = pkRenderOf(pkCols.map(col))
+    val rowId = concat(lit("tablerow:" + table + ":"), pkRender)
+
+    val rowNodes = rowBase.select(rowId.as("id"), lit("TableRow").as("ntype"),
+      concat(lit(table + ":"), pkRender).as("name"),
+      map_from_arrays(
+        array(df.columns.map(lit(_)).toIndexedSeq: _*),
+        array(df.columns.map(col).toIndexedSeq: _*)).as("props"))
+    val isPartOf = rowBase.select(rowId.as("src"),
+      lit("tabletype:" + table).as("dst"), lit("is_part_of").as("rel"),
+      emptyBag.as("props"))
+
+    // Column-value family: distinct (pk, column, value) BEFORE any map
+    // rendering — one narrow exploded scan + hash distinct. The src id
+    // is rendered once here (injective ⇒ same dedup), not per read.
+    val colEdgeBase = asStrings.select(rowId.as("src"),
+        explode(map(dataCols.flatMap(c => Seq(lit(c), col(c))): _*))
+          .as(Seq("ckey", "cval")))
+      .where(col("cval").isNotNull)
+      .distinct()
+      .coalesce(nParts).persist(lvl)
+    val colBase = colEdgeBase.select(col("ckey"), col("cval")).distinct()
+      .coalesce(nParts).persist(lvl)
+    val colId = concat(lit("colval:" + table + ":"), col("ckey"), lit(":"), col("cval"))
+    val colNodes = colBase.select(colId.as("id"), lit("ColumnValue").as("ntype"),
+      concat(lit(table + ":"), col("ckey"), lit(":"), col("cval")).as("name"),
+      map(lit("table"), lit(table), lit("column"), col("ckey"),
+        lit("value"), col("cval")).as("props"))
+    val colEdges = colEdgeBase.select(col("src"), colId.as("dst"),
+      col("ckey").as("rel"), emptyBag.as("props"))
+
+    // FK families: distinct (src, fk value), dangling values dropped by
+    // a semi-join against the parent's distinct key projection.
+    val fkBases = fks.map { case (fkCol, refTable, parentKeys) =>
+      val base = asStrings.select(rowId.as("src"), col(fkCol).as("fkv"))
+        .distinct()
+        .join(parentKeys, Seq("fkv"), "left_semi")
+        .coalesce(nParts).persist(lvl)
+      (fkCol, refTable, base)
+    }
+    val fkEdges = fkBases.map { case (fkCol, refTable, base) =>
+      base.select(col("src"),
+        concat(lit("tablerow:" + refTable + ":"), col("fkv")).as("dst"),
+        lit(fkCol).as("rel"), emptyBag.as("props"))
+    }
+
+    (Seq(rowBase, colEdgeBase, colBase) ++ fkBases.map(_._3),
+      rowNodes.unionByName(colNodes),
+      (isPartOf +: fkEdges).reduce(_ unionByName _).unionByName(colEdges))
+  }
+
+  /** Size-derived base partition count: one partition per ~2 MB of the
+    * source table's parquet (a driver FS listing, like
+    * [[SessionDirCache.parquetStamp]]; the exploded column-value base is
+    * ~dataCols× the table's rows, and parquet compresses these tables
+    * ~10×, so 2 MB of parquet ≈ a few-hundred-thousand-row base
+    * partition), floored at 1 and capped at the session parallelism —
+    * base partitions grow with the data until the cluster width caps
+    * them (the 100 TB posture) while small tables stop paying a 32-task
+    * scan per census leg. */
+  private def basePartitions(spark: SparkSession, dir: String, table: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.listStatus(p).map(_.getLen).sum else 0L
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      bytes / (2L << 20) + 1L)).toInt
+  }
+
+  private def build(spark: SparkSession, dir: String): Pinned[PropertyGraph] = {
     import spark.implicits._
     val emptyBag = map().cast("map<string,string>")
 
@@ -182,22 +329,22 @@ object RelationalMigration {
       concat(lit("tabletype:"), col("t")).as("id"),
       lit("TableType").as("ntype"), col("t").as("name"), emptyBag.as("props"))
 
+    // Batched bulk merge, narrow-first (see [[tableBasesK]] — same graph
+    // as tablePart + mergeNodes/mergeEdges: the reference adds all nodes,
+    // then all deduped edges, in one call each; node_mapping dedup and
+    // _remove_duplicate_edges are the per-family dedups inside the bases).
     val parts = specs.map { sp =>
       val fks = sp.fks.map { case (fkCol, refTable, refCol) =>
         (fkCol, refTable, graft.Tables.load(spark, dir, refTable)
           .select(col(refCol).cast("string").as("fkv")).distinct())
       }
-      tablePart(graft.Tables.load(spark, dir, sp.table), sp.table, sp.pk, fks)
+      tableBasesK(graft.Tables.load(spark, dir, sp.table), sp.table, Seq(sp.pk), fks,
+        basePartitions(spark, dir, sp.table))
     }
-
-    // Batched bulk merge (:66-67 — the reference adds all nodes, then
-    // all deduped edges, in one call each): mergeNodes' id-keyed
-    // groupBy is the node_mapping dedup (ColumnValue sharing),
-    // mergeEdges' triplet groupBy is _remove_duplicate_edges.
-    val noEdges = Seq.empty[(String, String, String)].toDF("src", "dst", "rel")
-    PropertyGraph(typeNodes, PropertyGraph.ensureProps(noEdges))
-      .mergeNodes(parts.map(_._1).reduce(_ unionByName _))
-      .mergeEdges(parts.map(_._2).reduce(_ unionByName _))
+    Pinned(parts.flatMap(_._1),
+      PropertyGraph(
+        typeNodes.unionByName(parts.map(_._2).reduce(_ unionByName _)),
+        parts.map(_._3).reduce(_ unionByName _)))
   }
 
   /** Node/edge census read back THROUGH the merged graph (so the
@@ -238,24 +385,22 @@ object RelationalMigration {
   private val compositeDataCols = Seq("l_quantity", "l_extendedprice", "l_discount",
     "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
 
-  private val compositeCache = new SessionDirCache[PropertyGraph]((spark, dir) => {
+  private val compositeCache = new SessionDirCache[Pinned[PropertyGraph]]((spark, dir) => {
     import spark.implicits._
     val fks = compositeFks.map { case (fkCol, refTable, refCol) =>
       (fkCol, refTable, graft.Tables.load(spark, dir, refTable)
         .select(col(refCol).cast("string").as("fkv")).distinct())
     }
-    val (n, e) = tablePartK(graft.Tables.load(spark, dir, "lineitem"),
-      "lineitem", compositePk, fks)
+    // Narrow-first build (see [[tableBasesK]]) — identical graph to
+    // tablePartK + mergeNodes/mergeEdges, without the SortAggregate
+    // over fat map rows or the columnar MAP cache build.
+    val (pins, n, e) = tableBasesK(graft.Tables.load(spark, dir, "lineitem"),
+      "lineitem", compositePk, fks, basePartitions(spark, dir, "lineitem"))
     val typeNodes = Seq("lineitem").toDF("t").select(
       concat(lit("tabletype:"), col("t")).as("id"),
       lit("TableType").as("ntype"), col("t").as("name"),
       map().cast("map<string,string>").as("props"))
-    val g = PropertyGraph(typeNodes,
-        PropertyGraph.ensureProps(Seq.empty[(String, String, String)].toDF("src", "dst", "rel")))
-      .mergeNodes(n).mergeEdges(e)
-    PropertyGraph(
-      g.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Pinned(pins, PropertyGraph(typeNodes.unionByName(n), e))
   }, stamp = SessionDirCache.parquetStamp(Seq("lineitem", "orders", "part", "supplier")))
 
   /** Census of the composite-pk lineitem migration, through the merged
@@ -266,7 +411,7 @@ object RelationalMigration {
     * edges count DISTINCT key pairs, column/FK edges count distinct
     * (key pair, value) combinations. */
   def migrateCompositeCensus(spark: SparkSession, dir: String): DataFrame =
-    census(compositeCache(spark, dir))
+    census(compositeCache(spark, dir).value)
 
   /** DuckDB oracle: every count re-derived from lineitem with the
     * composite-key dedup made explicit (DISTINCT over the pk pair plus

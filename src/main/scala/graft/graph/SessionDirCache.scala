@@ -65,6 +65,13 @@ object SessionDirCache {
   }
 }
 
+/** Cache value whose persisted storage lives in narrow base relations
+  * (`pins`) rather than in the exposed value itself — e.g. a
+  * [[PropertyGraph]] of lazy rendering projections over persisted
+  * string bases, where unpersisting the derived nodes/edges frames
+  * would be a no-op. Eviction releases the pins. */
+final case class Pinned[T](pins: Seq[org.apache.spark.sql.DataFrame], value: T)
+
 final class SessionDirCache[T](build: (SparkSession, String) => T,
     stamp: (SparkSession, String) => String = (_, _) => "") {
   SessionDirCache.register(this)
@@ -89,6 +96,8 @@ final class SessionDirCache[T](build: (SparkSession, String) => T,
     case g: PropertyGraph if !spark.sparkContext.isStopped =>
       g.nodes.unpersist(blocking = false)
       g.edges.unpersist(blocking = false)
+    case p: Pinned[_] if !spark.sparkContext.isStopped =>
+      p.pins.foreach(_.unpersist(blocking = false))
     case _ => ()
   }
 
