@@ -563,49 +563,57 @@ object EventStream {
           val upsertRows = batch.filter(col("op") =!= "D")
             .select(from_json(col("row"), rowSchema).as("r")).select(col("r.*"))
 
-          // pre-image captures (against g BEFORE the delete):
-          // ColumnValue ids the changed rows referenced — the orphan-sweep
-          // candidate set — and FK edges arriving INTO the changed rows.
-          // ONE kind-tagged eager pin for both legs: the per-batch cost
-          // of this operator in local mode is its eager-action count
-          // (each localCheckpoint is a full job round), so sibling
-          // captures share a checkpoint and split lazily after.
+          // pre-image captures (against g BEFORE the delete) AND the
+          // upsert increment projection, in ONE kind-tagged eager pin:
+          // the per-batch cost of this operator in local mode is its
+          // eager-action count (each localCheckpoint is a full job
+          // round), so every batch-scoped capture — orphan-sweep
+          // candidates, FK edges arriving INTO the changed rows, and
+          // the shared-projection node/edge increments, all mutually
+          // independent reads of pre-mutation state — shares one
+          // checkpoint and splits lazily after (r15: the preImage and
+          // inc pins were separate actions; fusing them cut one job
+          // round per micro-batch).
           val candLeg = g.edges
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
             .filter(col("dst").startsWith("colval:" + table + ":"))
             .select(col("dst")).distinct()
-            .select(lit("cand").as("leg"), lit(null).cast("string").as("src"),
-              col("dst"), lit(null).cast("string").as("rel"), emptyBag.as("props"))
+            .select(lit("cand").as("leg"), lit(null).cast("string").as("a"),
+              col("dst").as("b"), lit(null).cast("string").as("c"), emptyBag.as("props"))
           val inLeg = g.edges
             .join(changedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
             .join(changedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .select(lit("in").as("leg"), col("src"), col("dst"), col("rel"), col("props"))
-          val preImage = candLeg.unionByName(inLeg).localCheckpoint(true)
-          val preCand = preImage.filter(col("leg") === "cand").select(col("dst"))
-          val incoming = preImage.filter(col("leg") === "in")
-            .select(col("src"), col("dst"), col("rel"), col("props"))
+            .select(lit("in").as("leg"), col("src").as("a"), col("dst").as("b"),
+              col("rel").as("c"), col("props"))
+          val (n, e) = graft.graph.RelationalMigration.tablePart(upsertRows, table, pk, fks)
+          val pinned = candLeg.unionByName(inLeg)
+            .unionByName(n.select(lit("n").as("leg"), col("id").as("a"),
+              col("ntype").as("b"), col("name").as("c"), col("props")))
+            .unionByName(e.select(lit("e").as("leg"), col("src"), col("dst"),
+              col("rel"), col("props")).toDF("leg", "a", "b", "c", "props"))
+            .localCheckpoint(true)
+          val preCand = pinned.filter(col("leg") === "cand").select(col("b").as("dst"))
+          val incoming = pinned.filter(col("leg") === "in")
+            .select(col("a").as("src"), col("b").as("dst"), col("c").as("rel"), col("props"))
+          val nInc = pinned.filter(col("leg") === "n")
+            .select(col("a").as("id"), col("b").as("ntype"), col("c").as("name"), col("props"))
+          val eInc = pinned.filter(col("leg") === "e")
+            .select(col("a").as("src"), col("b").as("dst"), col("c").as("rel"), col("props"))
 
           // prop-bag rewrite: delete the changed rows (cascades their
           // edges both directions), re-derive the upserted images through
           // the shared batch projection, restore incoming edges whose
-          // target row still exists (UPDATE keeps its children).
-          // node + edge increments pinned in ONE kind-tagged checkpoint
-          // (the preImage discipline: one eager pass, lazy split after)
-          val (n, e) = graft.graph.RelationalMigration.tablePart(upsertRows, table, pk, fks)
-          val inc = n.select(lit("n").as("leg"), col("id").as("a"), col("ntype").as("b"),
-              col("name").as("c"), col("props"))
-            .unionByName(e.select(lit("e").as("leg"), col("src"), col("dst"),
-              col("rel"), col("props")).toDF("leg", "a", "b", "c", "props"))
-            .localCheckpoint(true)
-          val nInc = inc.filter(col("leg") === "n")
-            .select(col("a").as("id"), col("b").as("ntype"), col("c").as("name"), col("props"))
-          val eInc = inc.filter(col("leg") === "e")
-            .select(col("a").as("src"), col("b").as("dst"), col("c").as("rel"), col("props"))
+          // target row still exists (UPDATE keeps its children). The
+          // re-derived images and the kept incoming edges merge in ONE
+          // mergeEdges layer: their triplet sets are disjoint by
+          // construction (eInc srcs are changed row ids; inLeg anti-
+          // joined changed srcs away), so one layer is exactly the two
+          // sequential layers it replaces — one fewer groupBy+anti-join
+          // pair in every downstream action's plan this batch.
           val keptIncoming = incoming
             .join(upsertIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
           val merged = g.deleteNodes(changedIds)
-            .mergeNodes(nInc).mergeEdges(eInc)
-            .mergeEdges(keptIncoming)
+            .mergeNodes(nInc).mergeEdges(eInc.unionByName(keptIncoming))
 
           // bounded orphan sweep: candidates with no remaining reference
           val orphans = preCand
